@@ -1,0 +1,158 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Content-addressed hashing, matching the reference's key scheme:
+  * uppercase-hex SHA-256 of the serialized bytes
+  * (reference: kv_graph_store.rs:832-835 `format!("{:X}")`, schema.rs:62-83).
+  */
+object Hashing {
+  def sha256HexUpper(bytes: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(bytes).map("%02X".format(_)).mkString
+  }
+
+  def sha256HexUpper(s: String): String =
+    sha256HexUpper(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Canonical JSON of an edge record; field order is significant because the
+    * edge's identity is the hash of these bytes
+    * (reference: kv_graph_store.rs:823-847 EdgeData serialization). */
+  def edgeJson(propHash: String, src: String, dst: String): String =
+    s"""{"properties":"$propHash","n1":"$src","n2":"$dst"}"""
+
+  /** Edge identity = content hash of the edge record: equal (prop, src, dst)
+    * collapse into one edge (reference: kv_graph_store.rs:832-835). */
+  def edgeId(propHash: String, src: String, dst: String): String =
+    sha256HexUpper(edgeJson(propHash, src, dst))
+
+  /** Canonical JSON of a node record (reference: kv_graph_store.rs:791-820;
+    * adjacency sets are sorted). Only needed for storage-layout parity —
+    * the Spark model keeps adjacency normalized in the edges table. */
+  def nodeJson(id: String, propHash: String,
+               incoming: Seq[String], outgoing: Seq[String]): String = {
+    def arr(xs: Seq[String]) = xs.sorted.map(x => s""""$x"""").mkString("[", ",", "]")
+    s"""{"id":"$id","properties":"$propHash","incoming":${arr(incoming)},"outgoing":${arr(outgoing)}}"""
+  }
+
+  /** Column-level edge id for distributed edge creation. */
+  def edgeIdCol(propHash: org.apache.spark.sql.Column,
+                src: org.apache.spark.sql.Column,
+                dst: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    upper(sha2(concat(
+      lit("{\"properties\":\""), propHash,
+      lit("\",\"n1\":\""), src,
+      lit("\",\"n2\":\""), dst, lit("\"}")), 256))
+}
+
+/** A property value in the reference's model: an externally-tagged enum
+  * variant with optional payload, plus the nested property tree used as a
+  * lightweight type system (reference: schema.rs:3-28, `nested()`).
+  *
+  * `key` defaults to the content hash but can be overridden for orderable
+  * custom keys (reference: docs/tutorials/designing_a_schema.adoc:292-311). */
+final case class PropValue(
+    variant: String,
+    payload: Option[String] = None,
+    nested: Seq[PropValue] = Nil,
+    customKey: Option[String] = None) {
+
+  /** serde-compatible externally-tagged JSON: unit variant -> `"V"`,
+    * newtype variant -> `{"V":"payload"}`. */
+  def json: String = payload match {
+    case Some(p) => s"""{"$variant":${PropValue.jsonString(p)}}"""
+    case None    => s""""$variant""""
+  }
+
+  def hash: String = customKey.getOrElse(Hashing.sha256HexUpper(json))
+
+  /** This value plus its transitive nested tree, parent-first. */
+  def withNested: Seq[PropValue] = this +: nested.flatMap(_.withNested)
+}
+
+object PropValue {
+  def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
+  /** Schema-style constructor: a variant that nests SchemaType(variant),
+    * matching the reference's `#[derive(Schema)]` expansion
+    * (gravitydb_derive/src/lib.rs:10-94). */
+  def typed(variant: String, payload: Option[String] = None): PropValue =
+    PropValue(variant, payload, Seq(schemaType(variant)))
+
+  def schemaType(label: String): PropValue = PropValue("SchemaType", Some(label))
+}
+
+/** The four graph tables. Everything is a plain DataFrame so Catalyst can
+  * push filters/prune columns; adjacency is normalized (derivable from
+  * `edges`), unlike the reference's denormalized per-node sets
+  * (kv_graph_store.rs:23-46) which Spark does not need.
+  *
+  *  - vertices(id, prop_hash)
+  *  - edges(edge_id, src, dst, prop_hash)
+  *  - props(hash, value /*canonical json*/, schema_type)
+  *  - prop_refs(parent_hash, child_hash)  — the `nested()` DAG
+  */
+final case class GraphStore(
+    vertices: DataFrame,
+    edges: DataFrame,
+    props: DataFrame,
+    propRefs: DataFrame) {
+
+  def persistAll(): GraphStore =
+    GraphStore(vertices.cache(), edges.cache(), props.cache(), propRefs.cache())
+
+  def save(path: String): Unit = {
+    vertices.write.mode("overwrite").parquet(s"$path/vertices")
+    edges.write.mode("overwrite").parquet(s"$path/edges")
+    props.write.mode("overwrite").parquet(s"$path/props")
+    propRefs.write.mode("overwrite").parquet(s"$path/prop_refs")
+  }
+}
+
+object GraphStore {
+  val verticesSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("prop_hash", StringType, nullable = false)))
+  val edgesSchema: StructType = StructType(Seq(
+    StructField("edge_id", StringType, nullable = false),
+    StructField("src", StringType, nullable = false),
+    StructField("dst", StringType, nullable = false),
+    StructField("prop_hash", StringType, nullable = false)))
+  val propsSchema: StructType = StructType(Seq(
+    StructField("hash", StringType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("schema_type", StringType, nullable = true)))
+  val propRefsSchema: StructType = StructType(Seq(
+    StructField("parent_hash", StringType, nullable = false),
+    StructField("child_hash", StringType, nullable = false)))
+
+  def empty(spark: SparkSession): GraphStore = GraphStore(
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], verticesSchema),
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], edgesSchema),
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], propsSchema),
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], propRefsSchema))
+
+  /** Open a saved store; mirrors the reference's layout check on open
+    * (backend_filestore/src/lib.rs:64-101). */
+  def load(spark: SparkSession, path: String): GraphStore = {
+    val dirs = Seq("vertices", "edges", "props", "prop_refs")
+    val missing = dirs.filterNot(d => new java.io.File(s"$path/$d").exists())
+    require(missing.isEmpty, s"malformed graph store at $path: missing ${missing.mkString(",")}")
+    GraphStore(
+      spark.read.schema(verticesSchema).parquet(s"$path/vertices"),
+      spark.read.schema(edgesSchema).parquet(s"$path/edges"),
+      spark.read.schema(propsSchema).parquet(s"$path/props"),
+      spark.read.schema(propRefsSchema).parquet(s"$path/prop_refs"))
+  }
+}
