@@ -1,0 +1,312 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.analytics.GraphAnalytics
+import graft.exec.ZoeCompiler
+import graft.model.{GraphStore, PropValue}
+import graft.ql._
+
+/** Driver-facing query inventory: one entry per operator of SURVEY.md §2,
+  * exercised over the deterministic TpchGraph mapping so each graph query has
+  * an ANSI-SQL oracle over the same parquet tables (driver runs it in DuckDB
+  * and hash-compares). Column names/aliases are identical on both sides.
+  */
+object GraphQueries {
+
+  private def graph(spark: SparkSession, dir: String): GraphStore =
+    TpchGraph.build(spark, dir)
+  private def compiler(spark: SparkSession, dir: String): ZoeCompiler =
+    new ZoeCompiler(graph(spark, dir))
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    TpchGraph.table(spark, dir, name)
+
+  // -- shared Zoe sub-queries ------------------------------------------------
+
+  private def vType(variant: String): VertexQuery =
+    Zoe.start(PropValue.schemaType(variant)).referencingProperties.referencingVertices
+  private def edgeProp(variant: String): EdgeQuery =
+    Zoe.start(PropValue(variant)).referencingEdges
+  private def nationV(name: String): VertexQuery =
+    Zoe.start(PropValue.typed("Nation", Some(name))).referencingVertices
+  private def segmentV(name: String): VertexQuery =
+    Zoe.start(PropValue.typed("Segment", Some(name))).referencingVertices
+
+  /** Members (customers + suppliers) of a nation: V.In of its InNation edges. */
+  private def membersOf(nation: String): VertexQuery =
+    nationV(nation).ingoing.intersect(edgeProp("InNation")).ingoing
+  private def customersOf(nation: String): VertexQuery =
+    membersOf(nation).intersect(vType("Customer"))
+  private def customersInSegment(seg: String): VertexQuery =
+    segmentV(seg).ingoing.intersect(edgeProp("InSegment")).ingoing
+  /** Customers of a region via the 2-hop region<-nation<-customer chain. */
+  private def customersOfRegion(region: String): VertexQuery =
+    Zoe.start(PropValue.typed("Region", Some(region))).referencingVertices
+      .ingoing.intersect(edgeProp("InRegion")).ingoing
+      .ingoing.intersect(edgeProp("InNation")).ingoing
+      .intersect(vType("Customer"))
+
+  /** Deterministic long ids for the GraphX bridge (region/nation/supplier/
+    * customer subgraph): disjoint offset ranges so connectedComponents' "min
+    * id in component" is reproducibly the region's key. */
+  private val analyticsToLong: Column => Column = { id =>
+    val prefix = split(id, ":").getItem(0)
+    val key = split(id, ":").getItem(1).cast("long")
+    when(prefix === "region", key)
+      .when(prefix === "nation", key + 100L)
+      .when(prefix === "supplier", key + 10000L)
+      .when(prefix === "customer", key + 1000000L)
+  }
+
+  /** The region/nation/supplier/customer subgraph with InNation/InRegion
+    * edges only (segments/orders would merge all components into one). */
+  private def analyticsSubgraph(g: GraphStore): GraphStore = {
+    val keep = Seq("region", "nation", "supplier", "customer")
+    g.copy(
+      vertices = g.vertices.where(split(col("id"), ":").getItem(0).isin(keep: _*)),
+      edges = g.edges.where(col("prop_hash").isin(
+        TpchGraph.unitHash("InNation"), TpchGraph.unitHash("InRegion"))))
+  }
+
+  // -- inventory -------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 V.All
+    "zoe_v_all" -> ((s, d) => compiler(s, d).run(VertexQuery.all).vertices),
+    // §2.1 V.Specific (NOT existence-checked, reference parity)
+    "zoe_v_specific" -> ((s, d) =>
+      compiler(s, d).run(VertexQuery.fromIds(Seq("nation:1", "nation:7", "ghost:99"))).vertices),
+    // §2.1 V.Property via index equi-join
+    "zoe_v_property" -> ((s, d) => compiler(s, d).run(nationV("NATION_7")).vertices),
+    // §2.3 ReferencingProperties + V.Property: SchemaType lattice lookup
+    "zoe_v_property_schema" -> ((s, d) => compiler(s, d).run(vType("Customer")).vertices),
+    // §2.3 P.FromTo as a top-level P query (custom orderable keys)
+    "zoe_p_fromto" -> ((s, d) =>
+      compiler(s, d).run(PropertyQuery.fromTo("psz_010", "psz_021")).properties),
+    // §2.3 FromTo range -> vertices
+    "zoe_v_fromto" -> ((s, d) =>
+      compiler(s, d).run(PropertyQuery.fromTo("psz_010", "psz_021").referencingVertices).vertices),
+    // §2.1 V.In of E.In: one hop back along InNation
+    "zoe_hop_in" -> ((s, d) => compiler(s, d).run(membersOf("NATION_7")).vertices),
+    // §2.1 V.Out of E.Out: forward hop to the region
+    "zoe_hop_out" -> ((s, d) => compiler(s, d).run(
+      nationV("NATION_3").outgoing.intersect(edgeProp("InRegion")).outgoing).vertices),
+    // two-hop traversal with type intersections
+    "zoe_two_hop" -> ((s, d) => compiler(s, d).run(customersOfRegion("EUROPE")).vertices),
+    // §2.1 set algebra
+    "zoe_union" -> ((s, d) =>
+      compiler(s, d).run(customersOf("NATION_7").union(customersOf("NATION_3"))).vertices),
+    "zoe_intersect" -> ((s, d) =>
+      compiler(s, d).run(customersOf("NATION_7").intersect(customersInSegment("BUILDING"))).vertices),
+    "zoe_substract" -> ((s, d) =>
+      compiler(s, d).run(customersOf("NATION_7").substract(customersInSegment("BUILDING"))).vertices),
+    // documented symmetric-difference semantics (SURVEY §7.4 decision 2)
+    "zoe_disjunctive_union" -> ((s, d) =>
+      compiler(s, d).run(customersOf("NATION_7")
+        .disjunctiveUnion(customersInSegment("BUILDING"))).vertices),
+    // §2.1 V.Filter with the engine-native sql interpreter
+    "zoe_filter_sql" -> ((s, d) => compiler(s, d).run(
+      VertexQuery.all.filter(ZFilter("sql",
+        "schema_type = 'Nation' AND value LIKE '%1%'"))).vertices),
+    // §2.1 V.Store: side-effect snapshot union'd into the result
+    "zoe_store_hop" -> ((s, d) => compiler(s, d).run(
+      customersOf("NATION_7").store.outgoing.intersect(edgeProp("InNation")).outgoing).vertices),
+    // §2.4 path accumulation + extract_path_properties
+    "zoe_paths_europe" -> ((s, d) => {
+      val zc = compiler(s, d)
+      zc.extractPathProperties(zc.run(customersOfRegion("EUROPE")))
+        .select(col("end").as("path_end"), concat_ws("->", col("props")).as("path_str"))
+    }),
+    // §2.2 E.Property
+    "zoe_e_property" -> ((s, d) =>
+      compiler(s, d).traceE(edgeProp("InSegment")).select("src", "dst")),
+    // §2.2 E.Out + E.Intersect
+    "zoe_e_out_intersect" -> ((s, d) =>
+      compiler(s, d).traceE(customersOf("NATION_7").outgoing.intersect(edgeProp("InSegment")))
+        .select("src", "dst")),
+    // content-addressed edge identity, cross-checked against DuckDB sha256
+    "zoe_e_ids" -> ((s, d) => compiler(s, d).run(edgeProp("InRegion")).edges),
+    // §2.3 ReferencingProperties (parents in the nested() DAG)
+    "zoe_p_referencing" -> ((s, d) => compiler(s, d).run(
+      Zoe.start(PropValue.schemaType("Segment")).referencingProperties).properties),
+    // §2.3 ReferencedProperties (children; unimplemented in the reference)
+    "zoe_p_referenced" -> ((s, d) => {
+      val name = t(s, d, "customer").where(col("c_custkey") === 1)
+        .select("c_name").head().getString(0)
+      compiler(s, d).run(
+        Zoe.start(PropValue.typed("Customer", Some(name))).referencedProperties).properties
+    }),
+    // §2.5 Graph trait surface: degree
+    "graph_degree" -> ((s, d) =>
+      GraphAnalytics.degrees(graph(s, d)).where(col("id").startsWith("nation:"))),
+    // §2.5 order/size
+    "graph_order_size" -> ((s, d) => {
+      val g = graph(s, d)
+      g.vertices.agg(count(lit(1)).as("graph_order"))
+        .crossJoin(g.edges.agg(count(lit(1)).as("graph_size")))
+    }),
+    // §2.5 neighbors
+    "graph_neighbors" -> ((s, d) => GraphAnalytics.neighbors(graph(s, d), "nation:7")),
+    // GraphX connected components with deterministic long mapping
+    "graphx_cc" -> ((s, d) =>
+      GraphAnalytics.connectedComponents(analyticsSubgraph(graph(s, d)), analyticsToLong)),
+    // GraphX PageRank (iterative float — no SQL oracle, rows-only check)
+    "graphx_pagerank" -> ((s, d) =>
+      GraphAnalytics.pageRank(analyticsSubgraph(graph(s, d)), analyticsToLong, numIter = 10)
+        .select(col("id"), round(col("rank"), 5).as("rank"))),
+
+    // §2.8 host-level aggregation patterns (cocktail_statistic analogues)
+    "agg_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double").as("sum_base_price"),
+        avg("l_quantity").as("avg_qty"),
+        count(lit(1)).as("cnt"))),
+    "agg_topk_parts" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val part = t(s, d, "part")
+      li.join(part, li("l_partkey") === part("p_partkey"))
+        .groupBy("p_name").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("p_name")).limit(5)
+    }),
+    "agg_order_stats" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+        .agg(min("c").as("min_items"), max("c").as("max_items"),
+          round(avg("c"), 6).cast("double").as("avg_items"),
+          count(lit(1)).as("n_orders"))),
+    "join_revenue_by_nation" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2).cast("double").as("revenue"))
+    }),
+    "window_top_order" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, d, "orders").withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+    "events_window_agg" -> ((s, d) =>
+      t(s, d, "events").groupBy(
+        col("event_type"),
+        floor(col("ts").cast("double") / 300).cast("long").as("bucket")).agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "zoe_v_all" ->
+      """SELECT 'region:'||r_regionkey AS id FROM region
+        |UNION ALL SELECT 'nation:'||n_nationkey FROM nation
+        |UNION ALL SELECT 'customer:'||c_custkey FROM customer
+        |UNION ALL SELECT 'supplier:'||s_suppkey FROM supplier
+        |UNION ALL SELECT 'part:'||p_partkey FROM part
+        |UNION ALL SELECT 'order:'||o_orderkey FROM orders
+        |UNION ALL SELECT DISTINCT 'segment:'||c_mktsegment FROM customer""".stripMargin,
+    "zoe_v_specific" ->
+      "SELECT 'nation:1' AS id UNION ALL SELECT 'nation:7' UNION ALL SELECT 'ghost:99'",
+    "zoe_v_property" ->
+      "SELECT 'nation:'||n_nationkey AS id FROM nation WHERE n_name = 'NATION_7'",
+    "zoe_v_property_schema" ->
+      "SELECT 'customer:'||c_custkey AS id FROM customer",
+    "zoe_p_fromto" ->
+      "SELECT printf('psz_%03d_%d', p_size, p_partkey) AS hash FROM part WHERE p_size BETWEEN 10 AND 20",
+    "zoe_v_fromto" ->
+      "SELECT 'part:'||p_partkey AS id FROM part WHERE p_size BETWEEN 10 AND 20",
+    "zoe_hop_in" ->
+      """SELECT 'customer:'||c_custkey AS id FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'
+        |UNION ALL SELECT 'supplier:'||s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'""".stripMargin,
+    "zoe_hop_out" ->
+      "SELECT DISTINCT 'region:'||r_regionkey AS id FROM region JOIN nation ON n_regionkey = r_regionkey WHERE n_name = 'NATION_3'",
+    "zoe_two_hop" ->
+      """SELECT 'customer:'||c_custkey AS id FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'""".stripMargin,
+    "zoe_union" ->
+      """SELECT 'customer:'||c_custkey AS id FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_7','NATION_3')""".stripMargin,
+    "zoe_intersect" ->
+      """SELECT 'customer:'||c_custkey AS id FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7' AND c_mktsegment = 'BUILDING'""".stripMargin,
+    "zoe_substract" ->
+      """SELECT 'customer:'||c_custkey AS id FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7' AND c_mktsegment <> 'BUILDING'""".stripMargin,
+    "zoe_disjunctive_union" ->
+      """SELECT 'customer:'||c_custkey AS id FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE (n_name = 'NATION_7') <> (c_mktsegment = 'BUILDING')""".stripMargin,
+    "zoe_filter_sql" ->
+      "SELECT 'nation:'||n_nationkey AS id FROM nation WHERE n_name LIKE '%1%'",
+    "zoe_store_hop" ->
+      """SELECT 'nation:'||n_nationkey AS id FROM nation WHERE n_name = 'NATION_7'
+        |UNION ALL SELECT 'customer:'||c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'""".stripMargin,
+    "zoe_paths_europe" ->
+      """SELECT 'customer:'||c_custkey AS path_end,
+        |'{"Region":"EUROPE"}->"InRegion"->{"Nation":"'||n_name||'"}->"InNation"->{"Customer":"'||c_name||'"}' AS path_str
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'""".stripMargin,
+    "zoe_e_property" ->
+      "SELECT 'customer:'||c_custkey AS src, 'segment:'||c_mktsegment AS dst FROM customer",
+    "zoe_e_out_intersect" ->
+      """SELECT 'customer:'||c_custkey AS src, 'segment:'||c_mktsegment AS dst
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'""".stripMargin,
+    "zoe_e_ids" ->
+      """SELECT upper(sha256('{"properties":"'||upper(sha256('"InRegion"'))||'","n1":"nation:'||n_nationkey||'","n2":"region:'||n_regionkey||'"}')) AS id
+        |FROM nation""".stripMargin,
+    "zoe_p_referencing" ->
+      """SELECT DISTINCT upper(sha256('{"Segment":"'||c_mktsegment||'"}')) AS hash FROM customer""",
+    "zoe_p_referenced" ->
+      "SELECT DISTINCT upper(sha256('{\"SchemaType\":\"Customer\"}')) AS hash FROM customer WHERE c_custkey = 1",
+    "graph_degree" ->
+      """SELECT 'nation:'||n_nationkey AS id,
+        |(SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS in_deg,
+        |CAST(1 AS BIGINT) AS out_deg
+        |FROM nation""".stripMargin,
+    "graph_order_size" ->
+      """SELECT
+        |((SELECT count(*) FROM region)+(SELECT count(*) FROM nation)+(SELECT count(*) FROM customer)
+        | +(SELECT count(*) FROM supplier)+(SELECT count(*) FROM part)+(SELECT count(*) FROM orders)
+        | +(SELECT count(DISTINCT c_mktsegment) FROM customer)) AS graph_order,
+        |(2*(SELECT count(*) FROM customer)+(SELECT count(*) FROM supplier)
+        | +(SELECT count(*) FROM nation)+(SELECT count(*) FROM orders)) AS graph_size""".stripMargin,
+    "graph_neighbors" ->
+      """SELECT 'customer:'||c_custkey AS id FROM customer WHERE c_nationkey = 7
+        |UNION ALL SELECT 'supplier:'||s_suppkey FROM supplier WHERE s_nationkey = 7
+        |UNION ALL SELECT 'region:'||n_regionkey FROM nation WHERE n_nationkey = 7""".stripMargin,
+    "graphx_cc" ->
+      """SELECT 'region:'||r_regionkey AS id, CAST(r_regionkey AS BIGINT) AS component FROM region
+        |UNION ALL SELECT 'nation:'||n_nationkey, CAST(n_regionkey AS BIGINT) FROM nation
+        |UNION ALL SELECT 'supplier:'||s_suppkey, CAST(n_regionkey AS BIGINT) FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |UNION ALL SELECT 'customer:'||c_custkey, CAST(n_regionkey AS BIGINT) FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        |avg(l_quantity) AS avg_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_topk_parts" ->
+      """SELECT p_name, count(*) AS cnt FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_name ORDER BY cnt DESC, p_name ASC LIMIT 5""".stripMargin,
+    "agg_order_stats" ->
+      """SELECT min(c) AS min_items, max(c) AS max_items,
+        |CAST(round(avg(c), 6) AS DOUBLE) AS avg_items, count(*) AS n_orders
+        |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey) t""".stripMargin,
+    "join_revenue_by_nation" ->
+      """SELECT n_name,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "window_top_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |FROM orders) t WHERE rn = 1""".stripMargin,
+    "events_window_agg" ->
+      """SELECT event_type, CAST(floor(epoch(ts)/300) AS BIGINT) AS bucket, count(*) AS cnt,
+        |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, bucket""".stripMargin,
+  )
+}

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+/** Driver-facing inventory for the training-data-pipeline operators (dedup,
+  * similarity search, text analysis), each with a DuckDB oracle reproducing
+  * the same portable primitives (md5-hex hashing, double arithmetic).
+  *
+  * The testdata documents contain no natural duplicates, so dedup operators
+  * run over a derived corpus with deterministically planted near- and exact
+  * duplicates (same CTE on the oracle side): id+1000000 = text with an
+  * appended tail (near-dup), id+2000000 = exact copy of every 10th doc.
+  */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    TpchGraph.table(spark, dir, "documents")
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    TpchGraph.table(spark, dir, "embeddings")
+
+  def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" common tail marker phrase")).as("text")))
+      .unionByName(d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+  }
+
+  private val corpusCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' common tail marker phrase' FROM documents
+      |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  /** Shared SQL fragments mirroring TextAnalysis.normalized / wordShingles. */
+  private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private def toksCte(src: String) =
+    s"toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM $src)"
+  private def shinglesExpr(n: Int): String = {
+    val parts = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString("||' '||")
+    s"list_transform(range(1, len(w)-${n - 2}), i -> $parts)"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactDupGroups(dedupCorpus(s, d), "doc_id", "text")),
+    "dedup_minhash_sigs" -> ((s, d) =>
+      Dedup.minhashSignatures(dedupCorpus(s, d), "doc_id", "text", k = 4)),
+    "dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashCandidatePairs(dedupCorpus(s, d), "doc_id", "text", k = 4)),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(dedupCorpus(s, d), "doc_id", "text", bits = 16)),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(dedupCorpus(s, d), "doc_id", "text", n = 3, minSim = 0.5)),
+    "text_langid" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
+    "text_quality" -> ((s, d) => {
+      val feats = TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+      docs(s, d).select((col("doc_id") +: feats :+
+        TextAnalysis.qualityScore(col("text")).as("quality")): _*)
+    }),
+    "text_tokens" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.wordCount(col("text")).cast("long").as("n_words"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))),
+    "text_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+  )
+
+  val oracles: Map[String, String] = {
+    val simhashBits = 16
+    // bit j of md5(token): hex digit j/4, bit (3 - j%4)
+    val simhashTerms = (0 until simhashBits).map { j =>
+      val digit = s"substr(md5(t), ${j / 4 + 1}, 1)"
+      val bit = s"((strpos('0123456789abcdef', $digit) - 1) >> ${3 - j % 4}) & 1"
+      val contrib = s"list_sum(list_transform(w, t -> CASE WHEN ($bit) = 1 THEN 1 ELSE -1 END))"
+      s"CASE WHEN $contrib > 0 THEN CAST(${1L << (simhashBits - 1 - j)} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+
+    def langOcc(w: String) =
+      s"((len(p) - len(replace(p, ' $w ', ''))) // ${w.length + 2})"
+    def langScore(ws: Seq[String]) = ws.map(langOcc).mkString(" + ")
+    val m = TextAnalysis.langMarkers
+
+    Map(
+      "dedup_exact" ->
+        s"""$corpusCte
+           |SELECT md5(text) AS content_hash, count(*) AS dup_cnt, min(doc_id) AS keep_id
+           |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin,
+      "dedup_minhash_sigs" ->
+        s"""$corpusCte, ${toksCte("corpus")},
+           |sh AS (SELECT doc_id, ${shinglesExpr(3)} AS s FROM toks WHERE len(w) >= 3)
+           |SELECT doc_id,
+           |  list_min(list_transform(s, x -> md5('0|'||x))) AS h0,
+           |  list_min(list_transform(s, x -> md5('1|'||x))) AS h1,
+           |  list_min(list_transform(s, x -> md5('2|'||x))) AS h2,
+           |  list_min(list_transform(s, x -> md5('3|'||x))) AS h3
+           |FROM sh""".stripMargin,
+      "dedup_minhash_pairs" ->
+        s"""$corpusCte, ${toksCte("corpus")},
+           |sh AS (SELECT doc_id, ${shinglesExpr(3)} AS s FROM toks WHERE len(w) >= 3),
+           |sig AS (SELECT doc_id,
+           |  list_min(list_transform(s, x -> md5('0|'||x))) AS h0,
+           |  list_min(list_transform(s, x -> md5('1|'||x))) AS h1,
+           |  list_min(list_transform(s, x -> md5('2|'||x))) AS h2,
+           |  list_min(list_transform(s, x -> md5('3|'||x))) AS h3
+           |FROM sh),
+           |banded AS (
+           |  SELECT doc_id, 0 AS band, h0 AS sig FROM sig
+           |  UNION ALL SELECT doc_id, 1, h1 FROM sig
+           |  UNION ALL SELECT doc_id, 2, h2 FROM sig
+           |  UNION ALL SELECT doc_id, 3, h3 FROM sig)
+           |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin,
+      "dedup_simhash" ->
+        s"""$corpusCte, ${toksCte("corpus")}
+           |SELECT doc_id, $simhashTerms AS simhash FROM toks""".stripMargin,
+      "dedup_ngram_jaccard" ->
+        s"""$corpusCte, ${toksCte("corpus")},
+           |sh AS (SELECT doc_id, list_distinct(${shinglesExpr(3)}) AS s FROM toks WHERE len(w) >= 3),
+           |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+           |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+           |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+           |  FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id GROUP BY 1, 2)
+           |SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) AS jaccard
+           |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5""".stripMargin,
+      "text_langid" ->
+        s"""WITH norm AS (SELECT doc_id, ' '||$normSql||' ' AS p FROM documents),
+           |scores AS (SELECT doc_id,
+           |  ${langScore(m("en"))} AS s_en, ${langScore(m("de"))} AS s_de,
+           |  ${langScore(m("fr"))} AS s_fr, ${langScore(m("es"))} AS s_es
+           |FROM norm)
+           |SELECT doc_id, CASE
+           |  WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+           |  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+           |  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+           |  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+           |  ELSE 'de' END AS lang_guess
+           |FROM scores""".stripMargin,
+      "text_quality" ->
+        s"""WITH f AS (SELECT doc_id, text, $normSql AS norm,
+           |  ' '||$normSql||' ' AS p,
+           |  CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END AS nw
+           |FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(text) AS BIGINT) AS n_chars,
+           |  CAST(nw AS BIGINT) AS n_words,
+           |  round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(len(norm) - (nw - 1) AS DOUBLE) / nw END, 4) AS avg_word_len,
+           |  round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[.,;:!?''"]', '', 'g')) AS DOUBLE) / len(text) END, 4) AS punct_ratio,
+           |  round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len(text) END, 4) AS digit_ratio,
+           |  round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(${langScore(Seq("the", "and", "of", "to", "a", "in", "is", "that"))} AS DOUBLE) / nw END, 4) AS stopword_ratio,
+           |  round(greatest(0.0,
+           |    least(CAST(nw AS DOUBLE) / 100.0, 1.0) * 0.4 +
+           |    least(round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(${langScore(Seq("the", "and", "of", "to", "a", "in", "is", "that"))} AS DOUBLE) / nw END, 4) * 4.0, 1.0) * 0.4 +
+           |    (1.0 - least(round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len(text) END, 4) * 5.0, 1.0)) * 0.2), 4) AS quality
+           |FROM f""".stripMargin,
+      "text_tokens" ->
+        s"""SELECT doc_id,
+           |  CAST(CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END AS BIGINT) AS n_words,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+           |FROM documents""".stripMargin,
+      "text_fingerprint" ->
+        s"""WITH ${toksCte("documents")},
+           |sh AS (SELECT doc_id, ${shinglesExpr(4)} AS s, w FROM toks)
+           |SELECT doc_id, CASE WHEN len(w) < 4 THEN md5(array_to_string(w, ' '))
+           |  ELSE list_min(list_transform(s, x -> md5(x))) END AS fingerprint
+           |FROM sh""".stripMargin,
+    )
+  }
+}

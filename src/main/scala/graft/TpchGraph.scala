@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{GraphStore, Hashing, PropValue}
+
+/** Deterministic property graph derived from the TPC-H-ish testdata, used by
+  * the driver-facing query inventory (SparkEntry). The mapping mirrors the
+  * reference's data model (SURVEY.md §1): every element owns one
+  * content-addressed property; typed variants nest SchemaType labels into
+  * prop_refs; edges are identified by the content hash of
+  * (properties, src, dst).
+  *
+  * Vertices                         Edges
+  *   region:<key>   Region(name)     customer -InNation->  nation
+  *   nation:<key>   Nation(name)     supplier -InNation->  nation
+  *   customer:<key> Customer(name)   nation   -InRegion->  region
+  *   supplier:<key> Supplier(name)   customer -InSegment-> segment
+  *   part:<key>     Part(name)*      order    -PlacedBy->  customer
+  *   order:<key>    Order(priority)
+  *   segment:<seg>  Segment(seg)
+  *
+  * (*) part properties use a custom orderable key `psz_<size>_<partkey>`
+  * instead of the content hash, the reference's custom-get_key pattern for
+  * range queries (docs/tutorials/designing_a_schema.adoc:292-311).
+  *
+  * Scale notes: vertex/edge construction is narrow (no shuffle); the only
+  * shuffles are dropDuplicates on the small property dimensions. Everything
+  * downstream joins on id/prop_hash, which Catalyst can broadcast for the
+  * dimension side.
+  */
+object TpchGraph {
+
+  /** Built graphs are memoized per (session, dir) and their four tables
+    * persisted + materialized: the construction tree (multi-table unions +
+    * dropDuplicates shuffles) is evaluated once, and every downstream query
+    * plan references the compact InMemoryRelation instead of re-embedding
+    * the whole union subtree per use site — without this, traversal plans
+    * that touch vertices/props many times blow up Catalyst/AQE planning
+    * time multiplicatively. */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), GraphStore]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def build(spark: SparkSession, dir: String): GraphStore =
+    cache.getOrElseUpdate((spark, dir), {
+      val g = rawBuild(spark, dir).persistAll()
+      // force materialization so every query reuses the cached tables
+      g.vertices.count(); g.edges.count(); g.props.count(); g.propRefs.count()
+      g
+    })
+
+  /** {"Variant":"<payload>"} built column-level; payloads here are TPC-H
+    * identifiers/names which contain no JSON-special characters. */
+  def variantJson(variant: String, payload: Column): Column =
+    concat(lit(s"""{"$variant":""""), payload, lit("\"}"))
+
+  def contentHash(json: Column): Column = upper(sha2(json, 256))
+
+  def stHash(variant: String): String = PropValue.schemaType(variant).hash
+  def unitHash(variant: String): String = PropValue(variant).hash
+
+  val partKeyCol: Column =
+    format_string("psz_%03d_%d", col("p_size"), col("p_partkey"))
+
+  private def rawBuild(spark: SparkSession, dir: String): GraphStore = {
+    def t(n: String) = table(spark, dir, n)
+    val region = t("region"); val nation = t("nation"); val customer = t("customer")
+    val supplier = t("supplier"); val part = t("part"); val orders = t("orders")
+
+    def vtx(prefix: String, key: Column, propHash: Column): DataFrame => DataFrame =
+      df => df.select(concat(lit(prefix + ":"), key.cast("string")).as("id"), propHash.as("prop_hash"))
+
+    val regionV = vtx("region", col("r_regionkey"), contentHash(variantJson("Region", col("r_name"))))(region)
+    val nationV = vtx("nation", col("n_nationkey"), contentHash(variantJson("Nation", col("n_name"))))(nation)
+    val customerV = vtx("customer", col("c_custkey"), contentHash(variantJson("Customer", col("c_name"))))(customer)
+    val supplierV = vtx("supplier", col("s_suppkey"), contentHash(variantJson("Supplier", col("s_name"))))(supplier)
+    val partV = vtx("part", col("p_partkey"), partKeyCol)(part)
+    val orderV = vtx("order", col("o_orderkey"), contentHash(variantJson("Order", col("o_orderpriority"))))(orders)
+    val segmentV = customer.select(col("c_mktsegment")).distinct()
+      .select(concat(lit("segment:"), col("c_mktsegment")).as("id"),
+        contentHash(variantJson("Segment", col("c_mktsegment"))).as("prop_hash"))
+
+    val vertices = Seq(regionV, nationV, customerV, supplierV, partV, orderV, segmentV)
+      .reduce(_ unionByName _)
+
+    def propRows(df: DataFrame, variant: String, payload: Column,
+                 key: Option[Column] = None): DataFrame = {
+      val json = variantJson(variant, payload)
+      df.select(key.getOrElse(contentHash(json)).as("hash"),
+          json.as("value"), lit(variant).as("schema_type"))
+        .dropDuplicates("hash")
+    }
+
+    val typedProps = Seq(
+      propRows(region, "Region", col("r_name")),
+      propRows(nation, "Nation", col("n_name")),
+      propRows(customer, "Customer", col("c_name")),
+      propRows(supplier, "Supplier", col("s_name")),
+      propRows(part, "Part", col("p_name"), Some(partKeyCol)),
+      propRows(orders, "Order", col("o_orderpriority")),
+      propRows(customer.select(col("c_mktsegment")).distinct(), "Segment", col("c_mktsegment")))
+
+    val edgeVariants = Seq("InNation", "InRegion", "InSegment", "PlacedBy")
+    val vertexVariants = Seq("Region", "Nation", "Customer", "Supplier", "Part", "Order", "Segment")
+
+    val unitProps = edgeVariants.map { v =>
+      val p = PropValue(v)
+      spark.sql(s"SELECT '${p.hash}' AS hash, '${PropValue.jsonString(v)}' AS value, '$v' AS schema_type")
+    }
+    val schemaTypeProps = (edgeVariants ++ vertexVariants).map { v =>
+      val p = PropValue.schemaType(v)
+      spark.sql(s"SELECT '${p.hash}' AS hash, '${p.json.replace("'", "''")}' AS value, 'SchemaType' AS schema_type")
+    }
+    val props = (typedProps ++ unitProps ++ schemaTypeProps).reduce(_ unionByName _)
+
+    // nested() lattice: every typed/unit prop references SchemaType("<Variant>")
+    val propRefs = (edgeVariants ++ vertexVariants).map { v =>
+      val st = stHash(v)
+      props.where(col("schema_type") === v)
+        .select(col("hash").as("parent_hash"), lit(st).as("child_hash"))
+    }.reduce(_ unionByName _)
+
+    def edge(df: DataFrame, srcPrefix: String, srcKey: Column,
+             dstPrefix: String, dstKey: Column, variant: String): DataFrame = {
+      val src = concat(lit(srcPrefix + ":"), srcKey.cast("string"))
+      val dst = concat(lit(dstPrefix + ":"), dstKey.cast("string"))
+      val ph = lit(unitHash(variant))
+      df.select(Hashing.edgeIdCol(ph, src, dst).as("edge_id"),
+        src.as("src"), dst.as("dst"), ph.as("prop_hash"))
+    }
+
+    val edges = Seq(
+      edge(customer, "customer", col("c_custkey"), "nation", col("c_nationkey"), "InNation"),
+      edge(supplier, "supplier", col("s_suppkey"), "nation", col("s_nationkey"), "InNation"),
+      edge(nation, "nation", col("n_nationkey"), "region", col("n_regionkey"), "InRegion"),
+      edge(customer, "customer", col("c_custkey"), "segment", col("c_mktsegment"), "InSegment"),
+      edge(orders, "order", col("o_orderkey"), "customer", col("o_custkey"), "PlacedBy"))
+      .reduce(_ unionByName _)
+
+    GraphStore(vertices, edges, props, propRefs)
+  }
+}

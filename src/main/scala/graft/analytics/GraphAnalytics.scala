@@ -1,0 +1,100 @@
+package graft.analytics
+
+import org.apache.spark.graphx.{Edge, Graph => XGraph, VertexId}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.model.GraphStore
+
+/** The reference's declared-but-unimplemented analytics surface
+  * (`Graph`/`DirectedGraph` traits, lib.rs:16-65; design target
+  * docs/gravity.adoc:240-305) realized on DataFrames, plus a GraphX bridge
+  * for whole-graph algorithms (BASELINE: "GraphX for analytics queries").
+  */
+object GraphAnalytics {
+
+  /** order = |V| (trait method `order`, lib.rs:16-65). */
+  def order(g: GraphStore): Long = g.vertices.count()
+
+  /** size = |E|. */
+  def size(g: GraphStore): Long = g.edges.count()
+
+  def isEmpty(g: GraphStore): Boolean = g.vertices.isEmpty
+
+  /** Per-vertex in/out degree; vertices with no edges get 0 (one aggregation
+    * per direction, map-side combined — no per-vertex lookups). */
+  def degrees(g: GraphStore): DataFrame = {
+    val outD = g.edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val inD = g.edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    g.vertices.select("id")
+      .join(outD, Seq("id"), "left")
+      .join(inD, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+  }
+
+  /** Undirected neighbor set of one vertex. */
+  def neighbors(g: GraphStore, id: String): DataFrame =
+    g.edges.where(col("dst") === id).select(col("src").as("id"))
+      .unionByName(g.edges.where(col("src") === id).select(col("dst").as("id")))
+      .distinct()
+
+  def hasEdge(g: GraphStore, src: String, dst: String): Boolean =
+    !g.edges.where(col("src") === src && col("dst") === dst).isEmpty
+
+  /** Bridge to GraphX. `toLong` must be a deterministic, collision-free
+    * mapping from the string vertex id to a long (GraphX VertexId) — results
+    * of id-sensitive algorithms (e.g. connectedComponents returns the MIN
+    * long id per component) are then reproducible across runs/partitionings,
+    * unlike zipWithIndex. */
+  def toGraphX(g: GraphStore, toLong: Column => Column): XGraph[String, Int] = {
+    val vRDD = g.vertices.select(toLong(col("id")).as("vid"), col("id"))
+      .rdd.map(r => (r.getLong(0): VertexId, r.getString(1)))
+    val eRDD = g.edges.select(toLong(col("src")), toLong(col("dst")))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    XGraph(vRDD, eRDD, defaultVertexAttr = null.asInstanceOf[String],
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Connected components (undirected). Returns (id, component) where
+    * component = the minimum mapped long id in the component. */
+  def connectedComponents(g: GraphStore, toLong: Column => Column): DataFrame = {
+    val graph = toGraphX(g, toLong)
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val cc = graph.connectedComponents().vertices.map { case (vid, comp) => (vid, comp) }
+      .toDF("vid", "component")
+    g.vertices.select(toLong(col("id")).as("vid"), col("id"))
+      .join(cc, Seq("vid"))
+      .select(col("id"), col("component"))
+  }
+
+  /** Static PageRank (numIter fixed iterations, resetProb 0.15). */
+  def pageRank(g: GraphStore, toLong: Column => Column, numIter: Int = 10): DataFrame = {
+    val graph = toGraphX(g, toLong)
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val ranks = graph.staticPageRank(numIter).vertices
+      .map { case (vid, r) => (vid, r) }.toDF("vid", "rank")
+    g.vertices.select(toLong(col("id")).as("vid"), col("id"))
+      .join(ranks, Seq("vid"))
+      .select(col("id"), col("rank"))
+  }
+
+  /** Per-vertex triangle count (GraphX semantics: graph treated as
+    * undirected, needs canonical edge orientation). */
+  def triangleCount(g: GraphStore, toLong: Column => Column): DataFrame = {
+    val graph = toGraphX(g, toLong)
+      .convertToCanonicalEdges()
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val tc = graph.triangleCount().vertices
+      .map { case (vid, n) => (vid, n) }.toDF("vid", "triangles")
+    g.vertices.select(toLong(col("id")).as("vid"), col("id"))
+      .join(tc, Seq("vid"))
+      .select(col("id"), col("triangles"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Scale design: the baseline brute-force top-k is a broadcast join of the
+  * (small) query set against the corpus — the corpus is scanned once, never
+  * shuffled all-pairs. The scale path buckets vectors by random-hyperplane
+  * LSH signs so candidate generation is an equi-join on bucket id (IVF-style
+  * routing with deterministic, data-independent planes).
+  */
+object Similarity {
+
+  /** Elementwise dot product via zip_with + aggregate (codegen'd higher-order
+    * functions, computed in double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for every query vector, the k nearest corpus
+    * vectors (excluding itself). Query side is broadcast; ranking is a
+    * window with deterministic (cos desc, id asc) tiebreak.
+    * Returns (query_id, neighbor_id, cos, rank). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed hash expression, so buckets are reproducible with no fitted
+    * model state. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2)) * 2 - 1).cast("double")
+
+  /** Random-hyperplane LSH bucket id from `planes` sign bits. */
+  def cosineBuckets(vec: Column, planes: Int): Column = {
+    val idx = sequence(lit(0), size(vec) - 1)
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(zip_with(vec, idx, (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN top-k: queries join only corpus vectors in the same
+    * bucket (equi-join on bucket id) — the 100 TB path where broadcast of
+    * per-bucket candidates replaces a full scan per query. Recall < 1 by
+    * construction; increase planes for precision, repeat with plane offsets
+    * for recall. Returns (query_id, neighbor_id, cos, rank). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      cosineBuckets(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      cosineBuckets(col(vecCol), planes).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

