@@ -190,10 +190,12 @@ object GraphQueries {
         .where(col("rn") === 1)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     }),
+    // ts arrives as LONG nanoseconds (nanosAsLong — Spark has no ns
+    // timestamp type); bucket with exact integer division
     "events_window_agg" -> ((s, d) =>
       t(s, d, "events").groupBy(
         col("event_type"),
-        floor(col("ts").cast("double") / 300).cast("long").as("bucket")).agg(
+        expr("ts DIV 300000000000").as("bucket")).agg(
         count(lit(1)).as("cnt"),
         round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))),
   )
@@ -305,7 +307,7 @@ object GraphQueries {
         |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |FROM orders) t WHERE rn = 1""".stripMargin,
     "events_window_agg" ->
-      """SELECT event_type, CAST(floor(epoch(ts)/300) AS BIGINT) AS bucket, count(*) AS cnt,
+      """SELECT event_type, epoch_ns(ts) // 300000000000 AS bucket, count(*) AS cnt,
         |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type, bucket""".stripMargin,
   )

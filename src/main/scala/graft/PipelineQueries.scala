@@ -68,6 +68,24 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))),
     "text_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+    // ANN baseline: brute-force cosine top-k, query side broadcast
+    // (exact-bit parity with the DuckDB oracle verified: double left-fold)
+    "ann_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+    // embedding near-dup pairs over a bounded candidate set
+    "embedding_cosine_pairs" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(embeddings(s, d).where(col("vec_id") < 100),
+        "vec_id", "embedding", minCos = 0.3)),
+    // LSH-bucketed ANN (scale path; bucket hash is engine-specific -> no
+    // SQL oracle, rows-only check)
+    "ann_lsh_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.lshTopK(e, e.where(col("vec_id") < 50), "vec_id", "embedding", k = 3, planes = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
   )
 
   val oracles: Map[String, String] = {
@@ -169,6 +187,18 @@ object PipelineQueries {
            |SELECT doc_id, CASE WHEN len(w) < 4 THEN md5(array_to_string(w, ' '))
            |  ELSE list_min(list_transform(s, x -> md5(x))) END AS fingerprint
            |FROM sh""".stripMargin,
+      "ann_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+          |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+          |  round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS cos
+          |  FROM q, embeddings e WHERE e.vec_id <> query_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM s)
+          |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3""".stripMargin,
+      "embedding_cosine_pairs" ->
+        """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100)
+          |SELECT a.vec_id AS a, b.vec_id AS b, round(list_cosine_similarity(a.v, b.v), 4) AS cos
+          |FROM c a, c b WHERE a.vec_id < b.vec_id
+          |AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.3""".stripMargin,
     )
   }
 }

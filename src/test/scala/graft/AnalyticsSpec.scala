@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.GraphAnalytics
+import graft.model.PropValue
+import graft.store.GraphBatch
+
+class AnalyticsSpec extends SparkSuite {
+
+  /** Two triangles joined by a bridge: a-b-c-a, d-e-f-d, c-d bridge. */
+  lazy val g = {
+    val b = new GraphBatch
+    Seq("a", "b", "c", "d", "e", "f", "lone").foreach(n =>
+      b.createNode(s"v:$n", PropValue.typed("N", Some(n))))
+    Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d"))
+      .foreach { case (s, d) => b.createEdge(s"v:$s", s"v:$d", PropValue("E")) }
+    b.toStore(spark).persistAll()
+  }
+
+  private val toLong: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    id => when(id === "v:a", 1L).when(id === "v:b", 2L).when(id === "v:c", 3L)
+      .when(id === "v:d", 4L).when(id === "v:e", 5L).when(id === "v:f", 6L)
+      .otherwise(7L)
+
+  test("order / size / degrees / neighbors / hasEdge") {
+    assert(GraphAnalytics.order(g) == 7)
+    assert(GraphAnalytics.size(g) == 7)
+    val deg = GraphAnalytics.degrees(g).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(deg("v:c") == (1L, 2L)) // in: b->c; out: c->a, c->d
+    assert(deg("v:lone") == (0L, 0L))
+    val nb = GraphAnalytics.neighbors(g, "v:c").collect().map(_.getString(0)).toSet
+    assert(nb == Set("v:a", "v:b", "v:d"))
+    assert(GraphAnalytics.hasEdge(g, "v:a", "v:b"))
+    assert(!GraphAnalytics.hasEdge(g, "v:b", "v:a"))
+  }
+
+  test("connected components: bridged triangles are one component, loner apart") {
+    val cc = GraphAnalytics.connectedComponents(g, toLong).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Seq("v:a", "v:b", "v:c", "v:d", "v:e", "v:f").map(cc).distinct == Seq(1L))
+    assert(cc("v:lone") == 7L)
+  }
+
+  test("pagerank: bridge target accumulates more rank than the loner") {
+    val pr = GraphAnalytics.pageRank(g, toLong, numIter = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("v:d") > pr("v:lone"))
+    assert(pr.values.forall(_ > 0))
+  }
+
+  test("triangle count: every triangle member counts its triangle") {
+    val tc = GraphAnalytics.triangleCount(g, toLong).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(tc("v:a") == 1 && tc("v:e") == 1 && tc("v:lone") == 0)
+  }
+}

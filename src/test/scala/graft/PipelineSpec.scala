@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different content about spark engines and data"),
+    (5L, "der schnelle braune fuchs und die faule katze ist nicht da"),
+    (6L, "le renard brun et rapide est la au dessus des arbres"),
+    (7L, "short"),
+    (8L, "")).toDF("doc_id", "text")
+
+  test("exact dedup finds the planted duplicate group") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("dup_cnt") == 2)
+    assert(groups.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash signatures: identical docs share all hashes, near-dups most") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(i => r.getString(i))).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } >= 1)
+    assert(!sigs.contains(7L) && !sigs.contains(8L)) // < 3 words -> no shingles
+  }
+
+  test("minhash LSH candidate pairs catch exact and near duplicates") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L, 6L)).size == 2 })
+  }
+
+  test("simhash: equal for dups, close for near-dups, far for unrelated") {
+    val sh = Dedup.simhash(docs, "doc_id", "text", bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(2L))
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  test("ngram jaccard: 1.0 for exact dup, high for near dup") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minSim = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  lazy val vecs = Seq(
+    (1L, Array(1f, 0f, 0f, 0f)),
+    (2L, Array(0.99f, 0.1f, 0f, 0f)),
+    (3L, Array(0f, 1f, 0f, 0f)),
+    (4L, Array(0f, 0f, 1f, 1f)),
+    (5L, Array(-1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks the nearest vector first") {
+    val topk = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 1), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(topk.length == 2)
+    assert(topk(0).getAs[Long]("neighbor_id") == 2L)
+    assert(topk(0).getAs[Double]("cos") > 0.99)
+    assert(topk(1).getAs[Double]("cos") <= topk(0).getAs[Double]("cos"))
+  }
+
+  test("embedding cosine near-dup pairs") {
+    val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("LSH top-k: same-direction vectors share buckets and are found") {
+    val res = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 1), "vec_id", "embedding", k = 3, planes = 4)
+      .collect()
+    // vector 2 is nearly identical to 1 -> same signs on every plane
+    assert(res.map(_.getAs[Long]("neighbor_id")).contains(2L))
+  }
+
+  test("langid distinguishes the marker languages") {
+    val got = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(5L) == "de")
+    assert(got(6L) == "fr")
+    assert(got(7L) == "und")
+  }
+
+  test("quality scoring: real text beats empty/short") {
+    val q = docs.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) > q(7L))
+    // empty text: only the no-digit-noise term contributes
+    assert(q(8L) == 0.2)
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val r = Seq((1L, "Hello, world! 42 times"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.wordCount($"text").as("w"), TextAnalysis.tokenCount($"text").as("t"))
+      .head()
+    assert(r.getInt(0) == 4)  // hello world 42 times
+    assert(r.getInt(1) == 6)  // Hello , world ! 42 times
+  }
+
+  test("fingerprint: stable under formatting, changes with content") {
+    val f = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "The  quick   BROWN fox; jumps over it!"),
+      (3L, "something else entirely here today now"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f(1L) == f(2L))
+    assert(f(1L) != f(3L))
+  }
+
+  test("multimodal: feature extraction over binary payloads, nulls skipped") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    assert(assets.schema.fieldNames.toSeq ==
+      Multimodal.assetSchema.fieldNames.toSeq.filterNot(_ == "payload") :+ "payload" ||
+      assets.columns.contains("payload"))
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.length == 30)
+    assert(feats.forall(_.features.length == 8))
+    // deterministic: same payload -> same features
+    val again = Multimodal.extractFeatures(assets).collect()
+    assert(feats.sortBy(_.assetId).zip(again.sortBy(_.assetId))
+      .forall { case (a, b) => a.sha == b.sha && a.features.sameElements(b.features) })
+    // null payloads skipped
+    val withNull = assets.withColumn("payload",
+      when(col("asset_id") === 0, lit(null).cast("binary")).otherwise(col("payload")))
+    assert(Multimodal.extractFeatures(withNull).count() == 29)
+  }
+
+  test("multimodal: resize + frame-sample plans") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    val resized = Multimodal.resizePlan(assets.where($"media_type" === "image"), 64).collect()
+    assert(resized.forall { r =>
+      val (w, h) = (r.getAs[Int]("target_width"), r.getAs[Int]("target_height"))
+      w <= 64 && h <= 64 && w > 0 && h > 0
+    })
+    val frames = Multimodal.frameSamplePlan(assets, 500)
+    assert(frames.count() > 0)
+    assert(frames.groupBy("asset_id").count().head().getLong(1) >= 2)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.exec.ZoeCompiler
+import graft.io.{GraphML, ZoeCli}
+import graft.model.{GraphStore, PropValue}
+import graft.ql._
+import graft.store.{BulkMutations, GraphBatch, NodeExistsException}
+
+class StoreAndIoSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bulk mutations: create/delete with NodeExists parity and GC sweep") {
+    val p1 = PropValue.typed("Thing", Some("one"))
+    val p2 = PropValue.typed("Thing", Some("two"))
+    var g = GraphStore.empty(spark)
+    g = BulkMutations.createProperties(g,
+      (p1.withNested ++ p2.withNested).map(p => (p.hash, p.json, p.variant)).distinct
+        .toDF("hash", "value", "schema_type"),
+      Some((p1.withNested ++ p2.withNested).flatMap(p => p.nested.map(c => (p.hash, c.hash))).distinct
+        .toDF("parent_hash", "child_hash")))
+    g = BulkMutations.createNodes(g, Seq(("a", p1.hash), ("b", p2.hash)).toDF("id", "prop_hash"))
+    intercept[NodeExistsException] {
+      BulkMutations.createNodes(g, Seq(("a", p2.hash)).toDF("id", "prop_hash"))
+    }
+    g = BulkMutations.createEdges(g, Seq(("a", "b", PropValue("Link").hash)).toDF("src", "dst", "prop_hash"),
+      validateEndpoints = false)
+    assert(g.edges.head().getString(0) ==
+      graft.model.Hashing.edgeId(PropValue("Link").hash, "a", "b"))
+    // endpoint validation drops edges to missing nodes
+    val g2 = BulkMutations.createEdges(g, Seq(("a", "ghost", p1.hash)).toDF("src", "dst", "prop_hash"))
+    assert(g2.edges.count() == 1)
+    // delete node b, GC: p2 orphaned; SchemaType("Thing") survives via p1
+    var g3 = BulkMutations.deleteNodes(g, Seq("b").toDF("id"))
+    g3 = g3.copy(edges = g3.edges.limit(0)) // drop the dangling edge for the GC check
+    g3 = BulkMutations.gcOrphanProps(g3)
+    val left = g3.props.select("hash").collect().map(_.getString(0)).toSet
+    assert(left.contains(p1.hash) && !left.contains(p2.hash))
+    assert(left.contains(PropValue.schemaType("Thing").hash))
+  }
+
+  test("get_or_create: 0 -> create, 1 -> reuse, >1 -> error (CLI parity)") {
+    val p = PropValue.typed("Thing", Some("shared"))
+    var g = GraphStore.empty(spark)
+    val (g1, id1) = BulkMutations.getOrCreateNode(g, p)
+    val (g2, id2) = BulkMutations.getOrCreateNode(g1, p)
+    assert(id1 == id2)
+    assert(g2.vertices.count() == 1)
+    val gDup = g2.copy(vertices = g2.vertices.unionByName(Seq(("other", p.hash)).toDF("id", "prop_hash")))
+    intercept[IllegalStateException] { BulkMutations.getOrCreateNode(gDup, p) }
+  }
+
+  test("GraphML import matches the reference fixture behavior") {
+    val xml =
+      """<graph>
+        |  <node id="1"><Label>Node 1</Label></node>
+        |  <node id="2"><Label>Node 2</Label></node>
+        |  <edge source="1" target="2"><Label>Edge from Node 1 to Node 2</Label></edge>
+        |</graph>""".stripMargin
+    val res = GraphML.importString(xml)
+    val g = res.batch.toStore(spark)
+    val zc = new ZoeCompiler(g)
+    val vertexProps = zc.extractProperties(zc.run(VertexQuery.all))
+      .collect().map(_.getString(0)).sorted
+    assert(vertexProps.toSeq == Seq("""{"Label":"Node 1"}""", """{"Label":"Node 2"}"""))
+    val edgeProps = zc.extractProperties(zc.run(EdgeQuery.all))
+      .collect().map(_.getString(0))
+    assert(edgeProps.toSeq == Seq("""{"Label":"Edge from Node 1 to Node 2"}"""))
+    assert(res.idMapping.keySet == Set("1", "2"))
+  }
+
+  test("GraphStore save/load round-trip preserves all four tables") {
+    val b = new GraphBatch
+    val n1 = b.createNode(PropValue.typed("Thing", Some("x")))
+    val n2 = b.createNode(PropValue.typed("Thing", Some("y")))
+    b.createEdge(n1, n2, PropValue("Link"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-rt").toString
+    b.toStore(spark).save(dir)
+    val loaded = GraphStore.load(spark, dir)
+    assert(loaded.vertices.count() == 2 && loaded.edges.count() == 1)
+    assert(loaded.props.count() == 4) // x, y, SchemaType(Thing), Link
+    assert(loaded.propRefs.count() == 2)
+  }
+
+  test("CLI renderResult emits the reference QueryResult JSON shape") {
+    val b = new GraphBatch
+    val n1 = b.createNode("n1", PropValue.typed("Thing", Some("x")))
+    val n2 = b.createNode("n2", PropValue.typed("Thing", Some("y")))
+    b.createEdge(n1, n2, PropValue("Link"))
+    val zc = new ZoeCompiler(b.toStore(spark))
+    val json = ZoeCli.renderResult(zc.run(VertexQuery.fromIds(Seq("n1"))))
+    assert(json == """{"vertices":[["n1",null]],"edges":[],"paths":[[null,[],"n1"]],"variables":{}}""")
+  }
+}

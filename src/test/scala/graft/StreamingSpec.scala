@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+
+/** Streaming parity strategy: the same transform applied to a batch frame
+  * and via readStream + memory sink must agree (north-star addition — the
+  * reference has no streaming surface, SURVEY.md §2.8). */
+class StreamingSpec extends SparkSuite {
+
+  /** The raw events table stores nanosecond timestamps, which the streaming
+    * parquet reader rejects (PARQUET_TYPE_ILLEGAL) — re-materialize with
+    * microsecond timestamps once for the streaming tests. */
+  lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed counts: streaming result equals batch result") {
+    val batch = EventStreams.windowedCounts(
+      spark.read.parquet(eventsDir)).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = EventStreams.runToMemory(spark, eventsDir,
+      EventStreams.windowedCounts, OutputMode.Complete, "wc_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("sessionization with custom state emits gap-separated sessions") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 0L), (1L, 100L), (1L, 200L),      // session 1 of user 1
+      (1L, 10000L), (1L, 10100L),            // session 2 of user 1
+      (2L, 50L))                             // user 2, still open
+      .toDF("user_id", "epoch")
+      .select(col("user_id"), col("epoch").cast("timestamp").as("ts"))
+    val sessions = EventStreams.sessionize(events, gapSeconds = 1800).collect()
+    // only user 1's FIRST session is closed (second remains open; user 2 open)
+    assert(sessions.length == 1)
+    val s = sessions.head
+    assert(s.userId == 1L && s.nEvents == 3 && s.firstTs == 0L && s.lastTs == 200L)
+  }
+}

@@ -46,6 +46,10 @@ def canon(cols, rows):
     return [cols[i] for i in order], out
 
 ok = fail = 0
+dumped = {p.name for p in Path(OUT).iterdir() if p.is_dir()}
+for missing in sorted(set(oracle) - dumped):
+    print(f"✗ {missing}: NO DUMP (query failed in Verify)")
+    fail += 1
 for name in sorted(Path(OUT).iterdir()):
     if not name.is_dir():
         continue
