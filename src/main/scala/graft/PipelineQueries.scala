@@ -67,7 +67,7 @@ object PipelineQueries {
         TextAnalysis.wordCount(col("text")).cast("long").as("n_words"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))),
     "text_fingerprint" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
+      TextAnalysis.fingerprints(docs(s, d), "doc_id", "text")),
     // ANN baseline: brute-force cosine top-k, query side broadcast
     // (exact-bit parity with the DuckDB oracle verified: double left-fold)
     "ann_topk" -> ((s, d) => {

@@ -40,13 +40,41 @@ object TpchGraph {
     * time multiplicatively. */
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), GraphStore]
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Base-table read, memoized per session. The driver-generated testdata is
+    * one parquet file with ONE row group per table, which pins every scan —
+    * and all narrow stages after it — to a single task; a real 100 TB input
+    * arrives as many splits and parallelizes naturally. When the scan yields
+    * fewer splits than the session's parallelism, repartition once and keep
+    * the parallel copy cached for the session's query stream. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tableCache.getOrElseUpdate((spark, dir, name), {
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val target = spark.sparkContext.defaultParallelism
+      val df =
+        if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
 
   def build(spark: SparkSession, dir: String): GraphStore =
     cache.getOrElseUpdate((spark, dir), {
-      val g = rawBuild(spark, dir).persistAll()
+      val raw = rawBuild(spark, dir)
+      // The union-built tables inherit the SUM of their branches' partitions
+      // (7 branches x 32 = 224 for vertices), and broadcast joins preserve
+      // the left side's partitioning — so traversal chains accumulate
+      // thousands of micro-tasks of pure scheduling overhead. Re-key each
+      // table to the session parallelism before caching (at cluster scale
+      // the same repartition doubles as the bucketing write, SCALE.md).
+      val n = spark.sparkContext.defaultParallelism
+      val g = GraphStore(
+        raw.vertices.repartition(n, col("id")),
+        raw.edges.repartition(n, col("src")),
+        raw.props.repartition(n, col("hash")),
+        raw.propRefs.repartition(n, col("parent_hash"))).persistAll()
       // force materialization so every query reuses the cached tables
       g.vertices.count(); g.edges.count(); g.props.count(); g.propRefs.count()
       g

@@ -49,10 +49,18 @@ object GraphAnalytics {
     * long id per component) are then reproducible across runs/partitionings,
     * unlike zipWithIndex. */
   def toGraphX(g: GraphStore, toLong: Column => Column): XGraph[String, Int] = {
+    // Pregel supersteps pay fixed per-partition scheduling cost per
+    // iteration; size partition count to the data (~1M edges per partition,
+    // capped at the session parallelism) instead of inheriting the input's.
+    val parts = math.max(2, math.min(
+      g.vertices.sparkSession.sparkContext.defaultParallelism,
+      (g.edges.count() / 1000000L).toInt + 1))
     val vRDD = g.vertices.select(toLong(col("id")).as("vid"), col("id"))
       .rdd.map(r => (r.getLong(0): VertexId, r.getString(1)))
+      .coalesce(parts)
     val eRDD = g.edges.select(toLong(col("src")), toLong(col("dst")))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      .coalesce(parts)
     XGraph(vRDD, eRDD, defaultVertexAttr = null.asInstanceOf[String],
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)

@@ -234,8 +234,11 @@ final class ZoeCompiler(g: GraphStore) {
 
   // ---- result assembly ----
 
+  // assembly reads the traversal 2-3x; recomputation is cheaper than
+  // caching every query's traversal (session-lifetime caches evict the
+  // shared graph tables under memory pressure and trigger recompute storms)
   private def assembleV(df: DataFrame): ZoeResult = {
-    val d = df.cache()
+    val d = df
     val vs = d.select("id")
       .unionByName(d.select(explode(col("v_store")).as("id")))
       .distinct()
@@ -247,7 +250,7 @@ final class ZoeCompiler(g: GraphStore) {
   }
 
   private def assembleE(df: DataFrame): ZoeResult = {
-    val d = df.cache()
+    val d = df
     val es = d.select("id")
       .unionByName(d.select(explode(col("e_store")).as("id")))
       .distinct()
@@ -284,7 +287,11 @@ final class ZoeCompiler(g: GraphStore) {
     * [vProp, eProp]) ++ [endVertexProp?] (kv_graph_store.rs:108-137).
     * Returns (end, props array<string>). */
   def extractPathProperties(r: ZoeResult): DataFrame = {
-    val pathsId = r.paths.withColumn("__pid", monotonically_increasing_id()).cache()
+    // localCheckpoint (not cache): __pid must be stable across the three
+    // reads below, and the checkpoint is dropped with the RDD instead of
+    // occupying session cache space
+    val pathsId = r.paths.withColumn("__pid", monotonically_increasing_id())
+      .localCheckpoint(eager = true)
 
     val hops = pathsId
       .select(col("__pid"), posexplode(col("path")).as(Seq("__pos", "__hop")))

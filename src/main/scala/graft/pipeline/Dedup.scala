@@ -27,21 +27,17 @@ object Dedup {
       .agg(count(lit(1)).as("dup_cnt"), min(col(idCol)).as("keep_id"))
       .where(col("dup_cnt") > 1)
 
-  /** MinHash signature columns h0..h(k-1): hash i of a document is
-    * min over shingles of md5("<i>|<shingle>") — the classic per-permutation
-    * min-wise hash, in portable hex-string space. */
-  def minhashSignature(shingles: Column, k: Int): Seq[(String, Column)] =
-    (0 until k).map { i =>
-      s"h$i" -> array_min(transform(shingles, s => md5(concat(lit(s"$i|"), s))))
-    }
-
-  /** Per-document MinHash signatures over word-3-gram shingles; documents
-    * with fewer than 3 words are excluded (no shingles). */
+  /** Per-document MinHash signatures h0..h(k-1) over word-3-gram shingles:
+    * hash i = min over shingles of md5("<i>|<shingle>") — the classic
+    * per-permutation min-wise hash in portable hex-string space, computed on
+    * the long-form shingle plan (codegen'd, map-side partial min, one
+    * shuffle by id). Documents with fewer than 3 words are excluded. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int = 4): DataFrame = {
-    val sh = TextAnalysis.wordShingles(col(textCol), 3)
-    val sigs = minhashSignature(sh, k).map { case (n, c) => c.as(n) }
-    df.where(size(TextAnalysis.wordShingles(col(textCol), 3)) > 0)
-      .select((col(idCol) +: sigs): _*)
+    val sigs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    TextAnalysis.shingleRows(df, idCol, textCol, 3)
+      .groupBy(idCol)
+      .agg(sigs.head, sigs.tail: _*)
   }
 
   /** LSH banding: candidate near-dup pairs (a < b) sharing at least one of
@@ -62,21 +58,26 @@ object Dedup {
 
   /** 64-bit SimHash over word tokens: bit j of the signature is the sign of
     * sum over tokens of (bit j of md5(token) ? +1 : -1). `bits` trades
-    * precision for cost (the oracle uses 16). Returns (id, simhash). */
+    * precision for cost (the oracle uses 16). Computed on the long-form
+    * token plan: md5 once per token, then `bits` conditional sums in ONE
+    * map-side-combined aggregation. Returns (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame = {
-    val toks = TextAnalysis.words(col(textCol))
     // bit j of a token = bit (3 - j%4) of hex digit j/4 of its md5
-    def tokenBit(tok: Column, j: Int): Column = {
-      val digit = substring(md5(tok), j / 4 + 1, 1)
+    def tokenBit(h: Column, j: Int): Column = {
+      val digit = substring(h, j / 4 + 1, 1)
       val v = (instr(lit("0123456789abcdef"), digit) - 1).cast("int")
       v.bitwiseAND(1 << (3 - j % 4)).notEqual(0)
     }
-    val bitCols = (0 until bits).map { j =>
-      val contrib = aggregate(toks, lit(0),
-        (acc, tk) => acc + when(tokenBit(tk, j), 1).otherwise(-1))
-      when(contrib > 0, lit(1L << (bits - 1 - j))).otherwise(lit(0L))
-    }
-    df.select(col(idCol), bitCols.reduce(_ + _).as("simhash"))
+    val contribs = (0 until bits).map(j =>
+      sum(when(tokenBit(col("__h"), j), 1).otherwise(-1)).as(s"c$j"))
+    val perDoc = TextAnalysis.tokenRows(df, idCol, textCol)
+      .withColumn("__h", md5(col("word")))
+      .groupBy(idCol)
+      .agg(contribs.head, contribs.tail: _*)
+    val sig = (0 until bits).map(j =>
+      when(col(s"c$j") > 0, lit(1L << (bits - 1 - j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    perDoc.select(col(idCol), sig.as("simhash"))
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
@@ -84,11 +85,12 @@ object Dedup {
     * Returns pairs (a, b, jaccard) with a < b and jaccard >= minSim. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minSim: Double = 0.5): DataFrame = {
-    val withSets = df
-      .select(col(idCol).as("doc"), array_distinct(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
-      .where(size(col("sh")) > 0)
-    val sizes = withSets.select(col("doc"), size(col("sh")).as("n_sh"))
-    val exploded = withSets.select(col("doc"), explode(col("sh")).as("shingle"))
+    val distinctShingles = TextAnalysis.shingleRows(df, idCol, textCol, n)
+      .withColumnRenamed(idCol, "doc")
+      .dropDuplicates("doc", "shingle")
+      .cache()
+    val sizes = distinctShingles.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val exploded = distinctShingles
     val inter = exploded.select(col("doc").as("a"), col("shingle"))
       .join(exploded.select(col("doc").as("b"), col("shingle")), Seq("shingle"))
       .where(col("a") < col("b"))

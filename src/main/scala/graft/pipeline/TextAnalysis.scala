@@ -89,7 +89,9 @@ object TextAnalysis {
   }
 
   /** Word n-gram shingles of the normalized text (empty array when the text
-    * has fewer than n words). */
+    * has fewer than n words). Column-level convenience for small inputs:
+    * higher-order array functions are NOT codegen'd and re-evaluate the
+    * tokenization per element — at scale use [[shingleRows]]. */
   def wordShingles(text: Column, n: Int): Column = {
     val w = words(text)
     when(size(w) < n, array().cast("array<string>")).otherwise(
@@ -97,13 +99,41 @@ object TextAnalysis {
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
   }
 
-  /** Document fingerprint: the minimum md5 over word 4-gram shingles — a
-    * locality-insensitive rolling-hash digest (equal for documents with
-    * equal shingle sets; portable because md5 hex is engine-independent).
-    * Falls back to md5 of the normalized text for very short documents. */
+  /** Long-form tokens (id, pos, word): split once, posexplode — fully
+    * codegen'd, one pass over the text. The scale-path basis for shingling,
+    * MinHash, SimHash, and fingerprints. */
+  def tokenRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "word")))
+
+  /** Long-form word n-gram shingles (id, shingle), built with window lead()
+    * over the token stream — one shuffle by document id, identical shingle
+    * strings to [[wordShingles]]. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
+    val withLeads = tokenRows(df, idCol, textCol)
+      .select(col(idCol) +: col("word").as("w0") +:
+        (1 until n).map(k => lead("word", k).over(w).as(s"w$k")): _*)
+    withLeads
+      .where(col(s"w${n - 1}").isNotNull) // drop incomplete tail windows
+      .select(col(idCol), concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("shingle"))
+  }
+
+  /** Document fingerprint (column form; see [[fingerprints]] for scale). */
   def fingerprint(text: Column): Column = {
     val sh = wordShingles(text, 4)
     when(size(sh) === 0, md5(normalized(text)))
       .otherwise(array_min(transform(sh, s => md5(s))))
+  }
+
+  /** Document fingerprints at scale: min md5 over word 4-gram shingles via
+    * the long-form plan (map-side partial min, one shuffle); documents with
+    * fewer than 4 words fall back to md5 of the normalized text. Returns
+    * (id, fingerprint) — values identical to [[fingerprint]]. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val agg = shingleRows(df, idCol, textCol, 4)
+      .groupBy(idCol).agg(min(md5(col("shingle"))).as("__fp"))
+    df.select(col(idCol), md5(normalized(col(textCol))).as("__fallback"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__fp"), col("__fallback")).as("fingerprint"))
   }
 }

@@ -1,0 +1,161 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.exec.ZoeCompiler
+import graft.model.PropValue
+import graft.ql._
+import graft.store.GraphBatch
+
+/** Property-based check of the traversal algebra: random small graphs and
+  * random query ASTs, with a pure-Scala model interpreter of the reference
+  * semantics as the oracle (SURVEY §5 "ScalaCheck set-op algebra vs model").
+  */
+class ZoeAlgebraSpec extends SparkSuite {
+
+  /** Driver-side model of the store: node id -> prop hash, edge id ->
+    * (src, dst, prop hash), prop key set, nested() refs. */
+  final case class Model(
+      nodes: Map[String, String],
+      edges: Map[String, (String, String, String)],
+      propKeys: Set[String],
+      refs: Set[(String, String)]) {
+
+    def evalP(q: PropertyQuery): Set[String] = q match {
+      case PropertyQuery.Specific(id)  => propKeys.intersect(Set(id))
+      case PropertyQuery.FromTo(a, b)  => propKeys.filter(k => k >= a && k <= b)
+      case PropertyQuery.ReferencingProperties(pq) =>
+        val c = evalP(pq); refs.collect { case (p, ch) if c(ch) => p }
+      case PropertyQuery.ReferencedProperties(pq) =>
+        val c = evalP(pq); refs.collect { case (p, ch) if c(p) => ch }
+    }
+
+    def evalV(q: VertexQuery): Set[String] = q match {
+      case VertexQuery.All            => nodes.keySet
+      case VertexQuery.Specific(ids)  => ids.toSet // not existence-checked (parity)
+      case VertexQuery.Property(pq)   => val h = evalP(pq); nodes.collect { case (n, p) if h(p) => n }.toSet
+      case VertexQuery.Out(eq)        => evalE(eq).map(e => edges(e)._2)
+      case VertexQuery.In(eq)         => evalE(eq).map(e => edges(e)._1)
+      case VertexQuery.Union(a, b)    => evalV(a) union evalV(b)
+      case VertexQuery.Intersect(a, b) => evalV(a) intersect evalV(b)
+      case VertexQuery.Substract(a, b) => evalV(a) diff evalV(b)
+      case VertexQuery.DisjunctiveUnion(a, b) =>
+        val (x, y) = (evalV(a), evalV(b)); (x diff y) union (y diff x)
+      case VertexQuery.Store(s)       => evalV(s) // snapshot == selection
+      case VertexQuery.Filter(_, _)   => sys.error("not generated")
+    }
+
+    def evalE(q: EdgeQuery): Set[String] = q match {
+      case EdgeQuery.All              => edges.keySet
+      case EdgeQuery.Specific(ids)    => ids.toSet.intersect(edges.keySet)
+      case EdgeQuery.Property(pq)     => val h = evalP(pq); edges.collect { case (e, (_, _, p)) if h(p) => e }.toSet
+      case EdgeQuery.Out(vq)          => val v = evalV(vq); edges.collect { case (e, (s, _, _)) if v(s) => e }.toSet
+      case EdgeQuery.In(vq)           => val v = evalV(vq); edges.collect { case (e, (_, d, _)) if v(d) => e }.toSet
+      case EdgeQuery.Union(a, b)      => evalE(a) union evalE(b)
+      case EdgeQuery.Intersect(a, b)  => evalE(a) intersect evalE(b)
+      case EdgeQuery.Substract(a, b)  => evalE(a) diff evalE(b)
+      case EdgeQuery.DisjunctiveUnion(a, b) =>
+        val (x, y) = (evalE(a), evalE(b)); (x diff y) union (y diff x)
+      case EdgeQuery.Store(s)         => evalE(s)
+      case EdgeQuery.Filter(_, _)     => sys.error("not generated")
+    }
+  }
+
+  private val vertexProps = Seq("red", "green", "blue").map(c => PropValue.typed("Color", Some(c)))
+  private val edgeProps = Seq("likes", "knows").map(PropValue.typed(_))
+
+  private def buildGraph(nNodes: Int, edgeSeed: Seq[(Int, Int, Int)]): (GraphBatch, Model) = {
+    val b = new GraphBatch
+    val ids = (0 until nNodes).map { i => b.createNode(s"n$i", vertexProps(i % 3)) }
+    val edgeIds = edgeSeed.map { case (s, d, p) =>
+      b.createEdge(ids(s % nNodes), ids(d % nNodes), edgeProps(p % 2))
+    }
+    val model = Model(
+      nodes = ids.zipWithIndex.map { case (id, i) => id -> vertexProps(i % 3).hash }.toMap,
+      edges = edgeIds.zip(edgeSeed).map { case (eid, (s, d, p)) =>
+        eid -> (ids(s % nNodes), ids(d % nNodes), edgeProps(p % 2).hash)
+      }.toMap,
+      propKeys = (vertexProps ++ edgeProps).flatMap(_.withNested).map(_.hash).toSet,
+      refs = (vertexProps ++ edgeProps).flatMap(p => p.nested.map(c => (p.hash, c.hash))).toSet)
+    (b, model)
+  }
+
+  private def genP(depth: Int): Gen[PropertyQuery] = {
+    val leaf = Gen.oneOf(
+      Gen.oneOf(vertexProps ++ edgeProps).map(p => PropertyQuery.Specific(p.hash)),
+      Gen.const(PropertyQuery.Specific("NOPE")),
+      for { a <- Gen.oneOf(vertexProps); b <- Gen.oneOf(vertexProps) }
+        yield PropertyQuery.FromTo(Seq(a.hash, b.hash).min, Seq(a.hash, b.hash).max))
+    if (depth == 0) leaf
+    else Gen.frequency(
+      3 -> leaf,
+      1 -> genP(depth - 1).map(_.referencingProperties),
+      1 -> genP(depth - 1).map(_.referencedProperties))
+  }
+
+  private def genV(depth: Int): Gen[VertexQuery] = {
+    val leaf: Gen[VertexQuery] = Gen.oneOf(
+      Gen.const(VertexQuery.All),
+      Gen.someOf(Seq("n0", "n1", "n2", "ghost")).map(ids => VertexQuery.Specific(ids.toSeq)),
+      genP(1).map(VertexQuery.Property))
+    if (depth == 0) leaf
+    else Gen.frequency(
+      2 -> leaf,
+      2 -> genE(depth - 1).map(VertexQuery.Out),
+      2 -> genE(depth - 1).map(VertexQuery.In),
+      1 -> Gen.zip(genV(depth - 1), genV(depth - 1)).map(t => VertexQuery.Union(t._1, t._2)),
+      1 -> Gen.zip(genV(depth - 1), genV(depth - 1)).map(t => VertexQuery.Intersect(t._1, t._2)),
+      1 -> Gen.zip(genV(depth - 1), genV(depth - 1)).map(t => VertexQuery.Substract(t._1, t._2)),
+      1 -> Gen.zip(genV(depth - 1), genV(depth - 1)).map(t => VertexQuery.DisjunctiveUnion(t._1, t._2)),
+      1 -> genV(depth - 1).map(VertexQuery.Store))
+  }
+
+  private def genE(depth: Int): Gen[EdgeQuery] = {
+    val leaf: Gen[EdgeQuery] = Gen.oneOf(
+      Gen.const(EdgeQuery.All),
+      genP(1).map(EdgeQuery.Property))
+    if (depth == 0) leaf
+    else Gen.frequency(
+      2 -> leaf,
+      2 -> genV(depth - 1).map(EdgeQuery.Out),
+      2 -> genV(depth - 1).map(EdgeQuery.In),
+      1 -> Gen.zip(genE(depth - 1), genE(depth - 1)).map(t => EdgeQuery.Union(t._1, t._2)),
+      1 -> Gen.zip(genE(depth - 1), genE(depth - 1)).map(t => EdgeQuery.Intersect(t._1, t._2)),
+      1 -> Gen.zip(genE(depth - 1), genE(depth - 1)).map(t => EdgeQuery.Substract(t._1, t._2)),
+      1 -> genE(depth - 1).map(EdgeQuery.Store))
+  }
+
+  test("compiled traversals agree with the model interpreter on random graphs/queries") {
+    val (batch, model) = buildGraph(6,
+      Seq((0, 1, 0), (1, 2, 1), (2, 3, 0), (3, 4, 1), (4, 5, 0), (5, 0, 1),
+        (0, 3, 0), (1, 4, 1), (2, 2, 0)))
+    val zc = new ZoeCompiler(batch.toStore(spark).persistAll())
+
+    (1 to 12).foreach { i =>
+      val q = genV(3).pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val got = zc.run(q).vertices.collect().map(_.getString(0)).toSet
+      assert(got == model.evalV(q), s"\nseed $i query: $q")
+    }
+    (101 to 112).foreach { i =>
+      val q = genE(3).pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val got = zc.run(q).edges.collect().map(_.getString(0)).toSet
+      assert(got == model.evalE(q), s"\nseed $i query: $q")
+    }
+  }
+
+  test("algebraic laws hold on the compiled plans") {
+    val (batch, model) = buildGraph(5, Seq((0, 1, 0), (1, 2, 1), (3, 4, 0), (2, 0, 1)))
+    val zc = new ZoeCompiler(batch.toStore(spark).persistAll())
+    def ids(q: VertexQuery): Set[String] = zc.run(q).vertices.collect().map(_.getString(0)).toSet
+    val a = Zoe.start(vertexProps(0)).referencingVertices
+    val b = VertexQuery.Specific(Seq("n0", "n1", "ghost"))
+    assert(ids(a.union(b)) == ids(b.union(a)))
+    assert(ids(a.intersect(b)) == ids(b.intersect(a)))
+    assert(ids(a.substract(b)) == (ids(a) diff ids(b)))
+    assert(ids(a.disjunctiveUnion(b)) == (ids(a.union(b)) diff ids(a.intersect(b))))
+    assert(ids(a.union(a)) == ids(a))
+    assert(ids(a.intersect(a)) == ids(a))
+    assert(ids(a.substract(a)).isEmpty)
+    assert(model.evalV(a) == ids(a))
+  }
+}
