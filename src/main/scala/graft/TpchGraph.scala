@@ -62,6 +62,14 @@ object TpchGraph {
 
   def build(spark: SparkSession, dir: String): GraphStore =
     cache.getOrElseUpdate((spark, dir), {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      // materialize the base tables as concurrent jobs (they are
+      // independent; the session scheduler interleaves their stages)
+      val prefetch = Seq("region", "nation", "customer", "supplier", "part", "orders")
+        .map(n => Future(table(spark, dir, n)))
+      prefetch.foreach(Await.result(_, Duration.Inf))
       val raw = rawBuild(spark, dir)
       // The union-built tables inherit the SUM of their branches' partitions
       // (7 branches x 32 = 224 for vertices), and broadcast joins preserve
@@ -75,8 +83,11 @@ object TpchGraph {
         raw.edges.repartition(n, col("src")),
         raw.props.repartition(n, col("hash")),
         raw.propRefs.repartition(n, col("parent_hash"))).persistAll()
-      // force materialization so every query reuses the cached tables
-      g.vertices.count(); g.edges.count(); g.props.count(); g.propRefs.count()
+      // force materialization (concurrently) so every query reuses the
+      // cached tables
+      val mats = Seq(g.vertices, g.edges, g.props, g.propRefs)
+        .map(t => Future(t.count()))
+      mats.foreach(Await.result(_, Duration.Inf))
       g
     })
 
