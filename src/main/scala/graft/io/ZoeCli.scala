@@ -35,7 +35,7 @@ object ZoeCli {
       println(s"initialized empty graph store at $path")
     case "query" :: path :: Nil =>
       val g = GraphStore.load(spark, path)
-      val json = scala.io.Source.stdin.mkString
+      val json = readStdin()
       val q = ZoeJson.parse(json)
       println(renderResult(new ZoeCompiler(g).run(q)))
     case "import" :: path :: file :: Nil =>
@@ -43,12 +43,77 @@ object ZoeCli {
       val res = GraphML.importString(xml)
       res.batch.toStore(spark).save(path)
       println(res.idMapping.map { case (k, v) => s"$k -> $v" }.mkString("\n"))
+    // property-id: content hash of the property bytes on stdin
+    // (cli_helpers.rs property-id verb)
+    case "property-id" :: Nil =>
+      println(graft.model.Hashing.sha256HexUpper(readStdin()))
+    // property-blob: canonical serialized bytes (identity for raw input)
+    case "property-blob" :: Nil =>
+      print(readStdin())
+    // create-node [--id <id>] with the raw property from stdin; prints the
+    // node id (cli_helpers.rs create-node)
+    case "create-node" :: path :: rest =>
+      val value = readStdin()
+      val p = rawProp(value)
+      val id = rest match {
+        case "--id" :: id :: Nil => id
+        case Nil                 => java.util.UUID.randomUUID().toString
+        case other => sys.error(s"unknown create-node args: $other")
+      }
+      val g = GraphStore.load(spark, path)
+      val spark2 = spark
+      import spark2.implicits._
+      val withProps = graft.store.BulkMutations.createProperties(g,
+        Seq((p.hash, value, p.variant)).toDF("hash", "value", "schema_type"))
+      graft.store.BulkMutations
+        .createNodes(withProps, Seq((id, p.hash)).toDF("id", "prop_hash"))
+        .save(path)
+      println(id)
+    case "delete-node" :: path :: "--id" :: id :: Nil =>
+      val g = GraphStore.load(spark, path)
+      val spark2 = spark
+      import spark2.implicits._
+      graft.store.BulkMutations.gcOrphanProps(
+        graft.store.BulkMutations.deleteNodes(g, Seq(id).toDF("id"))).save(path)
+      println(s"deleted $id")
+    // create-edge --out <srcId> --in <dstId>, property from stdin; prints
+    // the edge hash
+    case "create-edge" :: path :: "--out" :: src :: "--in" :: dst :: Nil =>
+      val value = readStdin()
+      val p = rawProp(value)
+      val g = GraphStore.load(spark, path)
+      val spark2 = spark
+      import spark2.implicits._
+      val withProps = graft.store.BulkMutations.createProperties(g,
+        Seq((p.hash, value, p.variant)).toDF("hash", "value", "schema_type"))
+      graft.store.BulkMutations.createEdges(withProps,
+        Seq((src, dst, p.hash)).toDF("src", "dst", "prop_hash")).save(path)
+      println(graft.model.Hashing.edgeId(p.hash, src, dst))
     case other =>
       System.err.println(
         s"""unknown arguments: ${other.mkString(" ")}
-           |usage: init <dbPath> | query <dbPath> (stdin: Zoe JSON) | import <dbPath> <graphml>""".stripMargin)
+           |usage:
+           |  init <dbPath>
+           |  query <dbPath>                      (stdin: Zoe JSON)
+           |  import <dbPath> <graphml>
+           |  property-id                         (stdin: property bytes)
+           |  property-blob                       (stdin: property bytes)
+           |  create-node <dbPath> [--id <id>]    (stdin: property bytes)
+           |  delete-node <dbPath> --id <id>
+           |  create-edge <dbPath> --out <src> --in <dst>  (stdin: property bytes)""".stripMargin)
       sys.exit(2)
   }
+
+  /** Read all of stdin via Console.in (redirectable in tests via
+    * Console.withIn, defaults to System.in). */
+  private def readStdin(): String =
+    Iterator.continually(Console.in.read()).takeWhile(_ != -1).map(_.toChar).mkString
+
+  /** Raw-bytes property (reference GenericProperty, schema.rs:88-115): the
+    * key is the content hash of the bytes as-is. */
+  private def rawProp(value: String): graft.model.PropValue =
+    graft.model.PropValue("Raw", Some(value), Nil,
+      Some(graft.model.Hashing.sha256HexUpper(value)))
 
   /** Reference QueryResult JSON: vertices/edges as [id, propId] pairs (propId
     * always null, ql.rs:407), paths as [start, [[v,e]...], end]. */

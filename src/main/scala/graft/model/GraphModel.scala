@@ -112,11 +112,25 @@ final case class GraphStore(
   def persistAll(): GraphStore =
     GraphStore(vertices.cache(), edges.cache(), props.cache(), propRefs.cache())
 
+  /** Persist the four tables. Writes stage into `<name>._tmp` and swap in
+    * afterwards, so saving a store whose plans READ from the same path
+    * (load-mutate-save) never deletes its own input mid-plan. */
   def save(path: String): Unit = {
-    vertices.write.mode("overwrite").parquet(s"$path/vertices")
-    edges.write.mode("overwrite").parquet(s"$path/edges")
-    props.write.mode("overwrite").parquet(s"$path/props")
-    propRefs.write.mode("overwrite").parquet(s"$path/prop_refs")
+    val spark = vertices.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val tables = Seq(vertices -> "vertices", edges -> "edges",
+      props -> "props", propRefs -> "prop_refs")
+    // stage ALL writes first: any table's plan may read any old directory
+    tables.foreach { case (df, name) =>
+      df.write.mode("overwrite").parquet(s"$path/$name._tmp")
+    }
+    tables.foreach { case (_, name) =>
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/$name._tmp")
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$name")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.rename(tmp, dst)
+    }
   }
 }
 

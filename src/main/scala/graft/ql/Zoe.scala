@@ -23,6 +23,22 @@ sealed trait VertexQuery {
   def outgoing: EdgeQuery = EdgeQuery.Out(this)
   /** Edges arriving at these vertices (ql.rs:84-86). */
   def ingoing: EdgeQuery = EdgeQuery.In(this)
+
+  // `outgoing(filter)` / `ingoing(filter)` sugar from the reference's Lua
+  // embedding (lua.rs:130-178): the filter auto-intersects the hop result.
+  /** Outgoing edges restricted to those carrying a property from `filter`. */
+  def outgoing(filter: PropertyQuery): EdgeQuery =
+    outgoing.intersect(filter.referencingEdges)
+  /** Outgoing edges intersected with an edge sub-query. */
+  def outgoing(filter: EdgeQuery): EdgeQuery = outgoing.intersect(filter)
+  /** Hop through outgoing edges to target vertices restricted by `filter`. */
+  def outgoing(filter: VertexQuery): VertexQuery =
+    outgoing.outgoing.intersect(filter)
+  def ingoing(filter: PropertyQuery): EdgeQuery =
+    ingoing.intersect(filter.referencingEdges)
+  def ingoing(filter: EdgeQuery): EdgeQuery = ingoing.intersect(filter)
+  def ingoing(filter: VertexQuery): VertexQuery =
+    ingoing.ingoing.intersect(filter)
 }
 
 object VertexQuery {
@@ -62,6 +78,15 @@ sealed trait EdgeQuery {
   def outgoing: VertexQuery = VertexQuery.Out(this)
   /** Source (src) vertices of these edges (ql.rs:169-171). */
   def ingoing: VertexQuery = VertexQuery.In(this)
+
+  // Lua-embedding sugar (lua.rs:180-263): filtered hops.
+  /** Target vertices restricted to those carrying a property from `filter`. */
+  def outgoing(filter: PropertyQuery): VertexQuery =
+    outgoing.intersect(filter.referencingVertices)
+  def outgoing(filter: VertexQuery): VertexQuery = outgoing.intersect(filter)
+  def ingoing(filter: PropertyQuery): VertexQuery =
+    ingoing.intersect(filter.referencingVertices)
+  def ingoing(filter: VertexQuery): VertexQuery = ingoing.intersect(filter)
 }
 
 object EdgeQuery {

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.exec.ZoeCompiler
+import graft.model.PropValue
+import graft.ql._
+
+/** Plan-shape assertions: the properties SCALE.md promises must be visible
+  * in the physical plans — filters pushed into parquet scans, no cartesian
+  * products in traversals, whole-stage codegen in the pipeline hot path. */
+class PlanQualitySpec extends SparkSuite {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("relational filters and projections reach the parquet scan") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val plan = li.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("traversal plans contain no cartesian products or nested loops") {
+    val (batch, _) = CocktailFixture.build()
+    val zc = new ZoeCompiler(batch.toStore(spark).persistAll())
+    val gin = Zoe.start(CocktailFixture.prop("Ingredient", "gin"))
+    val q = gin.referencingVertices.ingoing
+      .intersect(Zoe.start(CocktailFixture.prop("Includes", "")).referencingEdges)
+      .ingoing
+    val plan = zc.run(q).vertices.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in traversal:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop join in traversal:\n$plan")
+  }
+
+  test("pipeline hot path stays inside whole-stage codegen") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val df = graft.pipeline.Dedup.minhashSignatures(docs, "doc_id", "text")
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with the `*(n)` whole-stage prefix
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+    // the long-form rewrite must not fall back to interpreted higher-order fns
+    assert(!plan.toLowerCase.contains("cartesian"))
+  }
+
+  test("Specific-property traversal broadcasts the tiny hash set side") {
+    val g = TpchGraph.build(spark, dir)
+    val zc = new ZoeCompiler(g)
+    val q = Zoe.start(PropValue.typed("Nation", Some("NATION_7"))).referencingVertices
+    val df = zc.run(q).vertices
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"prop-hash set not broadcast:\n$plan")
+  }
+}
