@@ -86,6 +86,40 @@ object PipelineQueries {
       Similarity.lshTopK(e, e.where(col("vec_id") < 50), "vec_id", "embedding", k = 3, planes = 4)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // curation: survivor selection over the planted-duplicate corpus
+    "curate_dedup_corpus" -> ((s, d) =>
+      pipeline.Curation.dedupExactKeepFirst(dedupCorpus(s, d), "doc_id", "text")
+        .select("doc_id")),
+    // curation: GraphX connected components over exact-dup pairs
+    "curate_dup_clusters" -> ((s, d) => {
+      val c = dedupCorpus(s, d)
+      val grouped = c.groupBy(md5(col("text")).as("h"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .where(size(col("ids")) > 1)
+      val pairs = grouped
+        .select(explode(col("ids")).as("a"), col("ids"))
+        .select(col("a"), explode(col("ids")).as("b"))
+        .where(col("a") < col("b"))
+      pipeline.Curation.dupClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+    // curation: deterministic md5-bucket sampling (~16%)
+    "curate_sample" -> ((s, d) =>
+      pipeline.Curation.sampleByHash(docs(s, d), "doc_id", keepOf256 = 41)
+        .select("doc_id")),
+    // curation: deterministic train/val/test split labels
+    "curate_split" -> ((s, d) =>
+      pipeline.Curation.splitLabel(docs(s, d), "doc_id")
+        .select("doc_id", "split")),
+    // curation: pattern redaction
+    "curate_redact" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        pipeline.Curation.redact(concat(col("text"),
+          lit(" contact bob@example.com id 1234567890"))).as("clean"))),
+    // curation: corpus vocabulary (top-20 by doc frequency, word tiebreak)
+    "curate_vocab" -> ((s, d) =>
+      pipeline.Curation.vocabulary(docs(s, d), "doc_id", "text")
+        .orderBy(desc("doc_freq"), asc("word")).limit(20)),
   )
 
   val oracles: Map[String, String] = {
@@ -199,6 +233,35 @@ object PipelineQueries {
           |SELECT a.vec_id AS a, b.vec_id AS b, round(list_cosine_similarity(a.v, b.v), 4) AS cos
           |FROM c a, c b WHERE a.vec_id < b.vec_id
           |AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.3""".stripMargin,
+      "curate_dedup_corpus" ->
+        s"""$corpusCte
+           |SELECT doc_id FROM corpus
+           |WHERE doc_id = (SELECT min(c2.doc_id) FROM corpus c2 WHERE md5(c2.text) = md5(corpus.text))""".stripMargin,
+      "curate_dup_clusters" ->
+        s"""$corpusCte,
+           |grouped AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster,
+           |  count(*) OVER (PARTITION BY md5(text)) AS n FROM corpus)
+           |SELECT doc_id, cluster FROM grouped WHERE n > 1""".stripMargin,
+      "curate_sample" ->
+        "SELECT doc_id FROM documents WHERE substr(md5('s|'||doc_id), 1, 2) < '29'",
+      "curate_split" ->
+        """SELECT doc_id, CASE
+          |  WHEN substr(md5('split|'||doc_id), 1, 2) < '0d' THEN 'test'
+          |  WHEN substr(md5('split|'||doc_id), 1, 2) < '1a' THEN 'val'
+          |  ELSE 'train' END AS split
+          |FROM documents""".stripMargin,
+      "curate_redact" ->
+        """SELECT doc_id,
+          |regexp_replace(regexp_replace(text || ' contact bob@example.com id 1234567890',
+          |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |  '[0-9]{6,}', '<NUM>', 'g') AS clean
+          |FROM documents""".stripMargin,
+      "curate_vocab" ->
+        s"""WITH ${toksCte("documents")},
+           |words AS (SELECT doc_id, unnest(w) AS word FROM toks)
+           |SELECT word, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
+           |FROM words WHERE word <> ''
+           |GROUP BY word ORDER BY doc_freq DESC, word ASC LIMIT 20""".stripMargin,
     )
   }
 }

@@ -68,6 +68,14 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact-deduplication by event id within the watermark horizon:
+    * state holds only ids newer than the watermark (bounded), duplicates
+    * arriving later than the horizon are dropped by the watermark itself. */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming query of `transform` over the events parquet and return
     * the fully-processed result via the memory sink (synchronous; for tests
     * and batch-parity checks). */

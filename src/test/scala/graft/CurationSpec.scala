@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Curation
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "alpha beta gamma delta"),
+    (2L, "alpha beta gamma delta"),   // dup of 1
+    (3L, "alpha beta gamma delta"),   // dup of 1
+    (4L, "epsilon zeta eta theta"),
+    (5L, "epsilon zeta eta theta"),   // dup of 4
+    (6L, "iota kappa lambda mu")).toDF("doc_id", "text")
+
+  test("dedupExactKeepFirst keeps the minimum-id survivor per group") {
+    val kept = Curation.dedupExactKeepFirst(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 6L))
+  }
+
+  test("dupClusters: connected components label each dup group by min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val clusters = Curation.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("sampleByHash is deterministic and roughly proportional") {
+    val big = spark.range(2000).select(col("id").as("doc_id"))
+    val s1 = Curation.sampleByHash(big, "doc_id", keepOf256 = 64).collect().map(_.getLong(0)).toSet
+    val s2 = Curation.sampleByHash(big, "doc_id", keepOf256 = 64).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size - 500) < 120) // ~25% of 2000
+    // different seed -> different (deterministic) subset
+    val s3 = Curation.sampleByHash(big, "doc_id", 64, seed = "other").collect().map(_.getLong(0)).toSet
+    assert(s3 != s1)
+  }
+
+  test("splitLabel partitions every row into exactly one deterministic split") {
+    val big = spark.range(2000).select(col("id").as("doc_id"))
+    val labeled = Curation.splitLabel(big, "doc_id")
+    val counts = labeled.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    val again = Curation.splitLabel(big, "doc_id")
+    assert(labeled.collect().toSet == again.collect().toSet)
+  }
+
+  test("redact masks emails and long digit runs, preserves short numbers") {
+    val r = Seq("write to a.b+c@mail.example.org or call 12345678900, room 42")
+      .toDF("text").select(Curation.redact(col("text"))).head().getString(0)
+    assert(r == "write to <EMAIL> or call <NUM>, room 42")
+  }
+
+  test("vocabulary counts document and term frequency") {
+    val v = Curation.vocabulary(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("alpha") == (3L, 3L))
+    assert(v("epsilon") == (2L, 2L))
+    assert(v("iota") == (1L, 1L))
+  }
+}

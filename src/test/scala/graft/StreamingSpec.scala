@@ -31,6 +31,17 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops in-horizon duplicate event ids") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // double the stream: every event appears twice
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    val base = spark.read.parquet(eventsDir)
+    base.unionByName(base).coalesce(1).write.mode("overwrite").parquet(dupDir)
+    val deduped = EventStreams.runToMemory(spark, dupDir,
+      EventStreams.streamingDedup, OutputMode.Append, "dedup_out")
+    assert(deduped.count() == base.count())
+  }
+
   test("sessionization with custom state emits gap-separated sessions") {
     import spark.implicits._
     val events = Seq(
