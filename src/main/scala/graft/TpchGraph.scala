@@ -65,11 +65,6 @@ object TpchGraph {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      // materialize the base tables as concurrent jobs (they are
-      // independent; the session scheduler interleaves their stages)
-      val prefetch = Seq("region", "nation", "customer", "supplier", "part", "orders")
-        .map(n => Future(table(spark, dir, n)))
-      prefetch.foreach(Await.result(_, Duration.Inf))
       val raw = rawBuild(spark, dir)
       // The union-built tables inherit the SUM of their branches' partitions
       // (7 branches x 32 = 224 for vertices), and broadcast joins preserve
@@ -105,7 +100,11 @@ object TpchGraph {
     format_string("psz_%03d_%d", col("p_size"), col("p_partkey"))
 
   private def rawBuild(spark: SparkSession, dir: String): GraphStore = {
-    def t(n: String) = table(spark, dir, n)
+    // plain uncached reads: each of the four graph tables materializes in
+    // ONE job whose branches scan the parquet directly; only the final
+    // repartitioned tables are cached (base-table caching is for the
+    // relational query path via table())
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
     val region = t("region"); val nation = t("nation"); val customer = t("customer")
     val supplier = t("supplier"); val part = t("part"); val orders = t("orders")
 

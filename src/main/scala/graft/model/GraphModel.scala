@@ -157,6 +157,26 @@ object GraphStore {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], propsSchema),
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], propRefsSchema))
 
+  /** Persist the store as BUCKETED tables (vertices by id, edges by src,
+    * props by hash, prop_refs by parent_hash) in the session catalog — the
+    * 100 TB layout from SCALE.md: traversal hop/semi joins on the bucket
+    * keys then co-locate without a shuffle exchange. Requires a catalog
+    * (bucketing metadata lives there); `tablePrefix` names the tables. */
+  def saveBucketed(g: GraphStore, buckets: Int, tablePrefix: String = "graft_b_"): GraphStore = {
+    def write(df: DataFrame, name: String, key: String): DataFrame = {
+      val table = s"$tablePrefix$name"
+      df.write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .saveAsTable(table)
+      df.sparkSession.table(table)
+    }
+    GraphStore(
+      write(g.vertices, "vertices", "id"),
+      write(g.edges, "edges", "src"),
+      write(g.props, "props", "hash"),
+      write(g.propRefs, "prop_refs", "parent_hash"))
+  }
+
   /** Open a saved store; mirrors the reference's layout check on open
     * (backend_filestore/src/lib.rs:64-101). */
   def load(spark: SparkSession, path: String): GraphStore = {

@@ -47,6 +47,30 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.toLowerCase.contains("cartesian"))
   }
 
+  test("bucketed layout: hop join on the bucket key needs no shuffle of edges") {
+    val (batch, _) = CocktailFixture.build()
+    val g = batch.toStore(spark)
+    // unique prefix: the in-memory catalog forgets tables between JVMs but
+    // their warehouse directories persist and block re-creation
+    val gb = graft.model.GraphStore.saveBucketed(g, buckets = 4,
+      tablePrefix = s"plan_spec_${System.nanoTime()}_")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force a sort-merge join so the exchange structure is observable
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = gb.edges.join(gb.edges.groupBy("src").count(), Seq("src"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the bucketed scan side(s) must not re-shuffle on src
+      assert(!plan.contains("Exchange hashpartitioning(src"),
+        s"bucketed join still exchanges on src:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("Specific-property traversal broadcasts the tiny hash set side") {
     val g = TpchGraph.build(spark, dir)
     val zc = new ZoeCompiler(g)
