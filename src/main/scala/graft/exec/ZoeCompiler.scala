@@ -234,11 +234,13 @@ final class ZoeCompiler(g: GraphStore) {
 
   // ---- result assembly ----
 
-  // assembly reads the traversal 2-3x; recomputation is cheaper than
-  // caching every query's traversal (session-lifetime caches evict the
-  // shared graph tables under memory pressure and trigger recompute storms)
+  // Assembly reads the traversal up to 3x (ids, stores, paths).
+  // localCheckpoint materializes it exactly once; unlike session-lifetime
+  // .cache() (which evicted the shared graph tables and caused recompute
+  // storms) the checkpoint blocks are released with the RDD when the result
+  // is garbage-collected.
   private def assembleV(df: DataFrame): ZoeResult = {
-    val d = df
+    val d = df.localCheckpoint(eager = true)
     val vs = d.select("id")
       .unionByName(d.select(explode(col("v_store")).as("id")))
       .distinct()
@@ -250,7 +252,7 @@ final class ZoeCompiler(g: GraphStore) {
   }
 
   private def assembleE(df: DataFrame): ZoeResult = {
-    val d = df
+    val d = df.localCheckpoint(eager = true)
     val es = d.select("id")
       .unionByName(d.select(explode(col("e_store")).as("id")))
       .distinct()

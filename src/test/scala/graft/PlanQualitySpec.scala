@@ -75,7 +75,9 @@ class PlanQualitySpec extends SparkSuite {
     val g = TpchGraph.build(spark, dir)
     val zc = new ZoeCompiler(g)
     val q = Zoe.start(PropValue.typed("Nation", Some("NATION_7"))).referencingVertices
-    val df = zc.run(q).vertices
+    // inspect the traversal itself (result assembly checkpoints it, hiding
+    // the join behind a LogicalRDD scan)
+    val df = zc.traceV(q)
     df.collect() // let AQE finalize
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
