@@ -43,6 +43,30 @@ object GraphAnalytics {
   def hasEdge(g: GraphStore, src: String, dst: String): Boolean =
     !g.edges.where(col("src") === src && col("dst") === dst).isEmpty
 
+  /** WeightedGraph surface (reference trait lib.rs:16-65, no implementor
+    * there): per-edge weight extracted from the edge property payload via
+    * `weightOf` (a JSON path into the canonical property value); edges whose
+    * property yields no number get `default`. */
+  def weightedEdges(g: GraphStore, weightPath: String = "$.Weight",
+                    default: Double = 1.0): DataFrame = {
+    val p = g.props
+    g.edges
+      .join(p.select(p("hash").as("__h"), p("value")), col("prop_hash") === col("__h"), "left")
+      .select(col("edge_id"), col("src"), col("dst"),
+        coalesce(get_json_object(col("value"), weightPath).cast("double"),
+          lit(default)).as("weight"))
+  }
+
+  /** weight(src, dst): sum of weights over parallel edges between the pair
+    * (content-addressing collapses true duplicates already). */
+  def weight(g: GraphStore, src: String, dst: String,
+             weightPath: String = "$.Weight"): Option[Double] = {
+    val rows = weightedEdges(g, weightPath)
+      .where(col("src") === src && col("dst") === dst)
+      .agg(sum("weight")).collect()
+    if (rows.head.isNullAt(0)) None else Some(rows.head.getDouble(0))
+  }
+
   /** Bridge to GraphX. `toLong` must be a deterministic, collision-free
     * mapping from the string vertex id to a long (GraphX VertexId) — results
     * of id-sensitive algorithms (e.g. connectedComponents returns the MIN

@@ -50,25 +50,46 @@ object ZoeCli {
     // property-blob: canonical serialized bytes (identity for raw input)
     case "property-blob" :: Nil =>
       print(readStdin())
-    // create-node [--id <id>] with the raw property from stdin; prints the
-    // node id (cli_helpers.rs create-node)
+    // create-node [--id <id> | --update <id> | --get-or-create] with the raw
+    // property from stdin; prints the node id (cli_helpers.rs create-node
+    // flag set: --id/--create-id/--update/--get-or-create)
     case "create-node" :: path :: rest =>
       val value = readStdin()
       val p = rawProp(value)
-      val id = rest match {
-        case "--id" :: id :: Nil => id
-        case Nil                 => java.util.UUID.randomUUID().toString
-        case other => sys.error(s"unknown create-node args: $other")
-      }
       val g = GraphStore.load(spark, path)
       val spark2 = spark
       import spark2.implicits._
-      val withProps = graft.store.BulkMutations.createProperties(g,
+      def withProp(st: GraphStore) = graft.store.BulkMutations.createProperties(st,
         Seq((p.hash, value, p.variant)).toDF("hash", "value", "schema_type"))
-      graft.store.BulkMutations
-        .createNodes(withProps, Seq((id, p.hash)).toDF("id", "prop_hash"))
-        .save(path)
-      println(id)
+      rest match {
+        case "--get-or-create" :: Nil =>
+          // reuse the node if exactly one already holds this property
+          // (cli_helpers.rs:118-174)
+          val (g2, id) = graft.store.BulkMutations.getOrCreateNode(g, p)
+          g2.save(path)
+          println(id)
+        case "--update" :: id :: Nil =>
+          // repoint an existing node to the new property + GC the old one
+          require(!g.vertices.where(org.apache.spark.sql.functions.col("id") === id).isEmpty,
+            s"node $id does not exist")
+          val repointed = withProp(g).copy(vertices =
+            g.vertices.withColumn("prop_hash",
+              org.apache.spark.sql.functions.when(
+                org.apache.spark.sql.functions.col("id") === id,
+                p.hash).otherwise(org.apache.spark.sql.functions.col("prop_hash"))))
+          graft.store.BulkMutations.gcOrphanProps(repointed).save(path)
+          println(id)
+        case flags =>
+          val id = flags match {
+            case "--id" :: v :: Nil => v
+            case Nil                => java.util.UUID.randomUUID().toString
+            case other => sys.error(s"unknown create-node args: $other")
+          }
+          graft.store.BulkMutations
+            .createNodes(withProp(g), Seq((id, p.hash)).toDF("id", "prop_hash"))
+            .save(path)
+          println(id)
+      }
     case "delete-node" :: path :: "--id" :: id :: Nil =>
       val g = GraphStore.load(spark, path)
       val spark2 = spark

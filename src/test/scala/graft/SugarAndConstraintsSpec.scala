@@ -67,4 +67,35 @@ class SugarAndConstraintsSpec extends SparkSuite {
     assert(g3.vertices.count() == 1)
     assert(g3.edges.count() == 1) // dangling edge parity
   }
+
+  test("CLI create-node --update and --get-or-create flags") {
+    import graft.io.ZoeCli
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli2").toString
+    ZoeCli.run(spark, List("init", dir))
+    def withStdin(text: String)(f: => Unit): Unit =
+      Console.withIn(new java.io.ByteArrayInputStream(text.getBytes))(f)
+    withStdin("v1") { ZoeCli.run(spark, List("create-node", dir, "--id", "n1")) }
+    // get-or-create with the same property reuses n1 (no new node)
+    withStdin("v1") { ZoeCli.run(spark, List("create-node", dir, "--get-or-create")) }
+    assert(graft.model.GraphStore.load(spark, dir).vertices.count() == 1)
+    // update repoints and GCs the orphaned old property
+    withStdin("v2") { ZoeCli.run(spark, List("create-node", dir, "--update", "n1")) }
+    val g = graft.model.GraphStore.load(spark, dir)
+    assert(g.vertices.head().getString(1) == graft.model.Hashing.sha256HexUpper("v2"))
+    assert(g.props.collect().map(_.getString(1)).toSeq == Seq("v2"))
+  }
+
+  test("weighted graph surface extracts numeric weights from edge props") {
+    import graft.analytics.GraphAnalytics
+    import graft.model.PropValue
+    val b = new graft.store.GraphBatch
+    b.createNode("a", PropValue("N", Some("a")))
+    b.createNode("c", PropValue("N", Some("c")))
+    b.createEdge("a", "c", PropValue("Weight", Some("2.5")))
+    val g = b.toStore(spark)
+    assert(GraphAnalytics.weight(g, "a", "c") == Some(2.5))
+    assert(GraphAnalytics.weight(g, "c", "a") == None)
+    val we = GraphAnalytics.weightedEdges(g).head()
+    assert(we.getDouble(3) == 2.5)
+  }
 }
