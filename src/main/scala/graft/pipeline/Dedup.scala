@@ -83,12 +83,24 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
     * shingle: |A∩B| / |A|+|B|-|A∩B| via shingle-set explode + equi-join.
     * Returns pairs (a, b, jaccard) with a < b and jaccard >= minSim. */
+  /** `maxShingleDf` (0 = off) drops shingles whose document frequency
+    * exceeds the bound BEFORE the self-join — the 100 TB guard against
+    * join fan-out on boilerplate shingles (SCALE.md). Filtering changes
+    * the measured shingle sets, so sizes are computed after the filter
+    * (the estimate degrades gracefully instead of exploding). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, minSim: Double = 0.5): DataFrame = {
-    val distinctShingles = TextAnalysis.shingleRows(df, idCol, textCol, n)
+                        n: Int = 3, minSim: Double = 0.5,
+                        maxShingleDf: Long = 0L): DataFrame = {
+    val raw = TextAnalysis.shingleRows(df, idCol, textCol, n)
       .withColumnRenamed(idCol, "doc")
       .dropDuplicates("doc", "shingle")
-      .cache()
+    val bounded =
+      if (maxShingleDf <= 0) raw
+      else raw.join(
+        raw.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxShingleDf).select("shingle"),
+        Seq("shingle"), "left_semi")
+    val distinctShingles = bounded.cache()
     val sizes = distinctShingles.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val exploded = distinctShingles
     val inter = exploded.select(col("doc").as("a"), col("shingle"))

@@ -55,6 +55,18 @@ class PipelineSpec extends SparkSuite {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("ngram jaccard stop-shingle bound drops boilerplate join fan-out") {
+    // 'the quick brown' etc appear in 3 docs; df bound 2 excludes them
+    val bounded = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      minSim = 0.0, maxShingleDf = 2)
+    // pair (1,2) still found through shingles of df <= 2? all their shingles
+    // have df 3 (docs 1,2,3 share the prefix) except the tail trigram
+    val pairs = bounded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unbounded = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minSim = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(unbounded))
+  }
+
   lazy val vecs = Seq(
     (1L, Array(1f, 0f, 0f, 0f)),
     (2L, Array(0.99f, 0.1f, 0f, 0f)),

@@ -158,4 +158,15 @@ class ZoeAlgebraSpec extends SparkSuite {
     assert(ids(a.substract(a)).isEmpty)
     assert(model.evalV(a) == ids(a))
   }
+
+  test("wire codec round-trips random query ASTs") {
+    (1 to 40).foreach { i =>
+      val v = genV(4).pureApply(Gen.Parameters.default, Seed(1000L + i))
+      val q = BasicQuery.V(v)
+      assert(ZoeJson.parse(ZoeJson.render(q)) == q, s"seed $i")
+      val e = genE(4).pureApply(Gen.Parameters.default, Seed(2000L + i))
+      val qe = BasicQuery.E(e)
+      assert(ZoeJson.parse(ZoeJson.render(qe)) == qe, s"seed $i")
+    }
+  }
 }
