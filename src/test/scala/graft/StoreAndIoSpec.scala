@@ -91,4 +91,17 @@ class StoreAndIoSpec extends SparkSuite {
     val json = ZoeCli.renderResult(zc.run(VertexQuery.fromIds(Seq("n1"))))
     assert(json == """{"vertices":[["n1",null]],"edges":[],"paths":[[null,[],"n1"]],"variables":{}}""")
   }
+
+  test("queries on an empty store return empty results, not errors") {
+    val g = GraphStore.empty(spark)
+    val zc = new ZoeCompiler(g)
+    val q = Zoe.start(PropValue.typed("Nope", Some("x"))).referencingVertices
+      .ingoing.intersect(Zoe.start(PropValue("Edge")).referencingEdges).ingoing
+    val r = zc.run(q)
+    assert(r.vertices.count() == 0 && r.edges.count() == 0 && r.paths.count() == 0)
+    assert(zc.extractProperties(r).count() == 0)
+    assert(zc.extractPathProperties(r).count() == 0)
+    assert(zc.run(VertexQuery.all).vertices.count() == 0)
+    assert(zc.run(EdgeQuery.all).edges.count() == 0)
+  }
 }
