@@ -160,4 +160,17 @@ class CocktailQueriesSpec extends SparkSuite {
     val r = zc.run(viaJson.asInstanceOf[BasicQuery.V].q)
     assert(r.vertices.count() == 21)
   }
+
+  test("edge filter and store operators") {
+    // E.Filter with the sql interpreter: 45 ServedIn edges
+    val served = zc.run(EdgeQuery.all.filter(ZFilter("sql", "schema_type = 'ServedIn'")))
+    assert(served.edges.count() == 45)
+    // E.Store snapshots the selection into every context's e_store
+    val stored = zc.run(EdgeQuery.all
+      .intersect(Zoe.start(prop("ServedIn")).referencingEdges).store)
+    assert(stored.edges.count() == 45)
+    // E.Specific is existence-checked against the edge table
+    val some = zc.run(EdgeQuery.fromIds(Seq(g.edges.head().getString(0), "GHOST")))
+    assert(some.edges.count() == 1)
+  }
 }

@@ -110,9 +110,13 @@ class ZoeAlgebraSpec extends SparkSuite {
       1 -> genV(depth - 1).map(VertexQuery.Store))
   }
 
+  /** Edge-id candidates for E.Specific leaves (filled per test graph). */
+  @volatile private var edgeIdPool: Seq[String] = Seq("GHOST")
+
   private def genE(depth: Int): Gen[EdgeQuery] = {
     val leaf: Gen[EdgeQuery] = Gen.oneOf(
       Gen.const(EdgeQuery.All),
+      Gen.someOf(edgeIdPool).map(ids => EdgeQuery.Specific(ids.toSeq)),
       genP(1).map(EdgeQuery.Property))
     if (depth == 0) leaf
     else Gen.frequency(
@@ -130,6 +134,7 @@ class ZoeAlgebraSpec extends SparkSuite {
       Seq((0, 1, 0), (1, 2, 1), (2, 3, 0), (3, 4, 1), (4, 5, 0), (5, 0, 1),
         (0, 3, 0), (1, 4, 1), (2, 2, 0)))
     val zc = new ZoeCompiler(batch.toStore(spark).persistAll())
+    edgeIdPool = model.edges.keys.take(3).toSeq :+ "GHOST"
 
     (1 to 12).foreach { i =>
       val q = genV(3).pureApply(Gen.Parameters.default, Seed(i.toLong))
