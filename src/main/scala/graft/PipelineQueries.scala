@@ -57,11 +57,8 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(dedupCorpus(s, d), "doc_id", "text", n = 3, minSim = 0.5)),
     "text_langid" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
-    "text_quality" -> ((s, d) => {
-      val feats = TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
-      docs(s, d).select((col("doc_id") +: feats :+
-        TextAnalysis.qualityScore(col("text")).as("quality")): _*)
-    }),
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.qualityTable(docs(s, d), "doc_id", "text")),
     "text_tokens" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextAnalysis.wordCount(col("text")).cast("long").as("n_words"),

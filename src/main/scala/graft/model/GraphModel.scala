@@ -19,9 +19,11 @@ object Hashing {
 
   /** Canonical JSON of an edge record; field order is significant because the
     * edge's identity is the hash of these bytes
-    * (reference: kv_graph_store.rs:823-847 EdgeData serialization). */
+    * (reference: kv_graph_store.rs:823-847 EdgeData serialization). Node ids
+    * are JSON-escaped so ids containing quotes/backslashes still serialize to
+    * well-formed JSON matching the reference's serde output. */
   def edgeJson(propHash: String, src: String, dst: String): String =
-    s"""{"properties":"$propHash","n1":"$src","n2":"$dst"}"""
+    s"""{"properties":"$propHash","n1":${PropValue.jsonString(src)},"n2":${PropValue.jsonString(dst)}}"""
 
   /** Edge identity = content hash of the edge record: equal (prop, src, dst)
     * collapse into one edge (reference: kv_graph_store.rs:832-835). */
@@ -37,14 +39,23 @@ object Hashing {
     s"""{"id":"$id","properties":"$propHash","incoming":${arr(incoming)},"outgoing":${arr(outgoing)}}"""
   }
 
-  /** Column-level edge id for distributed edge creation. */
+  /** JSON string escaping at column level: backslash then quote (order
+    * matters). Control characters inside ids are not escaped here (unlike
+    * [[PropValue.jsonString]]) — ids are expected to be printable; the
+    * realistic divergence surface (quotes/backslashes via CLI create-edge or
+    * GraphML mappers) is covered. */
+  private def jsonEscapeCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+
+  /** Column-level edge id for distributed edge creation; identical bytes to
+    * [[edgeJson]] for ids without control characters. */
   def edgeIdCol(propHash: org.apache.spark.sql.Column,
                 src: org.apache.spark.sql.Column,
                 dst: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     upper(sha2(concat(
       lit("{\"properties\":\""), propHash,
-      lit("\",\"n1\":\""), src,
-      lit("\",\"n2\":\""), dst, lit("\"}")), 256))
+      lit("\",\"n1\":\""), jsonEscapeCol(src),
+      lit("\",\"n2\":\""), jsonEscapeCol(dst), lit("\"}")), 256))
 }
 
 /** A property value in the reference's model: an externally-tagged enum
@@ -180,8 +191,13 @@ object GraphStore {
   /** Open a saved store; mirrors the reference's layout check on open
     * (backend_filestore/src/lib.rs:64-101). */
   def load(spark: SparkSession, path: String): GraphStore = {
+    // resolve the filesystem from the path URI (hdfs://, s3a://, file:) the
+    // same way save() does — a java.io.File check would reject every
+    // non-local store
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val dirs = Seq("vertices", "edges", "props", "prop_refs")
-    val missing = dirs.filterNot(d => new java.io.File(s"$path/$d").exists())
+    val missing = dirs.filterNot(d => fs.exists(new org.apache.hadoop.fs.Path(s"$path/$d")))
     require(missing.isEmpty, s"malformed graph store at $path: missing ${missing.mkString(",")}")
     GraphStore(
       spark.read.schema(verticesSchema).parquet(s"$path/vertices"),

@@ -77,6 +77,56 @@ object TextAnalysis {
       "stopword_ratio" -> round(when(nWords === 0, 0.0).otherwise(stop / nWords), 4))
   }
 
+  /** The 8 stopwords of the quality heuristic. */
+  val qualityStopwords: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "that")
+
+  /** Non-overlapping count of ` word ` in an already-padded normalized text:
+    * one regex pass, same match semantics as the replace-diff trick in
+    * [[wordOccurrences]] (repeated adjacent words undercount identically —
+    * that exact behavior is what the SQL oracle reproduces). */
+  private def paddedOccurrences(padded: Column, word: String): Column =
+    regexp_count(padded, lit(s" $word ")).cast("long")
+
+  /** Quality features + composite score as a three-stage projection that
+    * materializes the normalized text ONCE per row (the single-Column
+    * [[qualityFeatures]] re-runs the normalize regex inside every feature —
+    * regex-bound at scale). Stage boundaries survive CollapseProject because
+    * the lower aliases are non-cheap and referenced more than once.
+    * Returns (id, n_chars, n_words, avg_word_len, punct_ratio, digit_ratio,
+    * stopword_ratio, quality) — values identical to [[qualityFeatures]] /
+    * [[qualityScore]]. */
+  def qualityTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val base = df.select(
+      col(idCol),
+      length(text).cast("long").as("n_chars"),
+      (length(text) - length(regexp_replace(text, "[.,;:!?'\"]", ""))).cast("double").as("__punct"),
+      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double").as("__digits"),
+      normalized(text).as("__norm"))
+    val counted = base.select(
+      col(idCol), col("n_chars"), col("__punct"), col("__digits"),
+      length(col("__norm")).as("__nlen"),
+      when(length(col("__norm")) === 0, 0).otherwise(size(split(col("__norm"), " ")))
+        .cast("double").as("__nw"),
+      qualityStopwords.map(w =>
+        paddedOccurrences(concat(lit(" "), col("__norm"), lit(" ")), w))
+        .reduce(_ + _).cast("double").as("__stop"))
+    val len = col("n_chars").cast("double")
+    counted.select(
+      col(idCol),
+      col("n_chars"),
+      col("__nw").cast("long").as("n_words"),
+      round(when(col("__nw") === 0, 0.0)
+        .otherwise((col("__nlen") - (col("__nw") - 1)) / col("__nw")), 4).as("avg_word_len"),
+      round(when(len === 0, 0.0).otherwise(col("__punct") / len), 4).as("punct_ratio"),
+      round(when(len === 0, 0.0).otherwise(col("__digits") / len), 4).as("digit_ratio"),
+      round(when(col("__nw") === 0, 0.0).otherwise(col("__stop") / col("__nw")), 4).as("stopword_ratio"))
+      .withColumn("quality", round(greatest(lit(0.0),
+        least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
+          least(col("stopword_ratio") * 4.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - least(col("digit_ratio") * 5.0, lit(1.0))) * 0.2), 4))
+  }
+
   /** Composite quality score in [0,1]: rewards stopword density and
     * mid-length documents, penalizes digit/punctuation noise. */
   def qualityScore(text: Column): Column = {

@@ -122,8 +122,13 @@ final class GraphBatch {
 object BulkMutations {
 
   /** Append nodes(id, prop_hash). Throws on any id collision with existing
-    * nodes (NodeExists parity) detected via a single anti-join count. */
+    * nodes OR duplicate ids within the batch itself (NodeExists parity with
+    * the reference's per-insert create_node, which raises on the second
+    * occurrence), each detected via a single semi-join / groupBy probe. */
   def createNodes(g: GraphStore, newNodes: DataFrame): GraphStore = {
+    val selfDup = newNodes.groupBy("id").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1).limit(1).collect()
+    if (selfDup.nonEmpty) throw NodeExistsException(selfDup.head.getString(0))
     val clash = newNodes.join(g.vertices, Seq("id"), "left_semi").limit(1).collect()
     if (clash.nonEmpty) throw NodeExistsException(clash.head.getString(0))
     g.copy(vertices = g.vertices.unionByName(newNodes.select("id", "prop_hash")))
@@ -182,6 +187,7 @@ object BulkMutations {
   def gcOrphanProps(g: GraphStore, maxRounds: Int = 10): GraphStore = {
     var props = g.props
     var refs = g.propRefs
+    var cached: DataFrame = null
     var changed = true
     var round = 0
     while (changed && round < maxRounds) {
@@ -195,6 +201,11 @@ object BulkMutations {
       val removedCount = props.count() - nextProps.count()
       // refs whose parent died die too (cascades to children next round)
       refs = refs.join(nextProps.select(col("hash").as("parent_hash")), Seq("parent_hash"), "left_semi")
+      // the superseded generation's cache is dead weight once nextProps is
+      // materialized (the count above) — release it instead of leaking one
+      // cached DataFrame per sweep round into the session
+      if (cached != null) cached.unpersist()
+      cached = nextProps
       props = nextProps
       changed = removedCount > 0
       round += 1

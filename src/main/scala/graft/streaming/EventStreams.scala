@@ -39,10 +39,15 @@ object EventStreams {
   final case class Session(userId: Long, nEvents: Long, firstTs: Long, lastTs: Long)
   private final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
 
-  /** Session assembly with custom state (mapGroupsWithState + processing-time
-    * timeout): per user, fold events into an open session; a session closes
-    * when the gap exceeds `gapSeconds`, emitting the closed session on the
-    * next event. State is one small record per active user — bounded. */
+  /** Session assembly with custom state (flatMapGroupsWithState +
+    * processing-time timeout): per user, fold events into an open session; a
+    * session closes when the event-time gap exceeds `gapSeconds` (emitted on
+    * the next event), and an idle user's open session is flushed by the
+    * processing-time timeout — so state stays one small record per RECENTLY
+    * ACTIVE user and one-shot users don't pin state forever. In batch
+    * execution timeouts never fire, so batch emits closed sessions only
+    * (each user's trailing open session stays unemitted — the oracle-parity
+    * shape). */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -51,20 +56,29 @@ object EventStreams {
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.map(_._2).toSeq.sorted
-          var st = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { t =>
-            if (st.nEvents > 0 && t - st.lastTs > gapSeconds) {
-              closed += Session(userId, st.nEvents, st.firstTs, st.lastTs)
-              st = SessionState(0, Long.MaxValue, Long.MinValue)
+          if (state.hasTimedOut) {
+            // idle past the gap with no new events: flush the open session
+            val st = state.get
+            state.remove()
+            if (st.nEvents > 0) Iterator.single(Session(userId, st.nEvents, st.firstTs, st.lastTs))
+            else Iterator.empty
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var st = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { t =>
+              if (st.nEvents > 0 && t - st.lastTs > gapSeconds) {
+                closed += Session(userId, st.nEvents, st.firstTs, st.lastTs)
+                st = SessionState(0, Long.MaxValue, Long.MinValue)
+              }
+              st = SessionState(st.nEvents + 1, math.min(st.firstTs, t), math.max(st.lastTs, t))
             }
-            st = SessionState(st.nEvents + 1, math.min(st.firstTs, t), math.max(st.lastTs, t))
+            state.update(st)
+            state.setTimeoutDuration(gapSeconds * 1000L)
+            closed.result().iterator
           }
-          state.update(st)
-          closed.result().iterator
       }
   }
 
