@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.analytics.GraphAnalytics
 import graft.exec.ZoeCompiler
-import graft.model.{GraphStore, PropValue}
+import graft.model.{GraphStore, Hashing, PropValue}
 import graft.ql._
 
 /** Driver-facing query inventory: one entry per operator of SURVEY.md §2,
@@ -118,6 +118,37 @@ object GraphQueries {
       zc.extractPathProperties(zc.run(customersOfRegion("EUROPE")))
         .select(col("end").as("path_end"), concat_ws("->", col("props")).as("path_str"))
     }),
+    // §2.2 E.All: every edge family's content-hash id
+    "zoe_e_all" -> ((s, d) => compiler(s, d).run(EdgeQuery.all).edges),
+    // §2.2 E.Specific: NOT existence-checked (reference parity,
+    // kv_graph_store.rs:229-233) — the ghost id must survive
+    "zoe_e_specific" -> ((s, d) => {
+      val rows = t(s, d, "nation").where(col("n_nationkey").isin(1, 7))
+        .select(col("n_nationkey").cast("string"), col("n_regionkey").cast("string"))
+        .collect()
+      val ids = rows.toSeq.map(r => Hashing.edgeId(TpchGraph.unitHash("InRegion"),
+        s"nation:${r.getString(0)}", s"region:${r.getString(1)}")) :+ "GHOST_EDGE"
+      compiler(s, d).run(EdgeQuery.fromIds(ids)).edges
+    }),
+    // §2.2 E.Union
+    "zoe_e_union" -> ((s, d) =>
+      compiler(s, d).run(edgeProp("InRegion").union(edgeProp("InSegment"))).edges),
+    // §2.2 E.Substract: InNation edges not pointing at NATION_7
+    "zoe_e_substract" -> ((s, d) =>
+      compiler(s, d).run(edgeProp("InNation").substract(nationV("NATION_7").ingoing)).edges),
+    // §2.2 E.DisjunctiveUnion (documented symmetric-difference semantics):
+    // edges into NATION_7 vs InNation edges of BUILDING-segment customers
+    "zoe_e_disjunctive_union" -> ((s, d) =>
+      compiler(s, d).run(nationV("NATION_7").ingoing.disjunctiveUnion(
+        customersInSegment("BUILDING").outgoing.intersect(edgeProp("InNation")))).edges),
+    // §2.2 E.Filter with the sql interpreter over the edge's property
+    "zoe_e_filter_sql" -> ((s, d) => compiler(s, d).run(
+      EdgeQuery.all.filter(ZFilter("sql", "schema_type = 'InRegion'"))).edges),
+    // §2.2 E.Store: snapshot InSegment edges, traverse on to InNation edges;
+    // the result unions the stored snapshot back in
+    "zoe_e_store" -> ((s, d) => compiler(s, d).run(
+      customersOf("NATION_7").outgoing.intersect(edgeProp("InSegment")).store
+        .ingoing.outgoing.intersect(edgeProp("InNation"))).edges),
     // §2.2 E.Property
     "zoe_e_property" -> ((s, d) =>
       compiler(s, d).traceE(edgeProp("InSegment")).select("src", "dst")),
@@ -200,7 +231,41 @@ object GraphQueries {
         round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))),
   )
 
+  /** DuckDB fragment computing an edge's content-hash id (the exact bytes of
+    * Hashing.edgeJson) from SQL expressions for the endpoint ids. */
+  private def edgeIdSql(variant: String, srcExpr: String, dstExpr: String): String =
+    s"""upper(sha256('{"properties":"'||upper(sha256('"$variant"'))||'","n1":"'||$srcExpr||'","n2":"'||$dstExpr||'"}'))"""
+
+  private val custInNation = edgeIdSql("InNation", "'customer:'||c_custkey", "'nation:'||c_nationkey")
+  private val suppInNation = edgeIdSql("InNation", "'supplier:'||s_suppkey", "'nation:'||s_nationkey")
+  private val nationInRegion = edgeIdSql("InRegion", "'nation:'||n_nationkey", "'region:'||n_regionkey")
+  private val custInSegment = edgeIdSql("InSegment", "'customer:'||c_custkey", "'segment:'||c_mktsegment")
+  private val orderPlacedBy = edgeIdSql("PlacedBy", "'order:'||o_orderkey", "'customer:'||o_custkey")
+
   val oracles: Map[String, String] = Map(
+    "zoe_e_all" ->
+      s"""SELECT $custInNation AS id FROM customer
+         |UNION ALL SELECT $suppInNation FROM supplier
+         |UNION ALL SELECT $nationInRegion FROM nation
+         |UNION ALL SELECT $custInSegment FROM customer
+         |UNION ALL SELECT $orderPlacedBy FROM orders""".stripMargin,
+    "zoe_e_specific" ->
+      s"""SELECT $nationInRegion AS id FROM nation WHERE n_nationkey IN (1, 7)
+         |UNION ALL SELECT 'GHOST_EDGE'""".stripMargin,
+    "zoe_e_union" ->
+      s"""SELECT $nationInRegion AS id FROM nation
+         |UNION ALL SELECT $custInSegment FROM customer""".stripMargin,
+    "zoe_e_substract" ->
+      s"""SELECT $custInNation AS id FROM customer WHERE c_nationkey <> 7
+         |UNION ALL SELECT $suppInNation FROM supplier WHERE s_nationkey <> 7""".stripMargin,
+    "zoe_e_disjunctive_union" ->
+      s"""SELECT $custInNation AS id FROM customer WHERE (c_nationkey = 7) <> (c_mktsegment = 'BUILDING')
+         |UNION ALL SELECT $suppInNation FROM supplier WHERE s_nationkey = 7""".stripMargin,
+    "zoe_e_filter_sql" ->
+      s"SELECT $nationInRegion AS id FROM nation",
+    "zoe_e_store" ->
+      s"""SELECT $custInNation AS id FROM customer WHERE c_nationkey = 7
+         |UNION ALL SELECT $custInSegment FROM customer WHERE c_nationkey = 7""".stripMargin,
     "zoe_v_all" ->
       """SELECT 'region:'||r_regionkey AS id FROM region
         |UNION ALL SELECT 'nation:'||n_nationkey FROM nation

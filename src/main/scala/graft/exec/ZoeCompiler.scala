@@ -15,12 +15,16 @@ import graft.ql._
   *  - properties(hash)            — non-empty only for top-level P queries
   *                                  (implemented properly here; the reference
   *                                  stubs it to empty, kv_graph_store.rs:307-317)
+  *  - variables(key, value)       — the merged side-effect variables of all
+  *                                  surviving contexts (ql.rs:421,462
+  *                                  `variables.extend(ctx_vars)`)
   */
 final case class ZoeResult(
     vertices: DataFrame,
     edges: DataFrame,
     paths: DataFrame,
-    properties: DataFrame)
+    properties: DataFrame,
+    variables: DataFrame)
 
 /** Named engine-native predicates usable from `ZFilter("registry", name)`. */
 object FilterRegistry {
@@ -48,11 +52,31 @@ object FilterRegistry {
   * (HashMap insert; kv_graph_store.rs:59-60). We keep all rows during
   * traversal and collapse to one arbitrary context per element at result
   * assembly (SURVEY.md §7.4 decision 1) — same sets, same path cardinality.
+  *
+  * Store semantics: the v_store/e_store context columns carry small TOKENS,
+  * not the stored ids — each Store node registers its selection as a side
+  * DataFrame keyed by a fresh token and appends only the token to the
+  * context. Result assembly unions in the snapshots whose token survives on
+  * at least one row (exactly the reference's per-context store visibility:
+  * if every carrying element is later subtracted away, the snapshot
+  * disappears) — so traversal rows stay narrow and no single-reducer
+  * collect_set/crossJoin materializes the snapshot onto every row.
+  *
+  * `variables`: the per-context side-effect variable map (ql.rs:262). The
+  * reference never writes variables during traversal (no AST node does), so
+  * the column is carried verbatim from the initial map supplied here and
+  * merged into the result (ql.rs:421) — the wire shape is lossless.
   */
-final class ZoeCompiler(g: GraphStore) {
+final class ZoeCompiler(g: GraphStore, initialVariables: Map[String, String] = Map.empty) {
   import ZoeCompiler._
 
   private def spark = g.vertices.sparkSession
+
+  private val storeCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val vStoreTables = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val eStoreTables = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def variablesCol: Column = typedLit(initialVariables)
 
   def run(q: BasicQuery): ZoeResult = q match {
     case BasicQuery.V(v) => assembleV(compileV(v))
@@ -63,7 +87,7 @@ final class ZoeCompiler(g: GraphStore) {
         lit(null).cast("string").as("start"),
         emptyPathCol.as("path"),
         lit(null).cast("string").as("end"))
-      ZoeResult(empty, empty, emptyPaths, compileP(p))
+      ZoeResult(empty, empty, emptyPaths, compileP(p), emptyVariables)
   }
 
   def run(q: VertexQuery): ZoeResult = run(BasicQuery.V(q))
@@ -73,7 +97,9 @@ final class ZoeCompiler(g: GraphStore) {
   /** Full traversal with ALL surviving contexts (one row per distinct path) —
     * a superset of the reference's one-context-per-element result, useful for
     * host-level aggregation over paths (SURVEY.md §2.8 pattern). Columns:
-    * id, path, start, v_store, e_store (+ src/dst for edge traversals). */
+    * id, path, start, v_store, e_store, variables (+ src/dst for edge
+    * traversals); v_store/e_store hold Store TOKENS (see class doc), not
+    * ids — resolve them through `run`'s assembly. */
   def traceV(q: VertexQuery): DataFrame = compileV(q)
   def traceE(q: EdgeQuery): DataFrame = compileE(q)
 
@@ -112,10 +138,14 @@ final class ZoeCompiler(g: GraphStore) {
           .select(col("id")))
     case VertexQuery.Out(eq) =>
       // target vertices (dst) of the edge result; entering a vertex does not
-      // extend the path (ql.rs:333-352)
-      compileE(eq).select((col("dst").as("id")) +: ctxCols: _*)
+      // extend the path (ql.rs:333-352). Ghost edges from an unchecked
+      // E.Specific carry null endpoints — the reference's read_edge would
+      // fail there; a distributed engine skips them instead of aborting.
+      compileE(eq).where(col("dst").isNotNull)
+        .select((col("dst").as("id")) +: ctxCols: _*)
     case VertexQuery.In(eq) =>
-      compileE(eq).select((col("src").as("id")) +: ctxCols: _*)
+      compileE(eq).where(col("src").isNotNull)
+        .select((col("src").as("id")) +: ctxCols: _*)
     case VertexQuery.Union(a, b) =>
       compileV(a).unionByName(compileV(b))
     case VertexQuery.Intersect(a, b) =>
@@ -130,12 +160,12 @@ final class ZoeCompiler(g: GraphStore) {
       applyFilter(compileV(sub), f, isVertex = true)
     case VertexQuery.Store(sub) =>
       // snapshot the whole current selection into each context's v_store
-      // (doc semantics, docs/key_value_store.adoc:1710-1714)
+      // (doc semantics, docs/key_value_store.adoc:1710-1714) — registered as
+      // a side table under a fresh token; only the token rides the rows
       val r = compileV(sub)
-      val snapshot = r.agg(collect_set("id").as("__snap"))
-      r.drop("v_store").crossJoin(snapshot)
-        .withColumnRenamed("__snap", "v_store")
-        .select(col("id") +: ctxCols: _*)
+      val token = s"__vs${storeCounter.incrementAndGet()}"
+      vStoreTables.put(token, r.select("id"))
+      r.withColumn("v_store", array_union(col("v_store"), array(lit(token))))
   }
 
   // ---- edge traversals ----
@@ -144,8 +174,12 @@ final class ZoeCompiler(g: GraphStore) {
     case EdgeQuery.All =>
       withEdgeCtx(freshEdges())
     case EdgeQuery.Specific(ids) =>
-      withEdgeCtx(freshEdges().join(idsDf(ids, "__want"),
-        col("edge_id") === col("__want"), "left_semi"))
+      // reference parity: listed ids are NOT existence-checked
+      // (kv_graph_store.rs:229-233) — unknown ids surface in the result set;
+      // their endpoints are null, so hops drop them (see VertexQuery.Out)
+      withEdgeCtx(idsDf(ids, "edge_id").join(
+        freshEdges().select(col("edge_id"), col("src"), col("dst")),
+        Seq("edge_id"), "left"))
     case EdgeQuery.Property(pq) =>
       val e = freshEdges()
       withEdgeCtx(e.join(compileP(pq), e("prop_hash") === col("hash"), "left_semi"))
@@ -166,11 +200,29 @@ final class ZoeCompiler(g: GraphStore) {
       applyFilter(compileE(sub), f, isVertex = false)
     case EdgeQuery.Store(sub) =>
       val r = compileE(sub)
-      val snapshot = r.agg(collect_set("id").as("__snap"))
-      r.drop("e_store").crossJoin(snapshot)
-        .withColumnRenamed("__snap", "e_store")
-        .select(Seq(col("id"), col("src"), col("dst")) ++ ctxCols: _*)
+      val token = s"__es${storeCounter.incrementAndGet()}"
+      eStoreTables.put(token, r.select("id"))
+      r.withColumn("e_store", array_union(col("e_store"), array(lit(token))))
   }
+
+  /** Initialize a fresh vertex context (VertexQueryContext::new, ql.rs:269-278). */
+  private def withVertexCtx(ids: DataFrame): DataFrame =
+    ids.select(col("id"),
+      emptyPathCol.as("path"),
+      lit(null).cast("string").as("start"),
+      emptyStrArray.as("v_store"),
+      emptyStrArray.as("e_store"),
+      variablesCol.as("variables"))
+
+  /** Initialize a fresh edge context: a chain that starts at an edge records
+    * it in `start` (EdgeQueryContext::new, ql.rs:326-334). */
+  private def withEdgeCtx(edges: DataFrame): DataFrame =
+    edges.select(col("edge_id").as("id"), col("src"), col("dst"),
+      emptyPathCol.as("path"),
+      col("edge_id").as("start"),
+      emptyStrArray.as("v_store"),
+      emptyStrArray.as("e_store"),
+      variablesCol.as("variables"))
 
   /** vertex -> edge hop: join the traversal with the edges table on src
     * (outgoing) or dst (incoming); entering an edge appends
@@ -181,7 +233,7 @@ final class ZoeCompiler(g: GraphStore) {
       .select(
         e("edge_id").as("id"), e("src"), e("dst"),
         concat(v("path"), array(struct(v("id").as("v"), e("edge_id").as("e")))).as("path"),
-        v("start"), v("v_store"), v("e_store"))
+        v("start"), v("v_store"), v("e_store"), v("variables"))
   }
 
   /** Fresh attribute ids per use site, so nested re-uses of a base table in
@@ -242,26 +294,54 @@ final class ZoeCompiler(g: GraphStore) {
   private def assembleV(df: DataFrame): ZoeResult = {
     val d = df.localCheckpoint(eager = true)
     val vs = d.select("id")
-      .unionByName(d.select(explode(col("v_store")).as("id")))
+      .unionByName(liveStoreIds(d, "v_store", vStoreTables))
       .distinct()
-    val es = d.select(explode(col("e_store")).as("id")).distinct()
+    val es = liveStoreIds(d, "e_store", eStoreTables).distinct()
     val paths = d.groupBy("id")
       .agg(first("path").as("path"), first("start").as("start"))
       .select(col("start"), col("path"), col("id").as("end"))
-    ZoeResult(vs, es, paths, emptyProps)
+    ZoeResult(vs, es, paths, emptyProps, mergedVariables(d))
   }
 
   private def assembleE(df: DataFrame): ZoeResult = {
     val d = df.localCheckpoint(eager = true)
     val es = d.select("id")
-      .unionByName(d.select(explode(col("e_store")).as("id")))
+      .unionByName(liveStoreIds(d, "e_store", eStoreTables))
       .distinct()
-    val vs = d.select(explode(col("v_store")).as("id")).distinct()
+    val vs = liveStoreIds(d, "v_store", vStoreTables).distinct()
     val paths = d.groupBy("id")
       .agg(first("path").as("path"), first("start").as("start"))
       .select(col("start"), col("path"), lit(null).cast("string").as("end"))
-    ZoeResult(vs, es, paths, emptyProps)
+    ZoeResult(vs, es, paths, emptyProps, mergedVariables(d))
   }
+
+  /** Snapshot ids of every registered Store whose token survives on at least
+    * one traversal row: tokens are exploded (tiny — one per Store node) and
+    * semi-joined against the union of all registered side tables. Fully
+    * declarative — no driver collect, no single-partition aggregation. */
+  private def liveStoreIds(d: DataFrame, storeCol: String,
+                           tables: scala.collection.concurrent.TrieMap[String, DataFrame]): DataFrame =
+    if (tables.isEmpty) emptyIds
+    else {
+      val toks = d.select(explode(col(storeCol)).as("__tok")).distinct()
+      tables.readOnlySnapshot().toSeq
+        .map { case (t, ids) => ids.select(lit(t).as("__tok"), col("id")) }
+        .reduce(_ unionByName _)
+        .join(toks, Seq("__tok"), "left_semi")
+        .select("id")
+    }
+
+  /** Result-level variables = union of all surviving contexts' entries
+    * (ql.rs:421 `variables.extend`; last-wins collisions cannot arise here
+    * because every context carries the same initial map). */
+  private def mergedVariables(d: DataFrame): DataFrame =
+    d.select(explode(col("variables"))).toDF("key", "value").distinct()
+
+  private def emptyIds: DataFrame =
+    spark.emptyDataFrame.select(lit("").as("id")).limit(0)
+
+  private def emptyVariables: DataFrame =
+    spark.emptyDataFrame.select(lit("").as("key"), lit("").as("value")).limit(0)
 
   private def emptyProps: DataFrame = g.props.select("hash").limit(0)
 
@@ -345,22 +425,5 @@ object ZoeCompiler {
   private val emptyStrArray: Column = array().cast("array<string>")
 
   private val ctxCols: Seq[Column] =
-    Seq(col("path"), col("start"), col("v_store"), col("e_store"))
-
-  /** Initialize a fresh vertex context (VertexQueryContext::new, ql.rs:269-278). */
-  private def withVertexCtx(ids: DataFrame): DataFrame =
-    ids.select(col("id"),
-      emptyPathCol.as("path"),
-      lit(null).cast("string").as("start"),
-      emptyStrArray.as("v_store"),
-      emptyStrArray.as("e_store"))
-
-  /** Initialize a fresh edge context: a chain that starts at an edge records
-    * it in `start` (EdgeQueryContext::new, ql.rs:326-334). */
-  private def withEdgeCtx(edges: DataFrame): DataFrame =
-    edges.select(col("edge_id").as("id"), col("src"), col("dst"),
-      emptyPathCol.as("path"),
-      col("edge_id").as("start"),
-      emptyStrArray.as("v_store"),
-      emptyStrArray.as("e_store"))
+    Seq(col("path"), col("start"), col("v_store"), col("e_store"), col("variables"))
 }

@@ -150,6 +150,8 @@ object ZoeCli {
       val end = optS(if (row.isNullAt(2)) null else row.getString(2))
       s"[$start,$hops,$end]"
     }.sorted
-    s"""{"vertices":[${vs.mkString(",")}],"edges":[${es.mkString(",")}],"paths":[${ps.mkString(",")}],"variables":{}}"""
+    val vars = r.variables.collect()
+      .map(row => s"${s(row.getString(0))}:${s(row.getString(1))}").sorted
+    s"""{"vertices":[${vs.mkString(",")}],"edges":[${es.mkString(",")}],"paths":[${ps.mkString(",")}],"variables":{${vars.mkString(",")}}}"""
   }
 }

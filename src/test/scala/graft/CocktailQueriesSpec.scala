@@ -169,8 +169,23 @@ class CocktailQueriesSpec extends SparkSuite {
     val stored = zc.run(EdgeQuery.all
       .intersect(Zoe.start(prop("ServedIn")).referencingEdges).store)
     assert(stored.edges.count() == 45)
-    // E.Specific is existence-checked against the edge table
+    // E.Specific is NOT existence-checked (reference parity,
+    // kv_graph_store.rs:229-233): ghost ids surface in the result set...
     val some = zc.run(EdgeQuery.fromIds(Seq(g.edges.head().getString(0), "GHOST")))
-    assert(some.edges.count() == 1)
+    assert(some.edges.count() == 2)
+    assert(some.edges.where(col("id") === "GHOST").count() == 1)
+    // ...but hops drop them (null endpoints; the reference's read_edge errors)
+    val hopped = zc.run(EdgeQuery.fromIds(Seq(g.edges.head().getString(0), "GHOST")).ingoing)
+    assert(hopped.vertices.count() == 1)
+  }
+
+  test("store survival follows the carrying contexts (reference parity)") {
+    // stored snapshot survives when at least one carrying row survives
+    val served = Zoe.start(prop("ServedIn")).referencingEdges
+    val kept = zc.run(EdgeQuery.all.intersect(served).store)
+    assert(kept.edges.count() == 45)
+    // subtracting ALL carrying elements drops the snapshot with them
+    val dropped = zc.run(EdgeQuery.all.intersect(served).store.substract(EdgeQuery.all))
+    assert(dropped.edges.count() == 0)
   }
 }

@@ -71,6 +71,20 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("Store snapshot plan has no single-partition aggregation") {
+    val g = TpchGraph.build(spark, dir)
+    val zc = new ZoeCompiler(g)
+    val q = Zoe.start(PropValue.typed("Nation", Some("NATION_7"))).referencingVertices
+      .store.ingoing.ingoing
+    val r = zc.run(q)
+    r.vertices.collect() // finalize AQE
+    val plan = r.vertices.queryExecution.executedPlan.toString
+    // the snapshot must ride as a side table union, never a collect_set
+    // funneled through one reducer and cross-joined back onto every row
+    assert(!plan.contains("Exchange SinglePartition"), s"single-reducer store:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian"), s"crossJoin store:\n$plan")
+  }
+
   test("Specific-property traversal broadcasts the tiny hash set side") {
     val g = TpchGraph.build(spark, dir)
     val zc = new ZoeCompiler(g)

@@ -92,6 +92,20 @@ class StoreAndIoSpec extends SparkSuite {
     assert(json == """{"vertices":[["n1",null]],"edges":[],"paths":[[null,[],"n1"]],"variables":{}}""")
   }
 
+  test("context variables survive the traversal into the wire format") {
+    val b = new GraphBatch
+    val n1 = b.createNode("n1", PropValue.typed("Thing", Some("x")))
+    val n2 = b.createNode("n2", PropValue.typed("Thing", Some("y")))
+    b.createEdge(n1, n2, PropValue("Link"))
+    val zc = new ZoeCompiler(b.toStore(spark), Map("who" -> "alice", "run" -> "7"))
+    val r = zc.run(VertexQuery.fromIds(Seq("n1", "n2")).outgoing.outgoing)
+    val json = ZoeCli.renderResult(r)
+    assert(json.contains(""""variables":{"run":"7","who":"alice"}"""), json)
+    // a P query carries no traversal contexts -> empty variables
+    assert(new ZoeCompiler(b.toStore(spark), Map("x" -> "1"))
+      .run(PropertyQuery.fromId(PropValue("Link").hash)).variables.count() == 0)
+  }
+
   test("queries on an empty store return empty results, not errors") {
     val g = GraphStore.empty(spark)
     val zc = new ZoeCompiler(g)
