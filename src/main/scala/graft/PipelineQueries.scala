@@ -53,8 +53,12 @@ object PipelineQueries {
       Dedup.minhashCandidatePairs(dedupCorpus(s, d), "doc_id", "text", k = 4)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(dedupCorpus(s, d), "doc_id", "text", bits = 16)),
+    // scale-safe default: LSH banding proposes candidates, exact Jaccard
+    // verifies them — the unguarded all-sharing-pairs self-join fans out
+    // quadratically on boilerplate shingles (the 100 TB failure mode)
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(dedupCorpus(s, d), "doc_id", "text", n = 3, minSim = 0.5)),
+      Dedup.ngramJaccardViaMinhash(dedupCorpus(s, d), "doc_id", "text",
+        n = 3, k = 4, minSim = 0.5)),
     "text_langid" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
     "text_quality" -> ((s, d) =>
@@ -170,10 +174,24 @@ object PipelineQueries {
       "dedup_ngram_jaccard" ->
         s"""$corpusCte, ${toksCte("corpus")},
            |sh AS (SELECT doc_id, list_distinct(${shinglesExpr(3)}) AS s FROM toks WHERE len(w) >= 3),
+           |sig AS (SELECT doc_id,
+           |  list_min(list_transform(s, x -> md5('0|'||x))) AS h0,
+           |  list_min(list_transform(s, x -> md5('1|'||x))) AS h1,
+           |  list_min(list_transform(s, x -> md5('2|'||x))) AS h2,
+           |  list_min(list_transform(s, x -> md5('3|'||x))) AS h3
+           |FROM sh),
+           |banded AS (
+           |  SELECT doc_id, 0 AS band, h0 AS sig FROM sig
+           |  UNION ALL SELECT doc_id, 1, h1 FROM sig
+           |  UNION ALL SELECT doc_id, 2, h2 FROM sig
+           |  UNION ALL SELECT doc_id, 3, h3 FROM sig),
+           |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |  FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
            |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
            |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-           |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
-           |  FROM ex l JOIN ex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id GROUP BY 1, 2)
+           |inter AS (SELECT a, b, count(*) AS i
+           |  FROM cand JOIN ex la ON la.doc_id = a JOIN ex rb ON rb.doc_id = b AND rb.shingle = la.shingle
+           |  GROUP BY 1, 2)
            |SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) AS jaccard
            |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
            |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5""".stripMargin,

@@ -116,6 +116,63 @@ object Dedup {
       .where(col("jaccard") >= minSim)
   }
 
+  /** Exact n-gram Jaccard restricted to an explicit candidate pair set
+    * (a, b): each pair is verified by equi-joining only the two documents'
+    * distinct shingle sets — cost is bounded by the candidate list, never by
+    * hot shingles. The 100 TB verify stage for LSH-proposed candidates. */
+  def jaccardVerifyPairs(df: DataFrame, candidates: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, minSim: Double = 0.5): DataFrame = {
+    val sh = TextAnalysis.shingleRows(df, idCol, textCol, n)
+      .withColumnRenamed(idCol, "doc")
+      .dropDuplicates("doc", "shingle")
+    verifyJaccard(sh, candidates.select("a", "b"), minSim)
+  }
+
+  /** Scale-safe exact near-dup detection: MinHash/LSH banding proposes
+    * candidate pairs (equi-join on (band, signature) buckets — never
+    * all-pairs, immune to boilerplate-shingle fan-out), then every candidate
+    * is verified with the exact n-gram Jaccard. Precision is exact; recall
+    * follows the banding probability 1-(1-J)^k. The shingle table is
+    * computed once (lazy local checkpoint) and shared by the signature and
+    * verify stages. */
+  def ngramJaccardViaMinhash(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, k: Int = 4, minSim: Double = 0.5): DataFrame = {
+    val sh = TextAnalysis.shingleRows(df, idCol, textCol, n)
+      .withColumnRenamed(idCol, "doc")
+      .dropDuplicates("doc", "shingle")
+      .localCheckpoint(false)
+    val sigs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    val sig = sh.groupBy("doc").agg(sigs.head, sigs.tail: _*)
+    val banded = sig.select(col("doc"),
+      explode(array((0 until k).map(i => struct(lit(i).as("band"), col(s"h$i").as("sig"))): _*))
+        .as("b"))
+      .select(col("doc"), col("b.band"), col("b.sig"))
+    val cand = banded.select(col("doc").as("a"), col("band"), col("sig"))
+      .join(banded.select(col("doc").as("b"), col("band"), col("sig")), Seq("band", "sig"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    verifyJaccard(sh, cand, minSim)
+  }
+
+  /** Shared verify stage: |A∩B| via candidates ⋈ shingles(a) ⋈ shingles(b),
+    * sizes from the same shingle table. */
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame, minSim: Double): DataFrame = {
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("doc").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jaccard"))
+      .where(col("jaccard") >= minSim)
+  }
+
   /** Embedding-cosine near-duplicate pairs among a bounded candidate set
     * (for unbounded inputs route through LSH buckets first —
     * [[Similarity.cosineBuckets]]). Returns (a, b, cos) with a < b. */
