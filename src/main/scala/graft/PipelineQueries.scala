@@ -87,6 +87,14 @@ object PipelineQueries {
       Similarity.lshTopK(e, e.where(col("vec_id") < 50), "vec_id", "embedding", k = 3, planes = 4)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // multimodal: batch feature extraction over binary payloads — the
+    // oracle-able slice (asset_id, media_type, n_bytes, payload sha256);
+    // the decoded feature vector itself is engine-specific (stub decoder)
+    "multimodal_features" -> ((s, d) =>
+      pipeline.Multimodal.extractFeatures(pipeline.Multimodal.syntheticAssets(s, 300))
+        .toDF()
+        .select(col("assetId").as("asset_id"), col("mediaType").as("media_type"),
+          col("nBytes").as("n_bytes"), col("sha"))),
     // curation: survivor selection over the planted-duplicate corpus
     "curate_dedup_corpus" -> ((s, d) =>
       pipeline.Curation.dedupExactKeepFirst(dedupCorpus(s, d), "doc_id", "text")
@@ -248,6 +256,16 @@ object PipelineQueries {
           |SELECT a.vec_id AS a, b.vec_id AS b, round(list_cosine_similarity(a.v, b.v), 4) AS cos
           |FROM c a, c b WHERE a.vec_id < b.vec_id
           |AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.3""".stripMargin,
+      "multimodal_features" ->
+        """WITH a AS (SELECT range AS id FROM range(0, 300)),
+          |b AS (SELECT id,
+          |  CASE CAST(id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+          |  substr(sha256(CAST(id AS VARCHAR)), 1, CAST(((id % 32) + 1) * 2 AS INTEGER)) AS hexpay
+          |FROM a)
+          |SELECT id AS asset_id, media_type,
+          |  CAST(len(hexpay) AS BIGINT) AS n_bytes,
+          |  upper(sha256(hexpay)) AS sha
+          |FROM b""".stripMargin,
       "curate_dedup_corpus" ->
         s"""$corpusCte
            |SELECT doc_id FROM corpus

@@ -87,13 +87,16 @@ object Multimodal {
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))).as("frame_ts_ms"))
 
   /** Deterministic synthetic asset corpus for tests/benchmarks (payload =
-    * seeded bytes; metadata consistent with type). */
+    * seeded variable-length bytes — the UTF-8 bytes of a sha256-hex prefix,
+    * so the payload hash is reproducible by any engine's string sha256;
+    * metadata consistent with type). */
   def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
+    val hex = sha2(col("id").cast("string"), 256)
     spark.range(n.toLong).select(
       col("id").as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")), (col("id") % 3 + 1).cast("int")).as("media_type"),
-      unhex(sha2(col("id").cast("string"), 256)).as("payload"),
+      hex.substr(lit(1), ((col("id") % 32) + 1) * 2).cast("binary").as("payload"),
       when(col("id") % 3 === 0, (col("id") % 640 + 16).cast("int")).as("width"),
       when(col("id") % 3 === 0, (col("id") % 480 + 16).cast("int")).as("height"),
       when(col("id") % 3 === 2, col("id") * 100 + 1000).as("duration_ms"))
