@@ -80,8 +80,8 @@ object PipelineQueries {
     "embedding_cosine_pairs" -> ((s, d) =>
       Dedup.embeddingCosinePairs(embeddings(s, d).where(col("vec_id") < 100),
         "vec_id", "embedding", minCos = 0.3)),
-    // LSH-bucketed ANN (scale path; bucket hash is engine-specific -> no
-    // SQL oracle, rows-only check)
+    // LSH-bucketed ANN (scale path; md5-derived plane signs make the
+    // buckets — and so the whole query — oracle-reproducible)
     "ann_lsh_topk" -> ((s, d) => {
       val e = embeddings(s, d)
       Similarity.lshTopK(e, e.where(col("vec_id") < 50), "vec_id", "embedding", k = 3, planes = 4)
@@ -251,6 +251,21 @@ object PipelineQueries {
           |  FROM q, embeddings e WHERE e.vec_id <> query_id),
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM s)
           |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3""".stripMargin,
+      "ann_lsh_topk" -> {
+        def sign(p: Int) =
+          s"(CASE WHEN (strpos('0123456789abcdef', substr(md5('$p|'||i), 1, 1)) - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+        def bit(p: Int) =
+          s"(CASE WHEN list_sum(list_transform(range(0, len(ve)), i -> ve[i+1] * ${sign(p)})) >= 0 THEN ${1L << p} ELSE 0 END)"
+        val bucket = (0 until 4).map(bit).mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           |b AS (SELECT vec_id, ve, $bucket AS bucket FROM v),
+           |q AS (SELECT vec_id AS query_id, ve AS qv, bucket FROM b WHERE vec_id < 50),
+           |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+           |  round(list_cosine_similarity(qv, c.ve), 6) AS cos
+           |  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.query_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM s)
+           |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3""".stripMargin
+      },
       "embedding_cosine_pairs" ->
         """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100)
           |SELECT a.vec_id AS a, b.vec_id AS b, round(list_cosine_similarity(a.v, b.v), 4) AS cos

@@ -40,10 +40,14 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed hash expression, so buckets are reproducible with no fitted
-    * model state. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2)) * 2 - 1).cast("double")
+    * ±1 from the parity of the first hex digit of md5("<plane>|<dim>") —
+    * engine-portable (any SQL dialect with md5 reproduces the buckets), so
+    * the LSH path is oracle-checkable, unlike a JVM-specific xxhash64. */
+  private def planeComponent(plane: Int, dim: Column): Column = {
+    val digit = substring(md5(concat(lit(s"$plane|"), dim.cast("string"))), 1, 1)
+    when((instr(lit("0123456789abcdef"), digit) - 1) % 2 === 1, lit(1.0))
+      .otherwise(lit(-1.0))
+  }
 
   /** Random-hyperplane LSH bucket id from `planes` sign bits. */
   def cosineBuckets(vec: Column, planes: Int): Column = {
