@@ -182,7 +182,11 @@ object GraphQueries {
     // GraphX connected components with deterministic long mapping
     "graphx_cc" -> ((s, d) =>
       GraphAnalytics.connectedComponents(analyticsSubgraph(graph(s, d)), analyticsToLong)),
-    // GraphX PageRank (iterative float — no SQL oracle, rows-only check)
+    // GraphX static PageRank. On the 3-level member->nation->region DAG the
+    // 10-iteration fixed point has a closed form (members 0.15, nations
+    // 0.15+0.85*0.15*m, regions 0.15+0.85*sum(nation ranks)), which GraphX
+    // then normalizes to sum to |V| — all SQL-expressible, so this is
+    // oracle-checked despite being an iterative algorithm.
     "graphx_pagerank" -> ((s, d) =>
       GraphAnalytics.pageRank(analyticsSubgraph(graph(s, d)), analyticsToLong, numIter = 10)
         .select(col("id"), round(col("rank"), 5).as("rank"))),
@@ -348,6 +352,24 @@ object GraphQueries {
         |UNION ALL SELECT 'nation:'||n_nationkey, CAST(n_regionkey AS BIGINT) FROM nation
         |UNION ALL SELECT 'supplier:'||s_suppkey, CAST(n_regionkey AS BIGINT) FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |UNION ALL SELECT 'customer:'||c_custkey, CAST(n_regionkey AS BIGINT) FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "graphx_pagerank" ->
+      """WITH mem AS (
+        |  SELECT n_nationkey, n_regionkey,
+        |    (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) +
+        |    (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS m
+        |  FROM nation),
+        |nr AS (SELECT n_nationkey, n_regionkey,
+        |  CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * CAST(0.15 AS DOUBLE) * m AS r FROM mem),
+        |ranks AS (
+        |  SELECT 'customer:'||c_custkey AS id, CAST(0.15 AS DOUBLE) AS r FROM customer
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, CAST(0.15 AS DOUBLE) FROM supplier
+        |  UNION ALL SELECT 'nation:'||n_nationkey, r FROM nr
+        |  UNION ALL SELECT 'region:'||r_regionkey,
+        |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+        |      (SELECT sum(r) FROM nr WHERE n_regionkey = r_regionkey)
+        |  FROM region),
+        |tot AS (SELECT sum(r) AS s, count(*) AS n FROM ranks)
+        |SELECT id, round(r * n / s, 5) AS rank FROM ranks, tot""".stripMargin,
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
