@@ -225,6 +225,16 @@ object GraphQueries {
         .where(col("rn") === 1)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     }),
+    // stateful sessionization (flatMapGroupsWithState) run in batch mode:
+    // closed sessions only — each user's trailing open session stays in
+    // state, exactly what the streaming run would hold back too
+    "events_sessionize" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        timestamp_seconds(expr("ts DIV 1000000000")).as("ts"))
+      graft.streaming.EventStreams.sessionize(ev, gapSeconds = 1800).toDF()
+        .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+          col("firstTs").as("first_ts"), col("lastTs").as("last_ts"))
+    }),
     // ts arrives as LONG nanoseconds (nanosAsLong — Spark has no ns
     // timestamp type); bucket with exact integer division
     "events_window_agg" -> ((s, d) =>
@@ -393,6 +403,19 @@ object GraphQueries {
         |SELECT o_custkey, o_orderkey, o_totalprice,
         |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |FROM orders) t WHERE rn = 1""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
+        |o AS (SELECT user_id, sec,
+        |  CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800 THEN 1 ELSE 0 END AS brk
+        |FROM e),
+        |g AS (SELECT user_id, sec,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS grp
+        |FROM o),
+        |sess AS (SELECT user_id, grp, count(*) AS n_events, min(sec) AS first_ts, max(sec) AS last_ts
+        |  FROM g GROUP BY 1, 2),
+        |last AS (SELECT user_id, max(grp) AS maxg FROM sess GROUP BY 1)
+        |SELECT s.user_id, n_events, first_ts, last_ts
+        |FROM sess s JOIN last l ON s.user_id = l.user_id AND s.grp < l.maxg""".stripMargin,
     "events_window_agg" ->
       """SELECT event_type, epoch_ns(ts) // 300000000000 AS bucket, count(*) AS cnt,
         |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
