@@ -12,9 +12,9 @@ object Bench {
   // joins, windows, GraphX, dedup, ANN, text
   val headline: Seq[String] = Seq(
     "zoe_v_all", "zoe_two_hop", "zoe_paths_europe", "zoe_union",
-    "zoe_disjunctive_union", "zoe_filter_sql",
+    "zoe_disjunctive_union", "zoe_filter_sql", "zoe_e_all",
     "agg_pricing_summary", "agg_topk_parts", "join_revenue_by_nation",
-    "window_top_order", "events_window_agg", "graphx_cc",
+    "window_top_order", "events_window_agg", "events_sessionize", "graphx_cc",
     "dedup_exact", "dedup_minhash_pairs", "dedup_ngram_jaccard",
     "text_quality", "text_fingerprint", "ann_topk")
 
@@ -35,7 +35,19 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    val buildSec = time { TpchGraph.build(spark, sfDir) }
+    // graph_build covers ALL one-time load cost: the graph tables AND the
+    // relational base tables (repartition+persist on first touch) — so no
+    // headline query silently absorbs cache warmup into its own number
+    val buildSec = time {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val g = Future(TpchGraph.build(spark, sfDir))
+      val tables = Seq("lineitem", "part", "orders", "customer", "nation",
+        "region", "supplier", "events", "documents", "embeddings")
+        .map(t => Future(TpchGraph.table(spark, sfDir, t)))
+      (g +: tables).foreach(Await.result(_, Duration.Inf))
+    }
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val sec = time {
