@@ -10,6 +10,12 @@ import graft.ql.ZoeJson
   *   graft.io.ZoeCli init <dbPath>          create an empty store layout
   *   graft.io.ZoeCli query <dbPath>         Zoe JSON on stdin -> JSON result
   *   graft.io.ZoeCli import <dbPath> <file> GraphML import
+  *   graft.io.ZoeCli script <dbPath> <sql>  run a ;-separated SQL script over
+  *                                          the graph views (the reference's
+  *                                          lua `script` verb, with Spark SQL
+  *                                          as the embedded language)
+  *   graft.io.ZoeCli repl <dbPath>          interactive/piped SQL statements
+  *                                          on stdin (reference `repl` verb)
   *
   * Result JSON shape follows the reference's QueryResult serialization:
   * {"vertices":[[id,null],...],"edges":[...],"paths":[[start,[[v,e]..],end],...]}.
@@ -38,6 +44,31 @@ object ZoeCli {
       val json = readStdin()
       val q = ZoeJson.parse(json)
       println(renderResult(new ZoeCompiler(g).run(q)))
+    // script/repl (cli_helpers.rs:225-234): the reference embeds Lua; here
+    // the embedded query language is Spark SQL over the graft_* graph views
+    // (TypedViews.registerViews) — same role, declarative + distributed.
+    case "script" :: path :: file :: Nil =>
+      val g = GraphStore.load(spark, path)
+      graft.model.TypedViews.registerViews(g)
+      scala.io.Source.fromFile(file).mkString.split(";")
+        .map(_.trim).filter(_.nonEmpty)
+        .foreach(stmt => runSql(spark, stmt))
+    case "repl" :: path :: Nil =>
+      val g = GraphStore.load(spark, path)
+      graft.model.TypedViews.registerViews(g)
+      val buf = new StringBuilder
+      Iterator.continually(Console.in.read()).takeWhile(_ != -1).foreach { c =>
+        if (c.toChar == ';') {
+          val stmt = buf.toString.trim
+          buf.clear()
+          if (stmt.nonEmpty) {
+            try runSql(spark, stmt)
+            catch { case e: Exception => System.err.println(s"error: ${e.getMessage}") }
+          }
+        } else buf.append(c.toChar)
+      }
+      val tail = buf.toString.trim
+      if (tail.nonEmpty) runSql(spark, tail)
     case "import" :: path :: file :: Nil =>
       val xml = scala.io.Source.fromFile(file).mkString
       val res = GraphML.importString(xml)
@@ -117,6 +148,8 @@ object ZoeCli {
            |  init <dbPath>
            |  query <dbPath>                      (stdin: Zoe JSON)
            |  import <dbPath> <graphml>
+           |  script <dbPath> <sqlFile>           (;-separated SQL over graft_* views)
+           |  repl <dbPath>                       (stdin: ;-separated SQL)
            |  property-id                         (stdin: property bytes)
            |  property-blob                       (stdin: property bytes)
            |  create-node <dbPath> [--id <id>]    (stdin: property bytes)
@@ -124,6 +157,22 @@ object ZoeCli {
            |  create-edge <dbPath> --out <src> --in <dst>  (stdin: property bytes)""".stripMargin)
       sys.exit(2)
   }
+
+  /** Evaluate one SQL statement and print the result as JSON lines (guarded
+    * by the same driver-side row limit as renderResult). */
+  private def runSql(spark: SparkSession, stmt: String): Unit = {
+    val df = spark.sql(stmt)
+    val max = maxResultRows
+    val rows = df.toJSON.limit(max + 1).collect()
+    require(rows.length <= max,
+      s"result exceeds $max rows; add a LIMIT or raise GRAFT_MAX_RESULT_ROWS")
+    rows.foreach(println)
+  }
+
+  /** Driver-side collect guard for CLI output: a `{"V":"All"}` against a
+    * 100 TB store must fail fast instead of OOMing the driver. */
+  private def maxResultRows: Int =
+    sys.env.get("GRAFT_MAX_RESULT_ROWS").map(_.toInt).getOrElse(1000000)
 
   /** Read all of stdin via Console.in (redirectable in tests via
     * Console.withIn, defaults to System.in). */
@@ -137,13 +186,22 @@ object ZoeCli {
       Some(graft.model.Hashing.sha256HexUpper(value)))
 
   /** Reference QueryResult JSON: vertices/edges as [id, propId] pairs (propId
-    * always null, ql.rs:407), paths as [start, [[v,e]...], end]. */
+    * always null, ql.rs:407), paths as [start, [[v,e]...], end]. Collects to
+    * the driver (wire-format parity with the reference CLI) behind the
+    * GRAFT_MAX_RESULT_ROWS guard. */
   def renderResult(r: ZoeResult): String = {
     def s(x: String) = graft.model.PropValue.jsonString(x)
     def optS(x: String) = if (x == null) "null" else s(x)
-    val vs = r.vertices.collect().map(row => s"[${s(row.getString(0))},null]").sorted
-    val es = r.edges.collect().map(row => s"[${s(row.getString(0))},null]").sorted
-    val ps = r.paths.collect().map { row =>
+    val max = maxResultRows
+    def guarded(df: org.apache.spark.sql.DataFrame, what: String) = {
+      val rows = df.limit(max + 1).collect()
+      require(rows.length <= max,
+        s"$what result exceeds $max rows; raise GRAFT_MAX_RESULT_ROWS or narrow the query")
+      rows
+    }
+    val vs = guarded(r.vertices, "vertices").map(row => s"[${s(row.getString(0))},null]").sorted
+    val es = guarded(r.edges, "edges").map(row => s"[${s(row.getString(0))},null]").sorted
+    val ps = guarded(r.paths, "paths").map { row =>
       val start = optS(if (row.isNullAt(0)) null else row.getString(0))
       val hops = row.getSeq[org.apache.spark.sql.Row](1)
         .map(h => s"[${s(h.getString(0))},${s(h.getString(1))}]").mkString("[", ",", "]")

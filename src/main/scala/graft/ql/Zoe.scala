@@ -91,6 +91,11 @@ sealed trait EdgeQuery {
 
 object EdgeQuery {
   case object All extends EdgeQuery
+  /** Point lookup; like the reference, listed ids are NOT existence-checked
+    * (kv_graph_store.rs:229-233) — unknown ids appear in the result set.
+    * Documented divergence: hopping onward from an unknown id silently drops
+    * it (null endpoints), where the reference's read_edge would abort the
+    * whole query with an error — a distributed engine skips, not aborts. */
   final case class Specific(ids: Seq[String]) extends EdgeQuery
   final case class Property(pq: PropertyQuery) extends EdgeQuery
   /** Outgoing edges of the vertex sub-query (kv_graph_store.rs:271-285). */

@@ -92,6 +92,33 @@ class StoreAndIoSpec extends SparkSuite {
     assert(json == """{"vertices":[["n1",null]],"edges":[],"paths":[[null,[],"n1"]],"variables":{}}""")
   }
 
+  test("CLI script/repl verbs run SQL over the registered graph views") {
+    val b = new GraphBatch
+    val n1 = b.createNode("n1", PropValue.typed("Thing", Some("x")))
+    val n2 = b.createNode("n2", PropValue.typed("Thing", Some("y")))
+    b.createEdge(n1, n2, PropValue("Link"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-sql").toString
+    b.toStore(spark).save(dir)
+    val sqlFile = java.nio.file.Files.createTempFile("graft", ".sql")
+    java.nio.file.Files.writeString(sqlFile,
+      "SELECT count(*) AS n FROM graft_vertices; SELECT src, dst FROM graft_edges ORDER BY src")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      ZoeCli.run(spark, List("script", dir, sqlFile.toString))
+    }
+    val lines = out.toString.trim.linesIterator.toSeq
+    assert(lines.contains("""{"n":2}"""), lines)
+    assert(lines.contains("""{"src":"n1","dst":"n2"}"""), lines)
+    // repl: same statements over stdin
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withIn(new java.io.StringReader("SELECT count(*) AS n FROM graft_props;")) {
+      Console.withOut(new java.io.PrintStream(out2)) {
+        ZoeCli.run(spark, List("repl", dir))
+      }
+    }
+    assert(out2.toString.contains("""{"n":4}"""), out2.toString)
+  }
+
   test("context variables survive the traversal into the wire format") {
     val b = new GraphBatch
     val n1 = b.createNode("n1", PropValue.typed("Thing", Some("x")))
