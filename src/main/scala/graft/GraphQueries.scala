@@ -109,6 +109,53 @@ object GraphQueries {
     "zoe_filter_sql" -> ((s, d) => compiler(s, d).run(
       VertexQuery.all.filter(ZFilter("sql",
         "schema_type = 'Nation' AND value LIKE '%1%'"))).vertices),
+    // §2.1 V.Filter with the engine-native registry interpreter
+    "zoe_filter_registry" -> ((s, d) => {
+      graft.exec.FilterRegistry.register("nations_only")(
+        df => df.where(col("id").startsWith("nation:")))
+      compiler(s, d).run(
+        VertexQuery.all.filter(ZFilter("registry", "nations_only"))).vertices
+    }),
+    // §2.6 mutation lifecycle end-to-end: create props/nodes/edge, delete a
+    // node (dangling edge parity), GC the orphaned property — the surviving
+    // store state is fully content-addressed, so a literal-SQL oracle can
+    // reproduce every id
+    "mutations_lifecycle" -> ((s, d) => {
+      import s.implicits._
+      val p1 = PropValue.typed("Thing", Some("one"))
+      val p2 = PropValue.typed("Thing", Some("two"))
+      val link = PropValue("Link")
+      val allProps = (p1.withNested ++ p2.withNested :+ link)
+      var g = graft.store.BulkMutations.createProperties(GraphStore.empty(s),
+        allProps.map(p => (p.hash, p.json, p.variant)).distinct.toDF("hash", "value", "schema_type"),
+        Some(allProps.flatMap(p => p.nested.map(c => (p.hash, c.hash))).distinct
+          .toDF("parent_hash", "child_hash")))
+      g = graft.store.BulkMutations.createNodes(g,
+        Seq(("a", p1.hash), ("b", p2.hash)).toDF("id", "prop_hash"))
+      g = graft.store.BulkMutations.createEdges(g,
+        Seq(("a", "b", link.hash)).toDF("src", "dst", "prop_hash"))
+      g = graft.store.BulkMutations.deleteNodes(g, Seq("b").toDF("id"))
+      g = graft.store.BulkMutations.gcOrphanProps(g)
+      g.vertices.select(lit("vertex").as("kind"), col("id"))
+        .unionByName(g.edges.select(lit("edge").as("kind"), col("edge_id").as("id")))
+        .unionByName(g.props.select(lit("prop").as("kind"), col("hash").as("id")))
+    }),
+    // §2.7 GraphML import with a deterministic node-key mapper: the imported
+    // store's ids/hashes are all reproducible from the fixture text
+    "graphml_import" -> ((s, d) => {
+      val xml =
+        """<graph>
+          |  <node id="1"><Label>Node 1</Label></node>
+          |  <node id="2"><Label>Node 2</Label></node>
+          |  <edge source="1" target="2"><Label>Edge from Node 1 to Node 2</Label></edge>
+          |</graph>""".stripMargin
+      val res = graft.io.GraphML.importString(xml,
+        nodeKeyMapper = (id, seen) => seen.getOrElseUpdate(id, s"n$id"))
+      val g = res.batch.toStore(s)
+      g.vertices.select(lit("vertex").as("kind"), col("id"))
+        .unionByName(g.edges.select(lit("edge").as("kind"), col("edge_id").as("id")))
+        .unionByName(g.props.select(lit("prop").as("kind"), col("hash").as("id")))
+    }),
     // §2.1 V.Store: side-effect snapshot union'd into the result
     "zoe_store_hop" -> ((s, d) => compiler(s, d).run(
       customersOf("NATION_7").store.outgoing.intersect(edgeProp("InNation")).outgoing).vertices),
@@ -321,6 +368,22 @@ object GraphQueries {
         |WHERE (n_name = 'NATION_7') <> (c_mktsegment = 'BUILDING')""".stripMargin,
     "zoe_filter_sql" ->
       "SELECT 'nation:'||n_nationkey AS id FROM nation WHERE n_name LIKE '%1%'",
+    "zoe_filter_registry" ->
+      "SELECT 'nation:'||n_nationkey AS id FROM nation",
+    "mutations_lifecycle" ->
+      """SELECT 'vertex' AS kind, 'a' AS id
+        |UNION ALL SELECT 'edge', upper(sha256('{"properties":"'||upper(sha256('"Link"'))||'","n1":"a","n2":"b"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"Thing":"one"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"SchemaType":"Thing"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('"Link"'))""".stripMargin,
+    "graphml_import" ->
+      """SELECT 'vertex' AS kind, 'n1' AS id
+        |UNION ALL SELECT 'vertex', 'n2'
+        |UNION ALL SELECT 'edge', upper(sha256('{"properties":"'||upper(sha256('{"Label":"Edge from Node 1 to Node 2"}'))||'","n1":"n1","n2":"n2"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"Label":"Node 1"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"Label":"Node 2"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"Label":"Edge from Node 1 to Node 2"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"SchemaType":"Label"}'))""".stripMargin,
     "zoe_store_hop" ->
       """SELECT 'nation:'||n_nationkey AS id FROM nation WHERE n_name = 'NATION_7'
         |UNION ALL SELECT 'customer:'||c_custkey FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_7'""".stripMargin,
