@@ -95,6 +95,25 @@ object PipelineQueries {
         .toDF()
         .select(col("assetId").as("asset_id"), col("mediaType").as("media_type"),
           col("nBytes").as("n_bytes"), col("sha"))),
+    // embedding near-dup at scale: LSH bucket join over the WHOLE corpus
+    // (no candidate-set bound), exact cosine verify
+    "embedding_lsh_pairs" -> ((s, d) =>
+      Similarity.lshCosinePairs(embeddings(s, d), "vec_id", "embedding",
+        planes = 8, minCos = 0.3)),
+    // streaming exact dedup through the REAL streaming engine (readStream →
+    // dropDuplicatesWithinWatermark → memory sink) over a corpus with
+    // planted duplicates (every 7th event re-appended)
+    "events_stream_dedup" -> ((s, d) => {
+      val ev = TpchGraph.table(s, d, "events").select(col("event_id"),
+        timestamp_seconds(expr("ts DIV 1000000000")).as("ts"),
+        col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"), lit("").as("props"))
+      val dup = ev.unionByName(ev.where(col("event_id") % 7 === 0))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+      dup.write.mode("overwrite").parquet(tmp)
+      graft.streaming.EventStreams.runToMemory(s, tmp,
+        df => graft.streaming.EventStreams.streamingDedup(df).select("event_id"))
+    }),
     // curation: survivor selection over the planted-duplicate corpus
     "curate_dedup_corpus" -> ((s, d) =>
       pipeline.Curation.dedupExactKeepFirst(dedupCorpus(s, d), "doc_id", "text")
@@ -281,6 +300,21 @@ object PipelineQueries {
           |  CAST(len(hexpay) AS BIGINT) AS n_bytes,
           |  upper(sha256(hexpay)) AS sha
           |FROM b""".stripMargin,
+      "embedding_lsh_pairs" -> {
+        def sign(p: Int) =
+          s"(CASE WHEN (strpos('0123456789abcdef', substr(md5('$p|'||i), 1, 1)) - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+        def bit(p: Int) =
+          s"(CASE WHEN list_sum(list_transform(range(0, len(ve)), i -> ve[i+1] * ${sign(p)})) >= 0 THEN ${1L << p} ELSE 0 END)"
+        val bucket = (0 until 8).map(bit).mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           |b AS (SELECT vec_id, ve, $bucket AS bucket FROM v)
+           |SELECT l.vec_id AS a, r.vec_id AS b,
+           |  round(list_cosine_similarity(l.ve, r.ve), 4) AS cos
+           |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+           |WHERE round(list_cosine_similarity(l.ve, r.ve), 4) >= 0.3""".stripMargin
+      },
+      "events_stream_dedup" ->
+        "SELECT DISTINCT event_id FROM events",
       "curate_dedup_corpus" ->
         s"""$corpusCte
            |SELECT doc_id FROM corpus

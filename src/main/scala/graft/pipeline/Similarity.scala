@@ -60,6 +60,24 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** LSH-bucketed near-duplicate pairs over an UNBOUNDED corpus: vectors
+    * are bucketed by hyperplane signs, candidate pairs come from the bucket
+    * equi-join (never the all-pairs inequality join of
+    * [[Dedup.embeddingCosinePairs]]), and the exact cosine filters them.
+    * Recall < 1 by construction (two near-dups may straddle a plane);
+    * repeat with different plane offsets to raise it. */
+  def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                     planes: Int = 8, minCos: Double = 0.5): DataFrame = {
+    val l = df.select(col(idCol).as("a"), col(vecCol).as("va"),
+      cosineBuckets(col(vecCol), planes).as("bucket"))
+    val r = df.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      cosineBuckets(col(vecCol), planes).as("bucket"))
+    l.join(r, Seq("bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
   /** LSH-bucketed ANN top-k: queries join only corpus vectors in the same
     * bucket (equi-join on bucket id) — the 100 TB path where broadcast of
     * per-bucket candidates replaces a full scan per query. Recall < 1 by
