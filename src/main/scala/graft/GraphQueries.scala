@@ -156,6 +156,18 @@ object GraphQueries {
         .unionByName(g.edges.select(lit("edge").as("kind"), col("edge_id").as("id")))
         .unionByName(g.props.select(lit("prop").as("kind"), col("hash").as("id")))
     }),
+    // §1.3 SchemaConstraint enforcement (declared-never-enforced in the
+    // reference; enforced here): one satisfied Required, one failing
+    // Required, one failing Prohibited with a data-dependent match count
+    "schema_validate" -> ((s, d) => {
+      import s.implicits._
+      import graft.exec.{SchemaConstraint, SchemaValidator}
+      val violations = SchemaValidator.validate(graph(s, d), Seq(
+        SchemaConstraint.Required(BasicQuery.V(nationV("NATION_7"))),
+        SchemaConstraint.Required(BasicQuery.V(nationV("NO_SUCH_NATION"))),
+        SchemaConstraint.Prohibited(BasicQuery.V(customersInSegment("BUILDING")))))
+      violations.map(v => (v.kind, v.matches)).toDF("kind", "matches")
+    }),
     // §2.1 V.Store: side-effect snapshot union'd into the result
     "zoe_store_hop" -> ((s, d) => compiler(s, d).run(
       customersOf("NATION_7").store.outgoing.intersect(edgeProp("InNation")).outgoing).vertices),
@@ -370,6 +382,9 @@ object GraphQueries {
       "SELECT 'nation:'||n_nationkey AS id FROM nation WHERE n_name LIKE '%1%'",
     "zoe_filter_registry" ->
       "SELECT 'nation:'||n_nationkey AS id FROM nation",
+    "schema_validate" ->
+      """SELECT 'required' AS kind, CAST(0 AS BIGINT) AS matches
+        |UNION ALL SELECT 'prohibited', (SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
     "mutations_lifecycle" ->
       """SELECT 'vertex' AS kind, 'a' AS id
         |UNION ALL SELECT 'edge', upper(sha256('{"properties":"'||upper(sha256('"Link"'))||'","n1":"a","n2":"b"}'))

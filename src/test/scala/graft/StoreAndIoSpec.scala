@@ -92,6 +92,17 @@ class StoreAndIoSpec extends SparkSuite {
     assert(json == """{"vertices":[["n1",null]],"edges":[],"paths":[[null,[],"n1"]],"variables":{}}""")
   }
 
+  test("column-level edge ids match the Scala serializer for quoted ids") {
+    val ids = Seq("""he said "hi"""", """back\slash""", """both "\" here""", "normal:1")
+    val df = ids.flatMap(a => ids.map(b => (a, b))).toDF("src", "dst")
+      .select(col("src"), col("dst"),
+        graft.model.Hashing.edgeIdCol(lit("P"), col("src"), col("dst")).as("computed"))
+    df.collect().foreach { r =>
+      assert(r.getString(2) == graft.model.Hashing.edgeId("P", r.getString(0), r.getString(1)),
+        s"mismatch for (${r.getString(0)}, ${r.getString(1)})")
+    }
+  }
+
   test("CLI script/repl verbs run SQL over the registered graph views") {
     val b = new GraphBatch
     val n1 = b.createNode("n1", PropValue.typed("Thing", Some("x")))
