@@ -131,6 +131,30 @@ object PipelineQueries {
       pipeline.Curation.dupClusters(pairs)
         .select(col("id").as("doc_id"), col("cluster"))
     }),
+    // GraphX triangle counting over the exact-dup pair graph: each dup
+    // cluster is a clique, so per-vertex triangles = C(n-1, 2) — a closed
+    // form the oracle reproduces from cluster sizes
+    "graphx_triangles" -> ((s, d) => {
+      val c = dedupCorpus(s, d)
+      val grouped = c.groupBy(md5(col("text")).as("h"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .where(size(col("ids")) > 1)
+      val pairs = grouped
+        .select(explode(col("ids")).as("a"), col("ids"))
+        .select(col("a"), explode(col("ids")).as("b"))
+        .where(col("a") < col("b"))
+      val docId = (n: String) => concat(lit("doc:"), col(n))
+      val verts = pairs.select(col("a").as("k")).unionByName(pairs.select(col("b").as("k")))
+        .distinct()
+        .select(concat(lit("doc:"), col("k")).as("id"), lit("").as("prop_hash"))
+      val edges = pairs.select(lit("").as("edge_id"), docId("a").as("src"),
+        docId("b").as("dst"), lit("").as("prop_hash"))
+      val empty = graft.model.GraphStore.empty(s)
+      val g = graft.model.GraphStore(verts, edges, empty.props, empty.propRefs)
+      graft.analytics.GraphAnalytics
+        .triangleCount(g, id => split(id, ":").getItem(1).cast("long"))
+        .select(col("id"), col("triangles").cast("long").as("triangles"))
+    }),
     // curation: deterministic md5-bucket sampling (~16%)
     "curate_sample" -> ((s, d) =>
       pipeline.Curation.sampleByHash(docs(s, d), "doc_id", keepOf256 = 41)
@@ -324,6 +348,11 @@ object PipelineQueries {
            |grouped AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster,
            |  count(*) OVER (PARTITION BY md5(text)) AS n FROM corpus)
            |SELECT doc_id, cluster FROM grouped WHERE n > 1""".stripMargin,
+      "graphx_triangles" ->
+        s"""$corpusCte,
+           |g AS (SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS n FROM corpus)
+           |SELECT 'doc:'||doc_id AS id, CAST((n-1)*(n-2)//2 AS BIGINT) AS triangles
+           |FROM g WHERE n > 1""".stripMargin,
       "curate_sample" ->
         "SELECT doc_id FROM documents WHERE substr(md5('s|'||doc_id), 1, 2) < '29'",
       "curate_split" ->
