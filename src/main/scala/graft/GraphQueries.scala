@@ -227,6 +227,17 @@ object GraphQueries {
       compiler(s, d).run(
         Zoe.start(PropValue.typed("Customer", Some(name))).referencedProperties).properties
     }),
+    // §2.5 WeightedGraph surface: JSON-path weight extraction with default
+    // for non-numeric properties, summed over parallel edges
+    "graph_weighted_edges" -> ((s, d) => {
+      val b = new graft.store.GraphBatch
+      b.createNode("a", PropValue("Node", Some("a")))
+      b.createNode("b", PropValue("Node", Some("b")))
+      b.createNode("c", PropValue("Node", Some("c")))
+      b.createEdge("a", "b", PropValue("Weight", Some("2.5")))
+      b.createEdge("b", "c", PropValue("Link"))
+      GraphAnalytics.weightedEdges(b.toStore(s)).select("src", "dst", "weight")
+    }),
     // §2.5 Graph trait surface: degree
     "graph_degree" -> ((s, d) =>
       GraphAnalytics.degrees(graph(s, d)).where(col("id").startsWith("nation:"))),
@@ -419,6 +430,9 @@ object GraphQueries {
       """SELECT DISTINCT upper(sha256('{"Segment":"'||c_mktsegment||'"}')) AS hash FROM customer""",
     "zoe_p_referenced" ->
       "SELECT DISTINCT upper(sha256('{\"SchemaType\":\"Customer\"}')) AS hash FROM customer WHERE c_custkey = 1",
+    "graph_weighted_edges" ->
+      """SELECT 'a' AS src, 'b' AS dst, CAST(2.5 AS DOUBLE) AS weight
+        |UNION ALL SELECT 'b', 'c', CAST(1.0 AS DOUBLE)""".stripMargin,
     "graph_degree" ->
       """SELECT 'nation:'||n_nationkey AS id,
         |(SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS in_deg,

@@ -85,6 +85,31 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.toLowerCase.contains("cartesian"), s"crossJoin store:\n$plan")
   }
 
+  test("candidate-verify Jaccard never falls back to a cartesian join") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val df = graft.pipeline.Dedup.ngramJaccardViaMinhash(docs, "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), s"cartesian in verify plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in verify plan:\n$plan")
+  }
+
+  test("Zoe queries over a bucketed store return identical results") {
+    val (batch, _) = CocktailFixture.build()
+    val g = batch.toStore(spark)
+    val gb = graft.model.GraphStore.saveBucketed(g, buckets = 4,
+      tablePrefix = s"plan_spec_eq_${System.nanoTime()}_")
+    val q = VertexQuery.all.filter(ZFilter("sql", "schema_type = 'Cocktail'"))
+      .outgoing.outgoing
+    val plain = new ZoeCompiler(g).run(q).vertices.collect().map(_.getString(0)).sorted
+    val bucketed = new ZoeCompiler(gb).run(q).vertices.collect().map(_.getString(0)).sorted
+    assert(plain.nonEmpty && plain.sameElements(bucketed))
+  }
+
   test("Specific-property traversal broadcasts the tiny hash set side") {
     val g = TpchGraph.build(spark, dir)
     val zc = new ZoeCompiler(g)
