@@ -95,6 +95,13 @@ object PipelineQueries {
         .toDF()
         .select(col("assetId").as("asset_id"), col("mediaType").as("media_type"),
           col("nBytes").as("n_bytes"), col("sha"))),
+    // IVF-routed ANN: static coarse quantizer, inverted-list probe
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 50), "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     // embedding near-dup at scale: LSH bucket join over the WHOLE corpus
     // (no candidate-set bound), exact cosine verify
     "embedding_lsh_pairs" -> ((s, d) =>
@@ -324,6 +331,23 @@ object PipelineQueries {
           |  CAST(len(hexpay) AS BIGINT) AS n_bytes,
           |  upper(sha256(hexpay)) AS sha
           |FROM b""".stripMargin,
+      "ann_ivf_topk" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+          |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < 16),
+          |asg AS (SELECT vec_id, cid FROM (
+          |  SELECT v.vec_id, c.cid,
+          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+          |  FROM v, cent c) t WHERE rn = 1),
+          |probes AS (SELECT query_id, cid FROM (
+          |  SELECT v.vec_id AS query_id, c.cid,
+          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+          |  FROM v, cent c WHERE v.vec_id < 50) t WHERE rn <= 4),
+          |s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+          |  round(list_cosine_similarity(qv.ve, av.ve), 6) AS cos
+          |  FROM probes p JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.query_id
+          |  JOIN v qv ON qv.vec_id = p.query_id JOIN v av ON av.vec_id = a.vec_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM s)
+          |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3""".stripMargin,
       "embedding_lsh_pairs" -> {
         def sign(p: Int) =
           s"(CASE WHEN (strpos('0123456789abcdef', substr(md5('$p|'||i), 1, 1)) - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END)"

@@ -78,6 +78,44 @@ object Similarity {
       .where(col("cos") >= minCos)
   }
 
+  /** IVF-routed ANN top-k: corpus vectors are assigned to their nearest
+    * coarse-quantizer centroid (one broadcast join against `nlist` centroids
+    * — the inverted-file build), queries probe their `nprobe` nearest lists,
+    * and exact cosine ranks only the probed lists' members. Work per query
+    * drops from |corpus| to ~|corpus|·nprobe/nlist; recall follows nprobe.
+    *
+    * The coarse quantizer is STATIC — the vectors with the `nlist` smallest
+    * ids (requires a numeric id column) — so routing is deterministic and
+    * engine-reproducible with no fitted model state; swap in sampled
+    * k-means centroids for production without changing the plan shape.
+    * Returns (query_id, neighbor_id, cos, rank). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cent = broadcast(corpus.where(col(idCol) < nlist)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid")))
+    val assignW = Window.partitionBy("neighbor_id").orderBy(desc("__cos"), asc("cid"))
+    val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(cent)
+      .select(col("neighbor_id"), col("cv"), col("cid"),
+        cosine(col("cv"), col("centroid")).as("__cos"))
+      .withColumn("__rn", row_number().over(assignW)).where(col("__rn") === 1)
+      .select("neighbor_id", "cv", "cid")
+    val probeW = Window.partitionBy("query_id").orderBy(desc("__cos"), asc("cid"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(cent)
+      .select(col("query_id"), col("qv"), col("cid"),
+        cosine(col("qv"), col("centroid")).as("__cos"))
+      .withColumn("__rn", row_number().over(probeW)).where(col("__rn") <= nprobe)
+      .select("query_id", "qv", "cid")
+    val scored = probes.join(assign, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN top-k: queries join only corpus vectors in the same
     * bucket (equi-join on bucket id) — the 100 TB path where broadcast of
     * per-bucket candidates replaces a full scan per query. Recall < 1 by
