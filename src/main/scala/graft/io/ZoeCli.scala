@@ -69,6 +69,15 @@ object ZoeCli {
       }
       val tail = buf.toString.trim
       if (tail.nonEmpty) runSql(spark, tail)
+    // export to interchange formats (reference design intent,
+    // docs/gravity.adoc:102-238 — TODO stubs there, implemented here)
+    case "export" :: path :: fmt :: Nil =>
+      val g = GraphStore.load(spark, path)
+      fmt match {
+        case "dot"     => println(GraphExport.toDot(g))
+        case "graphml" => println(GraphExport.toGraphML(g))
+        case other     => sys.error(s"unknown export format: $other (dot|graphml)")
+      }
     case "import" :: path :: file :: Nil =>
       val xml = scala.io.Source.fromFile(file).mkString
       val res = GraphML.importString(xml)
@@ -148,6 +157,7 @@ object ZoeCli {
            |  init <dbPath>
            |  query <dbPath>                      (stdin: Zoe JSON)
            |  import <dbPath> <graphml>
+           |  export <dbPath> dot|graphml
            |  script <dbPath> <sqlFile>           (;-separated SQL over graft_* views)
            |  repl <dbPath>                       (stdin: ;-separated SQL)
            |  property-id                         (stdin: property bytes)

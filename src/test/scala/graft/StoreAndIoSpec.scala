@@ -103,6 +103,25 @@ class StoreAndIoSpec extends SparkSuite {
     }
   }
 
+  test("GraphML export round-trips through the importer; dot export renders") {
+    val b = new GraphBatch
+    val n1 = b.createNode("n1", PropValue.typed("Label", Some("Node <1> & \"x\"")))
+    val n2 = b.createNode("n2", PropValue.typed("Label", Some("Node 2")))
+    b.createEdge(n1, n2, PropValue.typed("Label", Some("edge label")))
+    val g = b.toStore(spark)
+    val xml = graft.io.GraphExport.toGraphML(g)
+    val re = GraphML.importString(xml,
+      nodeKeyMapper = (id, seen) => seen.getOrElseUpdate(id, id))
+    val back = re.batch.toStore(spark)
+    assert(back.vertices.collect().map(_.getString(0)).sorted.toSeq == Seq("n1", "n2"))
+    assert(back.props.select("value").collect().map(_.getString(0)).sorted.toSeq ==
+      g.props.select("value").collect().map(_.getString(0)).sorted.toSeq)
+    assert(back.edges.head().getString(0) == g.edges.head().getString(0)) // same content hash
+    val dot = graft.io.GraphExport.toDot(g)
+    assert(dot.startsWith("digraph graft {") && dot.endsWith("}"))
+    assert(dot.contains(""""n1" -> "n2""""), dot)
+  }
+
   test("CLI script/repl verbs run SQL over the registered graph views") {
     val b = new GraphBatch
     val n1 = b.createNode("n1", PropValue.typed("Thing", Some("x")))
