@@ -140,6 +140,21 @@ object GraphQueries {
         .unionByName(g.edges.select(lit("edge").as("kind"), col("edge_id").as("id")))
         .unionByName(g.props.select(lit("prop").as("kind"), col("hash").as("id")))
     }),
+    // §2.6 driver-side batch lifecycle: update_node repoints + GCs the old
+    // property, delete_edge GCs the edge property — reference-exact
+    // semantics (GraphBatch), surviving state fully content-addressed
+    "mutations_update_delete" -> ((s, d) => {
+      val b = new graft.store.GraphBatch
+      val a = b.createNode("a", PropValue.typed("Thing", Some("one")))
+      val bb = b.createNode("b", PropValue.typed("Thing", Some("two")))
+      val e1 = b.createEdge(a, bb, PropValue("Link"))
+      b.updateNode(a, PropValue.typed("Thing", Some("three"))) // GCs {"Thing":"one"}
+      b.deleteEdge(e1)                                         // GCs "Link"
+      val g = b.toStore(s)
+      g.vertices.select(lit("vertex").as("kind"), col("id"))
+        .unionByName(g.edges.select(lit("edge").as("kind"), col("edge_id").as("id")))
+        .unionByName(g.props.select(lit("prop").as("kind"), col("hash").as("id")))
+    }),
     // §2.7 GraphML import with a deterministic node-key mapper: the imported
     // store's ids/hashes are all reproducible from the fixture text
     "graphml_import" -> ((s, d) => {
@@ -402,6 +417,12 @@ object GraphQueries {
         |UNION ALL SELECT 'prop', upper(sha256('{"Thing":"one"}'))
         |UNION ALL SELECT 'prop', upper(sha256('{"SchemaType":"Thing"}'))
         |UNION ALL SELECT 'prop', upper(sha256('"Link"'))""".stripMargin,
+    "mutations_update_delete" ->
+      """SELECT 'vertex' AS kind, 'a' AS id
+        |UNION ALL SELECT 'vertex', 'b'
+        |UNION ALL SELECT 'prop', upper(sha256('{"Thing":"three"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"Thing":"two"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"SchemaType":"Thing"}'))""".stripMargin,
     "graphml_import" ->
       """SELECT 'vertex' AS kind, 'n1' AS id
         |UNION ALL SELECT 'vertex', 'n2'
