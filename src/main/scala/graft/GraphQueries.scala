@@ -155,6 +155,25 @@ object GraphQueries {
         .unionByName(g.edges.select(lit("edge").as("kind"), col("edge_id").as("id")))
         .unionByName(g.props.select(lit("prop").as("kind"), col("hash").as("id")))
     }),
+    // §2.6 Change/ChangeSet (the reference's dead VCS-sync surface made
+    // real): anti-join diff of two stores — deleted segments + InSegment
+    // edges, one created node, one repointed node
+    "changeset_diff" -> ((s, d) => {
+      import s.implicits._
+      val from = graph(s, d)
+      val to = from.copy(
+        vertices = from.vertices
+          .where(!col("id").startsWith("segment:"))
+          .withColumn("prop_hash", when(col("id") === "nation:7",
+            lit(TpchGraph.unitHash("InNation"))).otherwise(col("prop_hash")))
+          .unionByName(Seq(("extra:1", TpchGraph.unitHash("Link"))).toDF("id", "prop_hash")),
+        edges = from.edges.where(col("prop_hash") =!= TpchGraph.unitHash("InSegment")))
+      val c = graft.store.GraphChange.diff(from, to)
+      c.createdNodes.select(lit("created_node").as("kind"), col("id"))
+        .unionByName(c.modifiedNodes.select(lit("modified_node").as("kind"), col("id")))
+        .unionByName(c.deletedNodes.select(lit("deleted_node").as("kind"), col("id")))
+        .unionByName(c.deletedEdges.select(lit("deleted_edge").as("kind"), col("edge_id").as("id")))
+    }),
     // §2.7 GraphML import with a deterministic node-key mapper: the imported
     // store's ids/hashes are all reproducible from the fixture text
     "graphml_import" -> ((s, d) => {
@@ -417,6 +436,11 @@ object GraphQueries {
         |UNION ALL SELECT 'prop', upper(sha256('{"Thing":"one"}'))
         |UNION ALL SELECT 'prop', upper(sha256('{"SchemaType":"Thing"}'))
         |UNION ALL SELECT 'prop', upper(sha256('"Link"'))""".stripMargin,
+    "changeset_diff" ->
+      s"""SELECT 'created_node' AS kind, 'extra:1' AS id
+         |UNION ALL SELECT 'modified_node', 'nation:7'
+         |UNION ALL SELECT 'deleted_node', 'segment:'||c_mktsegment FROM (SELECT DISTINCT c_mktsegment FROM customer) t
+         |UNION ALL SELECT 'deleted_edge', $custInSegment FROM customer""".stripMargin,
     "mutations_update_delete" ->
       """SELECT 'vertex' AS kind, 'a' AS id
         |UNION ALL SELECT 'vertex', 'b'

@@ -103,6 +103,38 @@ class StoreAndIoSpec extends SparkSuite {
     }
   }
 
+  test("GraphChange diff/apply round-trips a mutated store") {
+    val b = new GraphBatch
+    val a = b.createNode("a", PropValue.typed("Thing", Some("one")))
+    val bb = b.createNode("b", PropValue.typed("Thing", Some("two")))
+    b.createNode("c", PropValue.typed("Thing", Some("three")))
+    b.createEdge(a, bb, PropValue("Link"))
+    val from = b.toStore(spark)
+
+    val b2 = new GraphBatch
+    val a2 = b2.createNode("a", PropValue.typed("Thing", Some("ONE"))) // modified
+    b2.createNode("b", PropValue.typed("Thing", Some("two")))
+    b2.createNode("d", PropValue.typed("Thing", Some("four")))         // created (c deleted)
+    b2.createEdge(a2, "d", PropValue("Link"))                          // new edge, old deleted
+    val to = b2.toStore(spark)
+
+    val c = graft.store.GraphChange.diff(from, to)
+    assert(c.createdNodes.collect().map(_.getString(0)).toSeq == Seq("d"))
+    assert(c.deletedNodes.collect().map(_.getString(0)).toSeq == Seq("c"))
+    assert(c.modifiedNodes.collect().map(_.getString(0)).toSeq == Seq("a"))
+
+    val applied = graft.store.GraphChange.apply(from, c)
+    def canon(g: graft.model.GraphStore) = (
+      g.vertices.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq,
+      g.edges.collect().map(_.getString(0)).sorted.toSeq)
+    assert(canon(applied) == canon(to))
+    // every prop_hash referenced by the applied store resolves
+    val dangling = applied.vertices.select(col("prop_hash").as("hash"))
+      .unionByName(applied.edges.select(col("prop_hash").as("hash")))
+      .join(applied.props, Seq("hash"), "left_anti")
+    assert(dangling.count() == 0)
+  }
+
   test("GraphML export round-trips through the importer; dot export renders") {
     val b = new GraphBatch
     val n1 = b.createNode("n1", PropValue.typed("Label", Some("Node <1> & \"x\"")))
