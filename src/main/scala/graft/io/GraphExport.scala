@@ -11,23 +11,25 @@ import graft.model.GraphStore
   *
   * GraphML output uses exactly the element shape [[GraphML.importString]]
   * parses (`<node id=..><Variant>payload</Variant></node>`), so
-  * export → import round-trips the property values.
+  * export → import round-trips TYPED property values bit-for-bit. Unit and
+  * raw variants have no GraphML element syntax in the importer's dialect —
+  * they export as bare text and re-import as Raw text properties (values
+  * preserved, variant tag and hence hashes not); graphs that must
+  * round-trip identity use typed properties or the parquet store format.
   */
 object GraphExport {
 
-  private def maxRows: Int =
-    sys.env.get("GRAFT_MAX_RESULT_ROWS").map(_.toInt).getOrElse(1000000)
-
-  /** (id, variant, payloadOpt) for every vertex/edge joined with its
-    * property; canonical values are `{"Variant":"payload"}` or `"Variant"`. */
-  private def labeled(g: GraphStore, idCol: String, base: org.apache.spark.sql.DataFrame) = {
+  /** Rows of every vertex/edge joined with its property value; canonical
+    * values are `{"Variant":"payload"}` or `"Variant"`. */
+  private def labeled(g: GraphStore, base: org.apache.spark.sql.DataFrame) = {
     val p = g.props
     val rows = base
       .join(p.select(p("hash").as("__h"), p("value")), col("prop_hash") === col("__h"), "left")
       .drop("__h", "prop_hash")
-    val out = rows.limit(maxRows + 1).collect()
-    require(out.length <= maxRows,
-      s"export exceeds $maxRows elements; raise GRAFT_MAX_RESULT_ROWS or export parquet instead")
+    val max = CliLimits.maxResultRows
+    val out = rows.limit(max + 1).collect()
+    require(out.length <= max,
+      s"export exceeds $max elements; raise GRAFT_MAX_RESULT_ROWS or export parquet instead")
     out
   }
 
@@ -48,7 +50,9 @@ object GraphExport {
           case 'n'  => sb.append('\n'); i += 2
           case 'r'  => sb.append('\r'); i += 2
           case 't'  => sb.append('\t'); i += 2
-          case 'u'  => sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case 'u' if i + 6 <= s.length &&
+              s.substring(i + 2, i + 6).forall(d => Character.digit(d, 16) >= 0) =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
           case o    => sb.append(o); i += 2
         }
       } else { sb.append(c); i += 1 }
@@ -73,11 +77,11 @@ object GraphExport {
     * one directed edge per edge row. */
   def toDot(g: GraphStore, graphName: String = "graft"): String = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val nodes = labeled(g, "id", g.vertices).map { r =>
+    val nodes = labeled(g, g.vertices).map { r =>
       val label = Option(r.getAs[String]("value")).getOrElse(r.getAs[String]("id"))
       s"  ${q(r.getAs[String]("id"))} [label=${q(label)}];"
     }.sorted
-    val edges = labeled(g, "edge_id", g.edges).map { r =>
+    val edges = labeled(g, g.edges).map { r =>
       val label = Option(r.getAs[String]("value")).getOrElse("")
       s"  ${q(r.getAs[String]("src"))} -> ${q(r.getAs[String]("dst"))} [label=${q(label)}];"
     }.sorted
@@ -88,10 +92,10 @@ object GraphExport {
     * GraphML ids (pass an id-preserving nodeKeyMapper on re-import to
     * round-trip identity too). */
   def toGraphML(g: GraphStore): String = {
-    val nodes = labeled(g, "id", g.vertices).map { r =>
+    val nodes = labeled(g, g.vertices).map { r =>
       s"""  <node id="${xmlEscape(r.getAs[String]("id"))}">${valueXml(r.getAs[String]("value"))}</node>"""
     }.sorted
-    val edges = labeled(g, "edge_id", g.edges).map { r =>
+    val edges = labeled(g, g.edges).map { r =>
       s"""  <edge source="${xmlEscape(r.getAs[String]("src"))}" target="${xmlEscape(r.getAs[String]("dst"))}">${valueXml(r.getAs[String]("value"))}</edge>"""
     }.sorted
     ("<graph>" +: (nodes ++ edges) :+ "</graph>").mkString("\n")

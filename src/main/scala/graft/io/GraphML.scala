@@ -27,21 +27,18 @@ object GraphML {
 
   /** Default property mapper: the reference's serde-XML default maps
     * `<Label>text</Label>` to variant Label("text"); plain text maps to a
-    * raw string property. */
+    * raw string property. Text arrives already entity-decoded by the StAX
+    * parser — decoding again here would corrupt payloads that contain
+    * literal entity text (e.g. the 4-char string "&lt;"). */
   val xmlPropMapper: PropMapper = { input =>
     val trimmed = input.trim
     val m = "(?s)^<(\\w+)>(.*)</\\w+>$".r
     trimmed match {
-      case m(variant, payload) => PropValue.typed(variant, Some(unescape(payload)))
+      case m(variant, payload) => PropValue.typed(variant, Some(payload))
       case "" => PropValue("Raw", None, Nil, Some(graft.model.Hashing.sha256HexUpper("")))
-      case other => PropValue("Raw", Some(unescape(other)))
+      case other => PropValue("Raw", Some(other))
     }
   }
-
-  private def unescape(s: String): String = s
-    .replace("&lt;", "<").replace("&gt;", ">")
-    .replace("&quot;", "\"").replace("&apos;", "'")
-    .replace("&amp;", "&")
 
   final case class Result(batch: GraphBatch, idMapping: Map[String, String])
 

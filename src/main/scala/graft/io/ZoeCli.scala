@@ -50,25 +50,17 @@ object ZoeCli {
     case "script" :: path :: file :: Nil =>
       val g = GraphStore.load(spark, path)
       graft.model.TypedViews.registerViews(g)
-      scala.io.Source.fromFile(file).mkString.split(";")
-        .map(_.trim).filter(_.nonEmpty)
+      CliLimits.splitSql(scala.io.Source.fromFile(file).mkString)
         .foreach(stmt => runSql(spark, stmt))
     case "repl" :: path :: Nil =>
       val g = GraphStore.load(spark, path)
       graft.model.TypedViews.registerViews(g)
-      val buf = new StringBuilder
-      Iterator.continually(Console.in.read()).takeWhile(_ != -1).foreach { c =>
-        if (c.toChar == ';') {
-          val stmt = buf.toString.trim
-          buf.clear()
-          if (stmt.nonEmpty) {
-            try runSql(spark, stmt)
-            catch { case e: Exception => System.err.println(s"error: ${e.getMessage}") }
-          }
-        } else buf.append(c.toChar)
+      // statements are quote-aware-split on ';' and each evaluated in its
+      // own try so one bad statement never kills the session
+      CliLimits.splitSql(readStdin()).foreach { stmt =>
+        try runSql(spark, stmt)
+        catch { case e: Exception => System.err.println(s"error: ${e.getMessage}") }
       }
-      val tail = buf.toString.trim
-      if (tail.nonEmpty) runSql(spark, tail)
     // export to interchange formats (reference design intent,
     // docs/gravity.adoc:102-238 — TODO stubs there, implemented here)
     case "export" :: path :: fmt :: Nil =>
@@ -172,17 +164,12 @@ object ZoeCli {
     * by the same driver-side row limit as renderResult). */
   private def runSql(spark: SparkSession, stmt: String): Unit = {
     val df = spark.sql(stmt)
-    val max = maxResultRows
+    val max = CliLimits.maxResultRows
     val rows = df.toJSON.limit(max + 1).collect()
     require(rows.length <= max,
       s"result exceeds $max rows; add a LIMIT or raise GRAFT_MAX_RESULT_ROWS")
     rows.foreach(println)
   }
-
-  /** Driver-side collect guard for CLI output: a `{"V":"All"}` against a
-    * 100 TB store must fail fast instead of OOMing the driver. */
-  private def maxResultRows: Int =
-    sys.env.get("GRAFT_MAX_RESULT_ROWS").map(_.toInt).getOrElse(1000000)
 
   /** Read all of stdin via Console.in (redirectable in tests via
     * Console.withIn, defaults to System.in). */
@@ -202,7 +189,7 @@ object ZoeCli {
   def renderResult(r: ZoeResult): String = {
     def s(x: String) = graft.model.PropValue.jsonString(x)
     def optS(x: String) = if (x == null) "null" else s(x)
-    val max = maxResultRows
+    val max = CliLimits.maxResultRows
     def guarded(df: org.apache.spark.sql.DataFrame, what: String) = {
       val rows = df.limit(max + 1).collect()
       require(rows.length <= max,

@@ -35,8 +35,8 @@ object Hashing {
     * the Spark model keeps adjacency normalized in the edges table. */
   def nodeJson(id: String, propHash: String,
                incoming: Seq[String], outgoing: Seq[String]): String = {
-    def arr(xs: Seq[String]) = xs.sorted.map(x => s""""$x"""").mkString("[", ",", "]")
-    s"""{"id":"$id","properties":"$propHash","incoming":${arr(incoming)},"outgoing":${arr(outgoing)}}"""
+    def arr(xs: Seq[String]) = xs.sorted.map(PropValue.jsonString).mkString("[", ",", "]")
+    s"""{"id":${PropValue.jsonString(id)},"properties":"$propHash","incoming":${arr(incoming)},"outgoing":${arr(outgoing)}}"""
   }
 
   /** JSON string escaping at column level: backslash then quote (order

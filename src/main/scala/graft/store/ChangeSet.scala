@@ -21,7 +21,8 @@ final case class GraphChange(
     deletedNodes: DataFrame,   // (id, prop_hash)
     createdEdges: DataFrame,   // (edge_id, src, dst, prop_hash)
     deletedEdges: DataFrame,   // (edge_id, src, dst, prop_hash)
-    requiredProps: DataFrame)  // (hash, value, schema_type)
+    requiredProps: DataFrame,  // (hash, value, schema_type) — depends_on closure
+    requiredRefs: DataFrame)   // (parent_hash, child_hash) — nested() rows of the closure
 
 object GraphChange {
 
@@ -35,19 +36,34 @@ object GraphChange {
       .select("id", "prop_hash")
     val createdEdges = to.edges.join(from.edges.select("edge_id"), Seq("edge_id"), "left_anti")
     val deletedEdges = from.edges.join(to.edges.select("edge_id"), Seq("edge_id"), "left_anti")
-    val needed = createdNodes.select(col("prop_hash").as("hash"))
+    val direct = createdNodes.select(col("prop_hash").as("hash"))
       .unionByName(modifiedNodes.select(col("prop_hash").as("hash")))
       .unionByName(createdEdges.select(col("prop_hash").as("hash")))
       .distinct()
-    val requiredProps = to.props.join(needed, Seq("hash"), "left_semi")
+    // depends_on closure: follow the nested() DAG so SchemaType children (and
+    // their children) travel with the change; the lattice is shallow, so a
+    // bounded iterative expansion converges in a few rounds
+    var all = direct
+    var frontier = direct
+    var round = 0
+    while (round < 8 && !frontier.isEmpty) {
+      val children = to.propRefs
+        .join(frontier.withColumnRenamed("hash", "parent_hash"), Seq("parent_hash"), "left_semi")
+        .select(col("child_hash").as("hash")).distinct()
+      frontier = children.join(all, Seq("hash"), "left_anti")
+      all = all.unionByName(frontier).distinct()
+      round += 1
+    }
+    val requiredProps = to.props.join(all, Seq("hash"), "left_semi")
+    val requiredRefs = to.propRefs
+      .join(all.withColumnRenamed("hash", "parent_hash"), Seq("parent_hash"), "left_semi")
     GraphChange(createdNodes, modifiedNodes, deletedNodes,
-      createdEdges, deletedEdges, requiredProps)
+      createdEdges, deletedEdges, requiredProps, requiredRefs)
   }
 
   /** Apply a change: deletes and modifications are anti-joins, inserts are
-    * unions; required properties upsert content-addressed (dedup by hash).
-    * Prop-ref rows for nested values travel with the full store, not the
-    * change (the reference scopes changes to nodes/edges too); run
+    * unions; required properties and their nested() refs upsert
+    * content-addressed (dedup by hash). Run
     * [[BulkMutations.gcOrphanProps]] afterwards to sweep orphans left by
     * deletions. */
   def apply(g: GraphStore, c: GraphChange): GraphStore = {
@@ -61,6 +77,9 @@ object GraphChange {
       .unionByName(c.createdEdges.select("edge_id", "src", "dst", "prop_hash"))
     val props = g.props.unionByName(
       c.requiredProps.join(g.props, Seq("hash"), "left_anti").dropDuplicates("hash"))
-    g.copy(vertices = vertices, edges = edges, props = props)
+    val refs = g.propRefs.unionByName(
+      c.requiredRefs.join(g.propRefs, Seq("parent_hash", "child_hash"), "left_anti")
+        .dropDuplicates("parent_hash", "child_hash"))
+    g.copy(vertices = vertices, edges = edges, props = props, propRefs = refs)
   }
 }

@@ -114,7 +114,7 @@ class StoreAndIoSpec extends SparkSuite {
     val b2 = new GraphBatch
     val a2 = b2.createNode("a", PropValue.typed("Thing", Some("ONE"))) // modified
     b2.createNode("b", PropValue.typed("Thing", Some("two")))
-    b2.createNode("d", PropValue.typed("Thing", Some("four")))         // created (c deleted)
+    b2.createNode("d", PropValue.typed("Widget", Some("four")))        // created, NEW variant (c deleted)
     b2.createEdge(a2, "d", PropValue("Link"))                          // new edge, old deleted
     val to = b2.toStore(spark)
 
@@ -122,6 +122,12 @@ class StoreAndIoSpec extends SparkSuite {
     assert(c.createdNodes.collect().map(_.getString(0)).toSeq == Seq("d"))
     assert(c.deletedNodes.collect().map(_.getString(0)).toSeq == Seq("c"))
     assert(c.modifiedNodes.collect().map(_.getString(0)).toSeq == Seq("a"))
+    // depends_on closure: the new variant's nested SchemaType travels too
+    val widgetSt = PropValue.schemaType("Widget").hash
+    assert(c.requiredProps.collect().map(_.getString(0)).contains(widgetSt))
+    assert(c.requiredRefs.collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .contains((PropValue.typed("Widget", Some("four")).hash, widgetSt)))
 
     val applied = graft.store.GraphChange.apply(from, c)
     def canon(g: graft.model.GraphStore) = (
