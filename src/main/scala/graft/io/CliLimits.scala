@@ -2,22 +2,44 @@ package graft.io
 
 /** Shared driver-side collect guard for CLI/export output: interchange
   * printing must fail fast on huge results instead of OOMing the driver. */
-private[io] object CliLimits {
+private[graft] object CliLimits {
   def maxResultRows: Int =
     sys.env.get("GRAFT_MAX_RESULT_ROWS").map(_.toInt).getOrElse(1000000)
 
-  /** Split a SQL script into statements on ';' — quote-aware, so semicolons
-    * inside single-quoted string literals ('' escapes a quote) survive. */
+  /** Split a SQL script into statements on ';'. The scanner tracks
+    * single-quoted literals ('' escapes a quote), double-quoted and
+    * backtick-quoted identifiers, `--` line comments, and `/* */` block
+    * comments, so a ';' inside any of those never splits a statement
+    * mid-token. */
   def splitSql(text: String): Seq[String] = {
     val stmts = Seq.newBuilder[String]
     val cur = new StringBuilder
-    var inQuote = false
+    var quote: Char = 0       // active quote char: ', " or `
+    var lineComment = false
+    var blockComment = false
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (c == '\'') { inQuote = !inQuote; cur.append(c) }
-      else if (c == ';' && !inQuote) { stmts += cur.toString; cur.clear() }
-      else cur.append(c)
+      val next = if (i + 1 < text.length) text.charAt(i + 1) else 0.toChar
+      if (lineComment) {
+        cur.append(c); if (c == '\n') lineComment = false
+      } else if (blockComment) {
+        cur.append(c)
+        if (c == '*' && next == '/') { cur.append(next); i += 1; blockComment = false }
+      } else if (quote != 0) {
+        cur.append(c)
+        if (c == quote) {
+          // '' inside a single-quoted literal is an escaped quote, not a close
+          if (c == '\'' && next == '\'') { cur.append(next); i += 1 }
+          else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`'        => quote = c; cur.append(c)
+        case '-' if next == '-'      => lineComment = true; cur.append(c)
+        case '/' if next == '*'      => blockComment = true; cur.append(c)
+        case ';'                     => stmts += cur.toString; cur.clear()
+        case _                       => cur.append(c)
+      }
       i += 1
     }
     stmts += cur.toString

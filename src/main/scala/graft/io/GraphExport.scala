@@ -14,8 +14,12 @@ import graft.model.GraphStore
   * export → import round-trips TYPED property values bit-for-bit. Unit and
   * raw variants have no GraphML element syntax in the importer's dialect —
   * they export as bare text and re-import as Raw text properties (values
-  * preserved, variant tag and hence hashes not); graphs that must
-  * round-trip identity use typed properties or the parquet store format.
+  * preserved, variant tag and hence hashes not); likewise a Raw text value
+  * that itself LOOKS like an element (e.g. the literal string
+  * "&lt;b&gt;x&lt;/b&gt;") re-imports as the typed variant b("x"), because
+  * the importer's default mapper recognizes markup shape, not provenance.
+  * Graphs that must round-trip identity use typed properties or the
+  * parquet store format.
   */
 object GraphExport {
 

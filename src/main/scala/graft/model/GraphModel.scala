@@ -39,16 +39,29 @@ object Hashing {
     s"""{"id":${PropValue.jsonString(id)},"properties":"$propHash","incoming":${arr(incoming)},"outgoing":${arr(outgoing)}}"""
   }
 
-  /** JSON string escaping at column level: backslash then quote (order
-    * matters). Control characters inside ids are not escaped here (unlike
-    * [[PropValue.jsonString]]) — ids are expected to be printable; the
-    * realistic divergence surface (quotes/backslashes via CLI create-edge or
-    * GraphML mappers) is covered. */
-  private def jsonEscapeCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+  /** JSON string escaping at column level — byte-identical to
+    * [[PropValue.jsonString]] (backslash, quote, \n/\r/\t, then \u00xx for
+    * the remaining control chars), so the distributed edge-id path and the
+    * driver-side GraphBatch path assign the SAME content hash to the same
+    * logical edge for every id. The full escape chain only runs on rows
+    * that actually contain a special character (one `rlike` guard); clean
+    * ids — the overwhelming hot path — pass through untouched. */
+  private def jsonEscapeCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val basic = regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    val full = (0x00 until 0x20).foldLeft(basic) { (acc, i) =>
+      val repl = i match {
+        case 0x0a => "\\\\n"
+        case 0x0d => "\\\\r"
+        case 0x09 => "\\\\t"
+        case _    => f"\\\\u$i%04x"
+      }
+      regexp_replace(acc, f"\\x$i%02x", repl)
+    }
+    when(c.rlike("[\\x00-\\x1f\"\\\\]"), full).otherwise(c)
+  }
 
   /** Column-level edge id for distributed edge creation; identical bytes to
-    * [[edgeJson]] for ids without control characters. */
+    * [[edgeJson]] for all ids (control characters included). */
   def edgeIdCol(propHash: org.apache.spark.sql.Column,
                 src: org.apache.spark.sql.Column,
                 dst: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

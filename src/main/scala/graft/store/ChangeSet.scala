@@ -43,10 +43,11 @@ object GraphChange {
     // depends_on closure: follow the nested() DAG so SchemaType children (and
     // their children) travel with the change; the lattice is shallow, so a
     // bounded iterative expansion converges in a few rounds
+    val maxRounds = 16
     var all = direct
     var frontier = direct
     var round = 0
-    while (round < 8 && !frontier.isEmpty) {
+    while (round < maxRounds && !frontier.isEmpty) {
       val children = to.propRefs
         .join(frontier.withColumnRenamed("hash", "parent_hash"), Seq("parent_hash"), "left_semi")
         .select(col("child_hash").as("hash")).distinct()
@@ -54,6 +55,11 @@ object GraphChange {
       all = all.unionByName(frontier).distinct()
       round += 1
     }
+    // fail loudly rather than ship an incomplete closure (a deeper DAG would
+    // leave dangling child prop_hash references on the receiving store)
+    require(frontier.isEmpty,
+      s"depends_on closure did not converge within $maxRounds rounds — " +
+        "nested-property DAG deeper than expected")
     val requiredProps = to.props.join(all, Seq("hash"), "left_semi")
     val requiredRefs = to.propRefs
       .join(all.withColumnRenamed("hash", "parent_hash"), Seq("parent_hash"), "left_semi")
@@ -63,17 +69,22 @@ object GraphChange {
 
   /** Apply a change: deletes and modifications are anti-joins, inserts are
     * unions; required properties and their nested() refs upsert
-    * content-addressed (dedup by hash). Run
+    * content-addressed (dedup by hash). Safe on a target that has DIVERGED
+    * from the diff's `from`: created ids that already exist are replaced
+    * (the change's version wins — id uniqueness holds and the result still
+    * converges toward `to`) instead of silently duplicating rows. Run
     * [[BulkMutations.gcOrphanProps]] afterwards to sweep orphans left by
     * deletions. */
   def apply(g: GraphStore, c: GraphChange): GraphStore = {
     val vertices = g.vertices
-      .join(c.deletedNodes.select("id").unionByName(c.modifiedNodes.select("id")),
+      .join(c.deletedNodes.select("id").unionByName(c.modifiedNodes.select("id"))
+          .unionByName(c.createdNodes.select("id")),
         Seq("id"), "left_anti")
       .unionByName(c.createdNodes.select("id", "prop_hash"))
       .unionByName(c.modifiedNodes.select("id", "prop_hash"))
     val edges = g.edges
-      .join(c.deletedEdges.select("edge_id"), Seq("edge_id"), "left_anti")
+      .join(c.deletedEdges.select("edge_id").unionByName(c.createdEdges.select("edge_id")),
+        Seq("edge_id"), "left_anti")
       .unionByName(c.createdEdges.select("edge_id", "src", "dst", "prop_hash"))
     val props = g.props.unionByName(
       c.requiredProps.join(g.props, Seq("hash"), "left_anti").dropDuplicates("hash"))

@@ -93,7 +93,8 @@ class StoreAndIoSpec extends SparkSuite {
   }
 
   test("column-level edge ids match the Scala serializer for quoted ids") {
-    val ids = Seq("""he said "hi"""", """back\slash""", """both "\" here""", "normal:1")
+    val ids = Seq("""he said "hi"""", """back\slash""", """both "\" here""", "normal:1",
+      "line\nbreak", "tab\there", "cr\rhere", "bell\u0007", "nul\u0000mid", "esc\u001b[0m")
     val df = ids.flatMap(a => ids.map(b => (a, b))).toDF("src", "dst")
       .select(col("src"), col("dst"),
         graft.model.Hashing.edgeIdCol(lit("P"), col("src"), col("dst")).as("computed"))
@@ -199,6 +200,43 @@ class StoreAndIoSpec extends SparkSuite {
     // a P query carries no traversal contexts -> empty variables
     assert(new ZoeCompiler(b.toStore(spark), Map("x" -> "1"))
       .run(PropertyQuery.fromId(PropValue("Link").hash)).variables.count() == 0)
+  }
+
+  test("GraphChange.apply on a DIVERGED target keeps id uniqueness") {
+    val b = new GraphBatch
+    b.createNode("a", PropValue.typed("Thing", Some("one")))
+    val from = b.toStore(spark)
+    val b2 = new GraphBatch
+    b2.createNode("a", PropValue.typed("Thing", Some("one")))
+    b2.createNode("d", PropValue.typed("Thing", Some("four")))
+    val to = b2.toStore(spark)
+    val c = graft.store.GraphChange.diff(from, to)
+    // the target has drifted since the diff: it already created "d" (with a
+    // DIFFERENT property) and an unrelated "z"
+    val b3 = new GraphBatch
+    b3.createNode("a", PropValue.typed("Thing", Some("one")))
+    b3.createNode("d", PropValue.typed("Thing", Some("stale")))
+    b3.createNode("z", PropValue.typed("Thing", Some("mine")))
+    val diverged = b3.toStore(spark)
+    val applied = graft.store.GraphChange.apply(diverged, c)
+    val rows = applied.vertices.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows.map(_._1).sorted == Seq("a", "d", "z"))          // no duplicate ids
+    assert(rows.toMap.apply("d") == PropValue.typed("Thing", Some("four")).hash) // change wins
+  }
+
+  test("splitSql survives ';' in identifiers, literals, and comments") {
+    import graft.io.CliLimits.splitSql
+    assert(splitSql("SELECT 1; SELECT 2") == Seq("SELECT 1", "SELECT 2"))
+    assert(splitSql("SELECT 'a;b' AS x; SELECT 2") == Seq("SELECT 'a;b' AS x", "SELECT 2"))
+    assert(splitSql("SELECT 'it''s; fine'") == Seq("SELECT 'it''s; fine'"))
+    assert(splitSql("""SELECT 1 AS "semi;col"; SELECT 2""") ==
+      Seq("""SELECT 1 AS "semi;col"""", "SELECT 2"))
+    assert(splitSql("SELECT `a;b` FROM t; SELECT 2") == Seq("SELECT `a;b` FROM t", "SELECT 2"))
+    assert(splitSql("SELECT 1 -- trailing; not a split\n; SELECT 2") ==
+      Seq("SELECT 1 -- trailing; not a split", "SELECT 2"))
+    assert(splitSql("SELECT 1 /* block; comment */; SELECT 2") ==
+      Seq("SELECT 1 /* block; comment */", "SELECT 2"))
+    assert(splitSql("SELECT 1 /* unterminated; block") == Seq("SELECT 1 /* unterminated; block"))
   }
 
   test("queries on an empty store return empty results, not errors") {
