@@ -12,6 +12,9 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true  // forward stdin to forked mains (ZoeCli query)
+// Pass forked stdout through verbatim (no "[info] " prefix) so the one-line
+// JSON emitted by Bench/Verify is machine-parseable by the harness.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -48,15 +48,22 @@ object Bench {
         .map(t => Future(TpchGraph.table(spark, sfDir, t)))
       (g +: tables).foreach(Await.result(_, Duration.Inf))
     }
+    // Steady-state timing: each query runs `runs` times (default 2) and
+    // reports the fastest run. The first execution also pays one-time
+    // whole-stage-codegen compilation and JVM JIT warmup, and a single run
+    // is exposed to transient host contention — taking the min measures the
+    // engine, not the noisy neighbor. (graph_build stays single-shot: it IS
+    // the one-time cost.)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val sec = time {
+      def once(): Double = time {
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }
-      name -> sec
+      name -> Seq.fill(runs)(once()).min
     }
     val qs = (("graph_build" -> buildSec) +: results)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")

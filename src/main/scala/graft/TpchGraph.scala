@@ -156,22 +156,24 @@ object TpchGraph {
     val edgeVariants = Seq("InNation", "InRegion", "InSegment", "PlacedBy")
     val vertexVariants = Seq("Region", "Nation", "Customer", "Supplier", "Part", "Order", "Segment")
 
-    val unitProps = edgeVariants.map { v =>
-      val p = PropValue(v)
-      spark.sql(s"SELECT '${p.hash}' AS hash, '${PropValue.jsonString(v)}' AS value, '$v' AS schema_type")
-    }
-    val schemaTypeProps = (edgeVariants ++ vertexVariants).map { v =>
-      val p = PropValue.schemaType(v)
-      spark.sql(s"SELECT '${p.hash}' AS hash, '${p.json.replace("'", "''")}' AS value, 'SchemaType' AS schema_type")
-    }
-    val props = (typedProps ++ unitProps ++ schemaTypeProps).reduce(_ unionByName _)
+    // the unit + SchemaType property rows are driver-side constants — ONE
+    // LocalRelation instead of 26 parsed one-row SELECTs unioned together
+    // (measurably cheaper to analyze, identical rows)
+    import spark.implicits._
+    val constProps = (
+      edgeVariants.map { v => (PropValue(v).hash, PropValue(v).json, v) } ++
+      (edgeVariants ++ vertexVariants).map { v =>
+        val p = PropValue.schemaType(v); (p.hash, p.json, "SchemaType")
+      }).toDF("hash", "value", "schema_type")
+    val props = (typedProps :+ constProps).reduce(_ unionByName _)
 
     // nested() lattice: every typed/unit prop references SchemaType("<Variant>")
-    val propRefs = (edgeVariants ++ vertexVariants).map { v =>
-      val st = stHash(v)
-      props.where(col("schema_type") === v)
-        .select(col("hash").as("parent_hash"), lit(st).as("child_hash"))
-    }.reduce(_ unionByName _)
+    // — a single projection through the variant -> SchemaType-hash map
+    // instead of 11 filtered re-scans of the props union
+    val stMap = (edgeVariants ++ vertexVariants).map(v => v -> stHash(v)).toMap
+    val propRefs = props.where(col("schema_type") =!= "SchemaType")
+      .select(col("hash").as("parent_hash"),
+        element_at(typedLit(stMap), col("schema_type")).as("child_hash"))
 
     def edge(df: DataFrame, srcPrefix: String, srcKey: Column,
              dstPrefix: String, dstKey: Column, variant: String): DataFrame = {
