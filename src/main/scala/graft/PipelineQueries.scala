@@ -56,6 +56,11 @@ object PipelineQueries {
       Dedup.minhashCandidatePairs(dedupCorpus(s, d), "doc_id", "text", k = 4)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(dedupCorpus(s, d), "doc_id", "text", bits = 16)),
+    // simhash near-dup pairs: banded chunk equi-join proposes candidates,
+    // exact popcount Hamming verifies — recall is exact for hamming < bands
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(dedupCorpus(s, d), "doc_id", "text",
+        bits = 32, bands = 4, maxHamming = 3)),
     // scale-safe default: LSH banding proposes candidates, exact Jaccard
     // verifies them — the unguarded all-sharing-pairs self-join fans out
     // quadratically on boilerplate shingles (the 100 TB failure mode)
@@ -187,14 +192,14 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = {
-    val simhashBits = 16
     // bit j of md5(token): hex digit j/4, bit (3 - j%4)
-    val simhashTerms = (0 until simhashBits).map { j =>
+    def simhashTermsFor(bits: Int): String = (0 until bits).map { j =>
       val digit = s"substr(md5(t), ${j / 4 + 1}, 1)"
       val bit = s"((strpos('0123456789abcdef', $digit) - 1) >> ${3 - j % 4}) & 1"
       val contrib = s"list_sum(list_transform(w, t -> CASE WHEN ($bit) = 1 THEN 1 ELSE -1 END))"
-      s"CASE WHEN $contrib > 0 THEN CAST(${1L << (simhashBits - 1 - j)} AS BIGINT) ELSE 0 END"
+      s"CASE WHEN $contrib > 0 THEN CAST(${1L << (bits - 1 - j)} AS BIGINT) ELSE 0 END"
     }.mkString(" + ")
+    val simhashTerms = simhashTermsFor(16)
 
     def langOcc(w: String) =
       s"((len(p) - len(replace(p, ' $w ', ''))) // ${w.length + 2})"
@@ -234,6 +239,18 @@ object PipelineQueries {
       "dedup_simhash" ->
         s"""$corpusCte, ${toksCte("corpus")}
            |SELECT doc_id, $simhashTerms AS simhash FROM toks""".stripMargin,
+      "dedup_simhash_pairs" ->
+        s"""$corpusCte, ${toksCte("corpus")},
+           |sig AS (SELECT doc_id, ${simhashTermsFor(32)} AS simhash FROM toks),
+           |banded AS (
+           |  SELECT doc_id, simhash, 0 AS band, (simhash >> 0) & 255 AS chunk FROM sig
+           |  UNION ALL SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM sig
+           |  UNION ALL SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM sig
+           |  UNION ALL SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM sig),
+           |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sa, r.simhash AS sb
+           |  FROM banded l JOIN banded r ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
+           |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+           |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
       "dedup_ngram_jaccard" ->
         s"""$corpusCte, ${toksCte("corpus")},
            |sh AS (SELECT doc_id, list_distinct(${shinglesExpr(3)}) AS s FROM toks WHERE len(w) >= 3),

@@ -175,6 +175,37 @@ object Dedup {
       .where(col("jaccard") >= minSim)
   }
 
+  /** SimHash near-duplicate pairs: the `bits`-bit signature is split into
+    * `bands` equal-width chunks and documents sharing any chunk value become
+    * candidates (equi-join on (band, chunk) — bucketed, never all-pairs);
+    * each candidate is verified with the exact popcount Hamming distance.
+    * By the pigeonhole principle recall is EXACT whenever
+    * `maxHamming < bands` (fewer differing bits than bands forces at least
+    * one identical chunk), so the default (32 bits, 4×8-bit bands,
+    * maxHamming 3) returns precisely all pairs within distance 3. Chunk
+    * width sizes the buckets: 8-bit chunks give 256 buckets per band, which
+    * keeps per-bucket fan-out sub-quadratic at corpus scale. Returns
+    * (a, b, hamming) with a < b. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, s"bits ($bits) must divide evenly into bands ($bands)")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val sigs = simhash(df, idCol, textCol, bits)
+    val banded = sigs.select(col(idCol).as("doc"), col("simhash"),
+      explode(array((0 until bands).map(i => struct(lit(i).as("band"),
+        shiftrightunsigned(col("simhash"), i * w).bitwiseAND(mask).as("chunk"))): _*)).as("b"))
+      .select(col("doc"), col("simhash"), col("b.band"), col("b.chunk"))
+    val l = banded.select(col("doc").as("a"), col("simhash").as("sa"), col("band"), col("chunk"))
+    val r = banded.select(col("doc").as("b"), col("simhash").as("sb"), col("band"), col("chunk"))
+    l.join(r, Seq("band", "chunk"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs among a bounded candidate set
     * (for unbounded inputs route through LSH buckets first —
     * [[Similarity.cosineBuckets]]). Returns (a, b, cos) with a < b. */

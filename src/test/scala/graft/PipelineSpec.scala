@@ -47,6 +47,21 @@ class PipelineSpec extends SparkSuite {
     assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
   }
 
+  test("simhash pairs: banded candidates equal brute-force within maxHamming") {
+    // pigeonhole guarantee: with 4 bands and maxHamming 3 the bucketed
+    // candidate join must find EXACTLY the brute-force result
+    val all = Dedup.simhash(docs, "doc_id", "text", bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(got.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L }) // exact dup pair
+  }
+
   test("ngram jaccard: 1.0 for exact dup, high for near dup") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minSim = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
