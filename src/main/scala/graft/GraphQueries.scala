@@ -323,6 +323,17 @@ object GraphQueries {
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2).cast("double").as("revenue"))
     }),
+    // §2.8 + 100 TB checklist: salted equi-join — same rows as the plain
+    // join (the oracle is the UNSALTED SQL), hot keys spread over 8 reducers
+    "join_salted_skew" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_suppkey").as("suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey").as("suppkey"), col("s_name"))
+      graft.pipeline.Skew.saltedJoin(li, sup, Seq("suppkey"), salt = 8)
+        .groupBy("s_name")
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2).cast("double").as("revenue"))
+    }),
     "window_top_order" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
       t(s, d, "orders").withColumn("rn", row_number().over(w))
@@ -535,6 +546,11 @@ object GraphQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "join_salted_skew" ->
+      """SELECT s_name,
+        |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
     "window_top_order" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |SELECT o_custkey, o_orderkey, o_totalprice,
