@@ -141,7 +141,6 @@ object TpchGraph {
       val json = variantJson(variant, payload)
       df.select(key.getOrElse(contentHash(json)).as("hash"),
           json.as("value"), lit(variant).as("schema_type"))
-        .dropDuplicates("hash")
     }
 
     val typedProps = Seq(
@@ -165,7 +164,12 @@ object TpchGraph {
       (edgeVariants ++ vertexVariants).map { v =>
         val p = PropValue.schemaType(v); (p.hash, p.json, "SchemaType")
       }).toDF("hash", "value", "schema_type")
-    val props = (typedProps :+ constProps).reduce(_ unionByName _)
+    // ONE hash-dedup over the whole typed union (content-addressed rows with
+    // equal payloads collapse) instead of a shuffle per source branch; the
+    // constant rows are distinct by construction and cannot collide with
+    // content hashes
+    val props = typedProps.reduce(_ unionByName _).dropDuplicates("hash")
+      .unionByName(constProps)
 
     // nested() lattice: every typed/unit prop references SchemaType("<Variant>")
     // — a single projection through the variant -> SchemaType-hash map
