@@ -350,6 +350,17 @@ object GraphQueries {
         .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
           col("firstTs").as("first_ts"), col("lastTs").as("last_ts"))
     }),
+    // stream-stream interval join run in batch form: click→view attribution
+    // within a trailing 1-day event-time window (watermarks bound the
+    // streaming state; identical rows in batch)
+    "events_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), timestamp_seconds(expr("ts DIV 1000000000")).as("ts"))
+      graft.streaming.EventStreams.intervalJoin(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "view"),
+        windowSeconds = 86400)
+    }),
     // ts arrives as LONG nanoseconds (nanosAsLong — Spark has no ns
     // timestamp type); bucket with exact integer division
     "events_window_agg" -> ((s, d) =>
@@ -569,6 +580,11 @@ object GraphQueries {
         |last AS (SELECT user_id, max(grp) AS maxg FROM sess GROUP BY 1)
         |SELECT s.user_id, n_events, first_ts, last_ts
         |FROM sess s JOIN last l ON s.user_id = l.user_id AND s.grp < l.maxg""".stripMargin,
+    "events_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000000000 AS sec FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id, c.sec - v.sec AS lag_sec
+        |FROM e c JOIN e v ON v.user_id = c.user_id AND c.event_type = 'click' AND v.event_type = 'view'
+        |AND v.sec BETWEEN c.sec - 86400 AND c.sec""".stripMargin,
     "events_window_agg" ->
       """SELECT event_type, epoch_ns(ts) // 300000000000 AS bucket, count(*) AS cnt,
         |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value

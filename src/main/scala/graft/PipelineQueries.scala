@@ -103,6 +103,16 @@ object PipelineQueries {
         .toDF()
         .select(col("assetId").as("asset_id"), col("mediaType").as("media_type"),
           col("nBytes").as("n_bytes"), col("sha"))),
+    // multimodal REAL decode path: documents as text-typed binary assets,
+    // UTF-8 decode (pure codegen), text features over the decoded column
+    "multimodal_text_decode" -> ((s, d) => {
+      val assets = docs(s, d).select(col("doc_id").as("asset_id"),
+        lit("text").as("media_type"), col("text").cast("binary").as("payload"))
+      pipeline.Multimodal.decodeTextAssets(assets)
+        .select(col("asset_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextAnalysis.wordCount(col("text")).cast("long").as("n_words"))
+    }),
     // IVF-routed ANN: static coarse quantizer, inverted-list probe
     "ann_ivf_topk" -> ((s, d) => {
       val e = embeddings(s, d)
@@ -305,6 +315,11 @@ object PipelineQueries {
            |    least(round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(${langScore(Seq("the", "and", "of", "to", "a", "in", "is", "that"))} AS DOUBLE) / nw END, 4) * 4.0, 1.0) * 0.4 +
            |    (1.0 - least(round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len(text) END, 4) * 5.0, 1.0)) * 0.2), 4) AS quality
            |FROM f""".stripMargin,
+      "multimodal_text_decode" ->
+        s"""SELECT doc_id AS asset_id,
+           |  CAST(len(text) AS BIGINT) AS n_chars,
+           |  CAST(CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END AS BIGINT) AS n_words
+           |FROM documents""".stripMargin,
       "text_tokens" ->
         s"""SELECT doc_id,
            |  CAST(CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END AS BIGINT) AS n_words,

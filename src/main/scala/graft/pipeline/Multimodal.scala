@@ -71,6 +71,16 @@ object Multimodal {
       }
   }
 
+  /** REAL (non-stub) decode path for text-typed media: the payload bytes
+    * are UTF-8 text, so decode is a codegen'd column conversion — no
+    * mapPartitions, no external codec — and downstream feature extraction
+    * reuses the text-analysis operators unchanged. This exercises the full
+    * multimodal contract (opaque binary column + typed metadata → decoded
+    * modality → features) end-to-end without the stub. */
+  def decodeTextAssets(assets: DataFrame): DataFrame =
+    assets.where(col("media_type") === "text" && col("payload").isNotNull)
+      .select(col("asset_id"), decode(col("payload"), "UTF-8").as("text"))
+
   /** Resize metadata transform (pure column math — no decode needed): target
     * box fit preserving aspect ratio. */
   def resizePlan(assets: DataFrame, maxDim: Int): DataFrame = {

@@ -90,6 +90,31 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join: attribute each click to the
+    * SAME user's views in the trailing `windowSeconds` (view_ts ∈
+    * [click_ts - window, click_ts]). Both sides carry watermarks and the
+    * event-time range bounds how long either side's rows stay joinable, so
+    * the state store evicts rows once the opposite watermark passes — the
+    * only stream-stream join shape with bounded state at scale. Returns
+    * (user_id, click_id, view_id, lag_sec); runs identically on batch
+    * frames (the oracle form). */
+  def intervalJoin(clicks: DataFrame, views: DataFrame,
+                   windowSeconds: Long = 86400): DataFrame = {
+    val l = clicks.select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val r = views.select(col("user_id").as("view_user"),
+        col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    l.join(r, expr(
+        s"""user_id = view_user AND
+           |view_ts BETWEEN click_ts - INTERVAL $windowSeconds SECONDS
+           |AND click_ts""".stripMargin))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        (unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts")))
+          .as("lag_sec"))
+  }
+
   /** Run a streaming query of `transform` over the events parquet and return
     * the fully-processed result via the memory sink (synchronous; for tests
     * and batch-parity checks). */

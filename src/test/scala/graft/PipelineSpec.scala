@@ -62,6 +62,18 @@ class PipelineSpec extends SparkSuite {
     assert(got.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L }) // exact dup pair
   }
 
+  test("multimodal text decode round-trips UTF-8 payloads exactly") {
+    val texts = Seq((1L, "plain ascii"), (2L, "umlauts äöü and emoji ☃"), (3L, ""))
+    val assets = texts.toDF("asset_id", "t")
+      .select(col("asset_id"), lit("text").as("media_type"),
+        col("t").cast("binary").as("payload"))
+      .unionByName(Seq((9L, "image", null: String)).toDF("asset_id", "media_type", "t")
+        .select(col("asset_id"), col("media_type"), col("t").cast("binary").as("payload")))
+    val decoded = Multimodal.decodeTextAssets(assets)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(decoded == texts.toMap)   // image/null rows excluded, bytes exact
+  }
+
   test("ngram jaccard: 1.0 for exact dup, high for near dup") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minSim = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -42,6 +42,22 @@ class StreamingSpec extends SparkSuite {
     assert(deduped.count() == base.count())
   }
 
+  test("interval join: streaming result equals batch result") {
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.where(col("event_type") === "click"),
+      df.where(col("event_type") === "view"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchDf = spark.read.parquet(eventsDir)
+    val (bc, bv) = sides(batchDf)
+    val batch = rows(EventStreams.intervalJoin(bc, bv))
+    val streamed = rows(EventStreams.runToMemory(spark, eventsDir,
+      df => { val (c, v) = sides(df); EventStreams.intervalJoin(c, v) },
+      OutputMode.Append, "ij_out"))
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("sessionization with custom state emits gap-separated sessions") {
     import spark.implicits._
     val events = Seq(
