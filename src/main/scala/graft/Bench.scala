@@ -63,7 +63,12 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }
-      name -> Seq.fill(runs)(once()).min
+      // re-run only queries under the cap: a >60 s first run is already
+      // noise-dominated-proportionally-little and repeating it would double
+      // the harness's wall-clock exposure for no measurement gain
+      val first = once()
+      val best = (first +: Seq.fill(runs - 1)(if (first < 60.0) once() else first)).min
+      name -> best
     }
     val qs = (("graph_build" -> buildSec) +: results)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
