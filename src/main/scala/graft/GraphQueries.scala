@@ -294,6 +294,12 @@ object GraphQueries {
     "graphx_pagerank" -> ((s, d) =>
       GraphAnalytics.pageRank(analyticsSubgraph(graph(s, d)), analyticsToLong, numIter = 10)
         .select(col("id"), round(col("rank"), 5).as("rank"))),
+    // GraphX ShortestPaths to the region landmarks: hop counts along the
+    // member->nation->region edge direction (regions 0, nations 1,
+    // customers/suppliers 2 — the closed form IS the oracle)
+    "graphx_shortest_paths" -> ((s, d) =>
+      GraphAnalytics.shortestPaths(analyticsSubgraph(graph(s, d)), analyticsToLong,
+        landmarks = Seq(0L, 1L, 2L, 3L, 4L))),
 
     // §2.8 host-level aggregation patterns (cocktail_statistic analogues)
     "agg_pricing_summary" -> ((s, d) =>
@@ -521,6 +527,11 @@ object GraphQueries {
         |UNION ALL SELECT 'nation:'||n_nationkey, CAST(n_regionkey AS BIGINT) FROM nation
         |UNION ALL SELECT 'supplier:'||s_suppkey, CAST(n_regionkey AS BIGINT) FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |UNION ALL SELECT 'customer:'||c_custkey, CAST(n_regionkey AS BIGINT) FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "graphx_shortest_paths" ->
+      """SELECT 'region:'||r_regionkey AS id, CAST(r_regionkey AS BIGINT) AS landmark, CAST(0 AS BIGINT) AS dist FROM region
+        |UNION ALL SELECT 'nation:'||n_nationkey, CAST(n_regionkey AS BIGINT), CAST(1 AS BIGINT) FROM nation
+        |UNION ALL SELECT 'customer:'||c_custkey, CAST(n_regionkey AS BIGINT), CAST(2 AS BIGINT) FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |UNION ALL SELECT 'supplier:'||s_suppkey, CAST(n_regionkey AS BIGINT), CAST(2 AS BIGINT) FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "graphx_pagerank" ->
       """WITH mem AS (
         |  SELECT n_nationkey, n_regionkey,

@@ -115,6 +115,26 @@ object GraphAnalytics {
       .select(col("id"), col("rank"))
   }
 
+  /** Single-source-style shortest paths to a LANDMARK set (GraphX
+    * ShortestPaths: hop counts following edge direction from each vertex
+    * toward the landmarks). Returns one row per (vertex, reachable
+    * landmark): (id, landmark, dist) — unreachable pairs are absent,
+    * matching the reference Graph-trait reachability semantics where a
+    * query simply returns no result. */
+  def shortestPaths(g: GraphStore, toLong: Column => Column,
+                    landmarks: Seq[Long]): DataFrame = {
+    val graph = toGraphX(g, toLong)
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val sp = org.apache.spark.graphx.lib.ShortestPaths.run(graph, landmarks)
+      .vertices
+      .flatMap { case (vid, dists) => dists.map { case (lm, d) => (vid, lm, d.toLong) } }
+      .toDF("vid", "landmark", "dist")
+    g.vertices.select(toLong(col("id")).as("vid"), col("id"))
+      .join(sp, Seq("vid"))
+      .select(col("id"), col("landmark"), col("dist"))
+  }
+
   /** Per-vertex triangle count (GraphX semantics: graph treated as
     * undirected, needs canonical edge orientation). */
   def triangleCount(g: GraphStore, toLong: Column => Column): DataFrame = {

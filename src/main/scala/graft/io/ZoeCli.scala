@@ -16,6 +16,9 @@ import graft.ql.ZoeJson
   *                                          as the embedded language)
   *   graft.io.ZoeCli repl <dbPath>          interactive/piped SQL statements
   *                                          on stdin (reference `repl` verb)
+  *   graft.io.ZoeCli explain <dbPath>       Zoe JSON on stdin -> formatted
+  *                                          optimized Catalyst plan
+  *   graft.io.ZoeCli export <dbPath> <fmt>  dot | graphml to stdout
   *
   * Result JSON shape follows the reference's QueryResult serialization:
   * {"vertices":[[id,null],...],"edges":[...],"paths":[[start,[[v,e]..],end],...]}.
@@ -44,6 +47,20 @@ object ZoeCli {
       val json = readStdin()
       val q = ZoeJson.parse(json)
       println(renderResult(new ZoeCompiler(g).run(q)))
+    // explain: the optimized Catalyst plan a Zoe query compiles to — the
+    // debuggability surface a declarative engine owes its users (the
+    // reference interprets eagerly and has no plan to show)
+    case "explain" :: path :: Nil =>
+      val g = GraphStore.load(spark, path)
+      val q = ZoeJson.parse(readStdin())
+      val r = new ZoeCompiler(g).run(q)
+      val df = q match {
+        case graft.ql.BasicQuery.P(_) => r.properties
+        case graft.ql.BasicQuery.E(_) => r.edges
+        case _                        => r.vertices
+      }
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     // script/repl (cli_helpers.rs:225-234): the reference embeds Lua; here
     // the embedded query language is Spark SQL over the graft_* graph views
     // (TypedViews.registerViews) — same role, declarative + distributed.

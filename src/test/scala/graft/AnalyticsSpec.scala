@@ -49,6 +49,16 @@ class AnalyticsSpec extends SparkSuite {
     assert(pr.values.forall(_ > 0))
   }
 
+  test("shortest paths: hop counts along edge direction to the landmark") {
+    // landmark d (=4): a->b->c->d = 3, c->d = 1, d = 0; e/f reach d via
+    // e->f->d; the loner has no path -> absent from the result
+    val sp = GraphAnalytics.shortestPaths(g, toLong, landmarks = Seq(4L)).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(sp("v:d") == 0L && sp("v:c") == 1L && sp("v:b") == 2L && sp("v:a") == 3L)
+    assert(sp("v:f") == 1L && sp("v:e") == 2L)
+    assert(!sp.contains("v:lone"))
+  }
+
   test("triangle count: every triangle member counts its triangle") {
     val tc = GraphAnalytics.triangleCount(g, toLong).collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap

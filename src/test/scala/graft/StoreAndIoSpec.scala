@@ -186,6 +186,14 @@ class StoreAndIoSpec extends SparkSuite {
       }
     }
     assert(out2.toString.contains("""{"n":4}"""), out2.toString)
+    // explain: the Zoe query's optimized physical plan, not a result
+    val out3 = new java.io.ByteArrayOutputStream()
+    Console.withIn(new java.io.StringReader("""{"V":"All"}""")) {
+      Console.withOut(new java.io.PrintStream(out3)) {
+        ZoeCli.run(spark, List("explain", dir))
+      }
+    }
+    assert(out3.toString.contains("Physical Plan"), out3.toString.take(200))
   }
 
   test("context variables survive the traversal into the wire format") {
