@@ -54,7 +54,9 @@ object Bench {
     // is exposed to transient host contention — taking the min measures the
     // engine, not the noisy neighbor. (graph_build stays single-shot: it IS
     // the one-time cost.)
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(2).max(1)
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = time {

@@ -16,16 +16,19 @@ private[graft] object CliLimits {
     val cur = new StringBuilder
     var quote: Char = 0       // active quote char: ', " or `
     var lineComment = false
-    var blockComment = false
+    var commentDepth = 0      // bracketed comments nest in Spark SQL
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
       val next = if (i + 1 < text.length) text.charAt(i + 1) else 0.toChar
       if (lineComment) {
         cur.append(c); if (c == '\n') lineComment = false
-      } else if (blockComment) {
-        cur.append(c)
-        if (c == '*' && next == '/') { cur.append(next); i += 1; blockComment = false }
+      } else if (commentDepth > 0) {
+        // consume open/close pairs whole so '/*/' cannot self-close and the
+        // '*' of one marker never doubles as half of another
+        if (c == '/' && next == '*') { cur.append("/*"); i += 1; commentDepth += 1 }
+        else if (c == '*' && next == '/') { cur.append("*/"); i += 1; commentDepth -= 1 }
+        else cur.append(c)
       } else if (quote != 0) {
         cur.append(c)
         if (c == quote) {
@@ -36,7 +39,7 @@ private[graft] object CliLimits {
       } else c match {
         case '\'' | '"' | '`'        => quote = c; cur.append(c)
         case '-' if next == '-'      => lineComment = true; cur.append(c)
-        case '/' if next == '*'      => blockComment = true; cur.append(c)
+        case '/' if next == '*'      => commentDepth = 1; cur.append("/*"); i += 1
         case ';'                     => stmts += cur.toString; cur.clear()
         case _                       => cur.append(c)
       }

@@ -17,11 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic per-row salt in [0, salt): a hash of the whole probe row.
-    * Using the row (not the join key!) is the point — all rows of one hot
-    * key draw different salts and spread over `salt` reducers. */
-  private def rowSalt(df: DataFrame, salt: Int): Column =
-    pmod(hash(df.columns.map(col).toSeq: _*), lit(salt))
+  /** Deterministic per-row salt in [0, salt): a hash of the whole probe row
+    * (or of `saltOn` when given). Using row content (not the join key!) is
+    * the point — rows of one hot key draw different salts and spread over
+    * `salt` reducers. Caveat: BYTE-IDENTICAL rows share a salt, so a probe
+    * of pure key duplicates (e.g. after projecting away every payload
+    * column) does not spread — pass `saltOn` (a unique id / line number /
+    * payload column) when the row itself is not discriminating. */
+  private def rowSalt(df: DataFrame, salt: Int, saltOn: Option[Column]): Column =
+    pmod(hash(saltOn.map(Seq(_)).getOrElse(df.columns.map(col).toSeq): _*), lit(salt))
+
+  private def requireNoSaltCol(df: DataFrame, which: String): Unit =
+    require(!df.columns.contains("__salt"),
+      s"$which side already has a '__salt' column — rename it first")
 
   /** Salted equi-join on `keys`: the probe (large, skewed) side gets a
     * deterministic row-hash salt; the build side is replicated `salt` ways.
@@ -32,11 +40,13 @@ object Skew {
     * replication multiplies the build shuffle by `salt` — use for a build
     * side too big to broadcast but far smaller than the probe side. */
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
-                 salt: Int, joinType: String = "inner"): DataFrame = {
+                 salt: Int, joinType: String = "inner",
+                 saltOn: Option[Column] = None): DataFrame = {
     require(salt > 0, "salt must be positive")
     require(Set("inner", "left", "left_outer").contains(joinType),
       s"saltedJoin supports inner/left joins, not '$joinType'")
-    val p = probe.withColumn("__salt", rowSalt(probe, salt))
+    requireNoSaltCol(probe, "probe"); requireNoSaltCol(build, "build")
+    val p = probe.withColumn("__salt", rowSalt(probe, salt, saltOn))
     val b = build.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     p.join(b, keys :+ "__salt", joinType).drop("__salt")
@@ -51,9 +61,11 @@ object Skew {
     * map-side partials, so reach for this only when single-reducer hot keys
     * still dominate the shuffle (billions of rows behind one key). */
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
-                partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+                partial: Seq[Column], merge: Seq[Column],
+                saltOn: Option[Column] = None): DataFrame = {
     require(salt > 0, "salt must be positive")
-    df.withColumn("__salt", rowSalt(df, salt))
+    requireNoSaltCol(df, "input")
+    df.withColumn("__salt", rowSalt(df, salt, saltOn))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)

@@ -46,18 +46,20 @@ object GraphChange {
     val maxRounds = 16
     var all = direct
     var frontier = direct
+    var converged = frontier.isEmpty
     var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
+    while (round < maxRounds && !converged) {
       val children = to.propRefs
         .join(frontier.withColumnRenamed("hash", "parent_hash"), Seq("parent_hash"), "left_semi")
         .select(col("child_hash").as("hash")).distinct()
       frontier = children.join(all, Seq("hash"), "left_anti")
       all = all.unionByName(frontier).distinct()
+      converged = frontier.isEmpty  // evaluated ONCE per round
       round += 1
     }
     // fail loudly rather than ship an incomplete closure (a deeper DAG would
     // leave dangling child prop_hash references on the receiving store)
-    require(frontier.isEmpty,
+    require(converged,
       s"depends_on closure did not converge within $maxRounds rounds — " +
         "nested-property DAG deeper than expected")
     val requiredProps = to.props.join(all, Seq("hash"), "left_semi")

@@ -98,6 +98,27 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in verify plan:\n$plan")
   }
 
+  test("simhash pairs and salted join stay on equi-joins, never cartesian") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val sp = graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text")
+    sp.collect()
+    val spPlan = sp.queryExecution.executedPlan.toString
+    assert(!spPlan.toLowerCase.contains("cartesian"), s"cartesian:\n$spPlan")
+    assert(!spPlan.contains("BroadcastNestedLoopJoin"), s"nested-loop:\n$spPlan")
+
+    val probe = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+    val build = Seq(("a", "x"), ("b", "y")).toDF("k", "name")
+    val sj = graft.pipeline.Skew.saltedJoin(probe, build, Seq("k"), salt = 4)
+    sj.collect()
+    val sjPlan = sj.queryExecution.executedPlan.toString
+    assert(!sjPlan.toLowerCase.contains("cartesian"), s"cartesian:\n$sjPlan")
+    assert(!sjPlan.contains("BroadcastNestedLoopJoin"), s"nested-loop:\n$sjPlan")
+  }
+
   test("Zoe queries over a bucketed store return identical results") {
     val (batch, _) = CocktailFixture.build()
     val g = batch.toStore(spark)

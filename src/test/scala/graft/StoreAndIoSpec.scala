@@ -245,6 +245,11 @@ class StoreAndIoSpec extends SparkSuite {
     assert(splitSql("SELECT 1 /* block; comment */; SELECT 2") ==
       Seq("SELECT 1 /* block; comment */", "SELECT 2"))
     assert(splitSql("SELECT 1 /* unterminated; block") == Seq("SELECT 1 /* unterminated; block"))
+    // '/*/' must OPEN a comment, not open-and-close it
+    assert(splitSql("SELECT 1 /*/ ; */; SELECT 2") == Seq("SELECT 1 /*/ ; */", "SELECT 2"))
+    // bracketed comments nest (Spark SQL semantics)
+    assert(splitSql("SELECT 1 /* a /* b */ ; c */; SELECT 2") ==
+      Seq("SELECT 1 /* a /* b */ ; c */", "SELECT 2"))
   }
 
   test("queries on an empty store return empty results, not errors") {
