@@ -375,6 +375,34 @@ object GraphQueries {
         expr("ts DIV 300000000000").as("bucket")).agg(
         count(lit(1)).as("cnt"),
         round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))),
+    // as-of join: each click matched to the user's most recent view at or
+    // before it (union + window carry-forward — one shuffle by user, no
+    // per-row range probe); clicks before any view keep nulls
+    "events_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+          col("value").as("view_value"))
+      graft.pipeline.TemporalJoins.asofJoin(clicks, views, "user_id", "ts", "view_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof_view_id").as("view_id"), col("asof_view_value").as("view_value"))
+    }),
+    // binned range join: purchases inside a 4-hour attribution window after
+    // each signup — intervals exploded onto 1-hour bins, equi-join on
+    // (user, bin), exact BETWEEN filter; never a nested-loop range join
+    "events_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val windows = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("w_id"), col("ts").as("w_start"),
+          (col("ts") + lit(14400000000000L)).as("w_end"))
+      graft.pipeline.TemporalJoins.rangeJoinBinned(purchases, windows,
+        "ts", "w_start", "w_end", binWidth = 3600000000000L, keys = Seq("user_id"))
+        .select("event_id", "w_id")
+    }),
   )
 
   /** DuckDB fragment computing an edge's content-hash id (the exact bytes of
@@ -600,5 +628,27 @@ object GraphQueries {
       """SELECT event_type, epoch_ns(ts) // 300000000000 AS bucket, count(*) AS cnt,
         |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type, bucket""".stripMargin,
+    // mirrors the union + carry-forward plan of TemporalJoins.asofJoin
+    // exactly (same ordering, same IGNORE NULLS carry), so tie cases are
+    // pinned rather than left to an engine's ASOF implementation choice
+    "events_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS tns FROM events),
+        |u AS (
+        |  SELECT user_id, tns, 1 AS side, event_id, NULL::BIGINT AS v_id, NULL::DOUBLE AS v_val
+        |  FROM e WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, tns, 0, NULL, event_id, value FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, side, event_id,
+        |  last_value(v_id IGNORE NULLS) OVER w AS view_id,
+        |  last_value(v_val IGNORE NULLS) OVER w AS view_value
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY tns, side, v_id ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, view_id, view_value FROM c WHERE side = 1""".stripMargin,
+    "events_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns FROM events),
+        |w AS (SELECT event_id AS w_id, user_id, tns AS ws, tns + 14400000000000 AS we
+        |  FROM e WHERE event_type = 'signup')
+        |SELECT p.event_id, w_id FROM e p JOIN w ON p.user_id = w.user_id AND p.tns BETWEEN ws AND we
+        |WHERE p.event_type = 'purchase'""".stripMargin,
   )
 }

@@ -199,6 +199,16 @@ object PipelineQueries {
     "curate_vocab" -> ((s, d) =>
       pipeline.Curation.vocabulary(docs(s, d), "doc_id", "text")
         .orderBy(desc("doc_freq"), asc("word")).limit(20)),
+    // decontamination: benchmark = every 10th source doc; any corpus doc
+    // sharing a word 5-gram with it (the original itself, its planted
+    // copies, or a natural collision) is dropped — broadcast gram probe
+    "curate_decontaminate" -> ((s, d) =>
+      pipeline.Curation.decontaminate(dedupCorpus(s, d),
+        docs(s, d).where(col("doc_id") % 10 === 0), "doc_id", "text", n = 5)
+        .select("doc_id")),
+    // within-document repetition signals (Gopher-style quality rules)
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionTable(docs(s, d), "doc_id", "text")),
   )
 
   val oracles: Map[String, String] = {
@@ -434,6 +444,31 @@ object PipelineQueries {
            |SELECT word, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
            |FROM words WHERE word <> ''
            |GROUP BY word ORDER BY doc_freq DESC, word ASC LIMIT 20""".stripMargin,
+      "curate_decontaminate" ->
+        s"""$corpusCte,
+           |ct AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM corpus),
+           |cg AS (SELECT DISTINCT doc_id, g FROM
+           |  (SELECT doc_id, unnest(${shinglesExpr(5)}) AS g FROM ct WHERE len(w) >= 5)),
+           |bt AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+           |bg AS (SELECT DISTINCT g FROM
+           |  (SELECT unnest(${shinglesExpr(5)}) AS g FROM bt WHERE len(w) >= 5)),
+           |bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g))
+           |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+      "text_repetition" ->
+        s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+           |toks AS (SELECT doc_id, list_filter(string_split(norm, ' '), x -> x <> '') AS w FROM n),
+           |wst AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS dw FROM toks),
+           |c2 AS (SELECT doc_id, g, count(*) AS c FROM
+           |  (SELECT doc_id, unnest(${shinglesExpr(2)}) AS g FROM toks) GROUP BY 1, 2),
+           |s2 AS (SELECT doc_id, sum(c) AS n2, max(c) AS m2 FROM c2 GROUP BY 1),
+           |c3 AS (SELECT doc_id, g, count(*) AS c FROM
+           |  (SELECT doc_id, unnest(${shinglesExpr(3)}) AS g FROM toks) GROUP BY 1, 2),
+           |s3 AS (SELECT doc_id, sum(c) AS n3, count(*) AS d3 FROM c3 GROUP BY 1)
+           |SELECT t.doc_id,
+           |  round(coalesce(CAST(nw - dw AS DOUBLE) / nullif(nw, 0), 0.0), 4) AS dup_word_frac,
+           |  round(coalesce(CAST(m2 AS DOUBLE) / n2, 0.0), 4) AS top_2gram_frac,
+           |  round(coalesce(CAST(n3 - d3 AS DOUBLE) / n3, 0.0), 4) AS dup_3gram_frac
+           |FROM toks t LEFT JOIN wst USING (doc_id) LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)""".stripMargin,
     )
   }
 }

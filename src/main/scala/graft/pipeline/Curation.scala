@@ -72,4 +72,35 @@ object Curation {
       .where(col("word") =!= "")
       .groupBy("word")
       .agg(countDistinct(col(idCol)).as("doc_freq"), count(lit(1)).as("term_freq"))
+
+  /** Benchmark decontamination: corpus documents that share NO word n-gram
+    * with the benchmark/eval set (the standard guard against train-test
+    * leakage in LLM training pipelines — documents containing any
+    * benchmark n-gram are dropped entirely).
+    *
+    * Scale design: benchmark suites are tiny relative to a training corpus,
+    * so the distinct benchmark gram set is `broadcast` to every executor
+    * and corpus grams probe it map-side (left-semi) — the corpus text is
+    * shuffled only once, by document id, to assemble its shingles; no
+    * shuffle is keyed on the gram itself, so boilerplate grams cannot skew
+    * a partition. Documents with fewer than n words carry no n-gram and
+    * always survive. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8): DataFrame =
+    corpus.join(contaminationHits(corpus, benchmark, idCol, textCol, n)
+      .select(idCol), Seq(idCol), "left_anti")
+
+  /** Contamination report behind [[decontaminate]]: per contaminated corpus
+    * document, the number of DISTINCT n-grams it shares with the benchmark
+    * set (docs with zero hits are absent). */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val benchGrams = TextAnalysis.shingleRows(benchmark, idCol, textCol, n)
+      .select("shingle").distinct()
+    TextAnalysis.shingleRows(corpus, idCol, textCol, n)
+      .dropDuplicates(idCol, "shingle")
+      .join(broadcast(benchGrams), Seq("shingle"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -175,6 +175,44 @@ object TextAnalysis {
       .otherwise(array_min(transform(sh, s => md5(s))))
   }
 
+  /** Within-document repetition signals (the Gopher/RefinedWeb-style
+    * quality rules, adapted to word space since the corpus is single-line):
+    *
+    *  - `dup_word_frac`: fraction of word occurrences that repeat an
+    *    earlier word, `(n - distinct) / n`;
+    *  - `top_2gram_frac`: fraction of 2-gram occurrences claimed by the
+    *    most frequent 2-gram;
+    *  - `dup_3gram_frac`: fraction of 3-gram occurrences that repeat an
+    *    earlier 3-gram.
+    *
+    * Each signal is a long-form explode + per-document aggregation
+    * (map-side combined, shuffled by id); documents too short for a gram
+    * (or empty) score 0.0 on that signal. Returns
+    * (id, dup_word_frac, top_2gram_frac, dup_3gram_frac). */
+  def repetitionTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wstats = tokenRows(df, idCol, textCol)
+      .where(col("word") =!= "")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__nw"), countDistinct(col("word")).as("__dw"))
+    val g2 = shingleRows(df, idCol, textCol, 2)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("__c"))
+      .groupBy(idCol).agg(sum("__c").as("__n2"), max("__c").as("__m2"))
+    val g3 = shingleRows(df, idCol, textCol, 3)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("__c"))
+      .groupBy(idCol).agg(sum("__c").as("__n3"), count(lit(1)).as("__d3"))
+    df.select(col(idCol))
+      .join(wstats, Seq(idCol), "left")
+      .join(g2, Seq(idCol), "left")
+      .join(g3, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce((col("__nw") - col("__dw")).cast("double") / col("__nw"), lit(0.0)), 4)
+          .as("dup_word_frac"),
+        round(coalesce(col("__m2").cast("double") / col("__n2"), lit(0.0)), 4)
+          .as("top_2gram_frac"),
+        round(coalesce((col("__n3") - col("__d3")).cast("double") / col("__n3"), lit(0.0)), 4)
+          .as("dup_3gram_frac"))
+  }
+
   /** Document fingerprints at scale: min md5 over word 4-gram shingles via
     * the long-form plan (map-side partial min, one shuffle); documents with
     * fewer than 4 words fall back to md5 of the normalized text. Returns

@@ -63,4 +63,21 @@ class CurationSpec extends SparkSuite {
     assert(v("epsilon") == (2L, 2L))
     assert(v("iota") == (1L, 1L))
   }
+
+  test("decontaminate drops docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "one two three four five and more text after"), // contains the benchmark 5-gram
+      (2L, "prefix words one two three four five"),        // contains it at the end
+      (3L, "completely different words with no overlap at all"),
+      (4L, "one two three"),                               // too short for a 5-gram
+      (5L, "five four three two one")                      // same words, different order
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "one two three four five")).toDF("doc_id", "text")
+    val kept = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
+    val hits = Curation.contaminationHits(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 2L -> 1L))
+  }
 }

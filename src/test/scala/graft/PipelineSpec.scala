@@ -149,6 +149,23 @@ class PipelineSpec extends SparkSuite {
     assert(r.getInt(1) == 6)  // Hello , world ! 42 times
   }
 
+  test("repetition signals: hand-computed fractions, short docs score zero") {
+    val fixture = Seq(
+      (1L, "a a b"),       // words 3/2 distinct; 2-grams {a a, a b}; 3-gram {a a b}
+      (2L, "w w w w"),     // all same word; "w w" x3; "w w w" x2
+      (3L, "x"),           // no grams at all
+      (4L, ""),            // empty
+      (5L, "p q r s"))     // no repeats; top 2-gram still claims 1/3 of occurrences
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionTable(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((0.3333, 0.5, 0.0)))
+    assert(out(2L) == ((0.75, 1.0, 0.5)))
+    assert(out(3L) == ((0.0, 0.0, 0.0)))
+    assert(out(4L) == ((0.0, 0.0, 0.0)))
+    assert(out(5L) == ((0.0, 0.3333, 0.0)))
+  }
+
   test("fingerprint: stable under formatting, changes with content") {
     val f = Seq(
       (1L, "the quick brown fox jumps over it"),
