@@ -143,4 +143,36 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"prop-hash set not broadcast:\n$plan")
   }
+
+  test("asofJoin is one window over one union — no join operator at all") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 4L)).toDF("event_id", "user_id", "ts")
+    val r = Seq((1L, 5L, 100L, 1.0)).toDF("user_id", "ts", "view_id", "view_value")
+    val df = graft.pipeline.TemporalJoins.asofJoin(l, r, "user_id", "ts", "view_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"no window carry-forward:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"as-of should not join:\n$plan")
+  }
+
+  test("rangeJoinBinned is an equi-join, never nested-loop, and " +
+    "decontaminate broadcasts the benchmark gram set") {
+    import spark.implicits._
+    val l = (0L until 50L).map(i => (i, i % 3, i)).toDF("l_id", "k", "ts")
+    val r = Seq((1L, 0L, 5L, 30L)).toDF("r_id", "k", "w_start", "w_end")
+    val rj = graft.pipeline.TemporalJoins.rangeJoinBinned(
+      l, r, "ts", "w_start", "w_end", binWidth = 10L, keys = Seq("k"))
+    rj.collect()
+    val rjPlan = rj.queryExecution.executedPlan.toString
+    assert(!rjPlan.toLowerCase.contains("cartesian"), s"cartesian:\n$rjPlan")
+    assert(!rjPlan.contains("BroadcastNestedLoopJoin"), s"nested-loop:\n$rjPlan")
+
+    val corpus = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val bench = Seq((9L, "one two three four five")).toDF("doc_id", "text")
+    val dc = graft.pipeline.Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+    dc.collect()
+    val dcPlan = dc.queryExecution.executedPlan.toString
+    assert(dcPlan.contains("BroadcastHashJoin") || dcPlan.contains("BroadcastExchange"),
+      s"benchmark gram set not broadcast:\n$dcPlan")
+    assert(!dcPlan.toLowerCase.contains("cartesian"), s"cartesian:\n$dcPlan")
+  }
 }
