@@ -340,6 +340,17 @@ object GraphQueries {
         .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2).cast("double").as("revenue"))
     }),
+    // exact distributed quantiles (sort-based percentile, linear
+    // interpolation — the same definition as SQL quantile_cont)
+    "agg_quantiles" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("qs"),
+          count(lit(1)).as("cnt"))
+        .select(col("o_orderstatus"),
+          round(col("qs").getItem(0), 4).as("q25"),
+          round(col("qs").getItem(1), 4).as("q50"),
+          round(col("qs").getItem(2), 4).as("q75"),
+          col("cnt"))),
     "window_top_order" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
       t(s, d, "orders").withColumn("rn", row_number().over(w))
@@ -601,6 +612,12 @@ object GraphQueries {
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name""".stripMargin,
+    "agg_quantiles" ->
+      """SELECT o_orderstatus,
+        |round(qs[1], 4) AS q25, round(qs[2], 4) AS q50, round(qs[3], 4) AS q75, cnt
+        |FROM (SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs, count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus)""".stripMargin,
     "window_top_order" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |SELECT o_custkey, o_orderkey, o_totalprice,

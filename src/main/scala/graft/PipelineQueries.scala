@@ -209,6 +209,21 @@ object PipelineQueries {
     // within-document repetition signals (Gopher-style quality rules)
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionTable(docs(s, d), "doc_id", "text")),
+    // corpus composition report: per detected language, document count,
+    // average quality (decimal-summed — deterministic under any partition
+    // order; a double sum would be order-sensitive) and total word volume
+    "corpus_report" -> ((s, d) => {
+      val q = TextAnalysis.qualityTable(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("quality"), col("n_words"))
+      val l = docs(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))
+      l.join(q, Seq("doc_id"))
+        .groupBy("lang_guess")
+        .agg(count(lit(1)).as("n_docs"),
+          round((sum(col("quality").cast("decimal(18,6)")) / count(lit(1)))
+            .cast("double"), 4).as("avg_quality"),
+          sum(col("n_words")).as("total_words"))
+    }),
   )
 
   val oracles: Map[String, String] = {
@@ -225,6 +240,39 @@ object PipelineQueries {
       s"((len(p) - len(replace(p, ' $w ', ''))) // ${w.length + 2})"
     def langScore(ws: Seq[String]) = ws.map(langOcc).mkString(" + ")
     val m = TextAnalysis.langMarkers
+
+    // shared by text_langid and corpus_report (nested WITH is legal inside
+    // a CTE subquery, so these compose verbatim)
+    val textLangidSql =
+      s"""WITH norm AS (SELECT doc_id, ' '||$normSql||' ' AS p FROM documents),
+         |scores AS (SELECT doc_id,
+         |  ${langScore(m("en"))} AS s_en, ${langScore(m("de"))} AS s_de,
+         |  ${langScore(m("fr"))} AS s_fr, ${langScore(m("es"))} AS s_es
+         |FROM norm)
+         |SELECT doc_id, CASE
+         |  WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+         |  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |  ELSE 'de' END AS lang_guess
+         |FROM scores""".stripMargin
+    val textQualitySql =
+      s"""WITH f AS (SELECT doc_id, text, $normSql AS norm,
+         |  ' '||$normSql||' ' AS p,
+         |  CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END AS nw
+         |FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(text) AS BIGINT) AS n_chars,
+         |  CAST(nw AS BIGINT) AS n_words,
+         |  round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(len(norm) - (nw - 1) AS DOUBLE) / nw END, 4) AS avg_word_len,
+         |  round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[.,;:!?''"]', '', 'g')) AS DOUBLE) / len(text) END, 4) AS punct_ratio,
+         |  round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len(text) END, 4) AS digit_ratio,
+         |  round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(${langScore(Seq("the", "and", "of", "to", "a", "in", "is", "that"))} AS DOUBLE) / nw END, 4) AS stopword_ratio,
+         |  round(greatest(0.0,
+         |    least(CAST(nw AS DOUBLE) / 100.0, 1.0) * 0.4 +
+         |    least(round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(${langScore(Seq("the", "and", "of", "to", "a", "in", "is", "that"))} AS DOUBLE) / nw END, 4) * 4.0, 1.0) * 0.4 +
+         |    (1.0 - least(round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len(text) END, 4) * 5.0, 1.0)) * 0.2), 4) AS quality
+         |FROM f""".stripMargin
 
     Map(
       "dedup_exact" ->
@@ -295,36 +343,16 @@ object PipelineQueries {
            |SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) AS jaccard
            |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
            |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5""".stripMargin,
-      "text_langid" ->
-        s"""WITH norm AS (SELECT doc_id, ' '||$normSql||' ' AS p FROM documents),
-           |scores AS (SELECT doc_id,
-           |  ${langScore(m("en"))} AS s_en, ${langScore(m("de"))} AS s_de,
-           |  ${langScore(m("fr"))} AS s_fr, ${langScore(m("es"))} AS s_es
-           |FROM norm)
-           |SELECT doc_id, CASE
-           |  WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-           |  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-           |  WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-           |  WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-           |  ELSE 'de' END AS lang_guess
-           |FROM scores""".stripMargin,
-      "text_quality" ->
-        s"""WITH f AS (SELECT doc_id, text, $normSql AS norm,
-           |  ' '||$normSql||' ' AS p,
-           |  CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END AS nw
-           |FROM documents)
-           |SELECT doc_id,
-           |  CAST(len(text) AS BIGINT) AS n_chars,
-           |  CAST(nw AS BIGINT) AS n_words,
-           |  round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(len(norm) - (nw - 1) AS DOUBLE) / nw END, 4) AS avg_word_len,
-           |  round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[.,;:!?''"]', '', 'g')) AS DOUBLE) / len(text) END, 4) AS punct_ratio,
-           |  round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len(text) END, 4) AS digit_ratio,
-           |  round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(${langScore(Seq("the", "and", "of", "to", "a", "in", "is", "that"))} AS DOUBLE) / nw END, 4) AS stopword_ratio,
-           |  round(greatest(0.0,
-           |    least(CAST(nw AS DOUBLE) / 100.0, 1.0) * 0.4 +
-           |    least(round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(${langScore(Seq("the", "and", "of", "to", "a", "in", "is", "that"))} AS DOUBLE) / nw END, 4) * 4.0, 1.0) * 0.4 +
-           |    (1.0 - least(round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len(text) END, 4) * 5.0, 1.0)) * 0.2), 4) AS quality
-           |FROM f""".stripMargin,
+      "text_langid" -> textLangidSql,
+      "text_quality" -> textQualitySql,
+      "corpus_report" ->
+        s"""WITH tq AS ($textQualitySql),
+           |tl AS ($textLangidSql)
+           |SELECT lang_guess, count(*) AS n_docs,
+           |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) / count(*) AS DOUBLE), 4) AS avg_quality,
+           |  sum(n_words) AS total_words
+           |FROM tl JOIN tq USING (doc_id)
+           |GROUP BY lang_guess""".stripMargin,
       "multimodal_text_decode" ->
         s"""SELECT doc_id AS asset_id,
            |  CAST(len(text) AS BIGINT) AS n_chars,
