@@ -14,15 +14,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product via zip_with + aggregate (codegen'd higher-order
-    * functions, computed in double). */
+  /** Elementwise dot product — native codegen'd expression (one fused loop;
+    * see [[graft.functions.DotProduct]]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotNative(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native codegen'd expression fusing all three dot
+    * products into one loop ([[graft.functions.CosineSimilarity]]);
+    * bit-identical to the [[cosineHof]] formulation (asserted in
+    * VectorExpressionsSpec), so every oracle hash is unchanged. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineNative(a, b)
+
+  /** The zip_with/aggregate formulation (interpreted CodegenFallback in
+    * Spark) — kept as the cross-check reference for the native expression. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** Brute-force cosine top-k: for every query vector, the k nearest corpus
     * vectors (excluding itself). Query side is broadcast; ranking is a
