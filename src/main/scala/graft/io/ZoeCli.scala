@@ -34,6 +34,8 @@ object ZoeCli {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // graft_dot / graft_cosine available in the script/repl SQL verbs
+    graft.functions.GraftExtensions.register(spark)
     try run(spark, args.toList)
     finally spark.stop()
   }

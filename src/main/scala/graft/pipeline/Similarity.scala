@@ -55,22 +55,36 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * ±1 from the parity of the first hex digit of md5("<plane>|<dim>") —
     * engine-portable (any SQL dialect with md5 reproduces the buckets), so
-    * the LSH path is oracle-checkable, unlike a JVM-specific xxhash64. */
-  private def planeComponent(plane: Int, dim: Column): Column = {
-    val digit = substring(md5(concat(lit(s"$plane|"), dim.cast("string"))), 1, 1)
-    when((instr(lit("0123456789abcdef"), digit) - 1) % 2 === 1, lit(1.0))
-      .otherwise(lit(-1.0))
+    * the LSH path is oracle-checkable, unlike a JVM-specific xxhash64.
+    * The planes are data-independent constants, so they are computed ONCE
+    * here on the driver (the column-level md5 formulation re-hashed every
+    * (plane, dim) pair per ROW — planes×dim interpreted md5 calls per
+    * record). */
+  private def planeSign(plane: Int, dim: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane|$dim".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((digest(0) >> 4) & 0xf) % 2 == 1) 1.0 else -1.0
   }
 
-  /** Random-hyperplane LSH bucket id from `planes` sign bits. */
+  /** Precomputed plane vectors cover any embedding up to this many dims;
+    * longer vectors fail loudly (raise_error) rather than bucketing wrong. */
+  val maxPlaneDim = 4096
+
+  /** Random-hyperplane LSH bucket id from `planes` sign bits. Each
+    * projection is the native codegen'd dot product against a literal
+    * ±1 plane sliced to the vector's length — same left-fold float→double
+    * arithmetic as the md5-per-row formulation it replaces (sliced literal
+    * elements are exactly ±1.0), so bucket ids are unchanged. */
   def cosineBuckets(vec: Column, planes: Int): Column = {
-    val idx = sequence(lit(0), size(vec) - 1)
     val bits = (0 until planes).map { p =>
-      val proj = aggregate(zip_with(vec, idx, (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val plane = typedLit((0 until maxPlaneDim).map(planeSign(p, _)).toArray)
+      val proj = graft.functions.VectorFunctions.dotNative(
+        vec, slice(plane, lit(1), size(vec)))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    when(size(vec) > maxPlaneDim,
+      raise_error(lit(s"cosineBuckets: vector exceeds $maxPlaneDim dims")))
+      .otherwise(bits.reduce(_ + _))
   }
 
   /** LSH-bucketed near-duplicate pairs over an UNBOUNDED corpus: vectors
