@@ -16,7 +16,10 @@ object Bench {
     "agg_pricing_summary", "agg_topk_parts", "join_revenue_by_nation",
     "window_top_order", "events_window_agg", "events_sessionize", "graphx_cc",
     "dedup_exact", "dedup_minhash_pairs", "dedup_ngram_jaccard",
-    "text_quality", "text_fingerprint", "ann_topk")
+    "text_quality", "text_fingerprint", "ann_topk",
+    // round-3 additions: temporal joins, corpus rollup, whole-corpus LSH
+    "events_asof_join", "events_range_join", "corpus_report",
+    "embedding_lsh_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

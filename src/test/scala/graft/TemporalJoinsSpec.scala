@@ -32,6 +32,25 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(out.size == 4) // left-outer: every click survives exactly once
   }
 
+  test("asofJoin equals a per-row reference on random colliding data") {
+    val rnd = new scala.util.Random(42)
+    // 10 keys x 50 timestamps over 500 rows: plenty of exact-ts collisions
+    val ls = (0 until 300).map(i => (i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(50).toLong))
+    val rs = (0 until 200).map(i => (1000L + i, rnd.nextInt(10).toLong, rnd.nextInt(50).toLong, rnd.nextDouble()))
+    val out = TemporalJoins.asofJoin(
+      ls.toDF("event_id", "user_id", "ts"),
+      rs.map { case (id, u, t, v) => (u, t, id, v) }.toDF("user_id", "ts", "view_id", "view_value"),
+      "user_id", "ts", "view_id")
+      .select("event_id", "asof_view_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val expected = ls.map { case (id, u, t) =>
+      val cands = rs.filter(r => r._2 == u && r._3 <= t)
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(c => (c._3, c._1))._1)) // latest ts, then max id
+    }.toMap
+    assert(out == expected)
+  }
+
   test("asofJoin rejects overlapping payload columns") {
     val badRight = views.withColumnRenamed("view_id", "event_id")
     intercept[IllegalArgumentException] {
