@@ -209,6 +209,13 @@ object PipelineQueries {
     // within-document repetition signals (Gopher-style quality rules)
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionTable(docs(s, d), "doc_id", "text")),
+    // deterministic distributed k-means over embeddings (fitted coarse
+    // quantizer for IVF): static min-id seeds, argmin assignment, decimal
+    // elementwise means — every step partition-order independent, so the
+    // oracle replays the run exactly (unrolled iterations)
+    "embedding_kmeans" -> ((s, d) =>
+      pipeline.Clustering.kmeans(embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)),
     // corpus composition report: per detected language, document count,
     // average quality (decimal-summed — deterministic under any partition
     // order; a double sum would be order-sensitive) and total word volume
@@ -240,6 +247,36 @@ object PipelineQueries {
       s"((len(p) - len(replace(p, ' $w ', ''))) // ${w.length + 2})"
     def langScore(ws: Seq[String]) = ws.map(langOcc).mkString(" + ")
     val m = TextAnalysis.langMarkers
+
+    // mirrors Clustering.kmeans step for step with unrolled iterations:
+    // same distance expression shape (vv - vc*2 + cc, left-fold list_sum ≙
+    // the native dot's fold order), same decimal mean, same tie-breaks
+    def kmeansOracle(k: Int, iters: Int): String = {
+      def dist(c: String) =
+        s"(list_sum(list_transform(range(0, len(v.ve)), i -> v.ve[i+1] * v.ve[i+1]))" +
+          s" - list_sum(list_transform(range(0, len(v.ve)), i -> v.ve[i+1] * $c.cv[i+1])) * 2" +
+          s" + list_sum(list_transform(range(0, len($c.cv)), i -> $c.cv[i+1] * $c.cv[i+1])))"
+      val steps = (0 until iters).map { t =>
+        s"""a$t AS (SELECT vec_id, cid FROM (
+           |  SELECT v.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist("c")} ASC, c.cid ASC) AS rn
+           |  FROM v, cents$t c) WHERE rn = 1),
+           |s$t AS (SELECT a.cid, vu.pos,
+           |    CAST(sum(CAST(vu.val AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS m
+           |  FROM a$t a JOIN vu ON vu.vec_id = a.vec_id GROUP BY a.cid, vu.pos),
+           |f$t AS (SELECT cid, array_agg(m ORDER BY pos) AS fresh FROM s$t GROUP BY cid),
+           |cents${t + 1} AS (SELECT c.cid, coalesce(f.fresh, c.cv) AS cv
+           |  FROM cents$t c LEFT JOIN f$t f USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |vu AS (SELECT vec_id, unnest(ve) AS val, unnest(range(0, len(ve))) AS pos FROM v),
+         |cents0 AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < $k),
+         |$steps
+         |SELECT vec_id, cid FROM (
+         |  SELECT v.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist("c")} ASC, c.cid ASC) AS rn
+         |  FROM v, cents$iters c) WHERE rn = 1""".stripMargin
+    }
 
     // shared by text_langid and corpus_report (nested WITH is legal inside
     // a CTE subquery, so these compose verbatim)
@@ -343,6 +380,7 @@ object PipelineQueries {
            |SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) AS jaccard
            |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
            |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5""".stripMargin,
+      "embedding_kmeans" -> kmeansOracle(k = 8, iters = 2),
       "text_langid" -> textLangidSql,
       "text_quality" -> textQualitySql,
       "corpus_report" ->

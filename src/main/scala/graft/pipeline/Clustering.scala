@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.dotNative
+
+/** Deterministic distributed k-means (Lloyd's) over an embedding column —
+  * the fitted coarse quantizer for [[Similarity.ivfTopK]] (whose static
+  * quantizer is exactly the iteration-0 state here).
+  *
+  * Every step is engine-portable and partition-order independent, so a SQL
+  * oracle can reproduce the run bit-for-bit:
+  *  - init: the k vectors with the smallest ids (no RNG state to ship);
+  *  - assignment: argmin of ‖v−c‖² = v·v − 2 v·c + c·c (native codegen'd
+  *    dot products, same left-fold order as SQL list_sum/list_transform),
+  *    ties broken by smallest centroid id;
+  *  - update: element-wise mean with the sums carried in DECIMAL (exact,
+  *    order-free — a double sum would vary with partitioning), divided as
+  *    double; clusters that lose every point keep their previous centroid.
+  *
+  * Scale shape per iteration: one broadcast of k centroids against a
+  * corpus scan (assignment) + one map-side-combinable groupBy(cid, pos)
+  * (update). Nothing is quadratic in the corpus; k and iters are the only
+  * multipliers. Centroids are localCheckpointed per iteration so the plan
+  * stays flat across iterations.
+  */
+object Clustering {
+
+  /** Final centroids after `iters` Lloyd iterations: (cid, centroid). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val corpus = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    var cents = corpus.where(col("__id") < k)
+      .select(col("__id").as("cid"), col("__v").as("centroid"))
+      .localCheckpoint(true)
+    (0 until iters).foreach { _ =>
+      val assigned = assign(corpus, cents)
+      val sums = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "val")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("val").cast("decimal(30,10)")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          (col("s").cast("double") / col("n")).as("m"))
+      val fresh = sums.groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("fresh"))
+      cents = cents.join(fresh, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("fresh"), col("centroid")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** Final cluster assignment after `iters` iterations: (idCol, cid). */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): DataFrame = {
+    val corpus = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    assign(corpus, kmeansCentroids(df, idCol, vecCol, k, iters))
+      .select(col("__id").as(idCol), col("cid"))
+  }
+
+  /** Argmin-distance assignment: broadcast the k centroids, score every
+    * corpus row, keep the (distance asc, cid asc) winner. */
+  private def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val d = dotNative(col("__v"), col("__v")) -
+      dotNative(col("__v"), col("centroid")) * 2.0 +
+      dotNative(col("centroid"), col("centroid"))
+    val w = Window.partitionBy("__id").orderBy(col("__d").asc, col("cid").asc)
+    corpus.crossJoin(broadcast(cents))
+      .select(col("__id"), col("__v"), col("cid"), d.as("__d"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select("__id", "__v", "cid")
+  }
+}
