@@ -216,6 +216,16 @@ object PipelineQueries {
     "embedding_kmeans" -> ((s, d) =>
       pipeline.Clustering.kmeans(embeddings(s, d), "vec_id", "embedding",
         k = 8, iters = 2)),
+    // IVF ANN with the FITTED k-means quantizer (vs ann_ivf_topk's static
+    // min-id quantizer): centroids from 2 Lloyd iterations at nlist=16
+    "ann_ivf_kmeans_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cents = pipeline.Clustering.kmeansCentroids(e, "vec_id", "embedding",
+        k = 16, iters = 2)
+      Similarity.ivfTopKWith(e, e.where(col("vec_id") < 50), cents,
+        "vec_id", "embedding", k = 3, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     // corpus composition report: per detected language, document count,
     // average quality (decimal-summed — deterministic under any partition
     // order; a double sum would be order-sensitive) and total word volume
@@ -250,8 +260,10 @@ object PipelineQueries {
 
     // mirrors Clustering.kmeans step for step with unrolled iterations:
     // same distance expression shape (vv - vc*2 + cc, left-fold list_sum ≙
-    // the native dot's fold order), same decimal mean, same tie-breaks
-    def kmeansOracle(k: Int, iters: Int): String = {
+    // the native dot's fold order), same decimal mean, same tie-breaks.
+    // Returns the CTE chain (ending in cents$iters + final_assign) so the
+    // IVF-with-fitted-quantizer oracle can compose on top of it.
+    def kmeansCtes(k: Int, iters: Int): String = {
       def dist(c: String) =
         s"(list_sum(list_transform(range(0, len(v.ve)), i -> v.ve[i+1] * v.ve[i+1]))" +
           s" - list_sum(list_transform(range(0, len(v.ve)), i -> v.ve[i+1] * $c.cv[i+1])) * 2" +
@@ -268,14 +280,14 @@ object PipelineQueries {
            |cents${t + 1} AS (SELECT c.cid, coalesce(f.fresh, c.cv) AS cv
            |  FROM cents$t c LEFT JOIN f$t f USING (cid))""".stripMargin
       }.mkString(",\n")
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
          |vu AS (SELECT vec_id, unnest(ve) AS val, unnest(range(0, len(ve))) AS pos FROM v),
          |cents0 AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < $k),
-         |$steps
-         |SELECT vec_id, cid FROM (
+         |$steps,
+         |final_assign AS (SELECT vec_id, cid FROM (
          |  SELECT v.vec_id, c.cid,
          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist("c")} ASC, c.cid ASC) AS rn
-         |  FROM v, cents$iters c) WHERE rn = 1""".stripMargin
+         |  FROM v, cents$iters c) WHERE rn = 1)""".stripMargin
     }
 
     // shared by text_langid and corpus_report (nested WITH is legal inside
@@ -380,7 +392,25 @@ object PipelineQueries {
            |SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) AS jaccard
            |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
            |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5""".stripMargin,
-      "embedding_kmeans" -> kmeansOracle(k = 8, iters = 2),
+      "embedding_kmeans" ->
+        s"WITH ${kmeansCtes(k = 8, iters = 2)}\nSELECT vec_id, cid FROM final_assign",
+      "ann_ivf_kmeans_topk" ->
+        s"""WITH ${kmeansCtes(k = 16, iters = 2)},
+           |cent AS (SELECT cid, cv FROM cents2),
+           |asg AS (SELECT vec_id, cid FROM (
+           |  SELECT v.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+           |  FROM v, cent c) t WHERE rn = 1),
+           |probes AS (SELECT query_id, cid FROM (
+           |  SELECT v.vec_id AS query_id, c.cid,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+           |  FROM v, cent c WHERE v.vec_id < 50) t WHERE rn <= 4),
+           |sc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           |  round(list_cosine_similarity(qv.ve, av.ve), 6) AS cos
+           |  FROM probes p JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.query_id
+           |  JOIN v qv ON qv.vec_id = p.query_id JOIN v av ON av.vec_id = a.vec_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM sc)
+           |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3""".stripMargin,
       "text_langid" -> textLangidSql,
       "text_quality" -> textQualitySql,
       "corpus_report" ->

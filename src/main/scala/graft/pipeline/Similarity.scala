@@ -118,9 +118,21 @@ object Similarity {
     * Returns (query_id, neighbor_id, cos, rank). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cent = broadcast(corpus.where(col(idCol) < nlist)
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid")))
+              nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWith(corpus, queries,
+      corpus.where(col(idCol) < nlist)
+        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid")),
+      idCol, vecCol, k, nprobe)
+
+  /** IVF top-k against an explicit quantizer (cid, centroid) — e.g. the
+    * [[Clustering.kmeansCentroids]] fit. Same plan as [[ivfTopK]]: one
+    * broadcast assignment scan builds the inverted lists, queries probe
+    * their nprobe nearest lists, exact cosine ranks list members only. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  nprobe: Int = 4): DataFrame = {
+    val cent = broadcast(centroids.select(col("cid").cast("long").as("cid"),
+      col("centroid")))
     val assignW = Window.partitionBy("neighbor_id").orderBy(desc("__cos"), asc("cid"))
     val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(cent)
