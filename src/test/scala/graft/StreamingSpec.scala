@@ -58,6 +58,37 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("stream→graph ingestion: multi-batch, idempotent under full replay") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 10L, "click"), (2L, 10L, "view"), (3L, 20L, "click"),
+      (4L, 20L, "click"), (5L, 30L, "purchase"), (6L, 10L, "click"))
+      .toDF("event_id", "user_id", "event_type")
+      .select(col("event_id"), col("event_id").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+    val src = java.nio.file.Files.createTempDirectory("sgi-src").toString
+    val db = java.nio.file.Files.createTempDirectory("sgi-db").toString
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    EventStreams.streamIntoGraph(spark, src, db, maxFilesPerTrigger = 1) // 3 batches
+    val g = graft.model.GraphStore.load(spark, db)
+    // 3 users + 3 types; distinct (user, type) pairs: (10,click),(10,view),
+    // (20,click),(30,purchase)
+    assert(g.vertices.count() == 6)
+    assert(g.edges.count() == 4)
+    assert(g.props.where(col("schema_type") === "User").count() == 1)
+    // replay the WHOLE source again (no checkpoint): content addressing
+    // + anti-joins make every effect a no-op
+    EventStreams.streamIntoGraph(spark, src, db, maxFilesPerTrigger = 1)
+    val g2 = graft.model.GraphStore.load(spark, db)
+    assert(g2.vertices.count() == 6 && g2.edges.count() == 4)
+    // the ingested graph is traversable like any other store
+    val zc = new graft.exec.ZoeCompiler(g2)
+    val q = graft.ql.Zoe.start(graft.model.PropValue.typed("User"))
+      .referencingVertices.outgoing.outgoing // users -> Did edges -> types
+    assert(zc.run(q).vertices.count() == 3) // the three event types
+  }
+
   test("sessionization with custom state emits gap-separated sessions") {
     import spark.implicits._
     val events = Seq(
