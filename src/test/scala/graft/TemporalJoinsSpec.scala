@@ -58,11 +58,14 @@ class TemporalJoinsSpec extends SparkSuite {
     }
   }
 
-  lazy val lefts = (0L until 60L).map(i => (i, i % 3, i * 7L % 100))
+  // negative timestamps included: integer DIV truncates toward zero rather
+  // than flooring, but binning only needs monotonicity (x <= y implies
+  // x DIV b <= y DIV b), which truncation preserves — the sweep proves it
+  lazy val lefts = (0L until 60L).map(i => (i, i % 3, i * 7L % 100 - 50L))
     .toDF("l_id", "k", "ts")
   lazy val rights = Seq(
-    (10L, 0L, 5L, 30L), (11L, 1L, 0L, 99L), (12L, 2L, 40L, 41L),
-    (13L, 0L, 90L, 100L), (14L, 1L, 50L, 50L) // point interval
+    (10L, 0L, -45L, -20L), (11L, 1L, -50L, 49L), (12L, 2L, -10L, -9L),
+    (13L, 0L, 40L, 49L), (14L, 1L, 0L, 0L) // point interval
   ).toDF("r_id", "k", "w_start", "w_end")
 
   test("rangeJoinBinned equals the naive BETWEEN join, keyed and unkeyed") {
