@@ -671,22 +671,24 @@ object GraphQueries {
       """SELECT
         |  (SELECT count(DISTINCT user_id) + count(DISTINCT event_type) FROM events) AS n_vertices,
         |  (SELECT count(*) FROM (SELECT DISTINCT user_id, event_type FROM events) t) AS n_edges""".stripMargin,
-    // mirrors the union + carry-forward plan of TemporalJoins.asofJoin
-    // exactly (same ordering, same IGNORE NULLS carry), so tie cases are
-    // pinned rather than left to an engine's ASOF implementation choice
+    // mirrors the union + carry-forward + rejoin plan of
+    // TemporalJoins.asofJoin exactly (same explicit null ordering, the
+    // winning row's id carried and its payload joined back in one piece),
+    // so tie cases are pinned rather than left to an engine's ASOF choice
     "events_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS tns FROM events),
         |u AS (
-        |  SELECT user_id, tns, 1 AS side, event_id, NULL::BIGINT AS v_id, NULL::DOUBLE AS v_val
+        |  SELECT user_id, tns, 1 AS side, event_id, NULL::BIGINT AS tie
         |  FROM e WHERE event_type = 'click'
         |  UNION ALL
-        |  SELECT user_id, tns, 0, NULL, event_id, value FROM e WHERE event_type = 'view'),
+        |  SELECT user_id, tns, 0, NULL, event_id FROM e WHERE event_type = 'view'),
         |c AS (SELECT user_id, side, event_id,
-        |  last_value(v_id IGNORE NULLS) OVER w AS view_id,
-        |  last_value(v_val IGNORE NULLS) OVER w AS view_value
-        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY tns, side, v_id ASC NULLS FIRST
+        |  last_value(tie IGNORE NULLS) OVER w AS m
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY tns ASC NULLS FIRST, side, tie ASC NULLS FIRST
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_id, user_id, view_id, view_value FROM c WHERE side = 1""".stripMargin,
+        |SELECT c.event_id, c.user_id, v.event_id AS view_id, v.value AS view_value
+        |FROM c LEFT JOIN e v ON v.event_type = 'view' AND v.user_id = c.user_id AND v.event_id = c.m
+        |WHERE c.side = 1""".stripMargin,
     "events_range_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS tns FROM events),
         |w AS (SELECT event_id AS w_id, user_id, tns AS ws, tns + 14400000000000 AS we

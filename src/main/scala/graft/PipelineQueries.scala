@@ -236,9 +236,12 @@ object PipelineQueries {
         TextAnalysis.langId(col("text")).as("lang_guess"))
       l.join(q, Seq("doc_id"))
         .groupBy("lang_guess")
+        // decimal SUM (order-free) cast to double BEFORE dividing — decimal
+        // division rounds at the coerced scale, which SQL engines that
+        // promote DECIMAL/BIGINT to DOUBLE would not reproduce
         .agg(count(lit(1)).as("n_docs"),
-          round((sum(col("quality").cast("decimal(18,6)")) / count(lit(1)))
-            .cast("double"), 4).as("avg_quality"),
+          round(sum(col("quality").cast("decimal(18,6)")).cast("double") / count(lit(1)),
+            4).as("avg_quality"),
           sum(col("n_words")).as("total_words"))
     }),
   )
@@ -282,7 +285,7 @@ object PipelineQueries {
       }.mkString(",\n")
       s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
          |vu AS (SELECT vec_id, unnest(ve) AS val, unnest(range(0, len(ve))) AS pos FROM v),
-         |cents0 AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < $k),
+         |cents0 AS (SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT $k),
          |$steps,
          |final_assign AS (SELECT vec_id, cid FROM (
          |  SELECT v.vec_id, c.cid,
@@ -417,7 +420,7 @@ object PipelineQueries {
         s"""WITH tq AS ($textQualitySql),
            |tl AS ($textLangidSql)
            |SELECT lang_guess, count(*) AS n_docs,
-           |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) / count(*) AS DOUBLE), 4) AS avg_quality,
+           |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_quality,
            |  sum(n_words) AS total_words
            |FROM tl JOIN tq USING (doc_id)
            |GROUP BY lang_guess""".stripMargin,

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.dotNative
 
@@ -27,12 +26,15 @@ import graft.functions.VectorFunctions.dotNative
   */
 object Clustering {
 
-  /** Final centroids after `iters` Lloyd iterations: (cid, centroid). */
+  /** Final centroids after `iters` Lloyd iterations: (cid, centroid).
+    * Seeds are the k smallest ids actually PRESENT (sparse or offset id
+    * spaces yield k seeds all the same; a corpus smaller than k yields one
+    * seed per vector). */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val corpus = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
-    var cents = corpus.where(col("__id") < k)
+    var cents = corpus.orderBy("__id").limit(k)
       .select(col("__id").as("cid"), col("__v").as("centroid"))
       .localCheckpoint(true)
     (0 until iters).foreach { _ =>
@@ -62,15 +64,17 @@ object Clustering {
   }
 
   /** Argmin-distance assignment: broadcast the k centroids, score every
-    * corpus row, keep the (distance asc, cid asc) winner. */
+    * corpus row, keep the (distance asc, cid asc) winner via min(struct) —
+    * map-side combinable, so the shuffle moves one partial winner per
+    * (partition, id) instead of the full n×k scored expansion a window
+    * would sort. */
   private def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val d = dotNative(col("__v"), col("__v")) -
       dotNative(col("__v"), col("centroid")) * 2.0 +
       dotNative(col("centroid"), col("centroid"))
-    val w = Window.partitionBy("__id").orderBy(col("__d").asc, col("cid").asc)
     corpus.crossJoin(broadcast(cents))
-      .select(col("__id"), col("__v"), col("cid"), d.as("__d"))
-      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-      .select("__id", "__v", "cid")
+      .select(col("__id"), struct(d.as("d"), col("cid"), col("__v")).as("__s"))
+      .groupBy("__id").agg(min(col("__s")).as("__s"))
+      .select(col("__id"), col("__s.__v").as("__v"), col("__s.cid").as("cid"))
   }
 }

@@ -33,10 +33,18 @@ object TemporalJoins {
     * rows with equal timestamps the largest `rightTieCol` wins
     * (deterministic under any partitioning).
     *
-    * The right frame must carry `keyCol`, `tsCol` and its payload columns;
-    * every non-key payload column is returned prefixed `asof_`. Column sets
-    * of left and right (minus key/ts) must be disjoint.
-    */
+    * The right frame must carry `keyCol`, `tsCol` and its payload columns,
+    * and `(keyCol, rightTieCol)` must identify right rows uniquely (it is
+    * the match key); every non-key payload column is returned prefixed
+    * `asof_`. Column sets of left and right (minus key/ts) must be
+    * disjoint.
+    *
+    * The window carries ONLY the winning row's tie id; the payload columns
+    * are equi-joined back in one piece afterwards — a per-column
+    * `last(_, ignoreNulls)` carry would silently stitch together values
+    * from DIFFERENT right rows whenever the winning row holds a genuine
+    * null payload (ignoreNulls cannot tell a real null from the union's
+    * placeholder nulls). */
   def asofJoin(left: DataFrame, right: DataFrame,
                keyCol: String, tsCol: String, rightTieCol: String): DataFrame = {
     val leftPayload = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
@@ -45,27 +53,35 @@ object TemporalJoins {
       s"rightTieCol $rightTieCol must be a non-key column of the right frame")
     require(leftPayload.intersect(rightPayload).isEmpty,
       s"overlapping payload columns: ${leftPayload.intersect(rightPayload).mkString(",")}")
+    val tieType = right.schema(rightTieCol).dataType
     val l2 = left.select(
       col(keyCol) +: col(tsCol) +: lit(1).as("__side") +:
-        (leftPayload.map(col) ++
-          rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c"))): _*)
+        (leftPayload.map(col) :+ lit(null).cast(tieType).as("__tie")): _*)
     val r2 = right.select(
       col(keyCol) +: col(tsCol) +: lit(0).as("__side") +:
-        (leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          rightPayload.map(c => col(c).as(s"asof_$c"))): _*)
-    // the tie column is null on every left row and non-null on every right
-    // row, and __side already separates the two sides at equal timestamps —
-    // so the tie ordering only ever compares right rows with right rows
-    // (left rows are mutually tie-equal and all read the same carry).
-    // NULLS FIRST is stated explicitly so a SQL mirror is unambiguous.
+        (leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          col(rightTieCol).as("__tie")): _*)
+    // __tie is null on every left row and (assumed) non-null on right rows,
+    // and __side already separates the sides at equal timestamps — the tie
+    // ordering only ever compares right rows with right rows. Null ordering
+    // is stated explicitly on BOTH sort keys so a SQL mirror is unambiguous
+    // (engines disagree on the default).
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol).asc, col("__side").asc,
-        col(s"asof_$rightTieCol").asc_nulls_first)
+      .orderBy(col(tsCol).asc_nulls_first, col("__side").asc,
+        col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l2.unionByName(r2)
-      .select(col(keyCol) +: col(tsCol) +: col("__side") +: (leftPayload.map(col) ++
-        rightPayload.map(c => last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))): _*)
-    carried.where(col("__side") === 1).drop("__side")
+      .select(col(keyCol) +: col(tsCol) +: col("__side") +: (leftPayload.map(col) :+
+        last(col("__tie"), ignoreNulls = true).over(w).as("__match")): _*)
+      .where(col("__side") === 1).drop("__side")
+    val matchSide = right.select(
+      col(keyCol).as("__rk") +: col(rightTieCol).as("__match") +:
+        rightPayload.map(c => col(c).as(s"asof_$c")): _*)
+    carried
+      .join(matchSide,
+        carried(keyCol) === matchSide("__rk") &&
+          carried("__match") === matchSide("__match"), "left")
+      .drop("__rk", "__match")
   }
 
   /** Range join via time binning: pairs (l, r) with equal `keys` and
@@ -95,7 +111,11 @@ object TemporalJoins {
       raise_error(concat(lit(s"rangeJoinBinned: interval spans >= $maxBinsPerInterval bins "),
         lit(s"at binWidth=$binWidth — raise binWidth or maxBinsPerInterval"))))
       .otherwise(endB)
-    val rb = right.withColumn("__bin", explode(sequence(startB, cappedEnd)))
+    // inverted intervals (end < start) can never satisfy the BETWEEN filter;
+    // drop them up front — otherwise sequence() would count DOWNWARD and
+    // silently replicate the row onto |span| bins of wasted shuffle
+    val rb = right.where(col(rightStart) <= col(rightEnd))
+      .withColumn("__bin", explode(sequence(startB, cappedEnd)))
     lb.join(rb, keys :+ "__bin")
       .where(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
       .drop("__bin")

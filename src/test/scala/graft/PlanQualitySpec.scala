@@ -144,14 +144,17 @@ class PlanQualitySpec extends SparkSuite {
       s"prop-hash set not broadcast:\n$plan")
   }
 
-  test("asofJoin is one window over one union — no join operator at all") {
+  test("asofJoin is a window carry plus ONE equi-join for the payload") {
     import spark.implicits._
     val l = Seq((1L, 1L, 4L)).toDF("event_id", "user_id", "ts")
     val r = Seq((1L, 5L, 100L, 1.0)).toDF("user_id", "ts", "view_id", "view_value")
     val df = graft.pipeline.TemporalJoins.asofJoin(l, r, "user_id", "ts", "view_id")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("Window"), s"no window carry-forward:\n$plan")
-    assert(!plan.toLowerCase.contains("join"), s"as-of should not join:\n$plan")
+    // the payload rejoin must be a hash/merge equi-join — never a range
+    // probe, nested loop, or cartesian
+    assert(!plan.toLowerCase.contains("cartesian"), s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop:\n$plan")
   }
 
   test("rangeJoinBinned is an equi-join, never nested-loop, and " +

@@ -32,6 +32,20 @@ class TemporalJoinsSpec extends SparkSuite {
     assert(out.size == 4) // left-outer: every click survives exactly once
   }
 
+  test("asofJoin keeps the winning row's payload atomic when it holds nulls") {
+    // the latest view carries a NULL value: the result must be
+    // (view_id=102, value=NULL), never view 101's value stitched in
+    val v = Seq(
+      (1L, 5L, 101L, Some(2.0)),
+      (1L, 20L, 102L, None)
+    ).toDF("user_id", "ts", "view_id", "view_value")
+    val out = TemporalJoins.asofJoin(
+      Seq((1L, 1L, 25L)).toDF("event_id", "user_id", "ts"), v,
+      "user_id", "ts", "view_id")
+      .select("asof_view_id", "asof_view_value").head()
+    assert(out.getLong(0) == 102L && out.isNullAt(1))
+  }
+
   test("asofJoin equals a per-row reference on random colliding data") {
     val rnd = new scala.util.Random(42)
     // 10 keys x 50 timestamps over 500 rows: plenty of exact-ts collisions
