@@ -227,23 +227,62 @@ object PipelineQueries {
         .withColumn("rank", col("rank").cast("long"))
     }),
     // corpus composition report: per detected language, document count,
-    // average quality (decimal-summed — deterministic under any partition
-    // order; a double sum would be order-sensitive) and total word volume
+    // average quality and total word volume. The average runs ENTIRELY in
+    // integer space: quality is already a 4-decimal double, so
+    // round(quality*1e4) is an exact BIGINT of 1e-4 units; the half-up
+    // division (2*sum+n) div (2*n) and the final int/1e4 IEEE division are
+    // bit-identical in every engine — no double->decimal cast, decimal
+    // division, or round(double, scale) whose rounding path an oracle
+    // engine could implement differently
     "corpus_report" -> ((s, d) => {
       val q = TextAnalysis.qualityTable(docs(s, d), "doc_id", "text")
-        .select(col("doc_id"), col("quality"), col("n_words"))
+        .select(col("doc_id"),
+          round(col("quality") * 10000).cast("long").as("q4"),
+          col("n_words"))
       val l = docs(s, d).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_guess"))
       l.join(q, Seq("doc_id"))
         .groupBy("lang_guess")
-        // decimal SUM (order-free) cast to double BEFORE dividing — decimal
-        // division rounds at the coerced scale, which SQL engines that
-        // promote DECIMAL/BIGINT to DOUBLE would not reproduce
         .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("quality").cast("decimal(18,6)")).cast("double") / count(lit(1)),
-            4).as("avg_quality"),
+          sum(col("q4")).as("sum_q4"),
           sum(col("n_words")).as("total_words"))
+        .select(col("lang_guess"), col("n_docs"),
+          (expr("(2 * sum_q4 + n_docs) DIV (2 * n_docs)").cast("double") / 10000.0)
+            .as("avg_quality"),
+          col("total_words"))
     }),
+    // corpus balancing: equal-quota deterministic sample per detected
+    // language (two-phase: broadcast hash-cutoff prefilter, then exact
+    // rank over survivors only — never a full-stratum sort)
+    "curate_stratified" -> ((s, d) => {
+      val withLang = docs(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))
+      pipeline.Curation.stratifiedSample(withLang, "doc_id", "lang_guess", quota = 30)
+        .select("doc_id", "lang_guess")
+    }),
+    // training-batch sequence packing: concat-and-chop into 512-token
+    // chunks, one independent chain per shard (doc_id mod 8)
+    "curate_pack" -> ((s, d) =>
+      pipeline.Curation.packSequences(
+        docs(s, d).select(col("doc_id"),
+          TextAnalysis.wordCount(col("text")).cast("long").as("n_words"),
+          (col("doc_id") % 8).as("shard")),
+        "doc_id", "n_words", "shard", budget = 512L)),
+    // symmetric per-vector int8 quantization of the embedding column
+    "embedding_quantize" -> ((s, d) =>
+      pipeline.Quantization.int8(embeddings(s, d), "vec_id", "embedding")),
+    // top-3 characteristic terms per document (rational BM25-style idf)
+    "text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTop(docs(s, d), "doc_id", "text", topK = 3)),
+    // corpus length profile: 50-word histogram buckets, all-integer
+    "corpus_histogram" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.wordCount(col("text")).cast("long").as("nw"),
+        length(col("text")).cast("long").as("nc"))
+        .groupBy(expr("nw DIV 50").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nw").as("total_words"), sum("nc").as("total_chars"),
+          min("nw").as("min_words"), max("nw").as("max_words"))),
   )
 
   val oracles: Map[String, String] = {
@@ -418,12 +457,74 @@ object PipelineQueries {
       "text_quality" -> textQualitySql,
       "corpus_report" ->
         s"""WITH tq AS ($textQualitySql),
-           |tl AS ($textLangidSql)
+           |tl AS ($textLangidSql),
+           |j AS (SELECT lang_guess, CAST(round(quality * 10000) AS BIGINT) AS q4, n_words
+           |  FROM tl JOIN tq USING (doc_id))
            |SELECT lang_guess, count(*) AS n_docs,
-           |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_quality,
+           |  CAST((2 * sum(q4) + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_quality,
            |  sum(n_words) AS total_words
-           |FROM tl JOIN tq USING (doc_id)
-           |GROUP BY lang_guess""".stripMargin,
+           |FROM j GROUP BY lang_guess""".stripMargin,
+      // mirrors Curation.stratifiedSample: same two-phase plan — per-stratum
+      // 6-hex cutoff (consulted only when cnt > overshoot*quota), exact
+      // hash-order rank over survivors
+      "curate_stratified" ->
+        s"""WITH tl AS ($textLangidSql),
+           |cnts AS (SELECT lang_guess, count(*) AS cnt FROM tl GROUP BY lang_guess),
+           |cuts AS (SELECT lang_guess, cnt,
+           |  printf('%06x', CAST(ceil(16777216.0 * 120 / cnt) AS BIGINT)) AS cut FROM cnts),
+           |surv AS (SELECT t.doc_id, t.lang_guess,
+           |    md5('strat|' || CAST(t.doc_id AS VARCHAR)) AS h
+           |  FROM tl t JOIN cuts c USING (lang_guess)
+           |  WHERE c.cnt <= 120
+           |    OR substr(md5('strat|' || CAST(t.doc_id AS VARCHAR)), 1, 6) < c.cut),
+           |r AS (SELECT doc_id, lang_guess,
+           |    row_number() OVER (PARTITION BY lang_guess ORDER BY h ASC, doc_id ASC) AS rn
+           |  FROM surv)
+           |SELECT doc_id, lang_guess FROM r WHERE rn <= 30""".stripMargin,
+      "curate_pack" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    CAST(CASE WHEN len($normSql) = 0 THEN 0
+           |      ELSE len(string_split($normSql, ' ')) END AS BIGINT) AS n_words,
+           |    doc_id % 8 AS shard
+           |  FROM documents),
+           |c AS (SELECT doc_id, shard, n_words,
+           |    sum(n_words) OVER (PARTITION BY shard ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) - n_words AS strt
+           |  FROM t)
+           |SELECT doc_id, shard, strt // 512 AS chunk, strt % 512 AS offset FROM c""".stripMargin,
+      "embedding_quantize" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+          |vu AS (SELECT vec_id, unnest(ve) AS val, unnest(range(0, len(ve))) AS pos FROM v),
+          |m AS (SELECT vec_id, max(abs(val)) / 127.0 AS scale FROM vu GROUP BY vec_id),
+          |c AS (SELECT vu.vec_id, pos,
+          |    CASE WHEN scale = 0.0 THEN 0 ELSE CAST(floor(val / scale + 0.5) AS BIGINT) END AS code
+          |  FROM vu JOIN m USING (vec_id)),
+          |a AS (SELECT vec_id, array_agg(code ORDER BY pos) AS codes FROM c GROUP BY vec_id)
+          |SELECT vec_id, scale, codes FROM a JOIN m USING (vec_id)""".stripMargin,
+      "text_tfidf" ->
+        s"""WITH ${toksCte("documents")},
+           |tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
+           |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok WHERE word <> '' GROUP BY doc_id, word),
+           |dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok WHERE word <> '' GROUP BY word),
+           |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+           |sc AS (SELECT doc_id, word, tf * ((n - df + 0.5) / (df + 0.5)) AS score
+           |  FROM tf JOIN dfq USING (word) CROSS JOIN n),
+           |r AS (SELECT doc_id, word, score,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rank
+           |  FROM sc)
+           |SELECT doc_id, word, floor(score * 10000.0 + 0.5) / 10000.0 AS tfidf,
+           |  CAST(rank AS BIGINT) AS rank
+           |FROM r WHERE rank <= 3""".stripMargin,
+      "corpus_histogram" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    CAST(CASE WHEN len($normSql) = 0 THEN 0
+           |      ELSE len(string_split($normSql, ' ')) END AS BIGINT) AS nw,
+           |    CAST(len(text) AS BIGINT) AS nc
+           |  FROM documents)
+           |SELECT nw // 50 AS bucket, count(*) AS n_docs,
+           |  sum(nw) AS total_words, sum(nc) AS total_chars,
+           |  min(nw) AS min_words, max(nw) AS max_words
+           |FROM t GROUP BY nw // 50""".stripMargin,
       "multimodal_text_decode" ->
         s"""SELECT doc_id AS asset_id,
            |  CAST(len(text) AS BIGINT) AS n_chars,

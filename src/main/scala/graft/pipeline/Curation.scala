@@ -73,6 +73,67 @@ object Curation {
       .groupBy("word")
       .agg(countDistinct(col(idCol)).as("doc_freq"), count(lit(1)).as("term_freq"))
 
+  /** Per-stratum quota sampling: within each stratum keep the `quota` rows
+    * that rank first by the md5 hash of their seeded id — a deterministic
+    * uniform draw per stratum (corpus balancing: equal documents per
+    * language/source regardless of the strata's raw sizes).
+    *
+    * Scale design: ranking a 100 TB stratum just to keep its first 30 rows
+    * would sort everything, so selection is two-phase. Phase 1 prefilters
+    * on a per-stratum hash cutoff sized to pass ~`overshoot`×quota rows
+    * (cutoffs ride a broadcast join — no shuffle of the corpus); phase 2
+    * ranks only the survivors. The result is identical to ranking the full
+    * stratum whenever at least `quota` rows survive phase 1 — guaranteed
+    * for strata with ≤ overshoot×quota rows (the cutoff keeps everything)
+    * and overwhelmingly likely otherwise (survivor count is
+    * Binomial(n, overshoot·quota/n); at the default overshoot=4 the
+    * shortfall probability is e^{-quota} territory). Both phases are pure
+    * md5/integer/IEEE arithmetic, so an oracle replays them exactly. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       quota: Int, seed: String = "strat", overshoot: Int = 4): DataFrame = {
+    require(quota > 0 && overshoot >= 1, s"need quota > 0, overshoot >= 1; got $quota/$overshoot")
+    val h = md5(concat(lit(seed + "|"), col(idCol).cast("string")))
+    val target = overshoot.toLong * quota
+    // 6-hex-digit cutoff ~ 16^6 * target/n (only consulted when n > target,
+    // so the value fits 6 digits; ceil keeps it ≥ 1)
+    val cuts = df.groupBy(stratumCol).agg(count(lit(1)).as("__cnt"))
+      .select(col(stratumCol), col("__cnt"),
+        lower(lpad(hex(ceil(lit(16777216.0) * target / col("__cnt")).cast("long")), 6, "0"))
+          .as("__cut"))
+    val survivors = df.join(broadcast(cuts), Seq(stratumCol))
+      .where(col("__cnt") <= target || substring(h, 1, 6) < col("__cut"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(h.asc, col(idCol).asc)
+    survivors.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= quota)
+      .drop("__cnt", "__cut", "__rn")
+  }
+
+  /** Greedy sequence packing ("concat and chop", the standard LLM
+    * pretraining batch layout): within each shard, documents are laid
+    * end-to-end in id order and cut into fixed token-budget chunks; a
+    * document belongs to the chunk where its first token lands, at
+    * `offset` tokens into that chunk.
+    *
+    * Scale design: packing is inherently sequential, so a single global
+    * chain would serialize the corpus through one partition. Sharding
+    * first (any stable key — split label, path hash, id mod N) gives one
+    * independent chain per shard, each a per-shard window over one shuffle;
+    * 100 TB packs as thousands of parallel chains. Chunk ids are
+    * (shard, chunk) pairs, unique without cross-shard coordination. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    shardCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"need budget > 0; got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__start", sum(col(tokensCol)).over(w) - col(tokensCol))
+      .select(col(idCol), col(shardCol).as("shard"),
+        expr(s"__start DIV ${budget}L").as("chunk"),
+        expr(s"__start % ${budget}L").as("offset"))
+  }
+
   /** Benchmark decontamination: corpus documents that share NO word n-gram
     * with the benchmark/eval set (the standard guard against train-test
     * leakage in LLM training pipelines — documents containing any

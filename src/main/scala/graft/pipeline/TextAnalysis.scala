@@ -168,6 +168,40 @@ object TextAnalysis {
       .select(col(idCol), concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("shingle"))
   }
 
+  /** Top-k characteristic terms per document, scored tf × idf with BM25's
+    * rational idf argument `(N − df + 0.5) / (df + 0.5)` — deliberately
+    * WITHOUT the ln() around it: every input is an exact small integer
+    * ± 0.5 (exactly representable), so the score is two IEEE operations and
+    * bit-equal in every engine, where a transcendental's last ulp varies by
+    * libm and can silently flip a ranking or a rounding. ln is monotone, so
+    * per-term idf ordering is identical to true BM25 idf ordering. The
+    * reported `tfidf` is quantized as floor(score·10⁴ + 0.5)/10⁴ — floor is
+    * deterministic for any double, unlike engines' round-half conventions.
+    *
+    * Scale: one token explode feeding two hash aggregations (per-doc term
+    * frequency; corpus document frequency) + a 1-row corpus count joined by
+    * broadcast; the ranking window shuffles by document id only. df is
+    * bounded by N, so no term — however boilerplate — can skew a join. */
+  def tfidfTop(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"need topK > 0; got $topK")
+    val toks = tokenRows(df, idCol, textCol).where(col("word") =!= "")
+    val tf = toks.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__tf"))
+    val dfreq = toks.select(col(idCol), col("word")).distinct()
+      .groupBy("word").agg(count(lit(1)).as("__df"))
+    val n = df.select(countDistinct(col(idCol)).as("__n"))
+    val scored = tf.join(dfreq, Seq("word")).crossJoin(broadcast(n))
+      .select(col(idCol), col("word"),
+        (col("__tf") * ((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
+          .as("__score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__score").desc, col("word").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col(idCol), col("word"),
+        (floor(col("__score") * 10000.0 + 0.5).cast("double") / 10000.0).as("tfidf"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Document fingerprint (column form; see [[fingerprints]] for scale). */
   def fingerprint(text: Column): Column = {
     val sh = wordShingles(text, 4)

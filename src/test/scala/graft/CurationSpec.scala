@@ -80,4 +80,44 @@ class CurationSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("stratifiedSample == exact full-stratum rank, quota per stratum") {
+    // 3 strata with very different sizes: 700, 250, 12 rows
+    val rows = spark.range(962).select(col("id").as("doc_id"),
+      when(col("id") < 700, "big").when(col("id") < 950, "mid").otherwise("tiny")
+        .as("stratum"))
+    val got = Curation.stratifiedSample(rows, "doc_id", "stratum", quota = 20)
+    val counts = got.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 20L, "mid" -> 20L, "tiny" -> 12L))
+    // reference: rank the FULL stratum by the same hash (no prefilter)
+    val h = md5(concat(lit("strat|"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(h.asc, col("doc_id").asc)
+    val full = rows.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 20).select("doc_id", "stratum")
+    assert(got.select("doc_id", "stratum").collect().toSet == full.collect().toSet)
+    // deterministic across runs
+    assert(Curation.stratifiedSample(rows, "doc_id", "stratum", 20)
+      .collect().toSet == got.collect().toSet)
+  }
+
+  test("packSequences: contiguous per-shard chunks, offsets under budget") {
+    val rows = Seq(
+      (1L, 300L, 0L), (2L, 300L, 0L), (3L, 100L, 0L), (4L, 600L, 0L),
+      (10L, 50L, 1L), (11L, 512L, 1L), (12L, 1L, 1L)
+    ).toDF("doc_id", "n_words", "shard")
+    val packed = Curation.packSequences(rows, "doc_id", "n_words", "shard", budget = 512L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // shard 0: starts at 0, 300, 600, 700 -> chunks 0,0,1,1; offsets 0,300,88,188
+    assert(packed(1L) == (0L, 0L, 0L))
+    assert(packed(2L) == (0L, 0L, 300L))
+    assert(packed(3L) == (0L, 1L, 88L))
+    assert(packed(4L) == (0L, 1L, 188L))
+    // shard 1 packs independently: starts 0, 50, 562
+    assert(packed(10L) == (1L, 0L, 0L))
+    assert(packed(11L) == (1L, 0L, 50L))
+    assert(packed(12L) == (1L, 1L, 50L))
+    assert(packed.values.forall { case (_, _, off) => off >= 0 && off < 512 })
+  }
 }
