@@ -268,9 +268,12 @@ object PipelineQueries {
           TextAnalysis.wordCount(col("text")).cast("long").as("n_words"),
           (col("doc_id") % 8).as("shard")),
         "doc_id", "n_words", "shard", budget = 512L)),
-    // symmetric per-vector int8 quantization of the embedding column
+    // symmetric per-vector int8 quantization of the embedding column —
+    // long-form (vec_id, pos, code, scale) rows: every column scalar, so
+    // the driver harness can sort/hash them (the packed-array variant
+    // Quantization.int8 is the library surface, not the oracled one)
     "embedding_quantize" -> ((s, d) =>
-      pipeline.Quantization.int8(embeddings(s, d), "vec_id", "embedding")),
+      pipeline.Quantization.int8Rows(embeddings(s, d), "vec_id", "embedding")),
     // top-3 characteristic terms per document (rational BM25-style idf)
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTop(docs(s, d), "doc_id", "text", topK = 3)),
@@ -462,7 +465,7 @@ object PipelineQueries {
            |  FROM tl JOIN tq USING (doc_id))
            |SELECT lang_guess, count(*) AS n_docs,
            |  CAST((2 * sum(q4) + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_quality,
-           |  sum(n_words) AS total_words
+           |  CAST(sum(n_words) AS BIGINT) AS total_words
            |FROM j GROUP BY lang_guess""".stripMargin,
       // mirrors Curation.stratifiedSample: same two-phase plan — per-stratum
       // 6-hex cutoff (consulted only when cnt > overshoot*quota), exact
@@ -491,16 +494,17 @@ object PipelineQueries {
            |    sum(n_words) OVER (PARTITION BY shard ORDER BY doc_id
            |      ROWS UNBOUNDED PRECEDING) - n_words AS strt
            |  FROM t)
-           |SELECT doc_id, shard, strt // 512 AS chunk, strt % 512 AS offset FROM c""".stripMargin,
+           |SELECT doc_id, shard, CAST(strt // 512 AS BIGINT) AS chunk,
+           |  CAST(strt % 512 AS BIGINT) AS offset FROM c""".stripMargin,
       "embedding_quantize" ->
         """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
           |vu AS (SELECT vec_id, unnest(ve) AS val, unnest(range(0, len(ve))) AS pos FROM v),
-          |m AS (SELECT vec_id, max(abs(val)) / 127.0 AS scale FROM vu GROUP BY vec_id),
-          |c AS (SELECT vu.vec_id, pos,
-          |    CASE WHEN scale = 0.0 THEN 0 ELSE CAST(floor(val / scale + 0.5) AS BIGINT) END AS code
-          |  FROM vu JOIN m USING (vec_id)),
-          |a AS (SELECT vec_id, array_agg(code ORDER BY pos) AS codes FROM c GROUP BY vec_id)
-          |SELECT vec_id, scale, codes FROM a JOIN m USING (vec_id)""".stripMargin,
+          |m AS (SELECT vec_id, max(abs(val)) / 127.0 AS scale FROM vu GROUP BY vec_id)
+          |SELECT vu.vec_id, CAST(pos AS BIGINT) AS pos,
+          |  CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+          |    ELSE CAST(floor(val / scale + 0.5) AS BIGINT) END AS code,
+          |  scale
+          |FROM vu JOIN m USING (vec_id)""".stripMargin,
       "text_tfidf" ->
         s"""WITH ${toksCte("documents")},
            |tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
@@ -522,7 +526,7 @@ object PipelineQueries {
            |    CAST(len(text) AS BIGINT) AS nc
            |  FROM documents)
            |SELECT nw // 50 AS bucket, count(*) AS n_docs,
-           |  sum(nw) AS total_words, sum(nc) AS total_chars,
+           |  CAST(sum(nw) AS BIGINT) AS total_words, CAST(sum(nc) AS BIGINT) AS total_chars,
            |  min(nw) AS min_words, max(nw) AS max_words
            |FROM t GROUP BY nw // 50""".stripMargin,
       "multimodal_text_decode" ->
