@@ -19,7 +19,14 @@ object Bench {
     "text_quality", "text_fingerprint", "ann_topk",
     // round-3 additions: temporal joins, corpus rollup, whole-corpus LSH
     "events_asof_join", "events_range_join", "corpus_report",
-    "embedding_lsh_pairs")
+    "embedding_lsh_pairs",
+    // round-6 additions: the round-4/5 operators whose cost must not be
+    // able to regress invisibly — tf-idf, stratified sampling, sequence
+    // packing, int8 quantization, dup clustering (star-edge cc)
+    "text_tfidf", "curate_stratified", "curate_pack",
+    "embedding_quantize", "curate_dup_clusters",
+    // the composed flagship: LSH → verify → cc → survivor selection
+    "curate_neardup_corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -38,6 +38,40 @@ object PipelineQueries {
       |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
       |)""".stripMargin
 
+  // shared by the dedup_ngram_jaccard and curate_neardup_corpus oracles:
+  // the minhash-then-verify pipeline through the shingle-intersection
+  // counts (mirrors Dedup.ngramJaccardViaMinhash at n=3, k=4)
+  private lazy val ngramInterCtes =
+    s"""$corpusCte, ${toksCte("corpus")},
+       |sh AS (SELECT doc_id, list_distinct(${shinglesExpr(3)}) AS s FROM toks WHERE len(w) >= 3),
+       |sig AS (SELECT doc_id,
+       |  list_min(list_transform(s, x -> md5('0|'||x))) AS h0,
+       |  list_min(list_transform(s, x -> md5('1|'||x))) AS h1,
+       |  list_min(list_transform(s, x -> md5('2|'||x))) AS h2,
+       |  list_min(list_transform(s, x -> md5('3|'||x))) AS h3
+       |FROM sh),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, h0 AS sig FROM sig
+       |  UNION ALL SELECT doc_id, 1, h1 FROM sig
+       |  UNION ALL SELECT doc_id, 2, h2 FROM sig
+       |  UNION ALL SELECT doc_id, 3, h3 FROM sig),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+       |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+       |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |inter AS (SELECT a, b, count(*) AS i
+       |  FROM cand JOIN ex la ON la.doc_id = a JOIN ex rb ON rb.doc_id = b AND rb.shingle = la.shingle
+       |  GROUP BY 1, 2)""".stripMargin
+
+  // curate_stratified parameters, shared by the Spark call site AND the
+  // interpolated oracle SQL so one edit changes both sides in lockstep
+  private val StratQuota = 30
+  private val StratOvershoot = 4 // Curation.stratifiedSample default
+  private val StratSeed = "strat" // Curation.stratifiedSample default
+  // mirrors Curation.stratifiedSample's phase-1 target (incl. its +64
+  // small-quota floor) — the oracle must replay the same cutoff
+  private val StratTarget = math.max(StratQuota * StratOvershoot, StratQuota + 64)
+
   /** Shared SQL fragments mirroring TextAnalysis.normalized / wordShingles. */
   private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private def toksCte(src: String) =
@@ -145,31 +179,28 @@ object PipelineQueries {
     "curate_dedup_corpus" -> ((s, d) =>
       pipeline.Curation.dedupExactKeepFirst(dedupCorpus(s, d), "doc_id", "text")
         .select("doc_id")),
-    // curation: GraphX connected components over exact-dup pairs
-    "curate_dup_clusters" -> ((s, d) => {
-      val c = dedupCorpus(s, d)
-      val grouped = c.groupBy(md5(col("text")).as("h"))
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .where(size(col("ids")) > 1)
-      val pairs = grouped
-        .select(explode(col("ids")).as("a"), col("ids"))
-        .select(col("a"), explode(col("ids")).as("b"))
-        .where(col("a") < col("b"))
-      pipeline.Curation.dupClusters(pairs)
-        .select(col("id").as("doc_id"), col("cluster"))
-    }),
+    // curation: END-TO-END near-dup dedup — LSH proposes, exact Jaccard
+    // verifies, cc clusters, min-id survivor kept per cluster
+    "curate_neardup_corpus" -> ((s, d) =>
+      pipeline.Curation.dedupNearKeepFirst(dedupCorpus(s, d), "doc_id", "text",
+          n = 3, k = 4, minSim = 0.5)
+        .select("doc_id")),
+    // curation: GraphX connected components over exact-dup STAR edges —
+    // (min_id, member) per content group, O(n) edges per group; the clique
+    // expansion would be O(n²) and melt down on boilerplate mega-groups
+    "curate_dup_clusters" -> ((s, d) =>
+      pipeline.Curation.dupClusters(
+          pipeline.Curation.exactDupStarPairs(dedupCorpus(s, d), "doc_id", "text"))
+        .select(col("id").as("doc_id"), col("cluster"))),
     // GraphX triangle counting over the exact-dup pair graph: each dup
     // cluster is a clique, so per-vertex triangles = C(n-1, 2) — a closed
-    // form the oracle reproduces from cluster sizes
+    // form the oracle reproduces from cluster sizes. The clique expansion
+    // is the point of this demo, so it runs behind the bounded
+    // exactDupCliquePairs (groups > 256 members are dropped, mirrored in
+    // the oracle's n <= 256 guard)
     "graphx_triangles" -> ((s, d) => {
-      val c = dedupCorpus(s, d)
-      val grouped = c.groupBy(md5(col("text")).as("h"))
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .where(size(col("ids")) > 1)
-      val pairs = grouped
-        .select(explode(col("ids")).as("a"), col("ids"))
-        .select(col("a"), explode(col("ids")).as("b"))
-        .where(col("a") < col("b"))
+      val pairs = pipeline.Curation.exactDupCliquePairs(
+        dedupCorpus(s, d), "doc_id", "text", maxGroupSize = 256)
       val docId = (n: String) => concat(lit("doc:"), col(n))
       val verts = pairs.select(col("a").as("k")).unionByName(pairs.select(col("b").as("k")))
         .distinct()
@@ -257,7 +288,8 @@ object PipelineQueries {
     "curate_stratified" -> ((s, d) => {
       val withLang = docs(s, d).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_guess"))
-      pipeline.Curation.stratifiedSample(withLang, "doc_id", "lang_guess", quota = 30)
+      pipeline.Curation.stratifiedSample(withLang, "doc_id", "lang_guess",
+          quota = StratQuota, seed = StratSeed, overshoot = StratOvershoot)
         .select("doc_id", "lang_guess")
     }),
     // training-batch sequence packing: concat-and-chop into 512-token
@@ -414,29 +446,23 @@ object PipelineQueries {
            |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
            |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
       "dedup_ngram_jaccard" ->
-        s"""$corpusCte, ${toksCte("corpus")},
-           |sh AS (SELECT doc_id, list_distinct(${shinglesExpr(3)}) AS s FROM toks WHERE len(w) >= 3),
-           |sig AS (SELECT doc_id,
-           |  list_min(list_transform(s, x -> md5('0|'||x))) AS h0,
-           |  list_min(list_transform(s, x -> md5('1|'||x))) AS h1,
-           |  list_min(list_transform(s, x -> md5('2|'||x))) AS h2,
-           |  list_min(list_transform(s, x -> md5('3|'||x))) AS h3
-           |FROM sh),
-           |banded AS (
-           |  SELECT doc_id, 0 AS band, h0 AS sig FROM sig
-           |  UNION ALL SELECT doc_id, 1, h1 FROM sig
-           |  UNION ALL SELECT doc_id, 2, h2 FROM sig
-           |  UNION ALL SELECT doc_id, 3, h3 FROM sig),
-           |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-           |  FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
-           |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
-           |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-           |inter AS (SELECT a, b, count(*) AS i
-           |  FROM cand JOIN ex la ON la.doc_id = a JOIN ex rb ON rb.doc_id = b AND rb.shingle = la.shingle
-           |  GROUP BY 1, 2)
+        s"""$ngramInterCtes
            |SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) AS jaccard
            |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
            |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5""".stripMargin,
+      // replays the same minhash-then-verify pairs, then takes the
+      // transitive closure (recursive CTE = connected components on the
+      // tiny verified-pair graph) and keeps only cluster-minimum ids
+      "curate_neardup_corpus" ->
+        s"""${ngramInterCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |prs AS (SELECT a, b
+           |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5),
+           |und AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+           |reach AS (SELECT a, b FROM und
+           |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+           |dropd AS (SELECT a FROM reach GROUP BY a HAVING min(b) < a)
+           |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT a FROM dropd)""".stripMargin,
       "embedding_kmeans" ->
         s"WITH ${kmeansCtes(k = 8, iters = 2)}\nSELECT vec_id, cid FROM final_assign",
       "ann_ivf_kmeans_topk" ->
@@ -474,16 +500,16 @@ object PipelineQueries {
         s"""WITH tl AS ($textLangidSql),
            |cnts AS (SELECT lang_guess, count(*) AS cnt FROM tl GROUP BY lang_guess),
            |cuts AS (SELECT lang_guess, cnt,
-           |  printf('%06x', CAST(ceil(16777216.0 * 120 / cnt) AS BIGINT)) AS cut FROM cnts),
+           |  printf('%06x', CAST(ceil(16777216.0 * $StratTarget / cnt) AS BIGINT)) AS cut FROM cnts),
            |surv AS (SELECT t.doc_id, t.lang_guess,
-           |    md5('strat|' || CAST(t.doc_id AS VARCHAR)) AS h
+           |    md5('$StratSeed|' || CAST(t.doc_id AS VARCHAR)) AS h
            |  FROM tl t JOIN cuts c USING (lang_guess)
-           |  WHERE c.cnt <= 120
-           |    OR substr(md5('strat|' || CAST(t.doc_id AS VARCHAR)), 1, 6) < c.cut),
+           |  WHERE c.cnt <= $StratTarget
+           |    OR substr(md5('$StratSeed|' || CAST(t.doc_id AS VARCHAR)), 1, 6) < c.cut),
            |r AS (SELECT doc_id, lang_guess,
            |    row_number() OVER (PARTITION BY lang_guess ORDER BY h ASC, doc_id ASC) AS rn
            |  FROM surv)
-           |SELECT doc_id, lang_guess FROM r WHERE rn <= 30""".stripMargin,
+           |SELECT doc_id, lang_guess FROM r WHERE rn <= $StratQuota""".stripMargin,
       "curate_pack" ->
         s"""WITH t AS (SELECT doc_id,
            |    CAST(CASE WHEN len($normSql) = 0 THEN 0
@@ -627,7 +653,7 @@ object PipelineQueries {
         s"""$corpusCte,
            |g AS (SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS n FROM corpus)
            |SELECT 'doc:'||doc_id AS id, CAST((n-1)*(n-2)//2 AS BIGINT) AS triangles
-           |FROM g WHERE n > 1""".stripMargin,
+           |FROM g WHERE n > 1 AND n <= 256""".stripMargin,
       "curate_sample" ->
         "SELECT doc_id FROM documents WHERE substr(md5('s|'||doc_id), 1, 2) < '29'",
       "curate_split" ->

@@ -32,8 +32,9 @@ private[graft] object CliLimits {
       } else if (quote != 0) {
         cur.append(c)
         if (c == quote) {
-          // '' inside a single-quoted literal is an escaped quote, not a close
-          if (c == '\'' && next == '\'') { cur.append(next); i += 1 }
+          // a doubled quote char inside its own quoting is an escape, not a
+          // close — '' in literals, "" and `` in quoted identifiers
+          if (next == quote) { cur.append(next); i += 1 }
           else quote = 0
         }
       } else c match {

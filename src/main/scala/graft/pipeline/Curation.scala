@@ -23,22 +23,89 @@ object Curation {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Exact-duplicate star edges: for every content group with more than
+    * one member, emit (a = group-minimum id, b = other member). Connected
+    * components over these edges yields exactly the same clusters as the
+    * full clique pair list — content groups are disjoint, so the star
+    * already connects every member to the minimum — at O(n) edges per
+    * group instead of O(n²). The 100 TB shape: one hash groupBy plus one
+    * equi-join; no collect_list, no per-group array on any reducer, so a
+    * boilerplate group with millions of copies emits millions of edges,
+    * not trillions of pairs. */
+  def exactDupStarPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(md5(col(textCol)).as("__h"), col(idCol).cast("long").as("__id"))
+    val mins = hashed.groupBy("__h")
+      .agg(min(col("__id")).as("a"), count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+      .select("__h", "a")
+    hashed.join(mins, Seq("__h"))
+      .where(col("__id") =!= col("a"))
+      .select(col("a"), col("__id").as("b"))
+  }
+
+  /** Full clique pair expansion (a < b) of exact-duplicate groups, for
+    * consumers that need every intra-group pair (e.g. triangle counting).
+    * Inherently O(n²) per group, so groups larger than `maxGroupSize` are
+    * dropped — and the bound is enforced BEFORE any array is built: group
+    * sizes are counted first and only qualifying groups reach the
+    * collect_list, so no reducer ever materializes an unbounded per-group
+    * array. For clustering use [[exactDupStarPairs]] instead. */
+  def exactDupCliquePairs(df: DataFrame, idCol: String, textCol: String,
+                          maxGroupSize: Int = 256): DataFrame = {
+    require(maxGroupSize >= 2, s"need maxGroupSize >= 2; got $maxGroupSize")
+    val hashed = df.select(md5(col(textCol)).as("__h"), col(idCol).cast("long").as("__id"))
+    val small = hashed.groupBy("__h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1 && col("__n") <= maxGroupSize)
+      .select("__h")
+    hashed.join(small, Seq("__h"))
+      .groupBy("__h").agg(collect_list(col("__id")).as("ids"))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .where(col("a") < col("b"))
+  }
+
   /** Duplicate clusters from a candidate-pair list (a, b numeric ids):
     * connected components over the pair graph (GraphX), cluster id = the
     * minimum member id. Returns (id, cluster) for every id in some pair. */
   def dupClusters(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val parts = math.max(2, math.min(
-      spark.sparkContext.defaultParallelism,
-      (pairs.count() / 1000000L).toInt + 1))
-    val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1)).coalesce(parts)
-    val cc = XGraph.fromEdges(edges, defaultValue = 0)
-      .connectedComponents().vertices
-      .map { case (vid, comp) => (vid, comp) }
-      .toDF("id", "cluster")
-    cc
+    // the sizing count and the edge scan share one materialization —
+    // without the scoped persist the pair plan (groupBy + join upstream)
+    // would execute twice, once for count() and once for the RDD pass
+    val p = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val parts = math.max(2, math.min(
+        spark.sparkContext.defaultParallelism,
+        (p.count() / 1000000L).toInt + 1))
+      val edges = p.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1)).coalesce(parts)
+      XGraph.fromEdges(edges, defaultValue = 0)
+        .connectedComponents().vertices
+        .map { case (vid, comp) => (vid, comp) }
+        .toDF("id", "cluster")
+        .localCheckpoint(true)
+    } finally p.unpersist()
+  }
+
+  /** End-to-end NEAR-duplicate curation, the composed 100 TB dedup
+    * pipeline: MinHash/LSH proposes candidate pairs (bucket equi-join,
+    * never all-pairs), exact n-gram Jaccard verifies them, connected
+    * components clusters the verified pairs, and one survivor — the
+    * minimum numeric id — is kept per cluster. Documents in no near-dup
+    * pair pass through untouched. Every stage is the scale-shaped variant:
+    * candidates are banding-bounded, verification is candidate-bounded,
+    * and the cc edge list is the verified pair list itself (already sparse).
+    * Requires numeric ids (cc runs on long vertex ids). */
+  def dedupNearKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, k: Int = 4, minSim: Double = 0.5): DataFrame = {
+    val pairs = Dedup.ngramJaccardViaMinhash(df, idCol, textCol, n, k, minSim)
+      .select("a", "b")
+    // cluster label = minimum member id, so every non-label member drops
+    val drop = dupClusters(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as("__drop_id"))
+    df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")
   }
 
   /** Deterministic ~(keepOf256/256) sample: keep rows whose md5 bucket of
@@ -93,7 +160,11 @@ object Curation {
                        quota: Int, seed: String = "strat", overshoot: Int = 4): DataFrame = {
     require(quota > 0 && overshoot >= 1, s"need quota > 0, overshoot >= 1; got $quota/$overshoot")
     val h = md5(concat(lit(seed + "|"), col(idCol).cast("string")))
-    val target = overshoot.toLong * quota
+    // additive floor: at tiny quotas a pure multiple under-survives with
+    // probability ~e^-(overshoot*quota) per stratum (Binomial tail); the
+    // +64 floor pushes that below e^-40 for every quota, so the documented
+    // full-rank equivalence holds for all practical strata
+    val target = math.max(overshoot.toLong * quota, quota + 64L)
     // 6-hex-digit cutoff ~ 16^6 * target/n (only consulted when n > target,
     // so the value fits 6 digits; ceil keeps it ≥ 1)
     val cuts = df.groupBy(stratumCol).agg(count(lit(1)).as("__cnt"))

@@ -20,11 +20,48 @@ class CurationSpec extends SparkSuite {
     assert(kept == Set(1L, 4L, 6L))
   }
 
+  test("exactDupStarPairs emits (min, member) per group and matches the clique clusters") {
+    val star = Curation.exactDupStarPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == Set((1L, 2L), (1L, 3L), (4L, 5L)))
+    // cc over the star edges labels identically to cc over the full clique
+    val viaStar = Curation.dupClusters(Curation.exactDupStarPairs(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaClique = Curation.dupClusters(Curation.exactDupCliquePairs(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaClique)
+    assert(viaStar == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("exactDupCliquePairs expands cliques but drops groups above the cap") {
+    val clique = Curation.exactDupCliquePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clique == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    // cap = 2 drops the size-3 group entirely; the size-2 group survives
+    val capped = Curation.exactDupCliquePairs(docs, "doc_id", "text", maxGroupSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((4L, 5L)))
+  }
+
   test("dupClusters: connected components label each dup group by min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
     val clusters = Curation.dupClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("dedupNearKeepFirst keeps one survivor per near-dup cluster, singletons pass") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 10
+      (12L, "the quick brown fox jumps over the lazy cat tonight"), // near dup of 10
+      (20L, "completely different content about spark engines and big data"),
+      (30L, "einzelganger text ohne jede ahnlichkeit zu den anderen hier"))
+      .toDF("doc_id", "text")
+    val kept = Curation.dedupNearKeepFirst(corpus, "doc_id", "text", minSim = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    // 10-11-12 collapse to min id 10; 20 and 30 are untouched singletons
+    assert(kept == Set(10L, 20L, 30L))
   }
 
   test("sampleByHash is deterministic and roughly proportional") {

@@ -94,12 +94,55 @@ class PipelineSpec extends SparkSuite {
     assert(pairs.subsetOf(unbounded))
   }
 
+  test("dedup operators leave no session-lifetime cache entries behind") {
+    // other suites cache long-lived graph tables in the shared session, so
+    // the invariant is NO GROWTH, not emptiness: several invocations over
+    // DIFFERENT corpora (the leak mode was one entry per corpus
+    // accumulating on a long-lived session) add zero entries
+    val before = org.apache.spark.sql.GraftCacheProbe.cachedEntryCount(spark)
+    (0 until 3).foreach { i =>
+      val corpus = docs.withColumn("text", concat(col("text"), lit(s" v$i")))
+      Dedup.ngramJaccardViaMinhash(corpus, "doc_id", "text", minSim = 0.3)
+        .write.mode("overwrite").format("noop").save()
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", minSim = 0.3)
+        .write.mode("overwrite").format("noop").save()
+      graft.pipeline.Curation.dupClusters(
+          graft.pipeline.Curation.exactDupStarPairs(corpus, "doc_id", "text"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    val after = org.apache.spark.sql.GraftCacheProbe.cachedEntryCount(spark)
+    assert(after == before, s"Dedup grew the CacheManager: $before -> $after")
+  }
+
   lazy val vecs = Seq(
     (1L, Array(1f, 0f, 0f, 0f)),
     (2L, Array(0.99f, 0.1f, 0f, 0f)),
     (3L, Array(0f, 1f, 0f, 0f)),
     (4L, Array(0f, 0f, 1f, 1f)),
     (5L, Array(-1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+
+  test("int8 packed codes round-trip against int8Rows: pos order + same scale") {
+    val qv = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.75f)),
+      (2L, Array(0f, 0f, 0f, 0f)), // all-zero vector: scale 0, codes all 0
+      (3L, Array(-2f, 4f, 8f, -16f))).toDF("vec_id", "embedding")
+    val longForm = graft.pipeline.Quantization.int8Rows(qv, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val packed = graft.pipeline.Quantization.int8(qv, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Long](2)))).toMap
+    assert(packed.keySet == Set(1L, 2L, 3L))
+    packed.foreach { case (id, (scale, codes)) =>
+      assert(codes.length == 4)
+      codes.zipWithIndex.foreach { case (code, pos) =>
+        val (rowCode, rowScale) = longForm((id, pos.toLong))
+        assert(code == rowCode, s"vec $id pos $pos: packed $code != long-form $rowCode")
+        assert(scale == rowScale)
+      }
+    }
+    assert(packed(2L)._1 == 0.0 && packed(2L)._2.forall(_ == 0L))
+    // spot-check magnitudes: max-abs element always codes to ±127
+    assert(packed(3L)._2(3) == -127L)
+  }
 
   test("brute-force cosine top-k ranks the nearest vector first") {
     val topk = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 1), "vec_id", "embedding", 2)

@@ -47,6 +47,21 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.toLowerCase.contains("cartesian"))
   }
 
+  test("dup-cluster edge list is star-shaped: no collect_list feeds the cc input") {
+    import spark.implicits._
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    val pairs = graft.pipeline.Curation.exactDupStarPairs(docs, "doc_id", "text")
+    val plan = pairs.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("collect_list"),
+      s"unbounded per-group array in cc edge list:\n$plan")
+    // the clique variant may collect, but only after the group-size guard:
+    // the aggregate's input is pre-filtered by the counted-and-capped join
+    val clique = graft.pipeline.Curation.exactDupCliquePairs(docs, "doc_id", "text")
+    val cplan = clique.queryExecution.optimizedPlan.toString
+    assert(cplan.contains("collect_list") && cplan.contains("__n"),
+      s"clique path lost its size guard:\n$cplan")
+  }
+
   test("bucketed layout: hop join on the bucket key needs no shuffle of edges") {
     val (batch, _) = CocktailFixture.build()
     val g = batch.toStore(spark)

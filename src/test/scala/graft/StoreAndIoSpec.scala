@@ -240,6 +240,12 @@ class StoreAndIoSpec extends SparkSuite {
     assert(splitSql("""SELECT 1 AS "semi;col"; SELECT 2""") ==
       Seq("""SELECT 1 AS "semi;col"""", "SELECT 2"))
     assert(splitSql("SELECT `a;b` FROM t; SELECT 2") == Seq("SELECT `a;b` FROM t", "SELECT 2"))
+    // doubled quote chars escape INSIDE their own quoting for all three
+    // styles: "" in double-quoted identifiers, `` in backticked ones
+    assert(splitSql("""SELECT 1 AS "a""b;c"; SELECT 2""") ==
+      Seq("""SELECT 1 AS "a""b;c"""", "SELECT 2"))
+    assert(splitSql("SELECT `a``b;c` FROM t; SELECT 2") ==
+      Seq("SELECT `a``b;c` FROM t", "SELECT 2"))
     assert(splitSql("SELECT 1 -- trailing; not a split\n; SELECT 2") ==
       Seq("SELECT 1 -- trailing; not a split", "SELECT 2"))
     assert(splitSql("SELECT 1 /* block; comment */; SELECT 2") ==

@@ -31,6 +31,23 @@ for t in TABLES:
 
 oracle = json.loads((Path(OUT) / "oracle_sql.json").read_text())
 
+# Type gates. The driver's comparator normalizes values with str(), under
+# which DuckDB HUGEINT == int64 and many nested types "look" equal locally
+# but hash-diverge (or crash the pandas sorter) in the real gate. So reject
+# up front any oracle result column outside the four scalar types the
+# driver round-trips losslessly, and any Spark dump column whose arrow type
+# isn't the matching scalar — e.g. an uncast sum() (HUGEINT) or an
+# array-valued column must fail HERE, not in CORRECTNESS_r{N}.json.
+ORACLE_TYPES = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN"}
+SPARK_TYPES = {"int64", "double", "string", "bool"}
+
+def type_gate(q, cols, types, allowed, side):
+    bad = [f"{c}:{t}" for c, t in zip(cols, types) if t not in allowed]
+    if bad:
+        print(f"✗ {q}: {side} TYPE GATE: {bad} not in {sorted(allowed)} — "
+              f"CAST/reshape to scalar BIGINT/DOUBLE/VARCHAR/BOOLEAN")
+    return not bad
+
 def norm(v):
     if v is None:
         return "NULL"
@@ -61,11 +78,17 @@ for name in sorted(Path(OUT).iterdir()):
         print(f"  {q}: rows-only ({len(srows)} rows) {'OK' if len(srows) > 0 else 'EMPTY!'}")
         continue
     try:
-        res = con.execute(oracle[q])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        rel = con.sql(oracle[q])
+        ocols = list(rel.columns)
+        otypes = [str(t).upper() for t in rel.types]
+        orows = rel.fetchall()
     except Exception as e:
         print(f"✗ {q}: ORACLE SQL ERROR: {e}")
+        fail += 1
+        continue
+    stypes = [str(f.type) for f in tbl.schema]
+    if not (type_gate(q, ocols, otypes, ORACLE_TYPES, "ORACLE") &
+            type_gate(q, scols, stypes, SPARK_TYPES, "SPARK")):
         fail += 1
         continue
     sc, sr = canon(scols, srows)
