@@ -26,7 +26,12 @@ object Bench {
     "text_tfidf", "curate_stratified", "curate_pack",
     "embedding_quantize", "curate_dup_clusters",
     // the composed flagship: LSH → verify → cc → survivor selection
-    "curate_neardup_corpus")
+    "curate_neardup_corpus",
+    // round-7 additions: BM25 retrieval, exact-substring dedup signal,
+    // semantic dedup (k-means-bounded pairs + cc survivors), product
+    // quantization
+    "text_bm25", "dedup_substring", "dedup_semantic_pairs",
+    "curate_semdedup_corpus", "embedding_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -72,6 +72,19 @@ object PipelineQueries {
   // small-quota floor) — the oracle must replay the same cutoff
   private val StratTarget = math.max(StratQuota * StratOvershoot, StratQuota + 64)
 
+  // text_bm25 parameters, shared by the Spark call site and the
+  // interpolated oracle SQL; the derived (k1+1) literal is interpolated
+  // from the same Scala double the Column expression folds, so the two
+  // engines multiply by bit-identical constants
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 10
+
+  // dedup_semantic parameters (k-means clusters bound the candidate pairs)
+  private val SemK = 8
+  private val SemIters = 2
+  private val SemMinCos = 0.3
+
   /** Shared SQL fragments mirroring TextAnalysis.normalized / wordShingles. */
   private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private def toksCte(src: String) =
@@ -309,6 +322,34 @@ object PipelineQueries {
     // top-3 characteristic terms per document (rational BM25-style idf)
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTop(docs(s, d), "doc_id", "text", topK = 3)),
+    // BM25 retrieval: queries are the first-8-word prefixes of every
+    // 101st document; rational idf, integer micro-unit score accumulation
+    "text_bm25" -> ((s, d) => {
+      val dd = docs(s, d)
+      val q = dd.where(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextAnalysis.words(col("text")), 1, 8)).as("qtext"))
+      TextAnalysis.bm25TopK(dd, q, "doc_id", "text", "query_id", "qtext",
+        topK = Bm25TopK, k1 = Bm25K1, b = Bm25B)
+    }),
+    // exact-substring dedup signal: per document, how many of its 8-word
+    // windows appear verbatim in some other document
+    "dedup_substring" -> ((s, d) =>
+      Dedup.duplicatedWindowStats(dedupCorpus(s, d), "doc_id", "text", n = 8)),
+    // SemDeDup candidate stage: intra-k-means-cluster cosine pairs
+    "dedup_semantic_pairs" -> ((s, d) =>
+      Dedup.semanticPairs(embeddings(s, d), "vec_id", "embedding",
+        k = SemK, iters = SemIters, minCos = SemMinCos)),
+    // END-TO-END semantic dedup: k-means bounds candidates, cosine
+    // verifies, cc clusters, min-id survivor per cluster
+    "curate_semdedup_corpus" -> ((s, d) =>
+      pipeline.Curation.dedupSemanticKeepFirst(embeddings(s, d), "vec_id", "embedding",
+          k = SemK, iters = SemIters, minCos = SemMinCos)
+        .select("vec_id")),
+    // product quantization: m=4 subspaces, k=16 static codewords each
+    "embedding_pq" -> ((s, d) =>
+      pipeline.Quantization.pqEncode(embeddings(s, d), "vec_id", "embedding",
+        m = 4, k = 16)),
     // corpus length profile: 50-word histogram buckets, all-integer
     "corpus_histogram" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -399,6 +440,17 @@ object PipelineQueries {
          |    least(round(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(${langScore(Seq("the", "and", "of", "to", "a", "in", "is", "that"))} AS DOUBLE) / nw END, 4) * 4.0, 1.0) * 0.4 +
          |    (1.0 - least(round(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len(text) END, 4) * 5.0, 1.0)) * 0.2), 4) AS quality
          |FROM f""".stripMargin
+
+    // shared by dedup_semantic_pairs / curate_semdedup_corpus: the fitted
+    // assignment joined back to the vectors, then intra-cluster pairs
+    // (composes on top of kmeansCtes' v + final_assign)
+    def semPairCtes(minCosSql: String): String =
+      s"""${kmeansCtes(k = SemK, iters = SemIters)},
+         |asgv AS (SELECT f.vec_id, f.cid, v.ve FROM final_assign f JOIN v USING (vec_id)),
+         |prs AS (SELECT l.vec_id AS a, r.vec_id AS b,
+         |    round(list_cosine_similarity(l.ve, r.ve), 4) AS cos
+         |  FROM asgv l JOIN asgv r ON l.cid = r.cid AND l.vec_id < r.vec_id)""".stripMargin +
+        s",\nhits AS (SELECT a, b, cos FROM prs WHERE cos >= $minCosSql)"
 
     Map(
       "dedup_exact" ->
@@ -545,6 +597,72 @@ object PipelineQueries {
            |SELECT doc_id, word, floor(score * 10000.0 + 0.5) / 10000.0 AS tfidf,
            |  CAST(rank AS BIGINT) AS rank
            |FROM r WHERE rank <= 3""".stripMargin,
+      "text_bm25" -> {
+        val k1 = s"$Bm25K1"
+        val k1p1 = s"${Bm25K1 + 1.0}"
+        val b = s"$Bm25B"
+        val oneMinusB = s"${1.0 - Bm25B}"
+        s"""WITH ${toksCte("documents")},
+           |tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
+           |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok WHERE word <> '' GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM tok WHERE word <> '' GROUP BY 1),
+           |dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok WHERE word <> '' GROUP BY 1),
+           |g AS (SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+           |             (SELECT count(*) FROM tok WHERE word <> '') AS tt),
+           |q AS (SELECT doc_id AS query_id,
+           |    array_to_string(list_slice(string_split($normSql, ' '), 1, 8), ' ') AS qtext
+           |  FROM documents WHERE doc_id % 101 = 0),
+           |qt AS (SELECT DISTINCT query_id, word FROM
+           |    (SELECT query_id, unnest(string_split(qtext, ' ')) AS word FROM q)
+           |  WHERE word <> ''),
+           |sc AS (SELECT qt.query_id, tf.doc_id,
+           |    CAST(floor((g.n - dfq.df + 0.5) / (dfq.df + 0.5) *
+           |      ((tf.tf * $k1p1) / (tf.tf + $k1 * ($oneMinusB + ($b * dl.dl) / (CAST(g.tt AS DOUBLE) / CAST(g.n AS DOUBLE)))))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+           |  FROM tf JOIN qt USING (word) JOIN dfq USING (word)
+           |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN g),
+           |su AS (SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS micros FROM sc GROUP BY 1, 2),
+           |r AS (SELECT query_id, doc_id, micros,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY micros DESC, doc_id ASC) AS rnk FROM su)
+           |SELECT query_id, doc_id,
+           |  floor(CAST(micros AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS score,
+           |  CAST(rnk AS BIGINT) AS rank
+           |FROM r WHERE rnk <= $Bm25TopK""".stripMargin
+      },
+      "dedup_substring" ->
+        s"""$corpusCte, ${toksCte("corpus")},
+           |win AS (SELECT doc_id, unnest(${shinglesExpr(8)}) AS g FROM toks WHERE len(w) >= 8),
+           |shared AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS c FROM win GROUP BY g) WHERE c > 1),
+           |tot AS (SELECT doc_id, count(*) AS nw FROM win GROUP BY doc_id),
+           |dup AS (SELECT w.doc_id, count(*) AS du FROM win w JOIN shared USING (g) GROUP BY w.doc_id)
+           |SELECT c.doc_id, coalesce(nw, 0) AS n_windows, coalesce(du, 0) AS dup_windows,
+           |  round(coalesce(CAST(du AS DOUBLE) / nw, 0.0), 4) AS dup_frac
+           |FROM corpus c LEFT JOIN tot USING (doc_id) LEFT JOIN dup USING (doc_id)""".stripMargin,
+      "dedup_semantic_pairs" ->
+        s"""WITH ${semPairCtes(s"$SemMinCos")}
+           |SELECT a, b, cos FROM hits""".stripMargin,
+      "curate_semdedup_corpus" ->
+        s"""WITH RECURSIVE ${semPairCtes(s"$SemMinCos")},
+           |und AS (SELECT a, b FROM hits UNION SELECT b, a FROM hits),
+           |reach AS (SELECT a, b FROM und
+           |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+           |dropd AS (SELECT a FROM reach GROUP BY a HAVING min(b) < a)
+           |SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT a FROM dropd)""".stripMargin,
+      "embedding_pq" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+          |sv AS (SELECT vec_id, s,
+          |    list_slice(ve, s * (len(ve) // 4) + 1, (s + 1) * (len(ve) // 4)) AS x
+          |  FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+          |cb AS (SELECT s, vec_id AS cid, x AS cw FROM sv WHERE vec_id < 16),
+          |sc AS (SELECT a.vec_id, a.s, c.cid,
+          |    (list_sum(list_transform(range(0, len(a.x)), i -> a.x[i+1] * a.x[i+1]))
+          |     - list_sum(list_transform(range(0, len(a.x)), i -> a.x[i+1] * c.cw[i+1])) * 2
+          |     + list_sum(list_transform(range(0, len(c.cw)), i -> c.cw[i+1] * c.cw[i+1]))) AS d
+          |  FROM sv a JOIN cb c USING (s)),
+          |r AS (SELECT vec_id, s, cid, d,
+          |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn FROM sc)
+          |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code, round(d, 6) AS err2
+          |FROM r WHERE rn = 1""".stripMargin,
       "corpus_histogram" ->
         s"""WITH t AS (SELECT doc_id,
            |    CAST(CASE WHEN len($normSql) = 0 THEN 0

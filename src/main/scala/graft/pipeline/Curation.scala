@@ -108,6 +108,23 @@ object Curation {
     df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")
   }
 
+  /** End-to-end SEMANTIC dedup (the SemDeDup pipeline): deterministic
+    * k-means bounds the candidate set to intra-cluster pairs, exact cosine
+    * verifies them, connected components clusters the verified pairs, and
+    * the minimum-id member survives per cluster. Rows in no semantic pair
+    * pass through untouched. Same composition as [[dedupNearKeepFirst]]
+    * with the embedding space replacing the shingle space; requires
+    * numeric ids (cc runs on long vertex ids). */
+  def dedupSemanticKeepFirst(df: DataFrame, idCol: String, vecCol: String,
+                             k: Int = 8, iters: Int = 2, minCos: Double = 0.5): DataFrame = {
+    val pairs = Dedup.semanticPairs(df, idCol, vecCol, k, iters, minCos)
+      .select("a", "b")
+    val drop = dupClusters(pairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as("__drop_id"))
+    df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")
+  }
+
   /** Deterministic ~(keepOf256/256) sample: keep rows whose md5 bucket of
     * the seeded id is below the threshold. */
   def sampleByHash(df: DataFrame, idCol: String, keepOf256: Int, seed: String = "s"): DataFrame =

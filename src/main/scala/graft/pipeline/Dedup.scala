@@ -220,6 +220,70 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicated-window statistics — the distributed core of exact-substring
+    * deduplication (the "train-data appears verbatim elsewhere" signal): a
+    * window is a word n-gram OCCURRENCE (not a distinct shingle), and a
+    * window is duplicated when its gram appears in more than one document.
+    * Returns one row per input document:
+    * (id, n_windows, dup_windows, dup_frac) — documents shorter than n
+    * words carry no window and score 0.
+    *
+    * Scale: one shingle explode feeds three aggregations. The shared-gram
+    * table is a hash groupBy on the gram (map-side combined; a boilerplate
+    * gram contributes ONE row however often it occurs), and the join back
+    * is a semi-join whose output is bounded by the corpus window count —
+    * AQE's skew-join split handles hot grams' partition imbalance. The
+    * shingle table feeds all three consumers, so it is persisted scoped to
+    * this call (the per-document result — one slim row per doc — is
+    * materialized eagerly, then the persist is released). */
+  def duplicatedWindowStats(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 8): DataFrame = {
+    val win = TextAnalysis.shingleRows(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val shared = win.groupBy("shingle")
+        .agg(countDistinct(col(idCol)).as("__docs"))
+        .where(col("__docs") > 1)
+        .select("shingle")
+      val total = win.groupBy(idCol).agg(count(lit(1)).as("__nw"))
+      val dup = win.join(shared, Seq("shingle"), "left_semi")
+        .groupBy(idCol).agg(count(lit(1)).as("__dup"))
+      df.select(col(idCol))
+        .join(total, Seq(idCol), "left")
+        .join(dup, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("__nw"), lit(0L)).as("n_windows"),
+          coalesce(col("__dup"), lit(0L)).as("dup_windows"),
+          round(coalesce(col("__dup").cast("double") / col("__nw"), lit(0.0)), 4)
+            .as("dup_frac"))
+        .localCheckpoint(true)
+    } finally win.unpersist()
+  }
+
+  /** Semantic near-duplicate pairs (the SemDeDup shape): embeddings are
+    * clustered with the deterministic k-means fit, and only INTRA-cluster
+    * pairs are scored with the exact cosine — the cluster assignment bounds
+    * the candidate set exactly the way LSH bands bound the textual paths.
+    * Returns (a, b, cos) with a < b and cos >= minCos.
+    *
+    * Scale: the all-pairs work is quadratic only within a cluster, so k is
+    * the knob — size k to the corpus (SemDeDup runs tens of thousands of
+    * clusters at web scale) and the per-cluster candidate lists stay flat.
+    * The self-join is an equi-join on cid; nothing is all-pairs across
+    * clusters. Requires numeric ids. */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 8, iters: Int = 2, minCos: Double = 0.5): DataFrame = {
+    val asg = Clustering.kmeans(df, idCol, vecCol, k, iters)
+    val withC = df.select(col(idCol), col(vecCol)).join(asg, Seq(idCol))
+    val l = withC.select(col("cid"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = withC.select(col("cid"), col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, Seq("cid"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
   /** Embedding-cosine near-duplicate pairs among a bounded candidate set
     * (for unbounded inputs route through LSH buckets first —
     * [[Similarity.cosineBuckets]]). Returns (a, b, cos) with a < b. */

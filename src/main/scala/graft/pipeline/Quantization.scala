@@ -39,6 +39,49 @@ object Quantization {
         col("scale"))
   }
 
+  /** Product quantization (the faiss PQ layout): each vector is split into
+    * `m` equal sub-vectors and every sub-vector is replaced by the id of
+    * its nearest codeword in that subspace's codebook — m small codes per
+    * vector instead of the full float array, the standard
+    * memory-versus-recall trade for billion-scale ANN.
+    *
+    * The codebook is STATIC and data-derived with no fitted state: subspace
+    * s's codewords are the s-th sub-vectors of the `k` smallest-id vectors
+    * (the same deterministic-quantizer convention as
+    * [[Similarity.ivfTopK]]; swap in per-subspace k-means for production —
+    * the plan shape is identical). Distances use the same
+    * `v·v − 2 v·c + c·c` expression as [[Clustering]], ties break to the
+    * smallest codeword id, so an oracle replays the encoding exactly.
+    *
+    * Scale: the codebook (m × k rows) is broadcast; the corpus is scanned
+    * once into m sub-vector rows and reduced with one map-side-combinable
+    * min(struct) per (id, sub) — nothing shuffles all-pairs or sorts.
+    * Vectors whose length is not a multiple of m drop the trailing
+    * remainder elements from every computation (caller pads if that
+    * matters). Returns (id, sub, code, err2) where err2 is the squared L2
+    * residual to the chosen codeword, rounded to 6 decimals. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               m: Int = 4, k: Int = 16): DataFrame = {
+    require(m > 0 && k > 0, s"need m > 0, k > 0; got m=$m k=$k")
+    import graft.functions.VectorFunctions.dotNative
+    val v = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__d", expr(s"size(__v) DIV $m"))
+    val subs = array((0 until m).map(s => struct(lit(s).as("s"),
+      slice(col("__v"), lit(s) * col("__d") + 1, col("__d")).as("x"))): _*)
+    val sv = v.select(col("__id"), explode(subs).as("b"))
+      .select(col("__id"), col("b.s").as("s"), col("b.x").as("x"))
+    val cb = broadcast(sv.where(col("__id") < k)
+      .select(col("s"), col("__id").cast("long").as("cid"), col("x").as("cw")))
+    val dist = dotNative(col("x"), col("x")) -
+      dotNative(col("x"), col("cw")) * 2.0 +
+      dotNative(col("cw"), col("cw"))
+    sv.join(cb, Seq("s"))
+      .select(col("__id"), col("s"), struct(dist.as("d"), col("cid")).as("__sc"))
+      .groupBy("__id", "s").agg(min(col("__sc")).as("__sc"))
+      .select(col("__id").as(idCol), col("s").cast("long").as("sub"),
+        col("__sc.cid").as("code"), round(col("__sc.d"), 6).as("err2"))
+  }
+
   /** (id, scale, codes): per-vector symmetric int8 quantization with the
     * codes packed in element order. The pack stage is pure codegen: struct
     * collect + array_sort (pos is the leading struct field, so sorting

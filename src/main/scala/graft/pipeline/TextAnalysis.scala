@@ -202,6 +202,61 @@ object TextAnalysis {
         col("rank").cast("long").as("rank"))
   }
 
+  /** BM25 retrieval: for every query, the `topK` documents ranked by the
+    * Okapi BM25 score over the query's distinct terms, with the RATIONAL
+    * idf argument `(N − df + 0.5) / (df + 0.5)` (no ln(), same reasoning as
+    * [[tfidfTop]]: a transcendental's last ulp varies by libm; the rational
+    * form is a handful of IEEE ops and bit-equal in every engine — per-term
+    * ordering is unchanged since ln is monotone, though multi-term sums
+    * weight rare terms more than true BM25 would).
+    *
+    * Determinism of the multi-term SUM: each per-term score is quantized to
+    * integer micro-units (floor(s·10⁶ + 0.5)) BEFORE summation, so the
+    * aggregate is exact integer arithmetic — a double sum would depend on
+    * partition order. Ranking ties break by document id.
+    *
+    * Scale: one token explode feeds the tf / dl / df aggregations (all
+    * map-side combined); the tiny distinct query-term set and the 1-row
+    * corpus stats ride broadcasts, so the corpus shuffles only by
+    * (doc, word) and doc id — no shuffle is keyed by raw term across
+    * documents beyond the df aggregation, whose groups are bounded by N.
+    * Returns (query_id, idCol, score, rank). */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
+               qidCol: String, qtextCol: String, topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK > 0, s"need topK > 0; got $topK")
+    val toks = tokenRows(docs, idCol, textCol).where(col("word") =!= "")
+    val tf = toks.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__tf"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val dfreq = toks.select(col(idCol), col("word")).distinct()
+      .groupBy("word").agg(count(lit(1)).as("__df"))
+    val stats = docs.select(countDistinct(col(idCol)).as("__n"))
+      .crossJoin(toks.select(count(lit(1)).as("__tt")))
+    val qterms = queries
+      .select(col(qidCol).as("query_id"), explode(words(col(qtextCol))).as("word"))
+      .where(col("word") =!= "").distinct()
+    val avgdl = col("__tt").cast("double") / col("__n").cast("double")
+    val idf = (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)
+    val tfw = (col("__tf") * (k1 + 1.0)) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("__dl")) / avgdl))
+    val scored = tf.join(broadcast(qterms), Seq("word"))
+      .join(dfreq, Seq("word"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col(idCol),
+        floor(idf * tfw * 1000000.0 + 0.5).cast("long").as("__micro"))
+    val summed = scored.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__micro")).as("__micros"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__micros").desc, col(idCol).asc)
+    summed.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col(idCol),
+        (floor(col("__micros").cast("double") / 100.0 + 0.5).cast("double") / 10000.0)
+          .as("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Document fingerprint (column form; see [[fingerprints]] for scale). */
   def fingerprint(text: Column): Column = {
     val sh = wordShingles(text, 4)

@@ -239,6 +239,66 @@ class PipelineSpec extends SparkSuite {
     assert(Multimodal.extractFeatures(withNull).count() == 29)
   }
 
+  test("bm25: query terms retrieve the containing docs first, dups tie") {
+    val q = Seq((100L, "quick brown fox")).toDF("qid", "qtext")
+    val top = TextAnalysis.bm25TopK(docs, q, "doc_id", "text", "qid", "qtext", topK = 3)
+      .orderBy("rank").collect()
+    // docs 1, 2, 3 all contain every query term once at equal length ->
+    // equal scores, ranked by id; nothing else shares a term
+    assert(top.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(top.map(_.getAs[Double]("score")).distinct.length == 1)
+    assert(top.forall(_.getAs[Double]("score") > 0))
+  }
+
+  test("duplicated-window stats: hand-computed fractions, short docs zero") {
+    val fixture = Seq(
+      (1L, "a b c"), // windows {a b, b c}; "a b" shared with doc 2
+      (2L, "a b d"),
+      (3L, "x"),     // too short for any window
+      (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedWindowStats(fixture, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("semantic pairs at k=1 equal the bounded all-pairs cosine") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sem = asSet(Dedup.semanticPairs(vecs, "vec_id", "embedding",
+      k = 1, iters = 1, minCos = 0.9))
+    val brute = asSet(Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.9))
+    assert(sem == brute && sem.nonEmpty)
+    // more clusters only ever SHRINK the candidate set (recall trade)
+    val sem2 = asSet(Dedup.semanticPairs(vecs, "vec_id", "embedding",
+      k = 2, iters = 1, minCos = 0.9))
+    assert(sem2.subsetOf(brute))
+  }
+
+  test("semantic dedup keeps the min-id survivor per cluster") {
+    val out = graft.pipeline.Curation.dedupSemanticKeepFirst(
+        vecs, "vec_id", "embedding", k = 1, iters = 1, minCos = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // (1, 2) is the only pair at cos >= 0.9 -> 2 drops, everything else stays
+    assert(out == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("product quantization: self-encoding codebook, smallest-cid ties") {
+    val enc = graft.pipeline.Quantization.pqEncode(vecs, "vec_id", "embedding", m = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(enc.size == 10) // 5 vectors x 2 subspaces
+    assert(enc.keySet.map(_._2) == Set(0L, 1L))
+    // ids 1 and 2 are in the codebook (numeric id < k): zero residual...
+    assert(enc((1L, 0L)) == ((1L, 0.0)) && enc((1L, 1L)) == ((1L, 0.0)))
+    assert(enc((2L, 0L)) == ((2L, 0.0)))
+    // ...and sub 1 of vectors 1 and 2 are BOTH (0,0): the tie must break
+    // to the smallest codeword id
+    assert(enc((2L, 1L)) == ((1L, 0.0)))
+    assert(enc.values.forall { case (code, err2) => (code == 1L || code == 2L) && err2 >= 0.0 })
+  }
+
   test("multimodal: resize + frame-sample plans") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     val resized = Multimodal.resizePlan(assets.where($"media_type" === "image"), 64).collect()
