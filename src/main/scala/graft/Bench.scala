@@ -31,7 +31,8 @@ object Bench {
     // semantic dedup (k-means-bounded pairs + cc survivors), product
     // quantization
     "text_bm25", "dedup_substring", "dedup_semantic_pairs",
-    "curate_semdedup_corpus", "embedding_pq")
+    "curate_semdedup_corpus", "embedding_pq", "ann_pq_topk",
+    "curate_temperature_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -85,6 +85,10 @@ object PipelineQueries {
   private val SemIters = 2
   private val SemMinCos = 0.3
 
+  // curate_temperature_sample parameters (α = 0.5 domain rebalancing)
+  private val TempTotal = 150L
+  private val TempSeed = "temp"
+
   /** Shared SQL fragments mirroring TextAnalysis.normalized / wordShingles. */
   private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private def toksCte(src: String) =
@@ -350,6 +354,20 @@ object PipelineQueries {
     "embedding_pq" -> ((s, d) =>
       pipeline.Quantization.pqEncode(embeddings(s, d), "vec_id", "embedding",
         m = 4, k = 16)),
+    // ANN over PQ codes with asymmetric distance (broadcast ADC tables)
+    "ann_pq_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      pipeline.Quantization.pqTopK(e, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, m = 4, codewords = 16)
+    }),
+    // corpus rebalancing: sqrt-temperature quotas per detected language
+    "curate_temperature_sample" -> ((s, d) => {
+      val withLang = docs(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))
+      pipeline.Curation.temperatureSample(withLang, "doc_id", "lang_guess",
+          total = TempTotal, seed = TempSeed, overshoot = StratOvershoot)
+        .select("doc_id", "lang_guess")
+    }),
     // corpus length profile: 50-word histogram buckets, all-integer
     "corpus_histogram" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -451,6 +469,25 @@ object PipelineQueries {
          |    round(list_cosine_similarity(l.ve, r.ve), 4) AS cos
          |  FROM asgv l JOIN asgv r ON l.cid = r.cid AND l.vec_id < r.vec_id)""".stripMargin +
         s",\nhits AS (SELECT a, b, cos FROM prs WHERE cos >= $minCosSql)"
+
+    // shared by embedding_pq / ann_pq_topk: sub-vector split, static
+    // codebook, argmin encoding (mirrors Quantization.subVectors /
+    // pqCodebook / pqEncode at m=4, k=16)
+    val pqCtes =
+      """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |sv AS (SELECT vec_id, s,
+        |    list_slice(ve, s * (len(ve) // 4) + 1, (s + 1) * (len(ve) // 4)) AS x
+        |  FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+        |cb AS (SELECT s, vec_id AS cid, x AS cw FROM sv WHERE vec_id < 16),
+        |dsc AS (SELECT a.vec_id, a.s, c.cid,
+        |    (list_sum(list_transform(range(0, len(a.x)), i -> a.x[i+1] * a.x[i+1]))
+        |     - list_sum(list_transform(range(0, len(a.x)), i -> a.x[i+1] * c.cw[i+1])) * 2
+        |     + list_sum(list_transform(range(0, len(c.cw)), i -> c.cw[i+1] * c.cw[i+1]))) AS d
+        |  FROM sv a JOIN cb c USING (s)),
+        |enc AS (SELECT vec_id, s, cid, d FROM (
+        |    SELECT vec_id, s, cid, d,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
+        |    FROM dsc) t WHERE rn = 1)""".stripMargin
 
     Map(
       "dedup_exact" ->
@@ -649,20 +686,50 @@ object PipelineQueries {
            |dropd AS (SELECT a FROM reach GROUP BY a HAVING min(b) < a)
            |SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT a FROM dropd)""".stripMargin,
       "embedding_pq" ->
-        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-          |sv AS (SELECT vec_id, s,
-          |    list_slice(ve, s * (len(ve) // 4) + 1, (s + 1) * (len(ve) // 4)) AS x
-          |  FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
-          |cb AS (SELECT s, vec_id AS cid, x AS cw FROM sv WHERE vec_id < 16),
-          |sc AS (SELECT a.vec_id, a.s, c.cid,
-          |    (list_sum(list_transform(range(0, len(a.x)), i -> a.x[i+1] * a.x[i+1]))
-          |     - list_sum(list_transform(range(0, len(a.x)), i -> a.x[i+1] * c.cw[i+1])) * 2
-          |     + list_sum(list_transform(range(0, len(c.cw)), i -> c.cw[i+1] * c.cw[i+1]))) AS d
-          |  FROM sv a JOIN cb c USING (s)),
-          |r AS (SELECT vec_id, s, cid, d,
-          |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn FROM sc)
-          |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code, round(d, 6) AS err2
-          |FROM r WHERE rn = 1""".stripMargin,
+        s"""WITH $pqCtes
+           |SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code, round(d, 6) AS err2
+           |FROM enc""".stripMargin,
+      "ann_pq_topk" ->
+        s"""WITH $pqCtes,
+           |qs AS (SELECT vec_id AS query_id, s, x FROM sv WHERE vec_id < 5),
+           |adc AS (SELECT q.query_id, c.s, c.cid,
+           |    CAST(floor((list_sum(list_transform(range(0, len(q.x)), i -> q.x[i+1] * q.x[i+1]))
+           |     - list_sum(list_transform(range(0, len(q.x)), i -> q.x[i+1] * c.cw[i+1])) * 2
+           |     + list_sum(list_transform(range(0, len(c.cw)), i -> c.cw[i+1] * c.cw[i+1])))
+           |     * 1000000.0 + 0.5) AS BIGINT) AS micro
+           |  FROM qs q JOIN cb c USING (s)),
+           |dd AS (SELECT a.query_id, e.vec_id AS neighbor_id, CAST(sum(a.micro) AS BIGINT) AS micros
+           |  FROM enc e JOIN adc a ON a.s = e.s AND a.cid = e.cid AND a.query_id <> e.vec_id
+           |  GROUP BY 1, 2),
+           |r AS (SELECT query_id, neighbor_id, micros,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY micros ASC, neighbor_id ASC) AS rnk FROM dd)
+           |SELECT query_id, neighbor_id,
+           |  floor(CAST(micros AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS dist,
+           |  CAST(rnk AS BIGINT) AS rank
+           |FROM r WHERE rnk <= 3""".stripMargin,
+      // mirrors Curation.temperatureSample: integer micro-weights from the
+      // correctly-rounded sqrt, floor-division quotas, then the same
+      // two-phase per-stratum hash-rank as curate_stratified
+      "curate_temperature_sample" ->
+        s"""WITH tl AS ($textLangidSql),
+           |cnts AS (SELECT lang_guess, count(*) AS cnt FROM tl GROUP BY lang_guess),
+           |wts AS (SELECT lang_guess, cnt,
+           |    CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS w FROM cnts),
+           |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wts),
+           |qs AS (SELECT lang_guess, cnt, ($TempTotal * w) // tw AS quota FROM wts CROSS JOIN tw),
+           |tg AS (SELECT lang_guess, cnt, quota,
+           |    greatest(quota * $StratOvershoot, quota + 64) AS target FROM qs),
+           |cuts AS (SELECT lang_guess, cnt, quota, target,
+           |    printf('%06x', CAST(ceil(16777216.0 * target / cnt) AS BIGINT)) AS cut FROM tg),
+           |surv AS (SELECT t.doc_id, t.lang_guess, c.quota,
+           |    md5('$TempSeed|' || CAST(t.doc_id AS VARCHAR)) AS h
+           |  FROM tl t JOIN cuts c USING (lang_guess)
+           |  WHERE c.cnt <= c.target
+           |    OR substr(md5('$TempSeed|' || CAST(t.doc_id AS VARCHAR)), 1, 6) < c.cut),
+           |r AS (SELECT doc_id, lang_guess, quota,
+           |    row_number() OVER (PARTITION BY lang_guess ORDER BY h ASC, doc_id ASC) AS rn
+           |  FROM surv)
+           |SELECT doc_id, lang_guess FROM r WHERE rn <= quota""".stripMargin,
       "corpus_histogram" ->
         s"""WITH t AS (SELECT doc_id,
            |    CAST(CASE WHEN len($normSql) = 0 THEN 0

@@ -197,6 +197,47 @@ object Curation {
       .drop("__cnt", "__cut", "__rn")
   }
 
+  /** Temperature-weighted corpus mix (the multilingual/domain-rebalancing
+    * sampler): stratum s receives quota ⌊total · w_s / Σw⌋ where
+    * w_s = √n_s — the α = 0.5 temperature exponent that upweights small
+    * domains relative to proportional sampling. α is fixed at 0.5
+    * DELIBERATELY: IEEE sqrt is correctly rounded in every engine, while
+    * pow(x, α) is libm-dependent in its last ulp — a general exponent
+    * could flip a quota by one between engines. Weights are quantized to
+    * integer micro-units (⌊√n_s · 10⁶⌋) so the weight total and the quota
+    * division are exact integer arithmetic end-to-end.
+    *
+    * Selection within a stratum is the same deterministic two-phase
+    * hash-rank as [[stratifiedSample]] (broadcast per-stratum cutoff
+    * prefilter sized to ~overshoot×quota survivors, exact rank over
+    * survivors only), with the per-stratum quota riding the same broadcast.
+    * Strata whose floor allocation is 0 contribute no rows; Σ quotas ≤
+    * total by construction. */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+                        total: Long, seed: String = "temp", overshoot: Int = 4): DataFrame = {
+    require(total > 0 && overshoot >= 1, s"need total > 0, overshoot >= 1; got $total/$overshoot")
+    val h = md5(concat(lit(seed + "|"), col(idCol).cast("string")))
+    val weights = df.groupBy(stratumCol).agg(count(lit(1)).as("__cnt"))
+      .select(col(stratumCol), col("__cnt"),
+        floor(sqrt(col("__cnt").cast("double")) * 1000000.0).cast("long").as("__w"))
+    val totalW = weights.agg(sum(col("__w")).as("__tw"))
+    val quotas = weights.crossJoin(broadcast(totalW))
+      .select(col(stratumCol), col("__cnt"),
+        expr(s"(${total}L * __w) DIV __tw").as("__quota"))
+    val cuts = quotas
+      .withColumn("__target", greatest(col("__quota") * overshoot, col("__quota") + 64L))
+      .select(col(stratumCol), col("__cnt"), col("__quota"), col("__target"),
+        lower(lpad(hex(ceil(lit(16777216.0) * col("__target") / col("__cnt")).cast("long")), 6, "0"))
+          .as("__cut"))
+    val survivors = df.join(broadcast(cuts), Seq(stratumCol))
+      .where(col("__cnt") <= col("__target") || substring(h, 1, 6) < col("__cut"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(h.asc, col(idCol).asc)
+    survivors.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__quota"))
+      .drop("__cnt", "__quota", "__target", "__cut", "__rn")
+  }
+
   /** Greedy sequence packing ("concat and chop", the standard LLM
     * pretraining batch layout): within each shard, documents are laid
     * end-to-end in id order and cut into fixed token-budget chunks; a

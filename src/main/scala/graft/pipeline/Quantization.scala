@@ -62,24 +62,85 @@ object Quantization {
     * residual to the chosen codeword, rounded to 6 decimals. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                m: Int = 4, k: Int = 16): DataFrame = {
-    require(m > 0 && k > 0, s"need m > 0, k > 0; got m=$m k=$k")
-    import graft.functions.VectorFunctions.dotNative
-    val v = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    require(k > 0, s"need k > 0; got $k")
+    val sv = subVectors(df, idCol, vecCol, m)
+    val cb = broadcast(pqCodebook(df, idCol, vecCol, m, k))
+    sv.join(cb, Seq("s"))
+      .select(col(idCol), col("s"), struct(subDist.as("d"), col("cid")).as("__sc"))
+      .groupBy(idCol, "s").agg(min(col("__sc")).as("__sc"))
+      .select(col(idCol), col("s").cast("long").as("sub"),
+        col("__sc.cid").as("code"), round(col("__sc.d"), 6).as("err2"))
+  }
+
+  /** Long-form sub-vectors (id, s, x): each vector split into `m` equal
+    * slices (trailing remainder elements dropped when the length is not a
+    * multiple of m — identical convention in every consumer). */
+  def subVectors(df: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
+    require(m > 0, s"need m > 0; got $m")
+    val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__d", expr(s"size(__v) DIV $m"))
     val subs = array((0 until m).map(s => struct(lit(s).as("s"),
       slice(col("__v"), lit(s) * col("__d") + 1, col("__d")).as("x"))): _*)
-    val sv = v.select(col("__id"), explode(subs).as("b"))
-      .select(col("__id"), col("b.s").as("s"), col("b.x").as("x"))
-    val cb = broadcast(sv.where(col("__id") < k)
-      .select(col("s"), col("__id").cast("long").as("cid"), col("x").as("cw")))
-    val dist = dotNative(col("x"), col("x")) -
+    v.select(col(idCol), explode(subs).as("b"))
+      .select(col(idCol), col("b.s").as("s"), col("b.x").as("x"))
+  }
+
+  /** Static PQ codebook (s, cid, cw): subspace s's codewords are the s-th
+    * sub-vectors of the `k` smallest-id vectors (requires a numeric id). */
+  def pqCodebook(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int): DataFrame =
+    subVectors(df.where(col(idCol) < k), idCol, vecCol, m)
+      .select(col("s"), col(idCol).cast("long").as("cid"), col("x").as("cw"))
+
+  /** Squared L2 between a sub-vector `x` and a codeword `cw` — the same
+    * `v·v − 2 v·c + c·c` expression shape as [[Clustering]]'s assignment,
+    * so every PQ consumer (and its oracle) scores identically. */
+  private def subDist: org.apache.spark.sql.Column = {
+    import graft.functions.VectorFunctions.dotNative
+    dotNative(col("x"), col("x")) -
       dotNative(col("x"), col("cw")) * 2.0 +
       dotNative(col("cw"), col("cw"))
-    sv.join(cb, Seq("s"))
-      .select(col("__id"), col("s"), struct(dist.as("d"), col("cid")).as("__sc"))
-      .groupBy("__id", "s").agg(min(col("__sc")).as("__sc"))
-      .select(col("__id").as(idCol), col("s").cast("long").as("sub"),
-        col("__sc.cid").as("code"), round(col("__sc.d"), 6).as("err2"))
+  }
+
+  /** ANN top-k over PQ codes with ASYMMETRIC distance (ADC, the faiss
+    * search path): the corpus is represented only by its m codes per
+    * vector; a query precomputes its distance to every codeword (an
+    * m × k table) and a corpus vector's distance is the SUM of the m
+    * table lookups its codes select. Per-sub distances are quantized to
+    * integer micro-units before that sum (exact integer aggregation —
+    * a double sum would depend on partition order; same device as
+    * [[TextAnalysis.bm25TopK]]).
+    *
+    * Scale: the ADC table (queries × m × k rows) is broadcast; the
+    * encoded corpus joins it on (sub, code) and reduces with one
+    * map-side-combinable sum per (query, vector). The corpus' float
+    * vectors are read only by the one-time encoding — at serving scale
+    * the codes are the stored representation and the scan is 4 bytes of
+    * codes per vector instead of the full embedding.
+    * Returns (query_id, neighbor_id, dist, rank) ranked by ADC distance
+    * ascending, ties to the smaller neighbor id. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, m: Int = 4, codewords: Int = 16): DataFrame = {
+    require(k > 0, s"need k > 0; got $k")
+    val cb = pqCodebook(corpus, idCol, vecCol, m, codewords)
+    val qs = subVectors(queries, idCol, vecCol, m)
+      .select(col(idCol).as("query_id"), col("s"), col("x"))
+    val adc = qs.join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s").cast("long").as("sub"), col("cid").as("code"),
+        floor(subDist * 1000000.0 + 0.5).cast("long").as("__micro"))
+    val dists = pqEncode(corpus, idCol, vecCol, m, codewords)
+      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
+      .join(broadcast(adc), Seq("sub", "code"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("__micro")).as("__micros"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__micros").asc, col("neighbor_id").asc)
+    dists.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(col("__micros").cast("double") / 100.0 + 0.5).cast("double") / 10000.0)
+          .as("dist"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** (id, scale, codes): per-vector symmetric int8 quantization with the

@@ -299,6 +299,34 @@ class PipelineSpec extends SparkSuite {
     assert(enc.values.forall { case (code, err2) => (code == 1L || code == 2L) && err2 >= 0.0 })
   }
 
+  test("pq ADC top-k: deterministic id tie-break, self excluded") {
+    // with this fixture every non-query vector encodes to the same codes
+    // (2, 1), so all ADC distances tie and ranking is purely the id
+    // tie-break — the determinism contract under maximal stress
+    val res = graft.pipeline.Quantization.pqTopK(vecs, vecs.where($"vec_id" === 1),
+        "vec_id", "embedding", k = 3, m = 2, codewords = 3)
+      .orderBy("rank").collect()
+    assert(res.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L, 4L))
+    assert(res.map(_.getAs[Double]("dist")).distinct.length == 1)
+    assert(!res.exists(_.getAs[Long]("neighbor_id") == 1L))
+  }
+
+  test("temperature sampling: sqrt quotas upweight the small stratum") {
+    val rows = (1 to 100).map(i => (i.toLong, "A")) ++ (101 to 125).map(i => (i.toLong, "B"))
+    val df = rows.toDF("id", "stratum")
+    // w_A = 10e6, w_B = 5e6: quotas 10*2/3 = 6 and 10*1/3 = 3
+    // (proportional sampling would give 8 / 2)
+    val got = graft.pipeline.Curation.temperatureSample(df, "id", "stratum", total = 10L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("stratum")))
+    assert(got.count(_._2 == "A") == 6)
+    assert(got.count(_._2 == "B") == 3)
+    assert(got.map(_._1).toSet.subsetOf(rows.map(_._1).toSet))
+    // deterministic: same draw on a re-run
+    val again = graft.pipeline.Curation.temperatureSample(df, "id", "stratum", total = 10L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("stratum")))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("multimodal: resize + frame-sample plans") {
     val assets = Multimodal.syntheticAssets(spark, 30)
     val resized = Multimodal.resizePlan(assets.where($"media_type" === "image"), 64).collect()
