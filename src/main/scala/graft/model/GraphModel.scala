@@ -40,8 +40,9 @@ object Hashing {
   }
 
   /** JSON string escaping at column level — byte-identical to
-    * [[PropValue.jsonString]] (backslash, quote, \n/\r/\t, then \u00xx for
-    * the remaining control chars), so the distributed edge-id path and the
+    * [[PropValue.jsonString]] (backslash, quote, the serde_json short
+    * escapes \b/\t/\n/\f/\r, then \u00xx for the remaining control chars),
+    * so the distributed edge-id path and the
     * driver-side GraphBatch path assign the SAME content hash to the same
     * logical edge for every id. The full escape chain only runs on rows
     * that actually contain a special character (one `rlike` guard); clean
@@ -50,9 +51,11 @@ object Hashing {
     val basic = regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
     val full = (0x00 until 0x20).foldLeft(basic) { (acc, i) =>
       val repl = i match {
-        case 0x0a => "\\\\n"
-        case 0x0d => "\\\\r"
+        case 0x08 => "\\\\b"
         case 0x09 => "\\\\t"
+        case 0x0a => "\\\\n"
+        case 0x0c => "\\\\f"
+        case 0x0d => "\\\\r"
         case _    => f"\\\\u$i%04x"
       }
       regexp_replace(acc, f"\\x$i%02x", repl)
@@ -101,6 +104,8 @@ object PropValue {
     "\"" + s.flatMap {
       case '"'          => "\\\""
       case '\\'         => "\\\\"
+      case '\b'         => "\\b" // serde_json short escapes (ser.rs ESCAPE
+      case '\f'         => "\\f" // table): parity for content hashes
       case '\n'         => "\\n"
       case '\r'         => "\\r"
       case '\t'         => "\\t"

@@ -134,6 +134,45 @@ class PlanQualitySpec extends SparkSuite {
     assert(!sjPlan.contains("BroadcastNestedLoopJoin"), s"nested-loop:\n$sjPlan")
   }
 
+  test("bm25 broadcasts the query terms and corpus stats, no cartesian scan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta epsilon zeta"),
+      (3L, "one two three four")).toDF("doc_id", "text")
+    val q = Seq((9L, "alpha beta")).toDF("qid", "qtext")
+    val df = graft.pipeline.TextAnalysis.bm25TopK(docs, q, "doc_id", "text", "qid", "qtext", 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"query side not broadcast:\n$plan")
+    // the only nested-loop tolerated is the 1-row stats crossJoin; the
+    // scoring joins themselves must be hash equi-joins
+    assert(plan.contains("BroadcastHashJoin"), s"scoring not an equi-join:\n$plan")
+  }
+
+  test("PQ ADC search broadcasts its distance tables, codes join is equi") {
+    import spark.implicits._
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 8 + j).toFloat))).toDF("vec_id", "embedding")
+    val df = graft.pipeline.Quantization.pqTopK(vecs, vecs.where($"vec_id" < 2),
+      "vec_id", "embedding", k = 2, m = 2, codewords = 4)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"ADC table not broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian"), s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop:\n$plan")
+  }
+
+  test("temperature sample rides one broadcast of cuts, no full-stratum sort") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"s${i % 2}")).toDF("id", "stratum")
+    val ts = graft.pipeline.Curation.temperatureSample(df, "id", "stratum", total = 10L)
+    ts.collect()
+    val plan = ts.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"cuts not broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian"), s"cartesian:\n$plan")
+  }
+
   test("Zoe queries over a bucketed store return identical results") {
     val (batch, _) = CocktailFixture.build()
     val g = batch.toStore(spark)

@@ -94,7 +94,8 @@ class StoreAndIoSpec extends SparkSuite {
 
   test("column-level edge ids match the Scala serializer for quoted ids") {
     val ids = Seq("""he said "hi"""", """back\slash""", """both "\" here""", "normal:1",
-      "line\nbreak", "tab\there", "cr\rhere", "bell\u0007", "nul\u0000mid", "esc\u001b[0m")
+      "line\nbreak", "tab\there", "cr\rhere", "bell\u0007", "nul\u0000mid", "esc\u001b[0m",
+      "bs\bhere", "ff\fhere") // serde_json short-escapes \b and \f
     val df = ids.flatMap(a => ids.map(b => (a, b))).toDF("src", "dst")
       .select(col("src"), col("dst"),
         graft.model.Hashing.edgeIdCol(lit("P"), col("src"), col("dst")).as("computed"))
