@@ -340,6 +340,11 @@ object PipelineQueries {
     // windows appear verbatim in some other document
     "dedup_substring" -> ((s, d) =>
       Dedup.duplicatedWindowStats(dedupCorpus(s, d), "doc_id", "text", n = 8)),
+    // asymmetric near-dup: max containment |A∩B|/min(|A|,|B|) — 1.0 for
+    // the planted tail-extended copies that Jaccard under-scores
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentViaMinhash(dedupCorpus(s, d), "doc_id", "text",
+        n = 3, k = 4, minContain = 0.9)),
     // SemDeDup candidate stage: intra-k-means-cluster cosine pairs
     "dedup_semantic_pairs" -> ((s, d) =>
       Dedup.semanticPairs(embeddings(s, d), "vec_id", "embedding",
@@ -675,6 +680,11 @@ object PipelineQueries {
            |SELECT c.doc_id, coalesce(nw, 0) AS n_windows, coalesce(du, 0) AS dup_windows,
            |  round(coalesce(CAST(du AS DOUBLE) / nw, 0.0), 4) AS dup_frac
            |FROM corpus c LEFT JOIN tot USING (doc_id) LEFT JOIN dup USING (doc_id)""".stripMargin,
+      "dedup_containment" ->
+        s"""$ngramInterCtes
+           |SELECT a, b, round(CAST(i AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 4) AS containment
+           |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           |WHERE round(CAST(i AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 4) >= 0.9""".stripMargin,
       "dedup_semantic_pairs" ->
         s"""WITH ${semPairCtes(s"$SemMinCos")}
            |SELECT a, b, cos FROM hits""".stripMargin,

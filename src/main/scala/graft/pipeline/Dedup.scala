@@ -173,8 +173,11 @@ object Dedup {
   }
 
   /** Shared verify stage: |A∩B| via candidates ⋈ shingles(a) ⋈ shingles(b),
-    * sizes from the same shingle table. */
-  private def verifyJaccard(sh: DataFrame, cand: DataFrame, minSim: Double): DataFrame = {
+    * sizes from the same shingle table; `score(inter, na, nb)` names the
+    * overlap measure (Jaccard, containment, ...). */
+  private def verifyOverlap(sh: DataFrame, cand: DataFrame,
+                            score: (Column, Column, Column) => Column,
+                            outName: String, min: Double): DataFrame = {
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.select(col("doc").as("a"), col("shingle")), Seq("a"))
@@ -184,9 +187,63 @@ object Dedup {
       .join(sizes.select(col("doc").as("a"), col("n_sh").as("na")), Seq("a"))
       .join(sizes.select(col("doc").as("b"), col("n_sh").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jaccard"))
-      .where(col("jaccard") >= minSim)
+        round(score(col("inter"), col("na"), col("nb")), 4).as(outName))
+      .where(col(outName) >= min)
+  }
+
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame, minSim: Double): DataFrame =
+    verifyOverlap(sh, cand,
+      (i, na, nb) => i.cast("double") / (na + nb - i).cast("double"),
+      "jaccard", minSim)
+
+  /** MAX-containment — |A∩B| / min(|A|, |B|), the asymmetric near-dup
+    * measure: 1.0 whenever one document's shingle set is a subset of the
+    * other's (verbatim quotes, documents extended with boilerplate),
+    * cases plain Jaccard under-scores by the size imbalance. */
+  private def verifyContainment(sh: DataFrame, cand: DataFrame, minContain: Double): DataFrame =
+    verifyOverlap(sh, cand,
+      (i, na, nb) => i.cast("double") / least(na, nb).cast("double"),
+      "containment", minContain)
+
+  /** Containment near-dup pairs with MinHash/LSH-proposed candidates and
+    * exact shingle-intersection verification — same plan shape (and the
+    * same scoped persist) as [[ngramJaccardViaMinhash]], scored with max
+    * containment instead of Jaccard. Note the recall caveat: banding
+    * probability follows the pair's JACCARD, so a tiny document engulfed
+    * by a huge one (high containment, low Jaccard) may not be proposed —
+    * route such asymmetric corpora through [[containmentVerifyPairs]]
+    * with candidates from a df-bounded shared-shingle join. */
+  def containmentViaMinhash(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, k: Int = 4, minContain: Double = 0.9): DataFrame = {
+    val sh = TextAnalysis.shingleRows(df, idCol, textCol, n)
+      .withColumnRenamed(idCol, "doc")
+      .dropDuplicates("doc", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sigs = (0 until k).map(i =>
+        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+      val sig = sh.groupBy("doc").agg(sigs.head, sigs.tail: _*)
+      val banded = sig.select(col("doc"),
+        explode(array((0 until k).map(i => struct(lit(i).as("band"), col(s"h$i").as("sig"))): _*))
+          .as("b"))
+        .select(col("doc"), col("b.band"), col("b.sig"))
+      val cand = banded.select(col("doc").as("a"), col("band"), col("sig"))
+        .join(banded.select(col("doc").as("b"), col("band"), col("sig")), Seq("band", "sig"))
+        .where(col("a") < col("b"))
+        .select("a", "b").distinct()
+      verifyContainment(sh, cand, minContain).localCheckpoint(true)
+    } finally sh.unpersist()
+  }
+
+  /** Exact containment restricted to an explicit candidate pair set —
+    * the verify stage for candidate generators tuned to asymmetric pairs. */
+  def containmentVerifyPairs(df: DataFrame, candidates: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 3, minContain: Double = 0.9): DataFrame = {
+    val sh = TextAnalysis.shingleRows(df, idCol, textCol, n)
+      .withColumnRenamed(idCol, "doc")
+      .dropDuplicates("doc", "shingle")
+    verifyContainment(sh, candidates.select("a", "b"), minContain)
   }
 
   /** SimHash near-duplicate pairs: the `bits`-bit signature is split into

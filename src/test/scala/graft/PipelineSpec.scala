@@ -264,6 +264,23 @@ class PipelineSpec extends SparkSuite {
     assert(out(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("containment: subset doc scores 1.0 where jaccard cannot") {
+    val fixture = Seq(
+      (1L, "a b c d e f"),            // 4 trigram shingles, all inside doc 2
+      (2L, "a b c d e f g h i j k l"), // 10 shingles
+      (3L, "z y x w v u")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val got = Dedup.containmentVerifyPairs(fixture, cand, "doc_id", "text",
+        n = 3, minContain = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(!got.contains((1L, 3L))) // zero shared shingles -> no pair at all
+    val j = Dedup.jaccardVerifyPairs(fixture, cand, "doc_id", "text",
+        n = 3, minSim = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 0.4) // 4 / (4 + 10 - 4): the size-imbalance penalty
+  }
+
   test("semantic pairs at k=1 equal the bounded all-pairs cosine") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
