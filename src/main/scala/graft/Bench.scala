@@ -32,7 +32,8 @@ object Bench {
     // quantization
     "text_bm25", "dedup_substring", "dedup_semantic_pairs",
     "curate_semdedup_corpus", "embedding_pq", "ann_pq_topk",
-    "curate_temperature_sample", "dedup_containment")
+    "curate_temperature_sample", "dedup_containment",
+    "events_sliding_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

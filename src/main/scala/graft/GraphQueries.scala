@@ -408,6 +408,16 @@ object GraphQueries {
         expr("ts DIV 300000000000").as("bucket")).agg(
         count(lit(1)).as("cnt"),
         round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))),
+    // SLIDING 10-minute windows every 5 minutes through the real streaming
+    // transform (Spark window() with slideDuration; batch==stream parity
+    // asserted in StreamingSpec) — each event lands in exactly 2 windows
+    "events_sliding_window" -> ((s, d) =>
+      graft.streaming.EventStreams.slidingCounts(
+          t(s, d, "events").select(
+            timestamp_seconds(expr("ts DIV 1000000000")).as("ts"),
+            col("event_type"), col("value")))
+        .select(col("window_start").cast("long").as("w_start"),
+          col("event_type"), col("cnt"), col("sum_value"))),
     // as-of join: each click matched to the user's most recent view at or
     // before it (union + window carry-forward — one shuffle by user, no
     // per-row range probe); clicks before any view keep nulls
@@ -667,6 +677,16 @@ object GraphQueries {
       """SELECT event_type, epoch_ns(ts) // 300000000000 AS bucket, count(*) AS cnt,
         |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type, bucket""".stripMargin,
+    // sliding windows: an event at second t belongs to starts
+    // {floor(t/300)*300 - 300*i : i in 0..1} (Spark window() epoch-aligned
+    // membership, s <= t < s + 600)
+    "events_sliding_window" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000000 AS t, value FROM events),
+        |w AS (SELECT event_type, value, (t // 300) * 300 - 300 * i AS w_start
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS i))
+        |SELECT w_start, event_type, count(*) AS cnt,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY w_start, event_type""".stripMargin,
     "stream_graph_ingest" ->
       """SELECT
         |  (SELECT count(DISTINCT user_id) + count(DISTINCT event_type) FROM events) AS n_vertices,

@@ -36,6 +36,24 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** SLIDING-window counts: `windowLen` windows advancing every `slide`,
+    * per event_type, same watermark discipline as [[windowedCounts]] —
+    * each event lands in windowLen/slide overlapping windows (the
+    * trend-smoothing shape tumbling windows can't express), and state
+    * eviction stays watermark-bounded: open windows per key =
+    * windowLen/slide, a constant. Window starts align to the epoch
+    * exactly like Spark's tumbling windows, so a SQL oracle reproduces
+    * membership with integer arithmetic. Runs identically in batch. */
+  def slidingCounts(events: DataFrame, windowLen: String = "10 minutes",
+                    slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
   final case class Session(userId: Long, nEvents: Long, firstTs: Long, lastTs: Long)
   private final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
 

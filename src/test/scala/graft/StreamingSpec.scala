@@ -31,6 +31,19 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("sliding windows: streaming equals batch, every event in 2 windows") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batchDf = spark.read.parquet(eventsDir)
+    val batch = rows(EventStreams.slidingCounts(batchDf))
+    val streamed = rows(EventStreams.runToMemory(spark, eventsDir,
+      df => EventStreams.slidingCounts(df), OutputMode.Complete, "sw_out"))
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+    // 10-minute windows sliding every 5: each event lands in exactly 2
+    assert(batch.toSeq.map(_._3).sum == 2 * batchDf.count())
+  }
+
   test("streaming dedup drops in-horizon duplicate event ids") {
     import org.apache.spark.sql.streaming.OutputMode
     // double the stream: every event appears twice
