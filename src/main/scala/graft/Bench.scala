@@ -33,7 +33,7 @@ object Bench {
     "text_bm25", "dedup_substring", "dedup_semantic_pairs",
     "curate_semdedup_corpus", "embedding_pq", "ann_pq_topk",
     "curate_temperature_sample", "dedup_containment",
-    "events_sliding_window")
+    "events_sliding_window", "ann_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -365,6 +365,12 @@ object PipelineQueries {
       pipeline.Quantization.pqTopK(e, e.where(col("vec_id") < 5),
         "vec_id", "embedding", k = 3, m = 4, codewords = 16)
     }),
+    // IVF-PQ: inverted-list routing + ADC scoring over the codes only
+    "ann_ivfpq_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+      pipeline.Quantization.ivfPqTopK(e, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4, m = 4, codewords = 16)
+    }),
     // corpus rebalancing: sqrt-temperature quotas per detected language
     "curate_temperature_sample" -> ((s, d) => {
       val withLang = docs(s, d).select(col("doc_id"),
@@ -710,6 +716,36 @@ object PipelineQueries {
            |  FROM qs q JOIN cb c USING (s)),
            |dd AS (SELECT a.query_id, e.vec_id AS neighbor_id, CAST(sum(a.micro) AS BIGINT) AS micros
            |  FROM enc e JOIN adc a ON a.s = e.s AND a.cid = e.cid AND a.query_id <> e.vec_id
+           |  GROUP BY 1, 2),
+           |r AS (SELECT query_id, neighbor_id, micros,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY micros ASC, neighbor_id ASC) AS rnk FROM dd)
+           |SELECT query_id, neighbor_id,
+           |  floor(CAST(micros AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS dist,
+           |  CAST(rnk AS BIGINT) AS rank
+           |FROM r WHERE rnk <= 3""".stripMargin,
+      "ann_ivfpq_topk" ->
+        s"""WITH $pqCtes,
+           |cent AS (SELECT vec_id AS lcid, ve AS cv FROM v WHERE vec_id < 16),
+           |asg AS (SELECT vec_id AS neighbor_id, lcid FROM (
+           |  SELECT v.vec_id, c.lcid,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.lcid ASC) AS rn
+           |  FROM v, cent c) t WHERE rn = 1),
+           |probes AS (SELECT query_id, lcid FROM (
+           |  SELECT v.vec_id AS query_id, c.lcid,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.lcid ASC) AS rn
+           |  FROM v, cent c WHERE v.vec_id < 5) t WHERE rn <= 4),
+           |qs AS (SELECT vec_id AS query_id, s, x FROM sv WHERE vec_id < 5),
+           |adc AS (SELECT q.query_id, c.s, c.cid,
+           |    CAST(floor((list_sum(list_transform(range(0, len(q.x)), i -> q.x[i+1] * q.x[i+1]))
+           |     - list_sum(list_transform(range(0, len(q.x)), i -> q.x[i+1] * c.cw[i+1])) * 2
+           |     + list_sum(list_transform(range(0, len(c.cw)), i -> c.cw[i+1] * c.cw[i+1])))
+           |     * 1000000.0 + 0.5) AS BIGINT) AS micro
+           |  FROM qs q JOIN cb c USING (s)),
+           |dd AS (SELECT a.query_id, e.vec_id AS neighbor_id, CAST(sum(a.micro) AS BIGINT) AS micros
+           |  FROM enc e JOIN asg g ON g.neighbor_id = e.vec_id
+           |  JOIN probes p ON p.lcid = g.lcid
+           |  JOIN adc a ON a.query_id = p.query_id AND a.s = e.s AND a.cid = e.cid
+           |    AND a.query_id <> e.vec_id
            |  GROUP BY 1, 2),
            |r AS (SELECT query_id, neighbor_id, micros,
            |    row_number() OVER (PARTITION BY query_id ORDER BY micros ASC, neighbor_id ASC) AS rnk FROM dd)

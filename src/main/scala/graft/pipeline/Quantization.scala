@@ -143,6 +143,64 @@ object Quantization {
         col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-PQ ANN top-k (the faiss IVFPQ architecture): vectors are routed
+    * into `nlist` inverted lists by cosine to a static coarse quantizer
+    * (same min-id convention as [[graft.pipeline.Similarity.ivfTopK]]);
+    * queries probe their `nprobe` nearest lists; and candidates are scored
+    * with the PQ ASYMMETRIC distance of [[pqTopK]] — so per query the work
+    * is ~|corpus|·nprobe/nlist code lookups, never a full scan and never
+    * the float vectors.
+    *
+    * Scale: centroids, the ADC tables, and the probe map are broadcast;
+    * the two corpus-sized inputs (the list assignment and the PQ codes)
+    * join on id and reduce with one map-side-combinable integer sum per
+    * (query, vector). Recall follows nprobe exactly as in IVF, compounded
+    * by PQ's quantization error — the standard memory/recall/latency
+    * triangle. Returns (query_id, neighbor_id, dist, rank). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 4, codewords: Int = 16): DataFrame = {
+    require(k > 0 && nprobe > 0, s"need k > 0, nprobe > 0; got k=$k nprobe=$nprobe")
+    val w = org.apache.spark.sql.expressions.Window
+    val cent = broadcast(corpus.where(col(idCol) < nlist)
+      .select(col(idCol).cast("long").as("lcid"), col(vecCol).as("centroid")))
+    val assignW = w.partitionBy("neighbor_id").orderBy(desc("__cos"), asc("lcid"))
+    val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(cent)
+      .select(col("neighbor_id"), col("lcid"),
+        Similarity.cosine(col("cv"), col("centroid")).as("__cos"))
+      .withColumn("__rn", row_number().over(assignW)).where(col("__rn") === 1)
+      .select("neighbor_id", "lcid")
+    val probeW = w.partitionBy("query_id").orderBy(desc("__cos"), asc("lcid"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(cent)
+      .select(col("query_id"), col("lcid"),
+        Similarity.cosine(col("qv"), col("centroid")).as("__cos"))
+      .withColumn("__rn", row_number().over(probeW)).where(col("__rn") <= nprobe)
+      .select("query_id", "lcid")
+    val cb = pqCodebook(corpus, idCol, vecCol, m, codewords)
+    val qs = subVectors(queries, idCol, vecCol, m)
+      .select(col(idCol).as("query_id"), col("s"), col("x"))
+    val adc = qs.join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s").cast("long").as("sub"), col("cid").as("code"),
+        floor(subDist * 1000000.0 + 0.5).cast("long").as("__micro"))
+    val dists = pqEncode(corpus, idCol, vecCol, m, codewords)
+      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
+      .join(assign, Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("lcid"))
+      .join(broadcast(adc), Seq("query_id", "sub", "code"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("__micro")).as("__micros"))
+    val rankW = w.partitionBy("query_id").orderBy(col("__micros").asc, col("neighbor_id").asc)
+    dists.withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(col("__micros").cast("double") / 100.0 + 0.5).cast("double") / 10000.0)
+          .as("dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** (id, scale, codes): per-vector symmetric int8 quantization with the
     * codes packed in element order. The pack stage is pure codegen: struct
     * collect + array_sort (pos is the leading struct field, so sorting

@@ -328,6 +328,30 @@ class PipelineSpec extends SparkSuite {
     assert(!res.exists(_.getAs[Long]("neighbor_id") == 1L))
   }
 
+  test("ivf-pq with one list and one probe equals plain PQ ADC search") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val q = vecs.where($"vec_id" < 3)
+    val full = rows(graft.pipeline.Quantization.pqTopK(
+      vecs, q, "vec_id", "embedding", k = 3, m = 2, codewords = 3))
+    // ids start at 1, so nlist=2 keeps exactly ONE centroid (vec 1): every
+    // vector lands in that single list and nprobe=1 scans the whole corpus
+    val routed = rows(graft.pipeline.Quantization.ivfPqTopK(
+      vecs, q, "vec_id", "embedding", k = 3, nlist = 2, nprobe = 1, m = 2, codewords = 3))
+    assert(full.nonEmpty)
+    assert(routed == full)
+    // more lists with fewer probes can only SHRINK each query's result set
+    val narrow = graft.pipeline.Quantization.ivfPqTopK(
+      vecs, q, "vec_id", "embedding", k = 3, nlist = 3, nprobe = 1, m = 2, codewords = 3)
+      .groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullCounts = graft.pipeline.Quantization.pqTopK(
+      vecs, q, "vec_id", "embedding", k = 3, m = 2, codewords = 3)
+      .groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(narrow.forall { case (qid, n) => n <= fullCounts(qid) })
+  }
+
   test("temperature sampling: sqrt quotas upweight the small stratum") {
     val rows = (1 to 100).map(i => (i.toLong, "A")) ++ (101 to 125).map(i => (i.toLong, "B"))
     val df = rows.toDF("id", "stratum")
