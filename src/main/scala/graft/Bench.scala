@@ -33,7 +33,10 @@ object Bench {
     "text_bm25", "dedup_substring", "dedup_semantic_pairs",
     "curate_semdedup_corpus", "embedding_pq", "ann_pq_topk",
     "curate_temperature_sample", "dedup_containment",
-    "events_sliding_window", "ann_ivfpq_topk")
+    "events_sliding_window", "ann_ivfpq_topk",
+    // pipeline-QA reports: cross-source dup matrix, lang-id confusion,
+    // embedding outliers
+    "dedup_cross_source", "text_langid_confusion", "embedding_outliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

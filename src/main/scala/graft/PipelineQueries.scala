@@ -379,6 +379,27 @@ object PipelineQueries {
           total = TempTotal, seed = TempSeed, overshoot = StratOvershoot)
         .select("doc_id", "lang_guess")
     }),
+    // pipeline QA: which sources copy from which — per (source_a, source_b),
+    // exact-dup pair counts from per-group tallies (never enumerated pairs);
+    // planted corpus: every 10th doc mirrored under source 'mirror'
+    "dedup_cross_source" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sourced = dd.select(col("doc_id"), col("text"), col("source"))
+        .unionByName(dd.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+            lit("mirror").as("source")))
+      Dedup.crossSourceDupMatrix(sourced, "doc_id", "text", "source")
+    }),
+    // pipeline QA: language-ID confusion matrix against the ground-truth
+    // lang column — per (lang, lang_guess), document count
+    "text_langid_confusion" -> ((s, d) =>
+      docs(s, d).select(col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n_docs"))),
+    // pipeline QA: embedding-space outliers — the 20 vectors farthest from
+    // their own fitted k-means centroid (off-distribution surface first)
+    "embedding_outliers" -> ((s, d) =>
+      pipeline.Clustering.centroidOutliers(embeddings(s, d), "vec_id", "embedding",
+        k = SemK, iters = SemIters, topN = 20)),
     // corpus length profile: 50-word histogram buckets, all-integer
     "corpus_histogram" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -410,11 +431,16 @@ object PipelineQueries {
     // the native dot's fold order), same decimal mean, same tie-breaks.
     // Returns the CTE chain (ending in cents$iters + final_assign) so the
     // IVF-with-fitted-quantizer oracle can compose on top of it.
+    // squared-L2 of vector alias v.ve against centroid alias $c.cv — the
+    // exact expression shape Clustering's assignment evaluates (also used
+    // by the embedding_outliers oracle)
+    def kmeansDist(c: String) =
+      s"(list_sum(list_transform(range(0, len(v.ve)), i -> v.ve[i+1] * v.ve[i+1]))" +
+        s" - list_sum(list_transform(range(0, len(v.ve)), i -> v.ve[i+1] * $c.cv[i+1])) * 2" +
+        s" + list_sum(list_transform(range(0, len($c.cv)), i -> $c.cv[i+1] * $c.cv[i+1])))"
+
     def kmeansCtes(k: Int, iters: Int): String = {
-      def dist(c: String) =
-        s"(list_sum(list_transform(range(0, len(v.ve)), i -> v.ve[i+1] * v.ve[i+1]))" +
-          s" - list_sum(list_transform(range(0, len(v.ve)), i -> v.ve[i+1] * $c.cv[i+1])) * 2" +
-          s" + list_sum(list_transform(range(0, len($c.cv)), i -> $c.cv[i+1] * $c.cv[i+1])))"
+      def dist(c: String) = kmeansDist(c)
       val steps = (0 until iters).map { t =>
         s"""a$t AS (SELECT vec_id, cid FROM (
            |  SELECT v.vec_id, c.cid,
@@ -776,6 +802,32 @@ object PipelineQueries {
            |    row_number() OVER (PARTITION BY lang_guess ORDER BY h ASC, doc_id ASC) AS rn
            |  FROM surv)
            |SELECT doc_id, lang_guess FROM r WHERE rn <= quota""".stripMargin,
+      "dedup_cross_source" ->
+        """WITH sourced AS (
+          |  SELECT doc_id, text, source FROM documents
+          |  UNION ALL SELECT doc_id + 2000000, text, 'mirror' FROM documents WHERE doc_id % 10 = 0),
+          |per AS (SELECT md5(text) AS h, source AS src, count(*) AS c FROM sourced GROUP BY 1, 2),
+          |cross_p AS (SELECT l.src AS source_a, r.src AS source_b,
+          |    CAST(sum(l.c * r.c) AS BIGINT) AS dup_pairs
+          |  FROM per l JOIN per r ON l.h = r.h AND l.src < r.src GROUP BY 1, 2),
+          |diag AS (SELECT src AS source_a, src AS source_b,
+          |    CAST(sum(c * (c - 1) // 2) AS BIGINT) AS dup_pairs
+          |  FROM per WHERE c > 1 GROUP BY 1, 2)
+          |SELECT * FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM diag) t
+          |WHERE dup_pairs > 0""".stripMargin,
+      "text_langid_confusion" ->
+        s"""WITH tl AS ($textLangidSql)
+           |SELECT d.lang, tl.lang_guess, count(*) AS n_docs
+           |FROM documents d JOIN tl USING (doc_id)
+           |GROUP BY d.lang, tl.lang_guess""".stripMargin,
+      "embedding_outliers" ->
+        s"""WITH ${kmeansCtes(k = SemK, iters = SemIters)},
+           |sc AS (SELECT v.vec_id, c.cid, ${kmeansDist("c")} AS d,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${kmeansDist("c")} ASC, c.cid ASC) AS rn
+           |  FROM v, cents$SemIters c),
+           |best AS (SELECT vec_id, cid, round(d, 6) AS dist2 FROM sc WHERE rn = 1)
+           |SELECT vec_id, cid, dist2 FROM best
+           |ORDER BY dist2 DESC, vec_id ASC LIMIT 20""".stripMargin,
       "corpus_histogram" ->
         s"""WITH t AS (SELECT doc_id,
            |    CAST(CASE WHEN len($normSql) = 0 THEN 0

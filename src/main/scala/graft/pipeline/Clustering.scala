@@ -63,6 +63,30 @@ object Clustering {
       .select(col("__id").as(idCol), col("cid"))
   }
 
+  /** Embedding-space outlier report (the CCNet-style quality filter in
+    * vector space): the `topN` vectors FARTHEST from their own k-means
+    * centroid — mislabeled, off-distribution, or garbage embeddings
+    * surface first. Returns (idCol, cid, dist2) ordered by (dist2 desc,
+    * id asc); dist2 is rounded to 6 decimals BEFORE ranking so the
+    * boundary is deterministic. The global top-N is a TakeOrdered (each
+    * partition keeps N, the driver merges) — no single-partition sort. */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int, topN: Int): DataFrame = {
+    require(topN > 0, s"need topN > 0; got $topN")
+    val corpus = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters)
+    val d = dotNative(col("__v"), col("__v")) -
+      dotNative(col("__v"), col("centroid")) * 2.0 +
+      dotNative(col("centroid"), col("centroid"))
+    corpus.crossJoin(broadcast(cents))
+      .select(col("__id"), struct(d.as("d"), col("cid")).as("__s"))
+      .groupBy("__id").agg(min(col("__s")).as("__s"))
+      .select(col("__id").as(idCol), col("__s.cid").as("cid"),
+        round(col("__s.d"), 6).as("dist2"))
+      .orderBy(desc("dist2"), col(idCol).asc)
+      .limit(topN)
+  }
+
   /** Argmin-distance assignment: broadcast the k centroids, score every
     * corpus row, keep the (distance asc, cid asc) winner via min(struct) —
     * map-side combinable, so the shuffle moves one partial winner per

@@ -341,6 +341,32 @@ object Dedup {
       .where(col("cos") >= minCos)
   }
 
+  /** Cross-source duplication matrix — which sources copy from which: for
+    * every (source_a, source_b) pair, the number of EXACT duplicate pairs
+    * with one member in each (diagonal rows count within-source pairs).
+    * The counts are computed from per-(group, source) tallies — Σ over
+    * content groups of cₐ·c_b (resp. C(c,2) on the diagonal) — so a
+    * million-copy boilerplate group contributes ONE row per source to the
+    * join, never an enumerated pair list: the same O(n)-not-O(n²) reasoning
+    * as [[graft.pipeline.Curation.exactDupStarPairs]], as a report.
+    * Returns (source_a, source_b, dup_pairs) with source_a <= source_b. */
+  def crossSourceDupMatrix(df: DataFrame, idCol: String, textCol: String,
+                           srcCol: String): DataFrame = {
+    val per = df.select(md5(col(textCol)).as("__h"), col(srcCol).as("__src"))
+      .groupBy("__h", "__src").agg(count(lit(1)).as("__c"))
+    val l = per.select(col("__h"), col("__src").as("source_a"), col("__c").as("__ca"))
+    val r = per.select(col("__h"), col("__src").as("source_b"), col("__c").as("__cb"))
+    val cross = l.join(r, Seq("__h"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("__ca") * col("__cb")).as("dup_pairs"))
+    val diag = per.where(col("__c") > 1)
+      .groupBy("__src")
+      .agg(sum(expr("__c * (__c - 1) DIV 2")).as("dup_pairs"))
+      .select(col("__src").as("source_a"), col("__src").as("source_b"), col("dup_pairs"))
+    cross.unionByName(diag).where(col("dup_pairs") > 0)
+  }
+
   /** Embedding-cosine near-duplicate pairs among a bounded candidate set
     * (for unbounded inputs route through LSH buckets first —
     * [[Similarity.cosineBuckets]]). Returns (a, b, cos) with a < b. */

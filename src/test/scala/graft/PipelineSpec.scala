@@ -328,6 +328,24 @@ class PipelineSpec extends SparkSuite {
     assert(!res.exists(_.getAs[Long]("neighbor_id") == 1L))
   }
 
+  test("cross-source dup matrix counts pairs from tallies, incl diagonal") {
+    val df = Seq(
+      (1L, "same", "A"), (2L, "same", "A"), (3L, "same", "B"), // A:2, B:1
+      (4L, "uniq", "B")).toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(df, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // cross A-B: 2x1 = 2 pairs; within-A: C(2,2) = 1; within-B: none
+    assert(got == Map(("A", "B") -> 2L, ("A", "A") -> 1L))
+  }
+
+  test("centroid outliers: descending distance, deterministic size") {
+    val out = graft.pipeline.Clustering.centroidOutliers(
+      vecs, "vec_id", "embedding", k = 1, iters = 1, topN = 3).collect()
+    assert(out.length == 3)
+    val d = out.map(_.getAs[Double]("dist2"))
+    assert(d.sameElements(d.sortBy(-_)) && d.forall(_ >= 0.0))
+  }
+
   test("ivf-pq with one list and one probe equals plain PQ ADC search") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
