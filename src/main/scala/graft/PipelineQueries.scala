@@ -209,6 +209,15 @@ object PipelineQueries {
       pipeline.Curation.dupClusters(
           pipeline.Curation.exactDupStarPairs(dedupCorpus(s, d), "doc_id", "text"))
         .select(col("id").as("doc_id"), col("cluster"))),
+    // DataFrame-native connected components (min-label propagation +
+    // pointer jumping — no GraphX, no RDD) over the NEAR-dup verified
+    // pair graph; near-dup pairs chain transitively (A~B~C without A~C),
+    // so this exercises multi-round convergence, not just depth-1 stars
+    "curate_dup_clusters_df" -> ((s, d) =>
+      pipeline.ConnectedComponents.labels(
+          Dedup.ngramJaccardViaMinhash(dedupCorpus(s, d), "doc_id", "text",
+            n = 3, k = 4, minSim = 0.5).select("a", "b"))
+        .select(col("id").as("doc_id"), col("cluster"))),
     // GraphX triangle counting over the exact-dup pair graph: each dup
     // cluster is a clique, so per-vertex triangles = C(n-1, 2) — a closed
     // form the oracle reproduces from cluster sizes. The clique expansion
@@ -589,6 +598,17 @@ object PipelineQueries {
            |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
            |dropd AS (SELECT a FROM reach GROUP BY a HAVING min(b) < a)
            |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT a FROM dropd)""".stripMargin,
+      // same pair graph as curate_neardup_corpus; cluster = min reachable
+      // node (including self) per node in some pair
+      "curate_dup_clusters_df" ->
+        s"""${ngramInterCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |prs AS (SELECT a, b
+           |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5),
+           |und AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+           |reach AS (SELECT a, b FROM und
+           |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+           |SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a""".stripMargin,
       "embedding_kmeans" ->
         s"WITH ${kmeansCtes(k = 8, iters = 2)}\nSELECT vec_id, cid FROM final_assign",
       "ann_ivf_kmeans_topk" ->

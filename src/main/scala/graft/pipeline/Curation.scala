@@ -101,8 +101,9 @@ object Curation {
                          n: Int = 3, k: Int = 4, minSim: Double = 0.5): DataFrame = {
     val pairs = Dedup.ngramJaccardViaMinhash(df, idCol, textCol, n, k, minSim)
       .select("a", "b")
-    // cluster label = minimum member id, so every non-label member drops
-    val drop = dupClusters(pairs)
+    // cluster label = minimum member id, so every non-label member drops;
+    // DataFrame-native cc keeps the flagship dedup pipeline RDD-free
+    val drop = ConnectedComponents.labels(pairs)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as("__drop_id"))
     df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")
@@ -119,7 +120,7 @@ object Curation {
                              k: Int = 8, iters: Int = 2, minCos: Double = 0.5): DataFrame = {
     val pairs = Dedup.semanticPairs(df, idCol, vecCol, k, iters, minCos)
       .select("a", "b")
-    val drop = dupClusters(pairs)
+    val drop = ConnectedComponents.labels(pairs)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as("__drop_id"))
     df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")

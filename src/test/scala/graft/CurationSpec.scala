@@ -157,4 +157,31 @@ class CurationSpec extends SparkSuite {
     assert(packed(12L) == (1L, 1L, 50L))
     assert(packed.values.forall { case (_, _, off) => off >= 0 && off < 512 })
   }
+
+  test("ConnectedComponents.labels matches GraphX dupClusters on assorted graphs") {
+    import graft.pipeline.ConnectedComponents
+    // a long path (deep propagation), a clique, a star, reversed edges,
+    // and two joined chains — the shapes near-dup pair graphs produce
+    val path = (0L until 40L).sliding(2).map(w => (w(1), w(0))).toSeq // reversed
+    val clique = for (a <- 50L to 55L; b <- 50L until a) yield (b, a)
+    val star = (61L to 70L).map(m => (60L, m))
+    val vee = Seq((80L, 81L), (81L, 82L), (85L, 84L), (84L, 83L), (82L, 83L))
+    val pairs = (path ++ clique ++ star ++ vee).toDF("a", "b")
+    val df = ConnectedComponents.labels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = Curation.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df == gx)
+    assert(df(39L) == 0L && df(55L) == 50L && df(70L) == 60L && df(85L) == 80L)
+  }
+
+  test("ConnectedComponents.labels converges fast on a path graph") {
+    import graft.pipeline.ConnectedComponents
+    // 200-node path: plain min-propagation would need ~200 rounds; the
+    // pointer-jumping variant must land well inside the default budget
+    val pairs = (0L until 200L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("a", "b")
+    val labels = ConnectedComponents.labels(pairs, maxIters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200 && labels.values.forall(_ == 0L))
+  }
 }
