@@ -63,6 +63,20 @@ object PipelineQueries {
        |  FROM cand JOIN ex la ON la.doc_id = a JOIN ex rb ON rb.doc_id = b AND rb.shingle = la.shingle
        |  GROUP BY 1, 2)""".stripMargin
 
+  // shared by curate_decontaminate and curate_decontaminate_bloom: the
+  // bloom variant prefilters with a sketch but verifies exactly, so both
+  // operators answer to one oracle
+  private lazy val decontaminateSql =
+    s"""$corpusCte,
+       |ct AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM corpus),
+       |cg AS (SELECT DISTINCT doc_id, g FROM
+       |  (SELECT doc_id, unnest(${shinglesExpr(5)}) AS g FROM ct WHERE len(w) >= 5)),
+       |bt AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+       |bg AS (SELECT DISTINCT g FROM
+       |  (SELECT unnest(${shinglesExpr(5)}) AS g FROM bt WHERE len(w) >= 5)),
+       |bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g))
+       |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
   // curate_stratified parameters, shared by the Spark call site AND the
   // interpolated oracle SQL so one edit changes both sides in lockstep
   private val StratQuota = 30
@@ -261,6 +275,14 @@ object PipelineQueries {
     // copies, or a natural collision) is dropped — broadcast gram probe
     "curate_decontaminate" -> ((s, d) =>
       pipeline.Curation.decontaminate(dedupCorpus(s, d),
+        docs(s, d).where(col("doc_id") % 10 === 0), "doc_id", "text", n = 5)
+        .select("doc_id")),
+    // decontamination with Spark's native bloom_filter_agg/might_contain
+    // prefilter: the codegen'd sketch probe drops ~all clean grams before
+    // the dedup shuffle, an exact semi-join removes the false positives —
+    // byte-identical result to curate_decontaminate, same oracle
+    "curate_decontaminate_bloom" -> ((s, d) =>
+      pipeline.Curation.decontaminateBloom(dedupCorpus(s, d),
         docs(s, d).where(col("doc_id") % 10 === 0), "doc_id", "text", n = 5)
         .select("doc_id")),
     // within-document repetition signals (Gopher-style quality rules)
@@ -977,16 +999,10 @@ object PipelineQueries {
            |SELECT word, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
            |FROM words WHERE word <> ''
            |GROUP BY word ORDER BY doc_freq DESC, word ASC LIMIT 20""".stripMargin,
-      "curate_decontaminate" ->
-        s"""$corpusCte,
-           |ct AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM corpus),
-           |cg AS (SELECT DISTINCT doc_id, g FROM
-           |  (SELECT doc_id, unnest(${shinglesExpr(5)}) AS g FROM ct WHERE len(w) >= 5)),
-           |bt AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
-           |bg AS (SELECT DISTINCT g FROM
-           |  (SELECT unnest(${shinglesExpr(5)}) AS g FROM bt WHERE len(w) >= 5)),
-           |bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g))
-           |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+      "curate_decontaminate" -> decontaminateSql,
+      // the bloom variant is exact (sketch prefilter + exact verification),
+      // so it answers to the identical oracle
+      "curate_decontaminate_bloom" -> decontaminateSql,
       "text_repetition" ->
         s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
            |toks AS (SELECT doc_id, list_filter(string_split(norm, ' '), x -> x <> '') AS w FROM n),

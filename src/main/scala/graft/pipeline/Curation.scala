@@ -294,4 +294,39 @@ object Curation {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** [[decontaminate]] with a bloom prefilter — EXACT same result, built
+    * for the regime where the benchmark gram set is too large to broadcast
+    * as an exact hash relation (multi-benchmark suites, paragraph-length
+    * grams). The sketch is built distributedly with Spark's native
+    * `bloom_filter_agg` machinery (map-side combinable; only the ~MB
+    * serialized filter reaches the driver), probes run inside whole-stage
+    * codegen on the exploded corpus grams BEFORE any shuffle, and only the
+    * ~fpp fraction of surviving grams pays the per-document dedup shuffle
+    * and the exact verification semi-join that removes false positives.
+    * The corpus-side shuffle volume drops by ~1/fpp vs [[decontaminate]];
+    * no false negatives exist, so no contaminated document survives. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 8,
+                         bitsPerItem: Int = 10): DataFrame = {
+    import graft.functions.BloomFunctions
+    val benchGrams = TextAnalysis.shingleRows(benchmark, idCol, textCol, n)
+      .select("shingle").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nGrams = benchGrams.count()
+      if (nGrams == 0L) corpus
+      else {
+        val sketch = benchGrams
+          .agg(BloomFunctions.bloomAgg(col("shingle"), nGrams, bitsPerItem))
+          .head.getAs[Array[Byte]](0)
+        val hits = TextAnalysis.shingleRows(corpus, idCol, textCol, n)
+          .where(BloomFunctions.mightContain(lit(sketch), col("shingle")))
+          .dropDuplicates(idCol, "shingle")
+          .join(benchGrams, Seq("shingle"), "left_semi") // exact FP removal
+          .select(idCol).distinct()
+        corpus.join(hits, Seq(idCol), "left_anti")
+      }
+    } finally benchGrams.unpersist()
+  }
 }

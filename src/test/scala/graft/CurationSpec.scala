@@ -158,6 +158,37 @@ class CurationSpec extends SparkSuite {
     assert(packed.values.forall { case (_, _, off) => off >= 0 && off < 512 })
   }
 
+  test("bloomAgg/mightContain: no false negatives, low false-positive rate") {
+    import graft.functions.BloomFunctions
+    val build = spark.range(1000).select(concat(lit("in-"), col("id")).as("s"))
+    val sketch = build.agg(BloomFunctions.bloomAgg(col("s"), 1000L))
+      .head.getAs[Array[Byte]](0)
+    val inHits = build.where(BloomFunctions.mightContain(lit(sketch), col("s"))).count()
+    assert(inHits == 1000L) // a bloom filter never misses a member
+    val out = spark.range(5000).select(concat(lit("out-"), col("id")).as("s"))
+    val fp = out.where(BloomFunctions.mightContain(lit(sketch), col("s"))).count()
+    assert(fp < 250L, s"false-positive count $fp way above the ~1% design rate")
+  }
+
+  test("decontaminateBloom equals exact decontaminate") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "alpha beta gamma delta epsilon other tail words"),
+      (4L, "totally clean document with none of the bench grams here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val exact = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Curation.decontaminateBloom(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(2L, 4L))
+    assert(bloom == exact)
+    // empty benchmark: everything survives on both paths
+    val none = bench.where(lit(false))
+    assert(Curation.decontaminateBloom(corpus, none, "doc_id", "text", n = 5).count() == 4L)
+  }
+
   test("ConnectedComponents.labels matches GraphX dupClusters on assorted graphs") {
     import graft.pipeline.ConnectedComponents
     // a long path (deep propagation), a clique, a star, reversed edges,
