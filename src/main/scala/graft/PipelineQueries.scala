@@ -357,6 +357,15 @@ object PipelineQueries {
     // top-3 characteristic terms per document (rational BM25-style idf)
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTop(docs(s, d), "doc_id", "text", topK = 3)),
+    // unigram-LM mean log-probability per document (the perplexity-filter
+    // signal); micro-unit quantization before the per-doc sum
+    "text_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(docs(s, d), "doc_id", "text")),
+    // length-weighted sample without replacement (Efraimidis–Spirakis
+    // keys over deterministic md5 uniforms), k = 200
+    "curate_weighted_sample" -> ((s, d) =>
+      pipeline.Curation.weightedSample(docs(s, d), "doc_id", "n_chars", k = 200)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))),
     // BM25 retrieval: queries are the first-8-word prefixes of every
     // 101st document; rational idf, integer micro-unit score accumulation
     "text_bm25" -> ((s, d) => {
@@ -699,6 +708,25 @@ object PipelineQueries {
           |    ELSE CAST(floor(val / scale + 0.5) AS BIGINT) END AS code,
           |  scale
           |FROM vu JOIN m USING (vec_id)""".stripMargin,
+      "text_unigram_logprob" ->
+        s"""WITH ${toksCte("documents")},
+           |tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
+           |words AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+           |m AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+           |tot AS (SELECT count(*) AS total FROM words),
+           |s AS (SELECT w.doc_id,
+           |    CAST(floor(ln(CAST(m.cnt AS DOUBLE) / tot.total) * 1000000.0 + 0.5) AS BIGINT) AS lp
+           |  FROM words w JOIN m USING (word) CROSS JOIN tot)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000.0), 4) AS logprob
+           |FROM s GROUP BY doc_id""".stripMargin,
+      "curate_weighted_sample" ->
+        """WITH u AS (SELECT doc_id, n_chars,
+          |  CAST(CAST(concat('0x', substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS DOUBLE)
+          |    / 281474976710656.0 AS u
+          |  FROM documents)
+          |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM u
+          |ORDER BY ln(u) / n_chars DESC, doc_id ASC LIMIT 200""".stripMargin,
       "text_tfidf" ->
         s"""WITH ${toksCte("documents")},
            |tok AS (SELECT doc_id, unnest(w) AS word FROM toks),

@@ -132,6 +132,31 @@ object Curation {
     df.where(substring(md5(concat(lit(seed + "|"), col(idCol).cast("string"))), 1, 2)
       < lit(f"$keepOf256%02x"))
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-ES): keep
+    * the `k` rows with the largest u^(1/w) — equivalently, since ln is
+    * monotone and ln(u) < 0, the largest ln(u)/w — where u is a
+    * deterministic uniform from the md5 of the seeded id (first 12 hex
+    * digits / 16¹²: a 48-bit integer over a power-of-two denominator, so
+    * u is bit-exact in every engine) and w > 0 is the row's weight.
+    * Inclusion probability rises with weight; quality- or length-weighted
+    * corpus sampling in one pass.
+    *
+    * Determinism: u is exact; ln(u)/w inherits at most a libm last-ulp
+    * wobble, which only matters if two distinct rows' keys collide to
+    * within one ulp AND straddle the k-boundary; ties break by id.
+    * Scale: global top-k = TakeOrdered (per-partition heaps + a k-row
+    * driver merge), never a full sort. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     seed: String = "wsample"): DataFrame = {
+    require(k > 0, s"need k > 0; got $k")
+    val u = conv(substring(md5(concat(lit(seed + "|"), col(idCol).cast("string"))), 1, 12),
+      16, 10).cast("double") / lit(281474976710656.0) // 16^12
+    df.withColumn("__wkey", log(u) / col(weightCol).cast("double"))
+      .orderBy(desc("__wkey"), col(idCol).asc)
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Deterministic train/val/test split label: test = first testOf256
     * buckets, val = next valOf256, train = the rest. */
   def splitLabel(df: DataFrame, idCol: String,

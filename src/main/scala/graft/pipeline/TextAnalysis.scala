@@ -202,6 +202,41 @@ object TextAnalysis {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Unigram language-model scoring (the CCNet-style perplexity filter):
+    * fit p(w) = count(w)/total over the corpus itself, then score every
+    * document by its mean token log-probability. Low scores = documents
+    * dominated by rare tokens (OCR noise, codes, off-language text);
+    * training pipelines threshold on this to keep fluent text.
+    *
+    * Determinism across engines: the per-token score ln(cnt/total) is a
+    * transcendental, which the BM25/tf-idf operators avoid by monotone
+    * rational rewrites — but a MEAN of logs has no rational equivalent
+    * (the mean is not order-preserved by exp), so here ln stays and the
+    * risk is contained instead: each score is quantized to integer
+    * micro-units (floor(x·10⁶ + 0.5)) per DISTINCT model count — one ln
+    * evaluation per vocabulary entry, never per occurrence — and the
+    * per-document aggregation sums exact integers, immune to partition
+    * order. A libm last-ulp divergence only matters if some vocab entry's
+    * ln lands within ~1e-9 relative of a quantization boundary.
+    *
+    * Scale: one token explode feeds the model aggregation (map-side
+    * combined, keyed by word); scoring re-joins tokens to the model on the
+    * same key, and AQE broadcasts the model when the vocabulary allows.
+    * The 1-row total rides a broadcast cross join. Documents with zero
+    * tokens carry no rows. Returns (idCol, n_tokens, logprob). */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokenRows(df, idCol, textCol).where(col("word") =!= "")
+    val model = toks.groupBy("word").agg(count(lit(1)).as("__cnt"))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    val scored = toks.join(model, Seq("word")).crossJoin(broadcast(total))
+      .select(col(idCol),
+        floor(log(col("__cnt").cast("double") / col("__total")) * 1000000.0 + 0.5)
+          .cast("long").as("__lp"))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum("__lp").cast("double") / (count(lit(1)) * 1000000.0), 4).as("logprob"))
+  }
+
   /** BM25 retrieval: for every query, the `topK` documents ranked by the
     * Okapi BM25 score over the query's distinct terms, with the RATIONAL
     * idf argument `(N − df + 0.5) / (df + 0.5)` (no ln(), same reasoning as

@@ -397,4 +397,40 @@ class PipelineSpec extends SparkSuite {
     assert(frames.count() > 0)
     assert(frames.groupBy("asset_id").count().head().getLong(1) >= 2)
   }
+
+  test("unigram log-prob: common-token docs outscore rare-token docs, hand check") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the"),     // 4x the most common token
+      (2L, "the the rare1 rare2"), // half common, half singletons
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // model: the=6/8, rare1=1/8, rare2=1/8
+    val lp = (p: Double) => math.floor(math.log(p) * 1e6 + 0.5)
+    def mean4(lps: Double*) = BigDecimal(lps.sum / (lps.size * 1e6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 4L)
+    assert(out(1L)._2 == mean4(lp(6.0 / 8), lp(6.0 / 8), lp(6.0 / 8), lp(6.0 / 8)))
+    assert(out(2L)._2 == mean4(lp(6.0 / 8), lp(6.0 / 8), lp(1.0 / 8), lp(1.0 / 8)))
+    assert(out(1L)._2 > out(2L)._2) // fluent doc scores higher
+    assert(!out.contains(3L))       // empty doc carries no rows
+  }
+
+  test("weightedSample: deterministic, right size, favors heavy rows") {
+    import spark.implicits._
+    val rows = (1L to 2000L).map(i => (i, if (i <= 1000) 1000 else 1))
+    val df = rows.toDF("doc_id", "w")
+    val s1 = pipeline.Curation.weightedSample(df, "doc_id", "w", k = 200)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = pipeline.Curation.weightedSample(df, "doc_id", "w", k = 200)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.size == 200)
+    // heavy rows (w=1000) should dominate the sample overwhelmingly
+    assert(s1.count(_ <= 1000L) > 180)
+    // a different seed draws a different sample
+    val s3 = pipeline.Curation.weightedSample(df, "doc_id", "w", k = 200, seed = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(s3 != s1)
+  }
 }
