@@ -316,6 +316,11 @@ object GraphQueries {
     "graphx_pagerank" -> ((s, d) =>
       GraphAnalytics.pageRank(analyticsSubgraph(graph(s, d)), analyticsToLong, numIter = 10)
         .select(col("id"), round(col("rank"), 5).as("rank"))),
+    // the same static PageRank as pure DataFrame power iteration (no
+    // GraphX/RDD round-trip) — identical semantics, same oracle
+    "graph_pagerank_df" -> ((s, d) =>
+      GraphAnalytics.pageRankDF(analyticsSubgraph(graph(s, d)), analyticsToLong, numIter = 10)
+        .select(col("id"), round(col("rank"), 5).as("rank"))),
     // GraphX ShortestPaths to the region landmarks: hop counts along the
     // member->nation->region edge direction (regions 0, nations 1,
     // customers/suppliers 2 — the closed form IS the oracle)
@@ -458,6 +463,28 @@ object GraphQueries {
   private val nationInRegion = edgeIdSql("InRegion", "'nation:'||n_nationkey", "'region:'||n_regionkey")
   private val custInSegment = edgeIdSql("InSegment", "'customer:'||c_custkey", "'segment:'||c_mktsegment")
   private val orderPlacedBy = edgeIdSql("PlacedBy", "'order:'||o_orderkey", "'customer:'||o_custkey")
+
+  // shared by graphx_pagerank and graph_pagerank_df: on the 3-level
+  // member->nation->region DAG the 10-iteration fixed point has a closed
+  // form, which both engines then normalize to sum |V|
+  private val pageRankSql =
+    """WITH mem AS (
+      |  SELECT n_nationkey, n_regionkey,
+      |    (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) +
+      |    (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS m
+      |  FROM nation),
+      |nr AS (SELECT n_nationkey, n_regionkey,
+      |  CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * CAST(0.15 AS DOUBLE) * m AS r FROM mem),
+      |ranks AS (
+      |  SELECT 'customer:'||c_custkey AS id, CAST(0.15 AS DOUBLE) AS r FROM customer
+      |  UNION ALL SELECT 'supplier:'||s_suppkey, CAST(0.15 AS DOUBLE) FROM supplier
+      |  UNION ALL SELECT 'nation:'||n_nationkey, r FROM nr
+      |  UNION ALL SELECT 'region:'||r_regionkey,
+      |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
+      |      (SELECT sum(r) FROM nr WHERE n_regionkey = r_regionkey)
+      |  FROM region),
+      |tot AS (SELECT sum(r) AS s, count(*) AS n FROM ranks)
+      |SELECT id, round(r * n / s, 5) AS rank FROM ranks, tot""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "zoe_e_all" ->
@@ -603,24 +630,10 @@ object GraphQueries {
         |UNION ALL SELECT 'nation:'||n_nationkey, CAST(n_regionkey AS BIGINT), CAST(1 AS BIGINT) FROM nation
         |UNION ALL SELECT 'customer:'||c_custkey, CAST(n_regionkey AS BIGINT), CAST(2 AS BIGINT) FROM customer JOIN nation ON c_nationkey = n_nationkey
         |UNION ALL SELECT 'supplier:'||s_suppkey, CAST(n_regionkey AS BIGINT), CAST(2 AS BIGINT) FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
-    "graphx_pagerank" ->
-      """WITH mem AS (
-        |  SELECT n_nationkey, n_regionkey,
-        |    (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) +
-        |    (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS m
-        |  FROM nation),
-        |nr AS (SELECT n_nationkey, n_regionkey,
-        |  CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * CAST(0.15 AS DOUBLE) * m AS r FROM mem),
-        |ranks AS (
-        |  SELECT 'customer:'||c_custkey AS id, CAST(0.15 AS DOUBLE) AS r FROM customer
-        |  UNION ALL SELECT 'supplier:'||s_suppkey, CAST(0.15 AS DOUBLE) FROM supplier
-        |  UNION ALL SELECT 'nation:'||n_nationkey, r FROM nr
-        |  UNION ALL SELECT 'region:'||r_regionkey,
-        |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) *
-        |      (SELECT sum(r) FROM nr WHERE n_regionkey = r_regionkey)
-        |  FROM region),
-        |tot AS (SELECT sum(r) AS s, count(*) AS n FROM ranks)
-        |SELECT id, round(r * n / s, 5) AS rank FROM ranks, tot""".stripMargin,
+    "graphx_pagerank" -> pageRankSql,
+    // the DataFrame power iteration matches GraphX static PageRank
+    // semantics exactly, so both answer to the same closed-form oracle
+    "graph_pagerank_df" -> pageRankSql,
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,

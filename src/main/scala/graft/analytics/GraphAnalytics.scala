@@ -115,6 +115,48 @@ object GraphAnalytics {
       .select(col("id"), col("rank"))
   }
 
+  /** Static PageRank as pure DataFrame power iteration — same semantics
+    * as [[pageRank]] (resetProb restart, contributions r/outdeg along
+    * edge direction, dangling mass not redistributed, final ranks
+    * normalized to sum |V|) without the RDD round-trip: per-source shares
+    * and per-destination sums are codegen'd hash aggregations, AQE sizes
+    * every shuffle, and an eager localCheckpoint per iteration keeps plan
+    * depth constant. On a real cluster the rank table and edge list
+    * co-partition on the vertex key across iterations, so the join
+    * reuses one exchange per side per round. */
+  def pageRankDF(g: GraphStore, toLong: Column => Column, numIter: Int = 10,
+                 resetProb: Double = 0.15): DataFrame = {
+    val verts = g.vertices.select(toLong(col("id")).as("vid"), col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = g.edges
+      .select(toLong(col("src")).as("src"), toLong(col("dst")).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val outDeg = edges.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+      // GraphX initializes every rank to 1.0 — on cyclic graphs the init
+      // still influences the 10th iterate (decays as ~0.85^t), so parity
+      // requires matching it, not starting at resetProb
+      var ranks = verts.select(col("vid"), lit(1.0).as("r")).localCheckpoint(true)
+      for (_ <- 1 to numIter) {
+        val shares = ranks.join(outDeg, ranks("vid") === outDeg("src"))
+          .select(outDeg("src"), (col("r") / col("__outdeg")).as("__share"))
+        val inbound = edges.join(shares, Seq("src"))
+          .groupBy("dst").agg(sum("__share").as("__in"))
+        ranks = verts.select("vid")
+          .join(inbound, verts("vid") === inbound("dst"), "left")
+          .select(col("vid"),
+            (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("__in"), lit(0.0))).as("r"))
+          .localCheckpoint(true)
+      }
+      // GraphX runWithOptions normalizes the rank sum to |V|
+      val norm = ranks.agg(sum("r").as("__s"), count(lit(1)).as("__n"))
+      ranks.crossJoin(broadcast(norm))
+        .select(col("vid"), (col("r") * col("__n") / col("__s")).as("rank"))
+        .join(verts, Seq("vid"))
+        .select(col("id"), col("rank"))
+    } finally { verts.unpersist(); edges.unpersist() }
+  }
+
   /** Single-source-style shortest paths to a LANDMARK set (GraphX
     * ShortestPaths: hop counts following edge direction from each vertex
     * toward the landmarks). Returns one row per (vertex, reachable

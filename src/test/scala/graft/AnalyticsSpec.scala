@@ -49,6 +49,21 @@ class AnalyticsSpec extends SparkSuite {
     assert(pr.values.forall(_ > 0))
   }
 
+  test("pagerank: DataFrame power iteration matches GraphX to 1e-6") {
+    // cyclic graph (the triangles), a dangling sink path, and an isolated
+    // vertex — exercises non-closed-form convergence, dangling leakage,
+    // and the final sum-to-|V| normalization
+    val gx = GraphAnalytics.pageRank(g, toLong, numIter = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val df = GraphAnalytics.pageRankDF(g, toLong, numIter = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(df.keySet == gx.keySet)
+    df.foreach { case (id, r) =>
+      assert(math.abs(r - gx(id)) < 1e-6, s"$id: df $r vs graphx ${gx(id)}")
+    }
+    assert(math.abs(df.values.sum - 7.0) < 1e-9) // normalized to |V|
+  }
+
   test("shortest paths: hop counts along edge direction to the landmark") {
     // landmark d (=4): a->b->c->d = 3, c->d = 1, d = 0; e/f reach d via
     // e->f->d; the loner has no path -> absent from the result
