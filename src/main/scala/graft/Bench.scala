@@ -36,7 +36,12 @@ object Bench {
     "events_sliding_window", "ann_ivfpq_topk",
     // pipeline-QA reports: cross-source dup matrix, lang-id confusion,
     // embedding outliers
-    "dedup_cross_source", "text_langid_confusion", "embedding_outliers")
+    "dedup_cross_source", "text_langid_confusion", "embedding_outliers",
+    // round-6b additions: DataFrame-native cc + PageRank (the RDD-free
+    // path), bloom decontamination, unigram-LM scoring, weighted sampling
+    "curate_dup_clusters_df", "graph_pagerank_df",
+    "curate_decontaminate_bloom", "text_unigram_logprob",
+    "curate_weighted_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

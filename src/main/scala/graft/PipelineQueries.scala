@@ -129,6 +129,24 @@ object PipelineQueries {
     // scale-safe default: LSH banding proposes candidates, exact Jaccard
     // verifies them — the unguarded all-sharing-pairs self-join fans out
     // quadratically on boilerplate shingles (the 100 TB failure mode)
+    // one-pass shared-propose report: jaccard AND max-containment from a
+    // single shingle scan / signature agg / candidate join / verify agg
+    "dedup_similarity_report" -> ((s, d) =>
+      Dedup.similarityReport(dedupCorpus(s, d), "doc_id", "text",
+        n = 3, k = 4, minSim = 0.5, minContain = 0.9)),
+    // per-source distinct-shingle cardinality: KMV sketch (bounded k-double
+    // state, native TypedImperativeAggregate) next to the exact count it
+    // approximates — the sketch estimate is deterministic and the oracle
+    // replays it bit-for-bit
+    "agg_kmv_distinct" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sh = TextAnalysis.shingleRows(dd, "doc_id", "text", n = 3)
+      sh.join(dd.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(
+          graft.functions.KmvDistinct.kmvDistinct(col("shingle"), k = 128).as("est_distinct"),
+          countDistinct(col("shingle")).as("exact_distinct"))
+    }),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardViaMinhash(dedupCorpus(s, d), "doc_id", "text",
         n = 3, k = 4, minSim = 0.5)),
@@ -616,6 +634,35 @@ object PipelineQueries {
            |SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) AS jaccard
            |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
            |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5""".stripMargin,
+      "agg_kmv_distinct" ->
+        s"""WITH ${toksCte("documents")},
+           |sh AS (SELECT doc_id, unnest(${shinglesExpr(3)}) AS shingle FROM toks WHERE len(w) >= 3),
+           |d AS (SELECT DISTINCT doc.source AS source, s.shingle
+           |  FROM sh s JOIN documents doc USING (doc_id)),
+           |ex AS (SELECT source, count(*) AS exact_distinct FROM d GROUP BY source),
+           |uu AS (SELECT DISTINCT source,
+           |    CAST(CAST(concat('0x', substr(md5(shingle), 1, 12)) AS BIGINT) AS DOUBLE)
+           |      / 281474976710656.0 AS u
+           |  FROM d),
+           |r AS (SELECT source, u,
+           |    row_number() OVER (PARTITION BY source ORDER BY u ASC) AS rn,
+           |    count(*) OVER (PARTITION BY source) AS nu
+           |  FROM uu),
+           |est AS (SELECT source, max(nu) AS nu,
+           |    max(CASE WHEN rn = 128 THEN u END) AS u128
+           |  FROM r GROUP BY source)
+           |SELECT e.source,
+           |  CASE WHEN e.nu < 128 THEN CAST(e.nu AS DOUBLE) ELSE 127.0 / e.u128 END AS est_distinct,
+           |  CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+           |FROM est e JOIN ex x ON e.source = x.source""".stripMargin,
+      "dedup_similarity_report" ->
+        s"""$ngramInterCtes,
+           |sc AS (SELECT a, b,
+           |    round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) AS jaccard,
+           |    round(CAST(i AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 4) AS containment
+           |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+           |SELECT a, b, jaccard, containment FROM sc
+           |WHERE jaccard >= 0.5 OR containment >= 0.9""".stripMargin,
       // replays the same minhash-then-verify pairs, then takes the
       // transitive closure (recursive CTE = connected components on the
       // tiny verified-pair graph) and keeps only cluster-minimum ids

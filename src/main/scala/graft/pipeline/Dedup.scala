@@ -157,18 +157,61 @@ object Dedup {
       .dropDuplicates("doc", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val sigs = (0 until k).map(i =>
-        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-      val sig = sh.groupBy("doc").agg(sigs.head, sigs.tail: _*)
-      val banded = sig.select(col("doc"),
-        explode(array((0 until k).map(i => struct(lit(i).as("band"), col(s"h$i").as("sig"))): _*))
-          .as("b"))
-        .select(col("doc"), col("b.band"), col("b.sig"))
-      val cand = banded.select(col("doc").as("a"), col("band"), col("sig"))
-        .join(banded.select(col("doc").as("b"), col("band"), col("sig")), Seq("band", "sig"))
-        .where(col("a") < col("b"))
-        .select("a", "b").distinct()
-      verifyJaccard(sh, cand, minSim).localCheckpoint(true)
+      verifyJaccard(sh, minhashCandidates(sh, k), minSim).localCheckpoint(true)
+    } finally sh.unpersist()
+  }
+
+  /** Shared propose stage: MinHash signatures over a deduped (doc, shingle)
+    * table, banded into k (band, sig) buckets, candidate pairs = the bucket
+    * equi-join with a < b. Every via-minhash verifier starts here. */
+  private def minhashCandidates(sh: DataFrame, k: Int): DataFrame = {
+    val sigs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    val sig = sh.groupBy("doc").agg(sigs.head, sigs.tail: _*)
+    val banded = sig.select(col("doc"),
+      explode(array((0 until k).map(i => struct(lit(i).as("band"), col(s"h$i").as("sig"))): _*))
+        .as("b"))
+      .select(col("doc"), col("b.band"), col("b.sig"))
+    banded.select(col("doc").as("a"), col("band"), col("sig"))
+      .join(banded.select(col("doc").as("b"), col("band"), col("sig")), Seq("band", "sig"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** One-pass similarity report — the shared-pipeline production shape:
+    * the shingle scan, signature aggregation, and candidate bucket join
+    * run ONCE, and a single intersection aggregation scores every measure
+    * (Jaccard and max-containment) per candidate pair. Running
+    * [[ngramJaccardViaMinhash]] and [[containmentViaMinhash]] separately
+    * costs two propose stages for the same candidates; this costs one.
+    * Pairs are kept when EITHER measure clears its threshold; both scores
+    * are always reported. Recall follows the banding probability of the
+    * pair's Jaccard (the containment caveat of [[containmentViaMinhash]]
+    * applies). Returns (a, b, jaccard, containment). */
+  def similarityReport(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, k: Int = 4, minSim: Double = 0.5,
+                       minContain: Double = 0.9): DataFrame = {
+    val sh = TextAnalysis.shingleRows(df, idCol, textCol, n)
+      .withColumnRenamed(idCol, "doc")
+      .dropDuplicates("doc", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = minhashCandidates(sh, k)
+      val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+      val inter = cand
+        .join(sh.select(col("doc").as("a"), col("shingle")), Seq("a"))
+        .join(sh.select(col("doc").as("b"), col("shingle")), Seq("b", "shingle"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc").as("a"), col("n_sh").as("na")), Seq("a"))
+        .join(sizes.select(col("doc").as("b"), col("n_sh").as("nb")), Seq("b"))
+        .select(col("a"), col("b"),
+          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"), 4)
+            .as("jaccard"),
+          round(col("inter").cast("double") / least(col("na"), col("nb")).cast("double"), 4)
+            .as("containment"))
+        .where(col("jaccard") >= minSim || col("containment") >= minContain)
+        .localCheckpoint(true)
     } finally sh.unpersist()
   }
 
@@ -220,18 +263,7 @@ object Dedup {
       .dropDuplicates("doc", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val sigs = (0 until k).map(i =>
-        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-      val sig = sh.groupBy("doc").agg(sigs.head, sigs.tail: _*)
-      val banded = sig.select(col("doc"),
-        explode(array((0 until k).map(i => struct(lit(i).as("band"), col(s"h$i").as("sig"))): _*))
-          .as("b"))
-        .select(col("doc"), col("b.band"), col("b.sig"))
-      val cand = banded.select(col("doc").as("a"), col("band"), col("sig"))
-        .join(banded.select(col("doc").as("b"), col("band"), col("sig")), Seq("band", "sig"))
-        .where(col("a") < col("b"))
-        .select("a", "b").distinct()
-      verifyContainment(sh, cand, minContain).localCheckpoint(true)
+      verifyContainment(sh, minhashCandidates(sh, k), minContain).localCheckpoint(true)
     } finally sh.unpersist()
   }
 

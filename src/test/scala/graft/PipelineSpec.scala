@@ -398,6 +398,30 @@ class PipelineSpec extends SparkSuite {
     assert(frames.groupBy("asset_id").count().head().getLong(1) >= 2)
   }
 
+  test("similarityReport: one propose pass, same pairs as the two single-measure ops") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),
+      (12L, "the quick brown fox jumps over the lazy cat tonight"),
+      (13L, "the quick brown fox"), // engulfed prefix: high containment
+      (20L, "completely different content about spark engines and big data"))
+      .toDF("doc_id", "text")
+    val report = Dedup.similarityReport(corpus, "doc_id", "text",
+        minSim = 0.5, minContain = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val jac = Dedup.ngramJaccardViaMinhash(corpus, "doc_id", "text", minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cont = Dedup.containmentViaMinhash(corpus, "doc_id", "text", minContain = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every qualifying pair from either measure appears with the same score
+    jac.foreach { case (p, j) => assert(report(p)._1 == j) }
+    cont.foreach { case (p, c) => assert(report(p)._2 == c) }
+    assert(report.keySet == jac.keySet ++ cont.keySet)
+    // the asymmetric prefix pair qualifies on containment, not jaccard
+    val asym = report.keys.find { case (a, b) => b == 13L || a == 13L }
+    asym.foreach { p => assert(report(p)._2 >= 0.9 && report(p)._1 < 0.5) }
+  }
+
   test("unigram log-prob: common-token docs outscore rare-token docs, hand check") {
     import spark.implicits._
     val docs = Seq(

@@ -232,4 +232,46 @@ class PlanQualitySpec extends SparkSuite {
       s"benchmark gram set not broadcast:\n$dcPlan")
     assert(!dcPlan.toLowerCase.contains("cartesian"), s"cartesian:\n$dcPlan")
   }
+
+  test("bloom decontamination probes the sketch BEFORE the gram dedup shuffle") {
+    import spark.implicits._
+    val corpus = Seq((1L, "one two three four five six"),
+      (2L, "clean words nothing shared here at all")).toDF("doc_id", "text")
+    val bench = Seq((9L, "one two three four five")).toDF("doc_id", "text")
+    val dc = graft.pipeline.Curation.decontaminateBloom(corpus, bench, "doc_id", "text", n = 5)
+    dc.collect()
+    val plan = dc.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), s"cartesian:\n$plan")
+    // the might_contain filter must sit below every exchange on its path:
+    // the probe's string offset precedes the first exchange after it
+    val probeAt = plan.indexOf("might_contain")
+    assert(probeAt >= 0, s"no bloom probe in plan:\n$plan")
+    val tail = plan.substring(probeAt)
+    assert(tail.contains("Exchange"),
+      s"probe not upstream of any exchange (nothing left to save):\n$plan")
+  }
+
+  test("DataFrame cc and PageRank iterate on equi-joins, no cartesian blowup") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val cc = graft.pipeline.ConnectedComponents.labels(pairs)
+    cc.collect()
+    val ccPlan = cc.queryExecution.executedPlan.toString
+    assert(!ccPlan.toLowerCase.contains("cartesian"), s"cartesian in cc:\n$ccPlan")
+    assert(!ccPlan.contains("BroadcastNestedLoopJoin"), s"nested-loop in cc:\n$ccPlan")
+
+    val b = new graft.store.GraphBatch
+    Seq("a", "b", "c").foreach(n => b.createNode(s"v:$n",
+      graft.model.PropValue.typed("N", Some(n))))
+    Seq(("a", "b"), ("b", "c")).foreach { case (s, d) =>
+      b.createEdge(s"v:$s", s"v:$d", graft.model.PropValue("E")) }
+    val g = b.toStore(spark)
+    val toLong: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => when(id === "v:a", 1L).when(id === "v:b", 2L).otherwise(3L)
+    val pr = graft.analytics.GraphAnalytics.pageRankDF(g, toLong, numIter = 3)
+    pr.collect()
+    val prPlan = pr.queryExecution.executedPlan.toString
+    // the only non-equi join allowed is the 1-row normalization broadcast
+    assert(!prPlan.toLowerCase.contains("cartesian"), s"cartesian in pagerank:\n$prPlan")
+  }
 }

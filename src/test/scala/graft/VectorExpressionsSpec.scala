@@ -88,6 +88,31 @@ class VectorExpressionsSpec extends SparkSuite {
     intercept[Exception] { spark.sql("SELECT graft_dot(array(1.0D))").collect() }
   }
 
+  test("kmv distinct: exact below k, ~accurate above, partition-invariant") {
+    import graft.functions.KmvDistinct.kmvDistinct
+    import spark.implicits._
+    // below k: the estimate IS the exact distinct count
+    val small = Seq("a", "b", "c", "a", "b").toDF("v")
+    assert(small.agg(kmvDistinct(col("v"), 64)).head.getDouble(0) == 3.0)
+    // above k: within 15% of the true cardinality
+    val big = spark.range(20000).select(concat(lit("x"), col("id") % 10000).as("v"))
+    val est = big.agg(kmvDistinct(col("v"), 256)).head.getDouble(0)
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.15, s"estimate $est off >15%")
+    // deterministic across partitionings (merge path exercised)
+    val est1 = big.repartition(1).agg(kmvDistinct(col("v"), 256)).head.getDouble(0)
+    val est8 = big.repartition(8).agg(kmvDistinct(col("v"), 256)).head.getDouble(0)
+    assert(est1 == est8 && est1 == est)
+    // grouped: per-group sketches are independent
+    val grouped = spark.range(3000)
+      .select((col("id") % 3).as("g"), concat(lit("v"), col("id")).as("v"))
+      .groupBy("g").agg(kmvDistinct(col("v"), 64).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    grouped.values.foreach(e => assert(math.abs(e - 1000.0) / 1000.0 < 0.3))
+    // nulls are skipped, not counted
+    val withNull = Seq(Some("a"), None, Some("b")).toDF("v")
+    assert(withNull.agg(kmvDistinct(col("v"), 8)).head.getDouble(0) == 2.0)
+  }
+
   test("int and long element arrays widen like the cast-based HOF") {
     val df = Seq((Array(1, 2, 3), Array(4L, 5L, 6L))).toDF("a", "b")
       .select(VectorFunctions.dotNative($"a", $"b").as("dn"),
