@@ -18,6 +18,9 @@ object PipelineQueries {
   private val streamDedupCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
+  private val streamSigDedupCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     TpchGraph.table(spark, dir, "documents")
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
@@ -223,6 +226,24 @@ object PipelineQueries {
       dup.write.mode("overwrite").parquet(tmp)
       graft.streaming.EventStreams.runToMemory(s, tmp,
         df => graft.streaming.EventStreams.streamingDedup(df).select("event_id"))
+    })),
+    // streaming NEAR-dup dedup: per-row minhash signatures through the
+    // real streaming engine (readStream → dropDuplicatesWithinWatermark on
+    // the signature tuple → memory sink) over the planted-dup corpus; the
+    // output is the distinct signature set — arrival-order independent
+    "stream_sig_dedup" -> ((s, d) => streamSigDedupCache.computeIfAbsent((s, d), { _ =>
+      val corpus = dedupCorpus(s, d)
+        .select(timestamp_seconds(lit(946684800)).as("ts"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sigdedup").toString
+      corpus.write.mode("overwrite").parquet(tmp)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.streaming.EventStreams.runToMemory(s, tmp,
+        df => graft.streaming.EventStreams.streamingSignatureDedup(df),
+        schema = schema)
     })),
     // curation: survivor selection over the planted-duplicate corpus
     "curate_dedup_corpus" -> ((s, d) =>
@@ -655,6 +676,11 @@ object PipelineQueries {
            |  CASE WHEN e.nu < 128 THEN CAST(e.nu AS DOUBLE) ELSE 127.0 / e.u128 END AS est_distinct,
            |  CAST(x.exact_distinct AS BIGINT) AS exact_distinct
            |FROM est e JOIN ex x ON e.source = x.source""".stripMargin,
+      // distinct minhash signatures of the planted-dup corpus — the
+      // streaming dedup's output is this set regardless of arrival order
+      "stream_sig_dedup" ->
+        s"""$ngramInterCtes
+           |SELECT DISTINCT h0, h1, h2, h3 FROM sig""".stripMargin,
       "dedup_similarity_report" ->
         s"""$ngramInterCtes,
            |sc AS (SELECT a, b,

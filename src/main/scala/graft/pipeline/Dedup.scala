@@ -40,6 +40,20 @@ object Dedup {
       .agg(sigs.head, sigs.tail: _*)
   }
 
+  /** Per-row minhash signature columns h0..h{k-1} — the aggregation-free
+    * form of [[minhashSignatures]] for contexts where a groupBy cannot run
+    * (per-row streaming transforms). Identical values: the same md5 band
+    * hashes, minimized with array_min over the same shingle strings
+    * ([[TextAnalysis.wordShingles]] == shingleRows, pinned by tests).
+    * Rows with fewer than n words yield null signatures (empty shingle
+    * array). The higher-order transform() is not codegen'd — use the
+    * aggregation form for batch corpora; this is the streaming price. */
+  def signatureColumns(text: Column, n: Int = 3, k: Int = 4): Seq[Column] =
+    (0 until k).map { i =>
+      array_min(transform(TextAnalysis.wordShingles(text, n),
+        s => md5(concat(lit(s"$i|"), s)))).as(s"h$i")
+    }
+
   /** LSH banding: candidate near-dup pairs (a < b) sharing at least one of
     * the k single-hash bands. Equi-join on (band index, hash) — at scale the
     * shuffle is by bucket, never all-pairs. */

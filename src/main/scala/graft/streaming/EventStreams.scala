@@ -21,8 +21,9 @@ object EventStreams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
+  def readStream(spark: SparkSession, dir: String,
+                 schema: StructType = eventsSchema): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
 
   /** Tumbling 5-minute window per event_type with a 10-minute watermark:
     * count + sum. Late data beyond the watermark is dropped at scale instead
@@ -206,11 +207,36 @@ object EventStreams {
   def runToMemory(spark: SparkSession, dir: String,
                   transform: DataFrame => DataFrame,
                   mode: OutputMode = OutputMode.Append,
-                  name: String = s"stream_out_${System.nanoTime()}"): DataFrame = {
-    val q = transform(readStream(spark, dir))
+                  name: String = s"stream_out_${System.nanoTime()}",
+                  schema: StructType = eventsSchema): DataFrame = {
+    val q = transform(readStream(spark, dir, schema))
       .writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
     spark.table(name)
+  }
+
+  /** Streaming NEAR-duplicate dedup by minhash signature: every arriving
+    * document's k-hash signature is computed per row (column-level, no
+    * aggregation — the streaming-legal form), and
+    * `dropDuplicatesWithinWatermark` keeps one exemplar per signature
+    * inside the watermark horizon. Signature equality is the degenerate
+    * all-bands LSH match — exact duplicates always collapse, near-dups
+    * collapse when every band agrees. State is bounded by the watermark:
+    * one row per distinct signature per horizon, evicted as event time
+    * advances. Input needs (tsCol: timestamp, textCol: string); documents
+    * with fewer than n words carry no signature and pass through the
+    * where-filter (they cannot near-dup at shingle granularity). Returns
+    * the distinct signature tuples — set semantics, deterministic
+    * regardless of arrival order. */
+  def streamingSignatureDedup(docs: DataFrame, tsCol: String = "ts",
+                              textCol: String = "text",
+                              n: Int = 3, k: Int = 4): DataFrame = {
+    val sigCols = graft.pipeline.Dedup.signatureColumns(col(textCol), n, k)
+    docs.select(col(tsCol).as("__ts") +: sigCols: _*)
+      .where(col("h0").isNotNull)
+      .withWatermark("__ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("h0", (1 until k).map(i => s"h$i"): _*)
+      .select((0 until k).map(i => col(s"h$i")): _*)
   }
 }

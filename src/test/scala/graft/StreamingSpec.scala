@@ -55,6 +55,32 @@ class StreamingSpec extends SparkSuite {
     assert(deduped.count() == base.count())
   }
 
+  test("streaming signature dedup: distinct sigs equal the batch aggregation form") {
+    import org.apache.spark.sql.types.{StructField, StructType, StringType, TimestampType}
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
+      (3L, "completely different content about spark engines and data"),
+      (4L, "too short")) // < 3 words after shingling? 2 words -> no sigs
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    docs.select(timestamp_seconds(lit(946684800)).as("ts"), col("text"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    val streamed = EventStreams.runToMemory(spark, dir,
+      df => EventStreams.streamingSignatureDedup(df),
+      org.apache.spark.sql.streaming.OutputMode.Append, "sig_out", schema)
+      .collect().map(r => (0 to 3).map(r.getString)).toSet
+    // batch reference: the aggregation-form signatures, distinct
+    val batch = graft.pipeline.Dedup.minhashSignatures(docs, "doc_id", "text")
+      .select("h0", "h1", "h2", "h3").distinct()
+      .collect().map(r => (0 to 3).map(r.getString)).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 2) // dup pair collapses; short doc carries no sig
+  }
+
   test("interval join: streaming result equals batch result") {
     def sides(df: org.apache.spark.sql.DataFrame) = (
       df.where(col("event_type") === "click"),
