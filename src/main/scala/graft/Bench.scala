@@ -41,7 +41,8 @@ object Bench {
     // path), bloom decontamination, unigram-LM scoring, weighted sampling
     "curate_dup_clusters_df", "graph_pagerank_df",
     "curate_decontaminate_bloom", "text_unigram_logprob",
-    "curate_weighted_sample", "dedup_similarity_report", "agg_kmv_distinct")
+    "curate_weighted_sample", "dedup_similarity_report", "agg_kmv_distinct",
+    "agg_countmin", "curate_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -245,6 +245,16 @@ object PipelineQueries {
         df => graft.streaming.EventStreams.streamingSignatureDedup(df),
         schema = schema)
     })),
+    // count-min frequency sketch vs exact counts per event type: bounded
+    // depth×width counter state, md5-bucket hashing an oracle can replay
+    "agg_countmin" -> ((s, d) =>
+      pipeline.Sketches.countMinReport(
+        TpchGraph.table(s, d, "events").select(col("event_type")), "event_type")),
+    // the chained production pipeline as one report: raw → exact-dedup →
+    // near-dedup → decontaminate, one surviving-count row per stage
+    "curate_funnel" -> ((s, d) =>
+      pipeline.Curation.curationFunnel(dedupCorpus(s, d),
+        docs(s, d).where(col("doc_id") % 10 === 0), "doc_id", "text")),
     // curation: survivor selection over the planted-duplicate corpus
     "curate_dedup_corpus" -> ((s, d) =>
       pipeline.Curation.dedupExactKeepFirst(dedupCorpus(s, d), "doc_id", "text")
@@ -676,6 +686,56 @@ object PipelineQueries {
            |  CASE WHEN e.nu < 128 THEN CAST(e.nu AS DOUBLE) ELSE 127.0 / e.u128 END AS est_distinct,
            |  CAST(x.exact_distinct AS BIGINT) AS exact_distinct
            |FROM est e JOIN ex x ON e.source = x.source""".stripMargin,
+      // mirrors Sketches.countMinReport at depth 3 / width 64: the same
+      // md5-prefix bucket hashing, counter build, and min-probe
+      "agg_countmin" -> {
+        val bucketSql = (i: Int) =>
+          s"CAST(CAST(concat('0x', substr(md5('$i|' || key), 1, 8)) AS BIGINT) % 64 AS BIGINT)"
+        val counterRows = (0 until 3).map(i =>
+          s"SELECT $i AS hrow, ${bucketSql(i)} AS bucket, count(*) AS cnt FROM k GROUP BY 2")
+          .mkString("\n  UNION ALL ")
+        val probeRows = (0 until 3).map(i =>
+          s"SELECT key, $i AS hrow, ${bucketSql(i)} AS bucket FROM dk")
+          .mkString("\n  UNION ALL ")
+        s"""WITH k AS (SELECT CAST(event_type AS VARCHAR) AS key FROM events),
+           |b AS ($counterRows),
+           |dk AS (SELECT DISTINCT key FROM k),
+           |rb AS ($probeRows),
+           |est AS (SELECT key, min(cnt) AS est_count FROM rb JOIN b USING (hrow, bucket) GROUP BY key),
+           |ex AS (SELECT key, count(*) AS exact_count FROM k GROUP BY key)
+           |SELECT e.key, CAST(e.est_count AS BIGINT) AS est_count,
+           |  CAST(x.exact_count AS BIGINT) AS exact_count
+           |FROM est e JOIN ex x USING (key)""".stripMargin
+      },
+      // the funnel restricts each stage's pairwise work to the previous
+      // stage's survivors — valid because candidates/verification are
+      // pairwise-deterministic on per-document text
+      "curate_funnel" ->
+        s"""${ngramInterCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |surv1 AS (SELECT doc_id FROM (
+           |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m FROM corpus)
+           |  WHERE doc_id = m),
+           |prs AS (SELECT a, b
+           |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5
+           |    AND a IN (SELECT doc_id FROM surv1) AND b IN (SELECT doc_id FROM surv1)),
+           |und AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+           |reach AS (SELECT a, b FROM und
+           |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+           |dropd AS (SELECT a FROM reach GROUP BY a HAVING min(b) < a),
+           |surv2 AS (SELECT doc_id FROM surv1 WHERE doc_id NOT IN (SELECT a FROM dropd)),
+           |ct AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM corpus),
+           |cg AS (SELECT DISTINCT doc_id, g FROM
+           |  (SELECT doc_id, unnest(${shinglesExpr(5)}) AS g FROM ct WHERE len(w) >= 5)),
+           |bt AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+           |bg AS (SELECT DISTINCT g FROM
+           |  (SELECT unnest(${shinglesExpr(5)}) AS g FROM bt WHERE len(w) >= 5)),
+           |bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)),
+           |surv3 AS (SELECT doc_id FROM surv2 WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+           |SELECT 'raw' AS stage, count(*) AS n_docs FROM corpus
+           |UNION ALL SELECT 'exact_dedup', count(*) FROM surv1
+           |UNION ALL SELECT 'near_dedup', count(*) FROM surv2
+           |UNION ALL SELECT 'decontaminated', count(*) FROM surv3""".stripMargin,
       // distinct minhash signatures of the planted-dup corpus — the
       // streaming dedup's output is this set regardless of arrival order
       "stream_sig_dedup" ->

@@ -320,6 +320,32 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** End-to-end curation funnel report: the chained production pipeline
+    * raw → exact-dedup → near-dedup → decontaminate, with one row of
+    * surviving-document counts per stage. Each stage consumes the
+    * previous stage's survivors (near-dup candidate generation and
+    * verification are pairwise-deterministic on text, so survivors'
+    * pairs are exactly the full-corpus pairs restricted to survivor
+    * endpoints — the property the SQL oracle replays). The count
+    * aggregation per stage is one 1-row reduce; the stages themselves
+    * are the operators documented elsewhere in this file. Returns
+    * (stage, n_docs) with stage ∈ raw/exact_dedup/near_dedup/
+    * decontaminated. */
+  def curationFunnel(corpus: DataFrame, benchmark: DataFrame,
+                     idCol: String, textCol: String,
+                     n: Int = 3, k: Int = 4, minSim: Double = 0.5,
+                     decontamN: Int = 5): DataFrame = {
+    val s1 = dedupExactKeepFirst(corpus, idCol, textCol)
+    val s2 = dedupNearKeepFirst(s1, idCol, textCol, n, k, minSim)
+    val s3 = decontaminate(s2, benchmark, idCol, textCol, decontamN)
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    stage("raw", corpus)
+      .unionByName(stage("exact_dedup", s1))
+      .unionByName(stage("near_dedup", s2))
+      .unionByName(stage("decontaminated", s3))
+  }
+
   /** [[decontaminate]] with a bloom prefilter — EXACT same result, built
     * for the regime where the benchmark gram set is too large to broadcast
     * as an exact hash relation (multi-benchmark suites, paragraph-length

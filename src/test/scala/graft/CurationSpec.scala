@@ -189,6 +189,39 @@ class CurationSpec extends SparkSuite {
     assert(Curation.decontaminateBloom(corpus, none, "doc_id", "text", n = 5).count() == 4L)
   }
 
+  test("countMinReport: est >= exact always, exact when collision-free") {
+    import graft.pipeline.Sketches
+    val keys = (1 to 100).flatMap(i => Seq.fill(i % 5 + 1)(s"k${i % 10}"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val df = keys.toDF("id", "key")
+    // wide sketch: 10 keys into 512 buckets × 3 rows — collisions ~0
+    val wide = Sketches.countMinReport(df, "key", depth = 3, width = 512)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(wide.size == 10)
+    wide.foreach { case (k, (est, exact)) => assert(est == exact, s"$k: $est != $exact") }
+    // narrow sketch: collisions force overcounts, never undercounts
+    val narrow = Sketches.countMinReport(df, "key", depth = 2, width = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    narrow.foreach { case (est, exact) => assert(est >= exact) }
+    assert(narrow.map(_._1).sum > narrow.map(_._2).sum) // some collision happened
+  }
+
+  test("curationFunnel: chained stage counts, monotone and hand-checked") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),  // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat tonight"),  // near dup of 1
+      (4L, "alpha beta gamma delta epsilon zeta eta theta"),        // contaminated
+      (5L, "unique words entirely separate from everything else here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val funnel = pipeline.Curation.curationFunnel(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // raw 5 → exact dedup drops 2 → near-dup drops 3 → decontam drops 4
+    assert(funnel == Map("raw" -> 5L, "exact_dedup" -> 4L,
+      "near_dedup" -> 3L, "decontaminated" -> 2L))
+  }
+
   test("ConnectedComponents.labels matches GraphX dupClusters on assorted graphs") {
     import graft.pipeline.ConnectedComponents
     // a long path (deep propagation), a clique, a star, reversed edges,
