@@ -132,21 +132,29 @@ object GraphAnalytics {
       .select(toLong(col("src")).as("src"), toLong(col("dst")).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val outDeg = edges.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+      // every join below is a USING join on a shared column name (never a
+      // df("col") condition): iteration i+1's rank table carries the edge
+      // lineage of iteration i, so dataset-tagged column references would
+      // trip DetectAmbiguousSelfJoin once lineage survives across rounds
+      val outDeg = edges.groupBy(col("src").as("vid")).agg(count(lit(1)).as("__outdeg"))
       // GraphX initializes every rank to 1.0 — on cyclic graphs the init
       // still influences the 10th iterate (decays as ~0.85^t), so parity
       // requires matching it, not starting at resetProb
       var ranks = verts.select(col("vid"), lit(1.0).as("r")).localCheckpoint(true)
-      for (_ <- 1 to numIter) {
-        val shares = ranks.join(outDeg, ranks("vid") === outDeg("src"))
-          .select(outDeg("src"), (col("r") / col("__outdeg")).as("__share"))
+      for (i <- 1 to numIter) {
+        val shares = ranks.join(outDeg, Seq("vid"))
+          .select(col("vid").as("src"), (col("r") / col("__outdeg")).as("__share"))
         val inbound = edges.join(shares, Seq("src"))
-          .groupBy("dst").agg(sum("__share").as("__in"))
+          .groupBy(col("dst").as("vid")).agg(sum("__share").as("__in"))
         ranks = verts.select("vid")
-          .join(inbound, verts("vid") === inbound("dst"), "left")
+          .join(inbound, Seq("vid"), "left")
           .select(col("vid"),
             (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("__in"), lit(0.0))).as("r"))
-          .localCheckpoint(true)
+        // truncate lineage every few rounds (and before the normalization
+        // pass, which consumes ranks twice) — materializing EVERY round
+        // costs a job per iteration for no correctness gain; every third
+        // keeps plan depth bounded at a fraction of the job count
+        if (i % 3 == 0 || i == numIter) ranks = ranks.localCheckpoint(true)
       }
       // GraphX runWithOptions normalizes the rank sum to |V|
       val norm = ranks.agg(sum("r").as("__s"), count(lit(1)).as("__n"))

@@ -335,15 +335,27 @@ object Curation {
                      idCol: String, textCol: String,
                      n: Int = 3, k: Int = 4, minSim: Double = 0.5,
                      decontamN: Int = 5): DataFrame = {
-    val s1 = dedupExactKeepFirst(corpus, idCol, textCol)
-    val s2 = dedupNearKeepFirst(s1, idCol, textCol, n, k, minSim)
-    val s3 = decontaminate(s2, benchmark, idCol, textCol, decontamN)
-    def stage(name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
-    stage("raw", corpus)
-      .unionByName(stage("exact_dedup", s1))
-      .unionByName(stage("near_dedup", s2))
-      .unionByName(stage("decontaminated", s3))
+    // each survivor set feeds BOTH its own count and the next stage's
+    // recomputation, so scope a persist per stage: without it the s1
+    // dedup replays three times and the near-dup anti-join twice (the
+    // LSH/verify/cc work itself is already eager inside
+    // dedupNearKeepFirst). The 4-row result is checkpointed eagerly so
+    // the persists can be released before returning.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val s1 = dedupExactKeepFirst(corpus, idCol, textCol).persist(lvl)
+    try {
+      val s2 = dedupNearKeepFirst(s1, idCol, textCol, n, k, minSim).persist(lvl)
+      try {
+        val s3 = decontaminate(s2, benchmark, idCol, textCol, decontamN)
+        def stage(name: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+        stage("raw", corpus)
+          .unionByName(stage("exact_dedup", s1))
+          .unionByName(stage("near_dedup", s2))
+          .unionByName(stage("decontaminated", s3))
+          .localCheckpoint(true)
+      } finally s2.unpersist()
+    } finally s1.unpersist()
   }
 
   /** [[decontaminate]] with a bloom prefilter — EXACT same result, built
