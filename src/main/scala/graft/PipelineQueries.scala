@@ -245,6 +245,10 @@ object PipelineQueries {
         df => graft.streaming.EventStreams.streamingSignatureDedup(df),
         schema = schema)
     })),
+    // BPE-style merge-rule learning: 4 rounds of top-pair promotion with
+    // literal two-pass rewrites; later rounds merge against merged tokens
+    "curate_bpe_merges" -> ((s, d) =>
+      pipeline.Tokenizer.bpeMerges(docs(s, d), "doc_id", "text", rounds = 4)),
     // count-min frequency sketch vs exact counts per event type: bounded
     // depth×width counter state, md5-bucket hashing an oracle can replay
     "agg_countmin" -> ((s, d) =>
@@ -686,6 +690,30 @@ object PipelineQueries {
            |  CASE WHEN e.nu < 128 THEN CAST(e.nu AS DOUBLE) ELSE 127.0 / e.u128 END AS est_distinct,
            |  CAST(x.exact_distinct AS BIGINT) AS exact_distinct
            |FROM est e JOIN ex x ON e.source = x.source""".stripMargin,
+      // mirrors Tokenizer.bpeMerges round for round: same pair counting
+      // (shinglesExpr(2)), same tie-break, same two-pass literal rewrite
+      "curate_bpe_merges" -> {
+        val rounds = 4
+        val roundCtes = (0 until rounds).map { r =>
+          s"""w$r AS (SELECT doc_id, list_filter(string_split(trim(t), ' '), x -> x <> '') AS w FROM t$r),
+             |p$r AS (SELECT pair, count(*) AS cnt FROM (
+             |  SELECT unnest(${shinglesExpr(2)}) AS pair FROM w$r WHERE len(w) >= 2)
+             |  GROUP BY pair),
+             |m$r AS (SELECT $r AS merge_round, pair, cnt FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
+             |t${r + 1} AS (SELECT doc_id,
+             |  replace(replace(t, ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '@@') || ' '),
+             |          ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '@@') || ' ') AS t
+             |  FROM t$r CROSS JOIN m$r m)""".stripMargin
+        }.mkString(",\n")
+        val union = (0 until rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+        s"""WITH t0 AS (SELECT doc_id, ' ' || $normSql || ' ' AS t FROM documents),
+           |$roundCtes
+           |SELECT CAST(merge_round AS BIGINT) AS merge_round,
+           |  split_part(pair, ' ', 1) AS merge_left,
+           |  split_part(pair, ' ', 2) AS merge_right,
+           |  CAST(cnt AS BIGINT) AS pair_count
+           |FROM ($union)""".stripMargin
+      },
       // mirrors Sketches.countMinReport at depth 3 / width 64: the same
       // md5-prefix bucket hashing, counter build, and min-probe
       "agg_countmin" -> {

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tokenizer learning for training pipelines: BPE-style merge-rule
+  * induction over the corpus. Each round counts adjacent token pairs,
+  * promotes the most frequent pair to a single merged token (joiner
+  * `@@`), rewrites the corpus, and repeats — later rounds merge against
+  * already-merged tokens, giving the hierarchical rules a subword BPE
+  * trainer produces (here at word granularity, the natural unit for a
+  * space-tokenized corpus; the plumbing is granularity-independent).
+  *
+  * Determinism and engine parity:
+  *   - pair counts are exact integer aggregations; the winner breaks
+  *     ties by pair string ascending;
+  *   - the rewrite is a LITERAL two-pass `replace` of ` a b ` with
+  *     ` a@@b ` on space-padded text — plain left-to-right non-overlap
+  *     string replacement in every engine (no regex dialect in play).
+  *     One pass skips an occurrence whose leading space was consumed by
+  *     the previous match (` a b a b `); the second pass catches it, so
+  *     chains collapse exactly like greedy BPE.
+  *
+  * Scale: each round is ONE map-side-combinable pair-count aggregation
+  * (token explode keyed by doc for the lead window, then a global count
+  * keyed by pair) plus a narrow per-row rewrite; the driver sees one
+  * 1-row result per round (the winning pair — the same driver/cluster
+  * split as k-means centroids). Rounds are inherently sequential — that
+  * is BPE. Production trainers count on a corpus sample; pass a sampled
+  * df for the same effect.
+  */
+object Tokenizer {
+
+  /** The learned merge table: (merge_round, merge_left, merge_right,
+    * pair_count), one row per round in learning order. */
+  def bpeMerges(df: DataFrame, idCol: String, textCol: String,
+                rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1; got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // space-padded normalized text; @@ survives later rounds because the
+    // rewrite operates on the padded string, never re-normalizing
+    var texts = df.select(col(idCol),
+        concat(lit(" "), TextAnalysis.normalized(col(textCol)), lit(" ")).as("__t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    try {
+      for (r <- 0 until rounds) {
+        val toks = texts
+          .select(col(idCol), posexplode(split(trim(col("__t")), " ")).as(Seq("pos", "tok")))
+          .where(col("tok") =!= "")
+        val w = Window.partitionBy(idCol).orderBy("pos")
+        val top = toks
+          .select(concat_ws(" ", col("tok"), lead("tok", 1).over(w)).as("pair"),
+            lead("tok", 1).over(w).isNotNull.as("__full"))
+          .where(col("__full"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("pair"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val pair = top.head.getString(0)
+          val cnt = top.head.getLong(1)
+          val Array(l, rt) = pair.split(" ", 2)
+          merges += ((r, l, rt, cnt))
+          val from = s" $pair "
+          val to = s" $l@@$rt "
+          val next = texts.select(col(idCol),
+              expr(s"replace(replace(__t, '$from', '$to'), '$from', '$to')").as("__t"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before dropping the parent
+          texts.unpersist()
+          texts = next
+        }
+      }
+      merges.result()
+        .toDF("merge_round", "merge_left", "merge_right", "pair_count")
+        .select(col("merge_round").cast("long"), col("merge_left"),
+          col("merge_right"), col("pair_count"))
+    } finally texts.unpersist()
+  }
+}

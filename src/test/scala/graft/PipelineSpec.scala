@@ -398,6 +398,24 @@ class PipelineSpec extends SparkSuite {
     assert(frames.groupBy("asset_id").count().head().getLong(1) >= 2)
   }
 
+  test("bpeMerges: frequency order, hierarchical merges, greedy chain collapse") {
+    import graft.pipeline.Tokenizer
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val m = Tokenizer.bpeMerges(corpus, "doc_id", "text", rounds = 3)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) == ((0L, "a", "b", 3L)))        // most frequent pair first
+    assert(m(1) == ((1L, "a@@b", "c", 2L)))     // merges against merged token
+    assert(m(2) == ((2L, "a@@b", "a@@b@@c", 1L))) // tie broken by pair asc
+    // greedy left-to-right collapse: x x x x -> x@@x x@@x in ONE round
+    val chain = Seq((1L, "x x x x")).toDF("doc_id", "text")
+    val cm = Tokenizer.bpeMerges(chain, "doc_id", "text", rounds = 2)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(cm(0) == ((0L, "x", "x", 3L)))
+    assert(cm(1) == ((1L, "x@@x", "x@@x", 1L)))
+  }
+
   test("similarityReport: one propose pass, same pairs as the two single-measure ops") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog tonight"),
