@@ -44,8 +44,8 @@ object PipelineQueries {
   // shared by the dedup_ngram_jaccard and curate_neardup_corpus oracles:
   // the minhash-then-verify pipeline through the shingle-intersection
   // counts (mirrors Dedup.ngramJaccardViaMinhash at n=3, k=4)
-  private lazy val ngramInterCtes =
-    s"""$corpusCte, ${toksCte("corpus")},
+  private def ngramPipelineCtes(src: String) =
+    s"""${toksCte(src)},
        |sh AS (SELECT doc_id, list_distinct(${shinglesExpr(3)}) AS s FROM toks WHERE len(w) >= 3),
        |sig AS (SELECT doc_id,
        |  list_min(list_transform(s, x -> md5('0|'||x))) AS h0,
@@ -65,6 +65,28 @@ object PipelineQueries {
        |inter AS (SELECT a, b, count(*) AS i
        |  FROM cand JOIN ex la ON la.doc_id = a JOIN ex rb ON rb.doc_id = b AND rb.shingle = la.shingle
        |  GROUP BY 1, 2)""".stripMargin
+
+  private lazy val ngramInterCtes = s"$corpusCte, ${ngramPipelineCtes("corpus")}"
+
+  // shared by curate_bpe_merges / curate_bpe_tokenize and their Spark call
+  // sites: the round count, and the per-round CTE chain t0..t{rounds}
+  // mirroring Tokenizer.learn (pair counts, tie-break, two-pass rewrite)
+  private val BpeRounds = 4
+  private def bpeCtes(rounds: Int): String = {
+    val roundCtes = (0 until rounds).map { r =>
+      s"""w$r AS (SELECT doc_id, list_filter(string_split(trim(t), ' '), x -> x <> '') AS w FROM t$r),
+         |p$r AS (SELECT pair, count(*) AS cnt FROM (
+         |  SELECT unnest(${shinglesExpr(2)}) AS pair FROM w$r WHERE len(w) >= 2)
+         |  GROUP BY pair),
+         |m$r AS (SELECT $r AS merge_round, pair, cnt FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |t${r + 1} AS (SELECT doc_id,
+         |  replace(replace(t, ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '@@') || ' '),
+         |          ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '@@') || ' ') AS t
+         |  FROM t$r CROSS JOIN m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""t0 AS (SELECT doc_id, ' ' || $normSql || ' ' AS t FROM documents),
+       |$roundCtes""".stripMargin
+  }
 
   // shared by curate_decontaminate and curate_decontaminate_bloom: the
   // bloom variant prefilters with a sketch but verifies exactly, so both
@@ -248,7 +270,19 @@ object PipelineQueries {
     // BPE-style merge-rule learning: 4 rounds of top-pair promotion with
     // literal two-pass rewrites; later rounds merge against merged tokens
     "curate_bpe_merges" -> ((s, d) =>
-      pipeline.Tokenizer.bpeMerges(docs(s, d), "doc_id", "text", rounds = 4)),
+      pipeline.Tokenizer.bpeMerges(docs(s, d), "doc_id", "text", rounds = BpeRounds)),
+    // the compression the learned merges buy, per document
+    "curate_bpe_tokenize" -> ((s, d) =>
+      pipeline.Tokenizer.bpeTokenCounts(docs(s, d), "doc_id", "text", rounds = BpeRounds)),
+    // LSH banding recall measured against exact all-pairs ground truth on
+    // a ~10% hash sample (sampled on the BASE doc identity so planted
+    // dup/near-dup pairs survive sampling together)
+    "dedup_recall_report" -> ((s, d) => {
+      val sample = dedupCorpus(s, d).where(
+        substring(md5(concat(lit("rs|"), (col("doc_id") % 1000000).cast("string"))), 1, 2)
+          < lit("1a"))
+      Dedup.lshRecallReport(sample, "doc_id", "text", n = 3, k = 4, minSim = 0.5)
+    }),
     // count-min frequency sketch vs exact counts per event type: bounded
     // depth×width counter state, md5-bucket hashing an oracle can replay
     "agg_countmin" -> ((s, d) =>
@@ -693,27 +727,51 @@ object PipelineQueries {
       // mirrors Tokenizer.bpeMerges round for round: same pair counting
       // (shinglesExpr(2)), same tie-break, same two-pass literal rewrite
       "curate_bpe_merges" -> {
-        val rounds = 4
-        val roundCtes = (0 until rounds).map { r =>
-          s"""w$r AS (SELECT doc_id, list_filter(string_split(trim(t), ' '), x -> x <> '') AS w FROM t$r),
-             |p$r AS (SELECT pair, count(*) AS cnt FROM (
-             |  SELECT unnest(${shinglesExpr(2)}) AS pair FROM w$r WHERE len(w) >= 2)
-             |  GROUP BY pair),
-             |m$r AS (SELECT $r AS merge_round, pair, cnt FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
-             |t${r + 1} AS (SELECT doc_id,
-             |  replace(replace(t, ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '@@') || ' '),
-             |          ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '@@') || ' ') AS t
-             |  FROM t$r CROSS JOIN m$r m)""".stripMargin
-        }.mkString(",\n")
-        val union = (0 until rounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
-        s"""WITH t0 AS (SELECT doc_id, ' ' || $normSql || ' ' AS t FROM documents),
-           |$roundCtes
+        val union = (0 until BpeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+        s"""WITH ${bpeCtes(BpeRounds)}
            |SELECT CAST(merge_round AS BIGINT) AS merge_round,
            |  split_part(pair, ' ', 1) AS merge_left,
            |  split_part(pair, ' ', 2) AS merge_right,
            |  CAST(cnt AS BIGINT) AS pair_count
            |FROM ($union)""".stripMargin
       },
+      // the final rewritten text t{R} carries the merged tokens; raw counts
+      // come from t0 (both space-padded)
+      "curate_bpe_tokenize" ->
+        s"""WITH ${bpeCtes(BpeRounds)}
+           |SELECT t0.doc_id,
+           |  len(list_filter(string_split(trim(t0.t), ' '), x -> x <> '')) AS n_tokens_raw,
+           |  len(list_filter(string_split(trim(tf.t), ' '), x -> x <> '')) AS n_tokens_merged
+           |FROM t0 JOIN t$BpeRounds tf ON t0.doc_id = tf.doc_id""".stripMargin,
+      // exact arm: ALL shared-shingle pairs verified; lsh arm: the banded
+      // candidates verified (the standard pipeline CTEs); recall from the
+      // two pair sets — the via-minhash arm is a verified subset by
+      // construction, measured here rather than assumed
+      "dedup_recall_report" ->
+        s"""$corpusCte,
+           |samp AS (SELECT doc_id, text FROM corpus
+           |  WHERE substr(md5('rs|' || CAST(doc_id % 1000000 AS VARCHAR)), 1, 2) < '1a'),
+           |${ngramPipelineCtes("samp")},
+           |lshp AS (SELECT a, b
+           |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5),
+           |candE AS (SELECT DISTINCT la.doc_id AS a, rb.doc_id AS b
+           |  FROM ex la JOIN ex rb ON la.shingle = rb.shingle AND la.doc_id < rb.doc_id),
+           |interE AS (SELECT a, b, count(*) AS i
+           |  FROM candE JOIN ex la ON la.doc_id = a JOIN ex rb ON rb.doc_id = b AND rb.shingle = la.shingle
+           |  GROUP BY 1, 2),
+           |exactp AS (SELECT a, b
+           |  FROM interE JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5),
+           |cmn AS (SELECT a, b FROM lshp INTERSECT SELECT a, b FROM exactp),
+           |cnts AS (SELECT
+           |  (SELECT count(*) FROM exactp) AS n_exact,
+           |  (SELECT count(*) FROM lshp) AS n_lsh,
+           |  (SELECT count(*) FROM cmn) AS n_common)
+           |SELECT n_exact, n_lsh, n_common,
+           |  round(CASE WHEN n_exact = 0 THEN 1.0
+           |    ELSE CAST(n_common AS DOUBLE) / n_exact END, 4) AS recall
+           |FROM cnts""".stripMargin,
       // mirrors Sketches.countMinReport at depth 3 / width 64: the same
       // md5-prefix bucket hashing, counter build, and min-probe
       "agg_countmin" -> {

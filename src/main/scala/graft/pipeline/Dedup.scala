@@ -229,6 +229,30 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** LSH recall measured, not assumed: run the exact all-pairs Jaccard
+    * ([[ngramJaccardPairs]], ground truth) and the LSH-proposed variant
+    * ([[ngramJaccardViaMinhash]]) over the same (SAMPLED) corpus and
+    * report pair counts + recall = |lsh ∩ exact| / |exact|. Because the
+    * via-minhash path verifies exactly, its pairs are a subset of ground
+    * truth (precision 1.0) and the loss is banding recall 1-(1-J)^k —
+    * this report puts a number on it for the corpus at hand, the QA step
+    * before trusting a banding config at 100 TB. Run on a hash-sampled
+    * corpus slice: the exact arm is all shared-shingle pairs and only
+    * exists at sample scale. Returns one row (n_exact, n_lsh, n_common,
+    * recall). */
+  def lshRecallReport(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 4, minSim: Double = 0.5): DataFrame = {
+    val exact = ngramJaccardPairs(df, idCol, textCol, n, minSim).select("a", "b")
+    val lsh = ngramJaccardViaMinhash(df, idCol, textCol, n, k, minSim).select("a", "b")
+    val common = lsh.join(exact, Seq("a", "b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        round(when(col("n_exact") === 0, 1.0)
+          .otherwise(col("n_common").cast("double") / col("n_exact")), 4).as("recall"))
+  }
+
   /** Shared verify stage: |A∩B| via candidates ⋈ shingles(a) ⋈ shingles(b),
     * sizes from the same shingle table; `score(inter, na, nb)` names the
     * overlap measure (Jaccard, containment, ...). */

@@ -32,51 +32,75 @@ import org.apache.spark.sql.functions._
   */
 object Tokenizer {
 
-  /** The learned merge table: (merge_round, merge_left, merge_right,
-    * pair_count), one row per round in learning order. */
-  def bpeMerges(df: DataFrame, idCol: String, textCol: String,
-                rounds: Int): DataFrame = {
+  /** The learning loop: returns the merge list and the PERSISTED final
+    * rewritten texts (caller must unpersist). */
+  private def learn(df: DataFrame, idCol: String, textCol: String,
+                    rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(rounds >= 1, s"need rounds >= 1; got $rounds")
-    val spark = df.sparkSession
-    import spark.implicits._
     // space-padded normalized text; @@ survives later rounds because the
     // rewrite operates on the padded string, never re-normalizing
     var texts = df.select(col(idCol),
         concat(lit(" "), TextAnalysis.normalized(col(textCol)), lit(" ")).as("__t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    try {
-      for (r <- 0 until rounds) {
-        val toks = texts
-          .select(col(idCol), posexplode(split(trim(col("__t")), " ")).as(Seq("pos", "tok")))
-          .where(col("tok") =!= "")
-        val w = Window.partitionBy(idCol).orderBy("pos")
-        val top = toks
-          .select(concat_ws(" ", col("tok"), lead("tok", 1).over(w)).as("pair"),
-            lead("tok", 1).over(w).isNotNull.as("__full"))
-          .where(col("__full"))
-          .groupBy("pair").agg(count(lit(1)).as("cnt"))
-          .orderBy(desc("cnt"), asc("pair"))
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val pair = top.head.getString(0)
-          val cnt = top.head.getLong(1)
-          val Array(l, rt) = pair.split(" ", 2)
-          merges += ((r, l, rt, cnt))
-          val from = s" $pair "
-          val to = s" $l@@$rt "
-          val next = texts.select(col(idCol),
-              expr(s"replace(replace(__t, '$from', '$to'), '$from', '$to')").as("__t"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before dropping the parent
-          texts.unpersist()
-          texts = next
-        }
+    for (r <- 0 until rounds) {
+      val toks = texts
+        .select(col(idCol), posexplode(split(trim(col("__t")), " ")).as(Seq("pos", "tok")))
+        .where(col("tok") =!= "")
+      val w = Window.partitionBy(idCol).orderBy("pos")
+      val top = toks
+        .select(concat_ws(" ", col("tok"), lead("tok", 1).over(w)).as("pair"),
+          lead("tok", 1).over(w).isNotNull.as("__full"))
+        .where(col("__full"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("pair"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top.head.getString(0)
+        val cnt = top.head.getLong(1)
+        val Array(l, rt) = pair.split(" ", 2)
+        merges += ((r, l, rt, cnt))
+        val from = s" $pair "
+        val to = s" $l@@$rt "
+        val next = texts.select(col(idCol),
+            expr(s"replace(replace(__t, '$from', '$to'), '$from', '$to')").as("__t"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent
+        texts.unpersist()
+        texts = next
       }
-      merges.result()
-        .toDF("merge_round", "merge_left", "merge_right", "pair_count")
-        .select(col("merge_round").cast("long"), col("merge_left"),
-          col("merge_right"), col("pair_count"))
+    }
+    (merges.result(), texts)
+  }
+
+  /** The learned merge table: (merge_round, merge_left, merge_right,
+    * pair_count), one row per round in learning order. */
+  def bpeMerges(df: DataFrame, idCol: String, textCol: String,
+                rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (merges, texts) = learn(df, idCol, textCol, rounds)
+    texts.unpersist()
+    merges
+      .toDF("merge_round", "merge_left", "merge_right", "pair_count")
+      .select(col("merge_round").cast("long"), col("merge_left"),
+        col("merge_right"), col("pair_count"))
+  }
+
+  /** Per-document token counts before and after applying the learned
+    * merges — the compression the merge table buys (a real BPE vocab
+    * evaluation signal). Returns (idCol, n_tokens_raw, n_tokens_merged). */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                     rounds: Int): DataFrame = {
+    val (_, texts) = learn(df, idCol, textCol, rounds)
+    try {
+      def nTokens(c: org.apache.spark.sql.Column) =
+        size(filter(split(trim(c), " "), t => t =!= lit("")))
+      df.select(col(idCol),
+          nTokens(TextAnalysis.normalized(col(textCol))).cast("long").as("n_tokens_raw"))
+        .join(texts.select(col(idCol),
+          nTokens(col("__t")).cast("long").as("n_tokens_merged")), Seq(idCol))
+        .localCheckpoint(true)
     } finally texts.unpersist()
   }
 }

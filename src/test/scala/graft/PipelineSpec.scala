@@ -416,6 +416,37 @@ class PipelineSpec extends SparkSuite {
     assert(cm(1) == ((1L, "x@@x", "x@@x", 1L)))
   }
 
+  test("bpeTokenCounts: merged token counts reflect the learned rules") {
+    import graft.pipeline.Tokenizer
+    val corpus = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val counts = Tokenizer.bpeTokenCounts(corpus, "doc_id", "text", rounds = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: 5 -> a@@b a@@b c -> a@@b a@@b@@c -> a@@b@@a@@b@@c = 1 token
+    // doc 2: 4 -> a@@b c d -> a@@b@@c d -> (round-2 rule not present) = 2
+    assert(counts(1L) == ((5L, 1L)))
+    assert(counts(2L) == ((4L, 2L)))
+  }
+
+  test("lshRecallReport: verified-subset arm, recall arithmetic") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),
+      (12L, "the quick brown fox jumps over the lazy cat tonight"),
+      (20L, "completely different content about spark engines and big data"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecallReport(corpus, "doc_id", "text", minSim = 0.5).head()
+    val (nExact, nLsh, nCommon, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nExact == 3L) // (10,11) exact, (10,12) and (11,12) near
+    assert(nLsh <= nExact && nCommon == nLsh) // verified subset of truth
+    assert(recall == BigDecimal(nCommon.toDouble / nExact)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(nLsh >= 1L) // the exact-dup pair always shares every band
+    // empty corpus edge: recall defined as 1.0
+    val empty = Dedup.lshRecallReport(corpus.where(lit(false)), "doc_id", "text").head()
+    assert(empty.getLong(0) == 0L && empty.getDouble(3) == 1.0)
+  }
+
   test("similarityReport: one propose pass, same pairs as the two single-measure ops") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog tonight"),
