@@ -423,6 +423,14 @@ object GraphQueries {
             col("event_type"), col("value")))
         .select(col("window_start").cast("long").as("w_start"),
           col("event_type"), col("cnt"), col("sum_value"))),
+    // conversion funnel click→view→purchase with STRICT first-occurrence
+    // chaining: per user, the first click, the first view after it, the
+    // first purchase after that — three conditional-min aggregations all
+    // keyed by user_id (co-partitioned shuffles, exchange reuse at scale),
+    // reduced to one row of stage counts + conversion rates
+    "events_funnel" -> ((s, d) =>
+      graft.streaming.EventStreams.funnelCounts(t(s, d, "events"),
+        "user_id", "event_type", "ts", Seq("click", "view", "purchase"))),
     // as-of join: each click matched to the user's most recent view at or
     // before it (union + window carry-forward — one shuffle by user, no
     // per-row range probe); clicks before any view keep nulls
@@ -708,6 +716,24 @@ object GraphQueries {
     // TemporalJoins.asofJoin exactly (same explicit null ordering, the
     // winning row's id carried and its payload joined back in one piece),
     // so tie cases are pinned rather than left to an engine's ASOF choice
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+        |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'click' THEN tns END) AS t_click
+        |  FROM e GROUP BY user_id HAVING min(CASE WHEN event_type = 'click' THEN tns END) IS NOT NULL),
+        |s2 AS (SELECT e.user_id, min(CASE WHEN event_type = 'view' AND tns > t_click THEN tns END) AS t_view
+        |  FROM e JOIN s1 USING (user_id) GROUP BY e.user_id, t_click
+        |  HAVING min(CASE WHEN event_type = 'view' AND tns > t_click THEN tns END) IS NOT NULL),
+        |s3 AS (SELECT e.user_id, min(CASE WHEN event_type = 'purchase' AND tns > t_view THEN tns END) AS t_purchase
+        |  FROM e JOIN s2 USING (user_id) GROUP BY e.user_id, t_view
+        |  HAVING min(CASE WHEN event_type = 'purchase' AND tns > t_view THEN tns END) IS NOT NULL),
+        |c AS (SELECT
+        |  (SELECT count(*) FROM s1) AS n_click,
+        |  (SELECT count(*) FROM s2) AS n_click_view,
+        |  (SELECT count(*) FROM s3) AS n_click_view_purchase)
+        |SELECT n_click, n_click_view, n_click_view_purchase,
+        |  round(CAST(n_click_view AS DOUBLE) / n_click, 4) AS rate_view,
+        |  round(CAST(n_click_view_purchase AS DOUBLE) / n_click_view, 4) AS rate_purchase
+        |FROM c""".stripMargin,
     "events_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS tns FROM events),
         |u AS (

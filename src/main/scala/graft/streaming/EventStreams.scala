@@ -109,6 +109,44 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Conversion-funnel counts with STRICT first-occurrence chaining: per
+    * user, the first stage-0 event, the first stage-1 event strictly
+    * after it, the first stage-2 event strictly after that, and so on.
+    * Returns ONE row: a cumulative count per stage prefix
+    * (`n_<s0>`, `n_<s0>_<s1>`, ...) plus per-step conversion rates
+    * (`rate_<si>` = prefix-i count / prefix-(i-1) count, 4 decimals).
+    *
+    * Scale: one conditional-min aggregation per stage, every shuffle
+    * keyed by the user column — co-partitioned end to end, so a real
+    * cluster exchanges the events once and reuses the partitioning; no
+    * per-user event-list is ever collected (the classic sessionize-then-
+    * scan funnel materializes per-user arrays; this shape never does). */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, s"need at least 2 stages; got $stages")
+    val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__y"),
+      col(tsCol).cast("long").as("__t"))
+    var cur = ev.groupBy("__u")
+      .agg(min(when(col("__y") === stages.head, col("__t"))).as("__m"))
+      .where(col("__m").isNotNull)
+    val counts = Seq.newBuilder[DataFrame]
+    val names = stages.indices.map(i => "n_" + stages.take(i + 1).mkString("_"))
+    counts += cur.agg(count(lit(1)).as(names.head))
+    for (i <- 1 until stages.size) {
+      cur = ev.join(cur.select(col("__u"), col("__m").as("__prev")), Seq("__u"))
+        .groupBy("__u", "__prev")
+        .agg(min(when(col("__y") === stages(i) && col("__t") > col("__prev"),
+          col("__t"))).as("__m"))
+        .where(col("__m").isNotNull)
+      counts += cur.agg(count(lit(1)).as(names(i)))
+    }
+    val joined = counts.result().reduce(_ crossJoin _)
+    val rates = (1 until stages.size).map(i =>
+      round(col(names(i)).cast("double") / col(names(i - 1)), 4)
+        .as(s"rate_${stages(i)}"))
+    joined.select(names.map(col) ++ rates: _*)
+  }
+
   /** Watermarked stream-stream interval join: attribute each click to the
     * SAME user's views in the trailing `windowSeconds` (view_ts ∈
     * [click_ts - window, click_ts]). Both sides carry watermarks and the

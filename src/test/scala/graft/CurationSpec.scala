@@ -239,6 +239,29 @@ class CurationSpec extends SparkSuite {
     assert(df(39L) == 0L && df(55L) == 50L && df(70L) == 60L && df(85L) == 80L)
   }
 
+  test("ConnectedComponents.labels: randomized graphs vs driver union-find") {
+    import graft.pipeline.ConnectedComponents
+    val rnd = new scala.util.Random(20260813L) // fixed seed: reproducible
+    for (trial <- 1 to 3) {
+      val nNodes = 60 + trial * 30
+      val nEdges = nNodes * 2
+      val edges = Seq.fill(nEdges)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth (min-id labeling)
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inGraph = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val truth = inGraph.map(v => v -> find(v.toInt).toLong).toMap
+      val got = ConnectedComponents.labels(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth, s"trial $trial mismatch")
+    }
+  }
+
   test("ConnectedComponents.labels converges fast on a path graph") {
     import graft.pipeline.ConnectedComponents
     // 200-node path: plain min-propagation would need ~200 rounds; the

@@ -251,6 +251,25 @@ class PlanQualitySpec extends SparkSuite {
       s"probe not upstream of any exchange (nothing left to save):\n$plan")
   }
 
+  test("sketch aggregates: kmv partial-aggregates map-side, countmin broadcasts counters") {
+    import spark.implicits._
+    val df = spark.range(500).select(concat(lit("k"), col("id") % 7).as("v"))
+    val kmv = df.agg(graft.functions.KmvDistinct.kmvDistinct(col("v"), 32))
+    kmv.collect()
+    val kplan = kmv.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate runs in ObjectHashAggregate with a partial
+    // (map-side) mode before the single exchange
+    assert(kplan.contains("ObjectHashAggregate"), s"no object hash agg:\n$kplan")
+    assert(kplan.contains("kmv_distinct"), s"expression name missing:\n$kplan")
+
+    val cm = graft.pipeline.Sketches.countMinReport(df, "v", depth = 2, width = 16)
+    cm.collect()
+    val cplan = cm.queryExecution.executedPlan.toString
+    assert(!cplan.toLowerCase.contains("cartesian"), s"cartesian:\n$cplan")
+    assert(cplan.contains("BroadcastHashJoin") || cplan.contains("BroadcastExchange"),
+      s"bounded counter table not broadcast:\n$cplan")
+  }
+
   test("DataFrame cc and PageRank iterate on equi-joins, no cartesian blowup") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")

@@ -128,6 +128,31 @@ class StreamingSpec extends SparkSuite {
     assert(zc.run(q).vertices.count() == 3) // the three event types
   }
 
+  test("funnelCounts: strict first-occurrence chaining, hand-traced") {
+    import spark.implicits._
+    // u1 converts fully; u2's only view is BEFORE its first click (breaks
+    // the chain); u3's purchase precedes its post-click view (no convert);
+    // u4 has no click at all (not even in stage 1)
+    val ev = Seq(
+      (1L, "click", 10L), (1L, "view", 20L), (1L, "purchase", 30L),
+      (2L, "view", 5L), (2L, "click", 10L), (2L, "purchase", 15L),
+      (3L, "click", 10L), (3L, "purchase", 15L), (3L, "view", 20L),
+      (4L, "view", 10L), (4L, "purchase", 20L))
+      .toDF("user_id", "event_type", "ts")
+    val r = EventStreams.funnelCounts(ev, "user_id", "event_type", "ts",
+      Seq("click", "view", "purchase")).head()
+    assert(r.getLong(0) == 3L) // u1, u2, u3 clicked
+    assert(r.getLong(1) == 2L) // u1 and u3 viewed after first click
+    assert(r.getLong(2) == 1L) // only u1 purchased after that view
+    assert(r.getDouble(3) == BigDecimal(2.0 / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(4) == 0.5)
+    // a second first-click at the same min ts cannot double-count a user
+    val dup = ev.unionByName(Seq((1L, "click", 10L)).toDF("user_id", "event_type", "ts"))
+    assert(EventStreams.funnelCounts(dup, "user_id", "event_type", "ts",
+      Seq("click", "view", "purchase")).head().getLong(0) == 3L)
+  }
+
   test("sessionization with custom state emits gap-separated sessions") {
     import spark.implicits._
     val events = Seq(
