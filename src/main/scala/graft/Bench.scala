@@ -43,7 +43,8 @@ object Bench {
     "curate_decontaminate_bloom", "text_unigram_logprob",
     "curate_weighted_sample", "dedup_similarity_report", "agg_kmv_distinct",
     "agg_countmin", "curate_funnel", "curate_bpe_merges",
-    "curate_bpe_tokenize", "dedup_recall_report", "events_funnel")
+    "curate_bpe_tokenize", "dedup_recall_report", "events_funnel",
+    "dedup_incremental", "curate_cluster_histogram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

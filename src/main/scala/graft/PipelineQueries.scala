@@ -274,6 +274,27 @@ object PipelineQueries {
     // the compression the learned merges buy, per document
     "curate_bpe_tokenize" -> ((s, d) =>
       pipeline.Tokenizer.bpeTokenCounts(docs(s, d), "doc_id", "text", rounds = BpeRounds)),
+    // incremental ingest dedup: the new batch (tail-marked docs, exact
+    // copies of corpus docs, and a planted within-batch duplicate slice)
+    // deduped against the stored corpus hash index + itself
+    "dedup_incremental" -> ((s, d) => {
+      val corpusHashes = docs(s, d).select(md5(col("text")).as("hash"))
+      val base = dedupCorpus(s, d).where(col("doc_id") >= 1000000L)
+      val batch = base.unionByName(
+        base.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      Dedup.dedupIncrement(corpusHashes, batch, "doc_id", "text")
+        .select("doc_id")
+    }),
+    // dup-cluster size histogram over the near-dup pair graph: how much
+    // mass sits in how-big clusters (the dedup-savings profile)
+    "curate_cluster_histogram" -> ((s, d) =>
+      pipeline.ConnectedComponents.labels(
+          Dedup.ngramJaccardViaMinhash(dedupCorpus(s, d), "doc_id", "text",
+            n = 3, k = 4, minSim = 0.5).select("a", "b"))
+        .groupBy("cluster").agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))),
     // LSH banding recall measured against exact all-pairs ground truth on
     // a ~10% hash sample (sampled on the BASE doc identity so planted
     // dup/near-dup pairs survive sampling together)
@@ -848,6 +869,29 @@ object PipelineQueries {
            |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
            |dropd AS (SELECT a FROM reach GROUP BY a HAVING min(b) < a)
            |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT a FROM dropd)""".stripMargin,
+      // batch = corpus rows >= 1M plus a +3M within-batch dup slice;
+      // survivors miss the corpus hash index and win their batch group
+      "dedup_incremental" ->
+        s"""$corpusCte,
+           |ch AS (SELECT DISTINCT md5(text) AS h FROM documents),
+           |base AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 1000000),
+           |batch AS (SELECT doc_id, text FROM base
+           |  UNION ALL SELECT doc_id + 3000000, text FROM base WHERE doc_id % 7 = 0),
+           |wb AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM batch GROUP BY 1)
+           |SELECT doc_id FROM wb WHERE h NOT IN (SELECT h FROM ch)""".stripMargin,
+      // cluster sizes from the same recursive min-reachable labeling as
+      // curate_dup_clusters_df, rolled into a size histogram
+      "curate_cluster_histogram" ->
+        s"""${ngramInterCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |prs AS (SELECT a, b
+           |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5),
+           |und AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+           |reach AS (SELECT a, b FROM und
+           |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+           |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+           |sz AS (SELECT cluster, count(*) AS s FROM lbl GROUP BY cluster)
+           |SELECT s AS cluster_size, count(*) AS n_clusters FROM sz GROUP BY s""".stripMargin,
       // same pair graph as curate_neardup_corpus; cluster = min reachable
       // node (including self) per node in some pair
       "curate_dup_clusters_df" ->

@@ -229,6 +229,25 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** Incremental exact dedup — the daily-ingest production shape: dedupe
+    * a new `batch` against an already-ingested corpus using ONLY the
+    * corpus's stored content hashes (never re-reading corpus text), plus
+    * within-batch survivor selection (minimum id per content group).
+    * The corpus side is a single hash column — at 100 TB that is the
+    * compact dedup index a pipeline maintains across ingests; the batch
+    * (small by definition) pays one hash groupBy and one anti-join.
+    * Returns the surviving batch rows. */
+  def dedupIncrement(corpusHashes: DataFrame, batch: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val hashed = batch.select(col(idCol), md5(col(textCol)).as("__h"))
+    val withinBatch = hashed.groupBy("__h").agg(min(col(idCol)).as(idCol))
+    val fresh = withinBatch
+      .join(corpusHashes.select(col(corpusHashes.columns.head).as("__h")).distinct(),
+        Seq("__h"), "left_anti")
+      .select(idCol)
+    batch.join(fresh, Seq(idCol), "left_semi")
+  }
+
   /** LSH recall measured, not assumed: run the exact all-pairs Jaccard
     * ([[ngramJaccardPairs]], ground truth) and the LSH-proposed variant
     * ([[ngramJaccardViaMinhash]]) over the same (SAMPLED) corpus and

@@ -416,6 +416,23 @@ class PipelineSpec extends SparkSuite {
     assert(cm(1) == ((1L, "x@@x", "x@@x", 1L)))
   }
 
+  test("dedupIncrement: drops corpus-known and within-batch dup rows") {
+    val corpusHashes = Seq("seen before text", "also already ingested")
+      .toDF("text").select(md5(col("text")).as("hash"))
+    val batch = Seq(
+      (10L, "seen before text"),        // known to the corpus -> dropped
+      (11L, "brand new content one"),   // fresh -> kept
+      (12L, "brand new content one"),   // within-batch dup of 11 -> dropped
+      (13L, "another fresh document"))  // fresh -> kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupIncrement(corpusHashes, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+    // empty corpus index: pure within-batch dedup
+    val none = corpusHashes.where(lit(false))
+    assert(Dedup.dedupIncrement(none, batch, "doc_id", "text").count() == 3L)
+  }
+
   test("bpeTokenCounts: merged token counts reflect the learned rules") {
     import graft.pipeline.Tokenizer
     val corpus = Seq((1L, "a b a b c"), (2L, "a b c d")).toDF("doc_id", "text")
