@@ -239,13 +239,17 @@ object Dedup {
     * Returns the surviving batch rows. */
   def dedupIncrement(corpusHashes: DataFrame, batch: DataFrame,
                      idCol: String, textCol: String): DataFrame = {
-    val hashed = batch.select(col(idCol), md5(col(textCol)).as("__h"))
-    val withinBatch = hashed.groupBy("__h").agg(min(col(idCol)).as(idCol))
-    val fresh = withinBatch
+    // survivor selection via window-min instead of groupBy + semi-join
+    // back: the batch subtree then appears ONCE in the plan — the
+    // self-join form made Catalyst re-analyze the (union-shaped) batch
+    // tree on both sides, and analysis time dwarfed the actual work
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    batch.withColumn("__h", md5(col(textCol)))
+      .withColumn("__min", min(col(idCol)).over(w))
+      .where(col(idCol) === col("__min"))
       .join(corpusHashes.select(col(corpusHashes.columns.head).as("__h")).distinct(),
         Seq("__h"), "left_anti")
-      .select(idCol)
-    batch.join(fresh, Seq(idCol), "left_semi")
+      .drop("__h", "__min")
   }
 
   /** LSH recall measured, not assumed: run the exact all-pairs Jaccard
