@@ -21,6 +21,9 @@ object PipelineQueries {
   private val streamSigDedupCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
+  private val exportManifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     TpchGraph.table(spark, dir, "documents")
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
@@ -365,6 +368,17 @@ object PipelineQueries {
     "curate_sample" -> ((s, d) =>
       pipeline.Curation.sampleByHash(docs(s, d), "doc_id", keepOf256 = 41)
         .select("doc_id")),
+    // the pipeline SINK: corpus written partitioned by (split, lang) and
+    // the manifest aggregated from the read-back directory tree — counts
+    // prove partition values survive the layout round-trip
+    "curate_export_manifest" -> ((s, d) => exportManifestCache.computeIfAbsent((s, d), { _ =>
+      val labeled = pipeline.Curation.splitLabel(docs(s, d), "doc_id")
+        .withColumn("lang_guess", TextAnalysis.langId(col("text")))
+        .select("doc_id", "split", "lang_guess")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-export").toString
+      pipeline.Curation.exportPartitioned(labeled, tmp, Seq("split", "lang_guess"))
+        .localCheckpoint(true)
+    })),
     // curation: deterministic train/val/test split labels
     "curate_split" -> ((s, d) =>
       pipeline.Curation.splitLabel(docs(s, d), "doc_id")
@@ -869,6 +883,17 @@ object PipelineQueries {
            |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
            |dropd AS (SELECT a FROM reach GROUP BY a HAVING min(b) < a)
            |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT a FROM dropd)""".stripMargin,
+      // manifest = per-(split, lang) counts; split replays the md5-bucket
+      // rule of curate_split, lang the shared lang-id scorer
+      "curate_export_manifest" ->
+        s"""WITH tl AS ($textLangidSql),
+           |sp AS (SELECT doc_id, CASE
+           |  WHEN substr(md5('split|'||doc_id), 1, 2) < '0d' THEN 'test'
+           |  WHEN substr(md5('split|'||doc_id), 1, 2) < '1a' THEN 'val'
+           |  ELSE 'train' END AS split
+           |FROM documents)
+           |SELECT sp.split, tl.lang_guess, count(*) AS n_docs
+           |FROM sp JOIN tl USING (doc_id) GROUP BY 1, 2""".stripMargin,
       // batch = corpus rows >= 1M plus a +3M within-batch dup slice;
       // survivors miss the corpus hash index and win their batch group
       "dedup_incremental" ->

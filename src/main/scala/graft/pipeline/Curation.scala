@@ -320,6 +320,23 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Partitioned corpus export + manifest — the pipeline SINK: write the
+    * frame as parquet partitioned by `partitionCols` (the layout training
+    * jobs consume: one directory tree per split/language/source, each
+    * prunable without listing the rest), then read the tree BACK and
+    * aggregate the manifest from it. Reading back is the point: the
+    * manifest counts prove the partition values survived the directory
+    * round-trip, not just that the write call returned. Returns
+    * (partitionCols..., n_docs). */
+  def exportPartitioned(df: DataFrame, path: String,
+                        partitionCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    df.sparkSession.read.parquet(path)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** End-to-end curation funnel report: the chained production pipeline
     * raw → exact-dedup → near-dedup → decontaminate, with one row of
     * surviving-document counts per stage. Each stage consumes the

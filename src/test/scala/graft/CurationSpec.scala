@@ -189,6 +189,24 @@ class CurationSpec extends SparkSuite {
     assert(Curation.decontaminateBloom(corpus, none, "doc_id", "text", n = 5).count() == 4L)
   }
 
+  test("exportPartitioned: manifest matches direct counts, partitions prunable") {
+    val labeled = Seq(
+      (1L, "train", "en"), (2L, "train", "en"), (3L, "train", "de"),
+      (4L, "val", "en"), (5L, "test", "de"))
+      .toDF("doc_id", "split", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-exp").toString
+    val manifest = Curation.exportPartitioned(labeled, dir, Seq("split", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = labeled.groupBy("split", "lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(manifest == direct)
+    // one partition directory reads independently (the pruning layout)
+    val one = spark.read.parquet(s"$dir/split=train/lang=en")
+    assert(one.count() == 2L)
+    val ids = one.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L))
+  }
+
   test("countMinReport: est >= exact always, exact when collision-free") {
     import graft.pipeline.Sketches
     val keys = (1 to 100).flatMap(i => Seq.fill(i % 5 + 1)(s"k${i % 10}"))
