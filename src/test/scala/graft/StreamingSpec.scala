@@ -153,6 +153,33 @@ class StreamingSpec extends SparkSuite {
       Seq("click", "view", "purchase")).head().getLong(0) == 3L)
   }
 
+  test("funnelCounts: randomized events vs a driver brute-force simulator") {
+    import spark.implicits._
+    val stages = Seq("a", "b", "c")
+    val rnd = new scala.util.Random(8130L) // fixed seed: reproducible
+    val types = Seq("a", "b", "c", "x")
+    val events = Seq.fill(600)(
+      (rnd.nextInt(40).toLong, types(rnd.nextInt(types.size)), rnd.nextInt(1000).toLong))
+    // driver ground truth: strict first-occurrence chaining per user
+    val byUser = events.groupBy(_._1)
+    def chain(evs: Seq[(Long, String, Long)]): Int = {
+      var prev = Long.MinValue
+      var depth = 0
+      for (st <- stages) {
+        if (depth == stages.indexOf(st)) {
+          val hits = evs.filter(e => e._2 == st && e._3 > prev).map(_._3)
+          if (hits.nonEmpty) { prev = hits.min; depth += 1 }
+        }
+      }
+      depth
+    }
+    val depths = byUser.values.map(v => chain(v.toSeq)).toSeq
+    val expected = stages.indices.map(i => depths.count(_ >= i + 1).toLong)
+    val r = EventStreams.funnelCounts(events.toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", stages).head()
+    assert((0 to 2).map(r.getLong) == expected)
+  }
+
   test("sessionization with custom state emits gap-separated sessions") {
     import spark.implicits._
     val events = Seq(
