@@ -164,20 +164,28 @@ object Quantization {
     val w = org.apache.spark.sql.expressions.Window
     val cent = broadcast(corpus.where(col(idCol) < nlist)
       .select(col(idCol).cast("long").as("lcid"), col(vecCol).as("centroid")))
-    val assignW = w.partitionBy("neighbor_id").orderBy(desc("__cos"), asc("lcid"))
+    // List assignment and probe selection use the same no-window shapes as
+    // [[Similarity.ivfTopKWith]]: a map-side-combinable min(struct(-cos,
+    // lcid)) argmax for the corpus (one winner row per vector pre-shuffle,
+    // never the n×nlist expansion, no sort) and a partial collect +
+    // array_sort + slice over the nlist-bounded centroid set for the
+    // queries' top-nprobe lists.
     val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(cent)
-      .select(col("neighbor_id"), col("lcid"),
-        Similarity.cosine(col("cv"), col("centroid")).as("__cos"))
-      .withColumn("__rn", row_number().over(assignW)).where(col("__rn") === 1)
-      .select("neighbor_id", "lcid")
-    val probeW = w.partitionBy("query_id").orderBy(desc("__cos"), asc("lcid"))
+      .select(col("neighbor_id"),
+        struct((-Similarity.cosine(col("cv"), col("centroid"))).as("nc"),
+          col("lcid")).as("__s"))
+      .groupBy("neighbor_id").agg(min(col("__s")).as("__s"))
+      .select(col("neighbor_id"), col("__s.lcid").as("lcid"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(cent)
-      .select(col("query_id"), col("lcid"),
-        Similarity.cosine(col("qv"), col("centroid")).as("__cos"))
-      .withColumn("__rn", row_number().over(probeW)).where(col("__rn") <= nprobe)
-      .select("query_id", "lcid")
+      .select(col("query_id"),
+        struct((-Similarity.cosine(col("qv"), col("centroid"))).as("nc"),
+          col("lcid")).as("__p"))
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(col("__p"))), 1, nprobe).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__p"))
+      .select(col("query_id"), col("__p.lcid").as("lcid"))
     val cb = pqCodebook(corpus, idCol, vecCol, m, codewords)
     val qs = subVectors(queries, idCol, vecCol, m)
       .select(col(idCol).as("query_id"), col("s"), col("x"))

@@ -133,20 +133,34 @@ object Similarity {
                   nprobe: Int = 4): DataFrame = {
     val cent = broadcast(centroids.select(col("cid").cast("long").as("cid"),
       col("centroid")))
-    val assignW = Window.partitionBy("neighbor_id").orderBy(desc("__cos"), asc("cid"))
+    // List assignment: argmax-cosine per corpus vector via a map-side-
+    // combinable min(struct(-cos, cid, cv)) — the Clustering.assign shape.
+    // IEEE negation is exact, so asc(-cos) picks the identical winner (and
+    // smallest-cid tiebreak) as the desc(cos) window it replaces; the
+    // partial aggregation reduces to one winner row per vector BEFORE the
+    // shuffle, so nothing moves the n×nlist scored expansion (let alone
+    // with the float vectors aboard) and nothing sorts.
     val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(cent)
-      .select(col("neighbor_id"), col("cv"), col("cid"),
-        cosine(col("cv"), col("centroid")).as("__cos"))
-      .withColumn("__rn", row_number().over(assignW)).where(col("__rn") === 1)
-      .select("neighbor_id", "cv", "cid")
-    val probeW = Window.partitionBy("query_id").orderBy(desc("__cos"), asc("cid"))
+      .select(col("neighbor_id"),
+        struct((-cosine(col("cv"), col("centroid"))).as("nc"), col("cid"),
+          col("cv")).as("__s"))
+      .groupBy("neighbor_id").agg(min(col("__s")).as("__s"))
+      .select(col("neighbor_id"), col("__s.cv").as("cv"), col("__s.cid").as("cid"))
+    // Probe selection: the nprobe nearest lists per query via a partial
+    // collect + array_sort + slice over nlist-bounded arrays (the centroid
+    // set is small by construction — it is broadcast above) — again no
+    // window, no per-query sort shuffle; the collected array orders by
+    // (-cos, cid), so the slice keeps exactly the window's top-nprobe.
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(cent)
-      .select(col("query_id"), col("qv"), col("cid"),
-        cosine(col("qv"), col("centroid")).as("__cos"))
-      .withColumn("__rn", row_number().over(probeW)).where(col("__rn") <= nprobe)
-      .select("query_id", "qv", "cid")
+      .select(col("query_id"), col("qv"),
+        struct((-cosine(col("qv"), col("centroid"))).as("nc"), col("cid")).as("__p"))
+      .groupBy("query_id")
+      .agg(first(col("qv")).as("qv"),
+        slice(array_sort(collect_list(col("__p"))), 1, nprobe).as("__top"))
+      .select(col("query_id"), col("qv"), explode(col("__top")).as("__p"))
+      .select(col("query_id"), col("qv"), col("__p.cid").as("cid"))
     val scored = probes.join(assign, Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -270,6 +270,37 @@ class PlanQualitySpec extends SparkSuite {
       s"bounded counter table not broadcast:\n$cplan")
   }
 
+  test("IVF list assignment and probe selection run without a window sort") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8.0 + j).toFloat))).toDF("vec_id", "embedding")
+    val queries = vecs.where($"vec_id" < 3)
+
+    // AQE's toString appends an "== Initial Plan ==" duplicate — count
+    // window operators in the final plan section only
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+
+    val ivf = graft.pipeline.Similarity.ivfTopK(vecs, queries,
+      "vec_id", "embedding", k = 2, nlist = 4, nprobe = 2)
+    ivf.collect()
+    val ivfPlan = finalPlan(ivf)
+    // the ONLY WindowExec allowed is the final per-query top-k ranking;
+    // list assignment must be the min(struct) aggregation and the probe
+    // stage the collect+sort+slice over the broadcast centroid set
+    assert("Window \\[".r.findAllIn(ivfPlan).size == 1,
+      s"IVF assignment/probe regressed to a window sort:\n$ivfPlan")
+    assert(ivfPlan.contains("partial_min"),
+      s"assignment aggregation is not map-side combinable:\n$ivfPlan")
+
+    val ivfpq = graft.pipeline.Quantization.ivfPqTopK(vecs, queries,
+      "vec_id", "embedding", k = 2, nlist = 4, nprobe = 2, m = 2, codewords = 4)
+    ivfpq.collect()
+    val pqPlan = finalPlan(ivfpq)
+    assert("Window \\[".r.findAllIn(pqPlan).size == 1,
+      s"IVFPQ assignment/probe regressed to a window sort:\n$pqPlan")
+  }
+
   test("DataFrame cc and PageRank iterate on equi-joins, no cartesian blowup") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
