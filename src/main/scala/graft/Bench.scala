@@ -87,10 +87,19 @@ object Bench {
       .getOrElse(2).max(1)
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      def once(): Double = time {
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      // memo-backed entries (PipelineQueries.memoBackedQueries) share a
+      // per-session result cache: without busting it, the second run — and
+      // any run after another sharer — times a ConcurrentHashMap lookup
+      // instead of the pipeline. Clear the memo before every timed run so
+      // the reported number is the cold pipeline cost.
+      def once(): Double = {
+        if (PipelineQueries.memoBackedQueries(name))
+          PipelineQueries.clearMemos(spark, sfDir)
+        time {
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
         }
       }
       // re-run only queries under the cap: a >60 s first run is already
@@ -103,7 +112,11 @@ object Bench {
     val qs = (("graph_build" -> buildSec) +: results)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = buildSec + results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // memo_cold names the entries timed with their shared per-session
+    // memo cleared before every run (cold pipeline cost, not cache hits)
+    val cold = headline.filter(PipelineQueries.memoBackedQueries)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"memo_cold":$cold,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -731,8 +731,8 @@ object GraphQueries {
         |  (SELECT count(*) FROM s2) AS n_click_view,
         |  (SELECT count(*) FROM s3) AS n_click_view_purchase)
         |SELECT n_click, n_click_view, n_click_view_purchase,
-        |  round(CAST(n_click_view AS DOUBLE) / n_click, 4) AS rate_view,
-        |  round(CAST(n_click_view_purchase AS DOUBLE) / n_click_view, 4) AS rate_purchase
+        |  round(CAST(n_click_view AS DOUBLE) / NULLIF(n_click, 0), 4) AS rate_view,
+        |  round(CAST(n_click_view_purchase AS DOUBLE) / NULLIF(n_click_view, 0), 4) AS rate_purchase
         |FROM c""".stripMargin,
     "events_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS tns FROM events),

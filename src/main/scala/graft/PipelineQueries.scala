@@ -39,6 +39,26 @@ object PipelineQueries {
           n = 3, k = 4, minSim = 0.5).select("a", "b"))
     })
 
+  /** Queries whose result frame is memoized per (session, dir) — a repeat
+    * invocation is a cache lookup, not a pipeline run. The bench clears
+    * these memos before EVERY timed run (see [[Bench]]) so its numbers
+    * measure the cold pipeline; Verify keeps them (correctness is
+    * temperature-independent, and the memo is what keeps repeated harness
+    * invocations from accumulating temp dirs and streaming sinks). */
+  val memoBackedQueries: Set[String] = Set(
+    "curate_dup_clusters_df", "curate_cluster_histogram",
+    "curate_export_manifest")
+
+  /** Drop the per-(session, dir) memos behind [[memoBackedQueries]]. The
+    * streaming memos (events_stream_dedup / stream_sig_dedup) are NOT
+    * cleared: each cold run writes a fresh fixture directory and starts a
+    * real stream, so busting them from the bench would benchmark temp-file
+    * churn, and they are not bench headline entries. */
+  def clearMemos(s: SparkSession, d: String): Unit = {
+    neardupLabelsCache.remove((s, d))
+    exportManifestCache.remove((s, d))
+  }
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     TpchGraph.table(spark, dir, "documents")
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
@@ -98,9 +118,9 @@ object PipelineQueries {
          |  GROUP BY pair),
          |m$r AS (SELECT $r AS merge_round, pair, cnt FROM p$r ORDER BY cnt DESC, pair ASC LIMIT 1),
          |t${r + 1} AS (SELECT doc_id,
-         |  replace(replace(t, ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '@@') || ' '),
-         |          ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '@@') || ' ') AS t
-         |  FROM t$r CROSS JOIN m$r m)""".stripMargin
+         |  coalesce(replace(replace(t, ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '@@') || ' '),
+         |          ' ' || m.pair || ' ', ' ' || replace(m.pair, ' ', '@@') || ' '), t) AS t
+         |  FROM t$r LEFT JOIN m$r m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""t0 AS (SELECT doc_id, ' ' || $normSql || ' ' AS t FROM documents),
        |$roundCtes""".stripMargin
@@ -137,10 +157,13 @@ object PipelineQueries {
   private val Bm25B = 0.75
   private val Bm25TopK = 10
 
-  // dedup_semantic parameters (k-means clusters bound the candidate pairs)
+  // dedup_semantic parameters (k-means clusters bound the candidate pairs;
+  // clusters beyond SemMaxCluster members sub-split deterministically so
+  // no single (cid) join key is ever quadratic past the cap)
   private val SemK = 8
   private val SemIters = 2
   private val SemMinCos = 0.3
+  private val SemMaxCluster = 10000
 
   // curate_temperature_sample parameters (α = 0.5 domain rebalancing)
   private val TempTotal = 150L
@@ -521,12 +544,14 @@ object PipelineQueries {
     // SemDeDup candidate stage: intra-k-means-cluster cosine pairs
     "dedup_semantic_pairs" -> ((s, d) =>
       Dedup.semanticPairs(embeddings(s, d), "vec_id", "embedding",
-        k = SemK, iters = SemIters, minCos = SemMinCos)),
+        k = SemK, iters = SemIters, minCos = SemMinCos,
+        maxClusterSize = SemMaxCluster)),
     // END-TO-END semantic dedup: k-means bounds candidates, cosine
     // verifies, cc clusters, min-id survivor per cluster
     "curate_semdedup_corpus" -> ((s, d) =>
       pipeline.Curation.dedupSemanticKeepFirst(embeddings(s, d), "vec_id", "embedding",
-          k = SemK, iters = SemIters, minCos = SemMinCos)
+          k = SemK, iters = SemIters, minCos = SemMinCos,
+          maxClusterSize = SemMaxCluster)
         .select("vec_id")),
     // product quantization: m=4 subspaces, k=16 static codewords each
     "embedding_pq" -> ((s, d) =>
@@ -670,14 +695,22 @@ object PipelineQueries {
          |FROM f""".stripMargin
 
     // shared by dedup_semantic_pairs / curate_semdedup_corpus: the fitted
-    // assignment joined back to the vectors, then intra-cluster pairs
+    // assignment joined back to the vectors, then intra-cluster pairs —
+    // mirroring Dedup.semanticPairs' mega-cluster guard: members of
+    // clusters larger than SemMaxCluster are sub-split by md5(id) mod
+    // ceil(size/cap) and pairs only form within a (cid, sub) cell
     // (composes on top of kmeansCtes' v + final_assign)
     def semPairCtes(minCosSql: String): String =
       s"""${kmeansCtes(k = SemK, iters = SemIters)},
          |asgv AS (SELECT f.vec_id, f.cid, v.ve FROM final_assign f JOIN v USING (vec_id)),
+         |csz AS (SELECT cid, count(*) AS csz FROM final_assign GROUP BY cid),
+         |asgs AS (SELECT a.vec_id, a.cid, a.ve,
+         |    CAST(concat('0x', substr(md5('sem|' || CAST(a.vec_id AS VARCHAR)), 1, 6)) AS BIGINT)
+         |      % ((csz + ${SemMaxCluster - 1}) // $SemMaxCluster) AS sub
+         |  FROM asgv a JOIN csz USING (cid)),
          |prs AS (SELECT l.vec_id AS a, r.vec_id AS b,
          |    round(list_cosine_similarity(l.ve, r.ve), 4) AS cos
-         |  FROM asgv l JOIN asgv r ON l.cid = r.cid AND l.vec_id < r.vec_id)""".stripMargin +
+         |  FROM asgs l JOIN asgs r ON l.cid = r.cid AND l.sub = r.sub AND l.vec_id < r.vec_id)""".stripMargin +
         s",\nhits AS (SELECT a, b, cos FROM prs WHERE cos >= $minCosSql)"
 
     // shared by embedding_pq / ann_pq_topk: sub-vector split, static

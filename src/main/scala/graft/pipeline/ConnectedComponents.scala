@@ -22,12 +22,13 @@ import org.apache.spark.storage.StorageLevel
   *     table stays (id, label) longs end-to-end, and whole-stage codegen
   *     covers the join+agg pipeline; nothing round-trips through
   *     RDD[Edge] object serialization;
-  *   - per-round state is truncated with an eager localCheckpoint, so
-  *     plan depth (and scheduler cost) stays constant across rounds
-  *     instead of growing linearly;
-  *   - the convergence probe is `limit(1).count()` on the changed-label
-  *     join — it short-circuits at the first surviving row rather than
-  *     counting all changes;
+  *   - per-round state is truncated with a LAZY localCheckpoint whose
+  *     materializing action IS the convergence probe: the old label rides
+  *     through the round as a column, and one aggregate over the
+  *     checkpointed frame both persists the new labels and returns the
+  *     changed-count — ONE job per round, not checkpoint + probe (at ~20
+  *     rounds on a real cluster the saved scheduler round-trips are
+  *     latency that matters);
   *   - no step materializes a neighborhood list: a boilerplate mega-group
   *     flows through as edges, never as a per-reducer array.
   *
@@ -53,22 +54,26 @@ object ConnectedComponents {
       while (!converged && iter < maxIters) {
         iter += 1
         // closed-neighborhood minimum: neighbor labels in, own label kept
-        val viaEdges = und.join(labels, und("v") === labels("id"))
+        // (carried as __old so the convergence check needs no extra join)
+        val nbrMin = und.join(labels, und("v") === labels("id"))
           .select(und("u").as("id"), col("label"))
-        val prop = viaEdges.unionByName(labels)
-          .groupBy("id").agg(min("label").as("label"))
+          .groupBy("id").agg(min("label").as("__nmin"))
+        val prop = labels.select(col("id"), col("label").as("__old"))
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("__old"),
+            least(col("__old"), coalesce(col("__nmin"), col("__old"))).as("label"))
         // pointer jump: every label is itself a node id with a row in
         // prop (labels start as ids and min() only selects existing
         // ids), so this inner join is total
         val jump = prop.select(col("id").as("__jid"), col("label").as("__jlabel"))
         val next = prop.join(jump, prop("label") === jump("__jid"))
-          .select(prop("id"), col("__jlabel").as("label"))
-          .localCheckpoint(true)
-        val changed = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .where(col("n.label") =!= col("o.label"))
-          .limit(1).count()
-        labels = next
+          .select(prop("id"), col("__old"), col("__jlabel").as("label"))
+          .localCheckpoint(false) // lazy: the changed-count materializes it
+        val changed = next
+          .agg(coalesce(sum(when(col("label") =!= col("__old"), 1L)
+            .otherwise(0L)), lit(0L)))
+          .first().getLong(0)
+        labels = next.select("id", "label")
         converged = changed == 0L
       }
       require(converged, s"connected components did not converge in $maxIters rounds")

@@ -117,8 +117,10 @@ object Curation {
     * with the embedding space replacing the shingle space; requires
     * numeric ids (cc runs on long vertex ids). */
   def dedupSemanticKeepFirst(df: DataFrame, idCol: String, vecCol: String,
-                             k: Int = 8, iters: Int = 2, minCos: Double = 0.5): DataFrame = {
-    val pairs = Dedup.semanticPairs(df, idCol, vecCol, k, iters, minCos)
+                             k: Int = 8, iters: Int = 2, minCos: Double = 0.5,
+                             maxClusterSize: Int = 10000): DataFrame = {
+    val pairs = Dedup.semanticPairs(df, idCol, vecCol, k, iters, minCos,
+        maxClusterSize)
       .select("a", "b")
     val drop = ConnectedComponents.labels(pairs)
       .where(col("id") =!= col("cluster"))

@@ -239,6 +239,12 @@ object Dedup {
     * Returns the surviving batch rows. */
   def dedupIncrement(corpusHashes: DataFrame, batch: DataFrame,
                      idCol: String, textCol: String): DataFrame = {
+    // the index must be EXACTLY one column: silently anti-joining on the
+    // first of several (e.g. a (doc_id, hash) frame passed by mistake)
+    // would return wrong survivors instead of failing
+    require(corpusHashes.columns.length == 1,
+      s"corpusHashes must be a single hash column; " +
+        s"got ${corpusHashes.columns.mkString("(", ", ", ")")}")
     // survivor selection via window-min instead of groupBy + semi-join
     // back: the batch subtree then appears ONCE in the plan — the
     // self-join form made Catalyst re-analyze the (union-shaped) batch
@@ -417,17 +423,40 @@ object Dedup {
     * Returns (a, b, cos) with a < b and cos >= minCos.
     *
     * Scale: the all-pairs work is quadratic only within a cluster, so k is
-    * the knob — size k to the corpus (SemDeDup runs tens of thousands of
-    * clusters at web scale) and the per-cluster candidate lists stay flat.
-    * The self-join is an equi-join on cid; nothing is all-pairs across
-    * clusters. Requires numeric ids. */
+    * the first knob — size k to the corpus (SemDeDup runs tens of thousands
+    * of clusters at web scale) and the per-cluster candidate lists stay
+    * flat. But k alone cannot stop one dense region (boilerplate
+    * embeddings, near-constant vectors) from collapsing into a single
+    * mega-cluster whose pair join is quadratic on ONE key, so clusters
+    * larger than `maxClusterSize` are deterministically sub-split: member
+    * id's md5 modulo ceil(size/maxClusterSize), and pairs only form within
+    * a (cid, sub) cell — the same decisive cap as
+    * [[Curation.exactDupCliquePairs]]'s maxGroupSize, trading cross-cell
+    * recall inside a mega-cluster for a hard per-key work bound. Clusters
+    * at or under the cap get one cell (sub = 0 for every member), so the
+    * guard is a no-op until it is needed. The self-join is an equi-join on
+    * (cid, sub); nothing is all-pairs across clusters. Requires numeric
+    * ids. */
   def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int = 8, iters: Int = 2, minCos: Double = 0.5): DataFrame = {
+                    k: Int = 8, iters: Int = 2, minCos: Double = 0.5,
+                    maxClusterSize: Int = 10000): DataFrame = {
+    require(maxClusterSize > 0, s"need maxClusterSize > 0; got $maxClusterSize")
     val asg = Clustering.kmeans(df, idCol, vecCol, k, iters)
-    val withC = df.select(col(idCol), col(vecCol)).join(asg, Seq(idCol))
-    val l = withC.select(col("cid"), col(idCol).as("a"), col(vecCol).as("va"))
-    val r = withC.select(col("cid"), col(idCol).as("b"), col(vecCol).as("vb"))
-    l.join(r, Seq("cid"))
+    val sizes = asg.groupBy("cid").agg(count(lit(1)).as("__csz"))
+    // one row per CLUSTER (<= k of them) — rides a broadcast join
+    val nsplit = expr(s"(__csz + ${maxClusterSize - 1}) DIV $maxClusterSize")
+    val sub = conv(substring(
+      md5(concat(lit("sem|"), col(idCol).cast("string"))), 1, 6), 16, 10)
+      .cast("long") % nsplit
+    val withC = df.select(col(idCol), col(vecCol))
+      .join(asg, Seq(idCol))
+      .join(broadcast(sizes), Seq("cid"))
+      .select(col(idCol), col(vecCol), col("cid"), sub.as("__sub"))
+    val l = withC.select(col("cid"), col("__sub"),
+      col(idCol).as("a"), col(vecCol).as("va"))
+    val r = withC.select(col("cid"), col("__sub"),
+      col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, Seq("cid", "__sub"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"),
         round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))

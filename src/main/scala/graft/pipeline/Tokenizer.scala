@@ -60,10 +60,15 @@ object Tokenizer {
         val cnt = top.head.getLong(1)
         val Array(l, rt) = pair.split(" ", 2)
         merges += ((r, l, rt, cnt))
-        val from = s" $pair "
-        val to = s" $l@@$rt "
-        val next = texts.select(col(idCol),
-            expr(s"replace(replace(__t, '$from', '$to'), '$from', '$to')").as("__t"))
+        // token content rides as LITERALS through the Column API — never
+        // spliced into SQL source text (normalization restricts tokens to
+        // [a-z0-9] today, but the rewrite must not become a parse error /
+        // injection point the day that changes)
+        val from = lit(s" $pair ")
+        val to = lit(s" $l@@$rt ")
+        def rep(c: org.apache.spark.sql.Column) =
+          call_function("replace", c, from, to)
+        val next = texts.select(col(idCol), rep(rep(col("__t"))).as("__t"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before dropping the parent
         texts.unpersist()

@@ -124,8 +124,17 @@ object EventStreams {
   def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
                    tsCol: String, stages: Seq[String]): DataFrame = {
     require(stages.size >= 2, s"need at least 2 stages; got $stages")
+    // 'strictly after' must compare at full precision: a TimestampType
+    // column is taken as unix MICROS (Spark timestamps are micro-resolution
+    // and any SQL oracle can replay epoch_us; a bare cast("long") would
+    // truncate to whole seconds and merge same-second sequences); numeric
+    // columns (e.g. raw epoch-nanos longs) pass through unchanged
+    val tsExpr = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
     val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__y"),
-      col(tsCol).cast("long").as("__t"))
+      tsExpr.as("__t"))
     var cur = ev.groupBy("__u")
       .agg(min(when(col("__y") === stages.head, col("__t"))).as("__m"))
       .where(col("__m").isNotNull)
@@ -141,8 +150,11 @@ object EventStreams {
       counts += cur.agg(count(lit(1)).as(names(i)))
     }
     val joined = counts.result().reduce(_ crossJoin _)
+    // a dead stage makes the next rate 0/0: report null (what SQL's
+    // NULLIF-denominator convention yields), never NaN
     val rates = (1 until stages.size).map(i =>
-      round(col(names(i)).cast("double") / col(names(i - 1)), 4)
+      when(col(names(i - 1)) === 0, lit(null).cast("double"))
+        .otherwise(round(col(names(i)).cast("double") / col(names(i - 1)), 4))
         .as(s"rate_${stages(i)}"))
     joined.select(names.map(col) ++ rates: _*)
   }

@@ -289,4 +289,77 @@ class CurationSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 200 && labels.values.forall(_ == 0L))
   }
+
+  test("cc spends ONE job per round: convergence fused into the checkpoint action") {
+    import graft.pipeline.ConnectedComponents
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    // under AQE every shuffle stage is its own job, and broadcast builds
+    // submit theirs from a side thread — disable both so one action = one
+    // job and the counter measures actions per round
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // star 1-{2,3}: round 1 relabels, round 2 proves the fixpoint
+      val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+      val labels = ConnectedComponents.labels(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+      org.apache.spark.GraftSchedulerProbe.drainListenerBus(spark.sparkContext)
+      // budget: 1 init-checkpoint job + 1 job per round (2 rounds) + the
+      // final collect = 4 (+1 slack for first()'s incremental partition
+      // scan). The old separate limit(1).count() probe spent 2 jobs per
+      // round and needed 6+.
+      val jobs = counter.get()
+      assert(jobs <= 5, s"cc spent $jobs jobs for 2 rounds + init + collect " +
+        "(convergence probe no longer fused?)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("semanticPairs caps mega-cluster pair fan-out via deterministic sub-split") {
+    import graft.pipeline.Dedup
+    // one dominant near-identical region: 60 copies of the same direction
+    // (tiny id-dependent wiggle keeps vectors distinct but co-clustered)
+    // plus a handful of far-away rows — k-means collapses the 60 into ONE
+    // cluster, the worst case the guard exists for
+    val rows = (0L until 60L).map(i =>
+        (i, Array(1.0f, 1.0f + i * 1e-6f, 1.0f, 1.0f))) ++
+      Seq((100L, Array(-5f, 4f, -3f, 2f)), (101L, Array(4f, -5f, 2f, -3f)))
+    val df = rows.toDF("vec_id", "embedding")
+
+    val unguarded = Dedup.semanticPairs(df, "vec_id", "embedding",
+      k = 3, iters = 2, minCos = -1.0, maxClusterSize = 100000)
+    val guarded = Dedup.semanticPairs(df, "vec_id", "embedding",
+      k = 3, iters = 2, minCos = -1.0, maxClusterSize = 10)
+    val nUnguarded = unguarded.count()
+    val nGuarded = guarded.count()
+    // unguarded: the 60-cluster alone is C(60,2) = 1770 pairs; the guard
+    // splits it into ceil(60/10)=6 hash cells, bounding the fan-out near
+    // sum C(10,2)*6 = 270 (hash imbalance allows some slack, never the
+    // full quadratic blow-up)
+    assert(nUnguarded >= 1770L, s"fixture lost its mega-cluster: $nUnguarded")
+    assert(nGuarded > 0L && nGuarded < 800L,
+      s"guard did not bound the mega-cluster join: $nGuarded pairs")
+    // guarded pairs are a SUBSET of the unguarded candidate pairs
+    assert(guarded.select("a", "b").except(unguarded.select("a", "b")).count() == 0L)
+    // clusters at or under the cap are untouched: same result either way
+    val few = df.where(col("vec_id") >= 100L)
+    val a = Dedup.semanticPairs(few, "vec_id", "embedding",
+      k = 2, iters = 1, minCos = -1.0, maxClusterSize = 10).collect().toSet
+    val b = Dedup.semanticPairs(few, "vec_id", "embedding",
+      k = 2, iters = 1, minCos = -1.0, maxClusterSize = 100000).collect().toSet
+    assert(a == b)
+  }
 }
