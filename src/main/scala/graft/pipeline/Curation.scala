@@ -358,22 +358,46 @@ object Curation {
     // recomputation, so scope a persist per stage: without it the s1
     // dedup replays three times and the near-dup anti-join twice (the
     // LSH/verify/cc work itself is already eager inside
-    // dedupNearKeepFirst). The 4-row result is checkpointed eagerly so
-    // the persists can be released before returning.
+    // ngramJaccardOnShingles). The exact survivors are TOKENIZED ONCE and
+    // that token table feeds both shingle consumers — the n-gram near-dup
+    // propose/verify stage and the decontamN-gram contamination probe
+    // (restricted to near-dup survivors by a semi-join) — instead of each
+    // stage re-normalizing and re-exploding the text. The 4-row result is
+    // checkpointed eagerly so the persists can be released before
+    // returning.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s1 = dedupExactKeepFirst(corpus, idCol, textCol).persist(lvl)
     try {
-      val s2 = dedupNearKeepFirst(s1, idCol, textCol, n, k, minSim).persist(lvl)
+      val toks = TextAnalysis.tokenRows(s1, idCol, textCol).persist(lvl)
       try {
-        val s3 = decontaminate(s2, benchmark, idCol, textCol, decontamN)
-        def stage(name: String, df: DataFrame) =
-          df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
-        stage("raw", corpus)
-          .unionByName(stage("exact_dedup", s1))
-          .unionByName(stage("near_dedup", s2))
-          .unionByName(stage("decontaminated", s3))
-          .localCheckpoint(true)
-      } finally s2.unpersist()
+        val pairs = Dedup.ngramJaccardOnShingles(
+            TextAnalysis.shingleRowsFromTokens(toks, idCol, n), idCol, k, minSim)
+          .select("a", "b")
+        val drop = ConnectedComponents.labels(pairs)
+          .where(col("id") =!= col("cluster"))
+          .select(col("id").as("__drop_id"))
+        val s2 = s1.join(drop, s1(idCol).cast("long") === col("__drop_id"),
+          "left_anti").persist(lvl)
+        try {
+          val benchGrams = TextAnalysis
+            .shingleRows(benchmark, idCol, textCol, decontamN)
+            .select("shingle").distinct()
+          val contaminated = TextAnalysis.shingleRowsFromTokens(
+              toks.join(s2.select(idCol), Seq(idCol), "left_semi"),
+              idCol, decontamN)
+            .dropDuplicates(idCol, "shingle")
+            .join(broadcast(benchGrams), Seq("shingle"), "left_semi")
+            .select(idCol).distinct()
+          val s3 = s2.join(contaminated, Seq(idCol), "left_anti")
+          def stage(name: String, df: DataFrame) =
+            df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+          stage("raw", corpus)
+            .unionByName(stage("exact_dedup", s1))
+            .unionByName(stage("near_dedup", s2))
+            .unionByName(stage("decontaminated", s3))
+            .localCheckpoint(true)
+        } finally s2.unpersist()
+      } finally toks.unpersist()
     } finally s1.unpersist()
   }
 

@@ -165,8 +165,18 @@ object Dedup {
     * corpora leave nothing in the session CacheManager (asserted by
     * PipelineSpec's leak test). */
   def ngramJaccardViaMinhash(df: DataFrame, idCol: String, textCol: String,
-                             n: Int = 3, k: Int = 4, minSim: Double = 0.5): DataFrame = {
-    val sh = TextAnalysis.shingleRows(df, idCol, textCol, n)
+                             n: Int = 3, k: Int = 4, minSim: Double = 0.5): DataFrame =
+    ngramJaccardOnShingles(
+      TextAnalysis.shingleRows(df, idCol, textCol, n), idCol, k, minSim)
+
+  /** [[ngramJaccardViaMinhash]] over a PRE-BUILT (idCol, shingle) table —
+    * the seam for pipelines that tokenize/shingle once and reuse the table
+    * across stages ([[Curation.curationFunnel]]). Same propose → verify →
+    * checkpoint flow; the shingle table is deduped and persisted scoped to
+    * this call. */
+  def ngramJaccardOnShingles(shingles: DataFrame, idCol: String,
+                             k: Int = 4, minSim: Double = 0.5): DataFrame = {
+    val sh = shingles
       .withColumnRenamed(idCol, "doc")
       .dropDuplicates("doc", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

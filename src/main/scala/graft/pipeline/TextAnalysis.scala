@@ -158,9 +158,16 @@ object TextAnalysis {
   /** Long-form word n-gram shingles (id, shingle), built with window lead()
     * over the token stream — one shuffle by document id, identical shingle
     * strings to [[wordShingles]]. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleRowsFromTokens(tokenRows(df, idCol, textCol), idCol, n)
+
+  /** [[shingleRows]] over an ALREADY-tokenized (id, pos, word) frame —
+    * the seam that lets a multi-stage pipeline (e.g.
+    * [[Curation.curationFunnel]]) tokenize its corpus once and derive
+    * shingle tables at several n from the same persisted token rows. */
+  def shingleRowsFromTokens(toks: DataFrame, idCol: String, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
-    val withLeads = tokenRows(df, idCol, textCol)
+    val withLeads = toks
       .select(col(idCol) +: col("word").as("w0") +:
         (1 until n).map(k => lead("word", k).over(w).as(s"w$k")): _*)
     withLeads
