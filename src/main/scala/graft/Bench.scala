@@ -44,7 +44,11 @@ object Bench {
     "curate_weighted_sample", "dedup_similarity_report", "agg_kmv_distinct",
     "agg_countmin", "curate_funnel", "curate_bpe_merges",
     "curate_bpe_tokenize", "dedup_recall_report", "events_funnel",
-    "dedup_incremental", "curate_cluster_histogram", "curate_export_manifest")
+    "dedup_incremental", "curate_cluster_histogram", "curate_export_manifest",
+    // round-7 additions: rare-shingle containment (engulfed-pair recall),
+    // winnowing fingerprints, embedding dimension QA, OOV-rate report
+    "dedup_containment_rare", "text_winnowing", "embedding_dim_stats",
+    "text_oov_rate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -607,6 +607,32 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum("nw").as("total_words"), sum("nc").as("total_chars"),
           min("nw").as("min_words"), max("nw").as("max_words"))),
+    // containment recall for ENGULFED pairs: every 5th doc contributes an
+    // 8-word prefix copy (containment 1.0, Jaccard ~0 — the pair class
+    // LSH banding systematically misses); candidates come from the
+    // df-bounded rare-shingle join, verified with exact containment
+    "dedup_containment_rare" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val tiny = base.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          array_join(slice(TextAnalysis.words(col("text")), 1, 8), " ").as("text"))
+      Dedup.containmentViaRareShingles(base.unionByName(tiny), "doc_id", "text",
+        n = 3, maxDf = 8, minContain = 0.9)
+    }),
+    // winnowing (MOSS) fingerprints: per-window minimum gram hash,
+    // distinct selected set per document — position-robust overlap
+    // detection with the SWA'03 guarantee
+    "text_winnowing" -> ((s, d) =>
+      TextAnalysis.winnowingFingerprints(docs(s, d), "doc_id", "text",
+        n = 4, window = 4)),
+    // embedding-QA: per-dimension corpus stats (collapsed dims, scale
+    // drift, clipping) with exact DECIMAL-carried moments
+    "embedding_dim_stats" -> ((s, d) =>
+      pipeline.Clustering.dimStats(embeddings(s, d), "embedding")),
+    // tokenizer-budget QA: per-doc OOV rate against the corpus's own
+    // top-500 terms (term_freq desc, word asc)
+    "text_oov_rate" -> ((s, d) =>
+      pipeline.Curation.oovReport(docs(s, d), "doc_id", "text", vocabSize = 500)),
   )
 
   val oracles: Map[String, String] = {
@@ -1245,6 +1271,73 @@ object PipelineQueries {
            |  CAST(len(text) AS BIGINT) AS n_chars,
            |  CAST(CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END AS BIGINT) AS n_words
            |FROM documents""".stripMargin,
+      // mirrors Dedup.containmentViaRareShingles over the engulfed-prefix
+      // corpus: rare shingles (df in [2, 8]) propose, exact containment
+      // verifies — the candidate class LSH banding cannot reach
+      "dedup_containment_rare" ->
+        s"""WITH eng AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 4000000,
+           |    array_to_string(list_slice(string_split($normSql, ' '), 1, 8), ' ')
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |${toksCte("eng")},
+           |sh AS (SELECT doc_id, list_distinct(${shinglesExpr(3)}) AS s FROM toks WHERE len(w) >= 3),
+           |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+           |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM ex GROUP BY 1)
+           |  WHERE c BETWEEN 2 AND 8),
+           |rex AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN rare USING (shingle)),
+           |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |  FROM rex l JOIN rex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
+           |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+           |inter AS (SELECT a, b, count(*) AS i
+           |  FROM cand JOIN ex la ON la.doc_id = a JOIN ex rb ON rb.doc_id = b AND rb.shingle = la.shingle
+           |  GROUP BY 1, 2)
+           |SELECT a, b, round(CAST(i AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 4) AS containment
+           |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           |WHERE round(CAST(i AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 4) >= 0.9""".stripMargin,
+      // mirrors TextAnalysis.winnowingFingerprints at n=4, window=4: md5
+      // per positional 4-gram, min per 4-hash sliding window, distinct
+      // selected set per document
+      "text_winnowing" ->
+        s"""WITH ${toksCte("documents")},
+           |g AS (SELECT doc_id, ${shinglesExpr(4)} AS gs FROM toks WHERE len(w) >= 4),
+           |h AS (SELECT doc_id, list_transform(gs, x -> md5(x)) AS hs FROM g),
+           |wm AS (SELECT doc_id,
+           |    list_transform(range(1, len(hs) - 2), i -> list_min(list_slice(hs, i, i + 3))) AS ms
+           |  FROM h WHERE len(hs) >= 4)
+           |SELECT DISTINCT doc_id, unnest(ms) AS fp FROM wm""".stripMargin,
+      // mirrors Clustering.dimStats: DECIMAL-carried exact moments per
+      // embedding dimension, population variance, 6-decimal rounding
+      "embedding_dim_stats" ->
+        """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+          |vu AS (SELECT unnest(ve) AS val, unnest(range(0, len(ve))) AS pos FROM v),
+          |a AS (SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n_vals,
+          |    CAST(sum(CAST(val AS DECIMAL(30,10))) AS DOUBLE) AS s,
+          |    CAST(sum(CAST(val * val AS DECIMAL(30,10))) AS DOUBLE) AS s2,
+          |    min(val) AS mn, max(val) AS mx
+          |  FROM vu GROUP BY 1)
+          |SELECT pos, n_vals,
+          |  round(s / n_vals, 6) AS mean,
+          |  round(s2 / n_vals - (s / n_vals) * (s / n_vals), 6) AS variance,
+          |  round(mn, 6) AS min_val, round(mx, 6) AS max_val
+          |FROM a""".stripMargin,
+      // mirrors Curation.oovReport: top-500 vocab by (term_freq desc,
+      // word asc), per-doc OOV tally, zero-token docs rate 0
+      "text_oov_rate" ->
+        s"""WITH ${toksCte("documents")},
+           |tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
+           |vocab AS (SELECT word FROM (
+           |    SELECT word, count(*) AS tf FROM tok WHERE word <> '' GROUP BY word)
+           |  ORDER BY tf DESC, word ASC LIMIT 500),
+           |per AS (SELECT doc_id, count(*) AS n_tokens,
+           |    CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+           |  FROM tok LEFT JOIN vocab v ON v.word = tok.word
+           |  WHERE tok.word <> '' GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+           |  round(coalesce(CAST(n_oov AS DOUBLE) / n_tokens, 0.0), 4) AS oov_rate
+           |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
       "text_tokens" ->
         s"""SELECT doc_id,
            |  CAST(CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END AS BIGINT) AS n_words,

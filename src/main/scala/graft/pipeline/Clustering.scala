@@ -87,6 +87,35 @@ object Clustering {
       .limit(topN)
   }
 
+  /** Per-dimension corpus statistics over an embedding column — the
+    * embedding-QA report that surfaces collapsed dimensions (zero
+    * variance), scale drift between ingest batches, and clipped values:
+    * (pos, n_vals, mean, variance, min_val, max_val), one row per
+    * dimension. Means/variances carry their sums in DECIMAL so the values
+    * are exact and partition-order independent (a double sum would vary
+    * with partitioning — the k-means update rule's device); variance is
+    * the population form E[x²] − E[x]², both terms from the same scan.
+    *
+    * Scale: one posexplode + ONE map-side-combinable aggregation keyed by
+    * dimension index — ~dims groups regardless of corpus size, nothing
+    * skewable. */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "val")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(
+        count(lit(1)).as("n_vals"),
+        sum(col("val").cast("decimal(30,10)")).as("__s"),
+        sum((col("val") * col("val")).cast("decimal(30,10)")).as("__s2"),
+        min(col("val")).as("min_val"),
+        max(col("val")).as("max_val"))
+      .select(col("pos"), col("n_vals"),
+        round(col("__s").cast("double") / col("n_vals"), 6).as("mean"),
+        round(col("__s2").cast("double") / col("n_vals") -
+          (col("__s").cast("double") / col("n_vals")) *
+          (col("__s").cast("double") / col("n_vals")), 6).as("variance"),
+        round(col("min_val"), 6).as("min_val"),
+        round(col("max_val"), 6).as("max_val"))
+
   /** Argmin-distance assignment: broadcast the k centroids, score every
     * corpus row, keep the (distance asc, cid asc) winner via min(struct) —
     * map-side combinable, so the shuffle moves one partial winner per

@@ -185,6 +185,40 @@ object Curation {
       .groupBy("word")
       .agg(countDistinct(col(idCol)).as("doc_freq"), count(lit(1)).as("term_freq"))
 
+  /** Per-document out-of-vocabulary rate against the corpus's own top
+    * `vocabSize` terms (term frequency desc, word asc tiebreak) — the
+    * tokenizer-budget QA signal: documents whose tokens fall outside a
+    * planned vocab inflate sequence lengths and training cost. Returns
+    * (idCol, n_tokens, n_oov, oov_rate) for every document, zero-token
+    * documents reporting rate 0.
+    *
+    * Scale: the vocab selection is a TakeOrdered over the (bounded)
+    * aggregated vocabulary — per-partition heaps, a vocabSize-row driver
+    * merge, broadcast back; the per-document tally is one
+    * map-side-combinable aggregation over the token rows. */
+  def oovReport(df: DataFrame, idCol: String, textCol: String,
+                vocabSize: Int = 500): DataFrame = {
+    require(vocabSize > 0, s"need vocabSize > 0; got $vocabSize")
+    val vocab = vocabulary(df, idCol, textCol)
+      .orderBy(desc("term_freq"), asc("word"))
+      .limit(vocabSize)
+      .select(col("word"), lit(1).as("__in"))
+    val toks = TextAnalysis.tokenRows(df, idCol, textCol)
+      .where(col("word") =!= "")
+      .join(broadcast(vocab), Seq("word"), "left")
+    val per = toks.groupBy(idCol).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("n_oov").cast("double") / col("n_tokens"), lit(0.0)), 4)
+          .as("oov_rate"))
+  }
+
+
   /** Per-stratum quota sampling: within each stratum keep the `quota` rows
     * that rank first by the md5 hash of their seeded id — a deterministic
     * uniform draw per stratum (corpus balancing: equal documents per

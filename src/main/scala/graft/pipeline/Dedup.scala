@@ -355,6 +355,42 @@ object Dedup {
     verifyContainment(sh, candidates.select("a", "b"), minContain)
   }
 
+  /** Containment pairs with DF-BOUNDED rare-shingle candidates — the
+    * recall complement to [[containmentViaMinhash]]. Banding probability
+    * follows the pair's JACCARD, so a tiny document engulfed by a huge one
+    * (containment 1.0, Jaccard ≈ 0) is systematically missed by LSH
+    * proposals; here every pair sharing at least one RARE shingle
+    * (document frequency in [2, maxDf]) becomes a candidate, which finds
+    * engulfed pairs whenever the contained text has any shingle rare
+    * enough to be discriminative.
+    *
+    * Scale: the candidate join's fan-out is bounded BY CONSTRUCTION — the
+    * df filter drops boilerplate grams before any pair forms (the same
+    * frequency-bounding idea as [[duplicatedWindowStats]]'s shared-gram
+    * table), so the hottest join key contributes at most
+    * C(maxDf, 2) pairs; verification is the shared exact
+    * shingle-intersection aggregation, bounded by candidates. */
+  def containmentViaRareShingles(df: DataFrame, idCol: String, textCol: String,
+                                 n: Int = 3, maxDf: Int = 8,
+                                 minContain: Double = 0.9): DataFrame = {
+    require(maxDf >= 2, s"need maxDf >= 2; got $maxDf")
+    val sh = TextAnalysis.shingleRows(df, idCol, textCol, n)
+      .withColumnRenamed(idCol, "doc")
+      .dropDuplicates("doc", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .where(col("__df") >= 2 && col("__df") <= maxDf)
+        .select("shingle")
+      val rsh = sh.join(rare, Seq("shingle"), "left_semi")
+      val cand = rsh.select(col("shingle"), col("doc").as("a"))
+        .join(rsh.select(col("shingle"), col("doc").as("b")), Seq("shingle"))
+        .where(col("a") < col("b"))
+        .select("a", "b").distinct()
+      verifyContainment(sh, cand, minContain).localCheckpoint(true)
+    } finally sh.unpersist()
+  }
+
   /** SimHash near-duplicate pairs: the `bits`-bit signature is split into
     * `bands` equal-width chunks and documents sharing any chunk value become
     * candidates (equi-join on (band, chunk) — bucketed, never all-pairs);

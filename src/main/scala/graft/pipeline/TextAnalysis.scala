@@ -355,4 +355,42 @@ object TextAnalysis {
       .join(agg, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__fp"), col("__fallback")).as("fingerprint"))
   }
+
+  /** Winnowing fingerprints (the MOSS local document-fingerprinting
+    * algorithm, Schleimer–Wilkerson–Aiken SIGMOD'03): hash every word
+    * n-gram, slide a window of `window` consecutive gram hashes, keep the
+    * minimum hash of each window, and return the DISTINCT selected hashes
+    * per document. The winnowing guarantee: every shared run of at least
+    * n + window − 1 words between two documents contributes at least one
+    * IDENTICAL selected fingerprint to both — position-robust overlap
+    * detection that a single global min ([[fingerprints]]) cannot give.
+    * Hash = md5 hex (engine-portable); the per-window min is
+    * lexicographic on the hex string; documents with fewer than
+    * n + window − 1 words have no complete window and yield no rows
+    * (callers wanting whole-tiny-doc coverage union [[fingerprints]]).
+    *
+    * Scale: positioned gram hashes ride the one window shuffle keyed by
+    * document id (the same shape every shingle consumer pays); the
+    * per-window min is a `least` over `window` lead() columns — no
+    * per-document arrays, no second shuffle; the distinct is a map-side
+    * combinable hash aggregation. Returns (idCol, fp). */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 4, window: Int = 4): DataFrame = {
+    require(n >= 1 && window >= 1, s"need n, window >= 1; got n=$n window=$window")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
+    val grams = tokenRows(df, idCol, textCol)
+      .select(col(idCol) +: col("pos") +: col("word").as("w0") +:
+        (1 until n).map(k => lead("word", k).over(w).as(s"w$k")): _*)
+      .where(col(s"w${n - 1}").isNotNull)
+      .select(col(idCol), col("pos"),
+        md5(concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*)).as("h"))
+    // window minima: least over the next `window` gram hashes; rows whose
+    // trailing lead falls off the gram stream are incomplete windows
+    val sel = grams
+      .select(col(idCol) +: col("h").as("h0") +:
+        (1 until window).map(k => lead("h", k).over(w).as(s"h$k")): _*)
+      .where(col(s"h${window - 1}").isNotNull)
+      .select(col(idCol), least((0 until window).map(k => col(s"h$k")): _*).as("fp"))
+    sel.distinct()
+  }
 }

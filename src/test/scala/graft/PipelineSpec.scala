@@ -523,4 +523,79 @@ class PipelineSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(s3 != s1)
   }
+
+  test("containmentViaRareShingles finds the engulfed pair LSH banding misses") {
+    import spark.implicits._
+    val big = ((1 to 40).map(i => s"word$i") :+ "unique anchor trigram here").mkString(" ")
+    val docs = Seq(
+      (1L, big),                               // 40+ distinct words
+      (2L, "word1 word2 word3 word4 word5"),   // engulfed: containment 1.0, Jaccard ~0.1
+      (3L, "zeta eta theta iota kappa lambda")).toDF("doc_id", "text")
+    // the banding path misses (1,2): Jaccard ≈ 3/41 makes a shared minhash unlikely —
+    // assert on the rare-shingle path's result instead of the probabilistic miss
+    val rare = pipeline.Dedup.containmentViaRareShingles(docs, "doc_id", "text",
+      n = 3, maxDf = 8, minContain = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rare.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 },
+      s"engulfed pair not found: ${rare.toSeq}")
+    assert(!rare.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("winnowingFingerprints: SWA guarantee — shared runs share a fingerprint") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"  // 8 words
+    val docs = Seq(
+      (1L, s"one two three $shared"),
+      (2L, s"$shared nine ten eleven twelve"),
+      (3L, "totally different words everywhere only over here now")).toDF("doc_id", "text")
+    val fps = pipeline.TextAnalysis.winnowingFingerprints(docs, "doc_id", "text",
+        n = 4, window = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .withDefaultValue(Set.empty[String])
+    // any shared run of >= n + window - 1 = 7 words guarantees a common
+    // selected fingerprint; docs 1 and 2 share an 8-word run
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "no shared fingerprint on an 8-word run")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // deterministic: a rerun selects the identical set
+    val again = pipeline.TextAnalysis.winnowingFingerprints(docs, "doc_id", "text",
+        n = 4, window = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(again == byDoc)
+    // a doc with fewer than n + window - 1 words yields no complete window
+    val tiny = Seq((9L, "just five words in here")).toDF("doc_id", "text")
+    assert(pipeline.TextAnalysis.winnowingFingerprints(tiny, "doc_id", "text").count() == 0L)
+  }
+
+  test("dimStats: exact hand-checked moments per dimension") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 10.0f)),
+      (2L, Array(3.0f, 10.0f)),
+      (3L, Array(5.0f, 10.0f))).toDF("vec_id", "embedding")
+    val out = pipeline.Clustering.dimStats(vecs, "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out(0L) == ((3L, 3.0, 8.0 / 3, 1.0, 5.0)) ||
+      { val (n, m, v, mn, mx) = out(0L)
+        n == 3L && m == 3.0 && math.abs(v - 8.0 / 3) < 1e-6 && mn == 1.0 && mx == 5.0 })
+    assert(out(1L)._2 == 10.0 && out(1L)._3 == 0.0) // collapsed dim: zero variance
+  }
+
+  test("oovReport: rate against the corpus's own top-V vocab, zero-token docs pass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the cat"),   // 'the' tf=3 + below, 'cat' tf=1
+      (2L, "the dog"),
+      (3L, "!!!")).toDF("doc_id", "text") // normalizes to zero tokens
+    // vocabSize=1 keeps only 'the' (tf 4); cat/dog are OOV
+    val out = pipeline.Curation.oovReport(docs, "doc_id", "text", vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
 }
