@@ -48,7 +48,7 @@ object Bench {
     // round-7 additions: rare-shingle containment (engulfed-pair recall),
     // winnowing fingerprints, embedding dimension QA, OOV-rate report
     "dedup_containment_rare", "text_winnowing", "embedding_dim_stats",
-    "text_oov_rate")
+    "text_oov_rate", "curate_contamination_matrix", "dedup_threshold_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -633,6 +633,23 @@ object PipelineQueries {
     // top-500 terms (term_freq desc, word asc)
     "text_oov_rate" -> ((s, d) =>
       pipeline.Curation.oovReport(docs(s, d), "doc_id", "text", vocabSize = 500)),
+    // eval-suite screening: contamination matrix over three overlapping
+    // synthetic benchmarks (doc_id % 10 / % 7 / % 13 slices) — one corpus
+    // gram scan serves all three
+    "curate_contamination_matrix" -> ((s, d) => {
+      val dd = docs(s, d).select("doc_id", "text")
+      def bench(name: String, m: Int) = dd.where(col("doc_id") % m === 0)
+        .select(lit(name).as("bench_id"), col("doc_id"), col("text"))
+      val suite = bench("b10", 10).unionByName(bench("b7", 7))
+        .unionByName(bench("b13", 13))
+      pipeline.Curation.contaminationMatrix(dd, suite, "doc_id", "text",
+        "bench_id", n = 5)
+    }),
+    // banding-config tuning: verified-pair counts at a threshold ladder
+    // from ONE propose/verify pass over the planted-dup corpus
+    "dedup_threshold_sweep" -> ((s, d) =>
+      Dedup.thresholdSweep(dedupCorpus(s, d), "doc_id", "text",
+        n = 3, k = 4, thresholds = Seq(0.5, 0.7, 0.9))),
   )
 
   val oracles: Map[String, String] = {
@@ -1321,6 +1338,36 @@ object PipelineQueries {
           |  round(s2 / n_vals - (s / n_vals) * (s / n_vals), 6) AS variance,
           |  round(mn, 6) AS min_val, round(mx, 6) AS max_val
           |FROM a""".stripMargin,
+      // mirrors Curation.contaminationMatrix over the three synthetic
+      // benchmark slices: distinct (bench, gram) sets probe the distinct
+      // corpus (doc, gram) table once
+      "curate_contamination_matrix" ->
+        s"""WITH ${toksCte("documents")},
+           |cg AS (SELECT DISTINCT doc_id, g FROM
+           |  (SELECT doc_id, unnest(${shinglesExpr(5)}) AS g FROM toks WHERE len(w) >= 5)),
+           |suite AS (
+           |  SELECT 'b10' AS bench_id, doc_id FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL SELECT 'b7', doc_id FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL SELECT 'b13', doc_id FROM documents WHERE doc_id % 13 = 0),
+           |bg AS (SELECT DISTINCT s.bench_id, cg.g FROM suite s JOIN cg ON cg.doc_id = s.doc_id)
+           |SELECT bg.bench_id,
+           |  CAST(count(DISTINCT cg.doc_id) AS BIGINT) AS n_docs_hit,
+           |  CAST(count(DISTINCT bg.g) AS BIGINT) AS n_grams_shared
+           |FROM cg JOIN bg ON bg.g = cg.g
+           |GROUP BY bg.bench_id""".stripMargin,
+      // mirrors Dedup.thresholdSweep: the dedup_ngram_jaccard verified
+      // pairs bucketed by a threshold ladder, one pass
+      "dedup_threshold_sweep" ->
+        s"""$ngramInterCtes,
+           |pr AS (SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) AS j
+           |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5),
+           |lad AS (SELECT unnest(CAST([0.5, 0.7, 0.9] AS DOUBLE[])) AS threshold),
+           |sweep AS (SELECT threshold, a AS doc FROM pr JOIN lad ON j >= threshold
+           |  UNION ALL SELECT threshold, b FROM pr JOIN lad ON j >= threshold)
+           |SELECT threshold, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+           |  CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+           |FROM sweep GROUP BY threshold""".stripMargin,
       // mirrors Curation.oovReport: top-500 vocab by (term_freq desc,
       // word asc), per-doc OOV tally, zero-token docs rate 0
       "text_oov_rate" ->

@@ -435,6 +435,34 @@ object Curation {
     } finally s1.unpersist()
   }
 
+  /** Multi-benchmark contamination MATRIX — the eval-suite screening
+    * report: for every benchmark in `benchmarks` (rows (benchCol, idCol,
+    * textCol), several documents per benchmark), the number of corpus
+    * documents sharing at least one n-gram with it and the number of
+    * distinct shared grams. One corpus gram scan serves EVERY benchmark:
+    * benchmark grams carry their benchmark id through a broadcast join
+    * (the per-benchmark gram sets are eval-sized by definition), so
+    * screening against a whole suite costs the same corpus pass as
+    * screening against one. Returns (benchCol, n_docs_hit,
+    * n_grams_shared). */
+  def contaminationMatrix(corpus: DataFrame, benchmarks: DataFrame,
+                          idCol: String, textCol: String, benchCol: String,
+                          n: Int = 8): DataFrame = {
+    // shingle each DISTINCT benchmark document once — a document listed by
+    // several benchmarks must not contribute duplicate (id, pos) token
+    // rows to the shingle window — then fan the grams out to memberships
+    val bg = TextAnalysis.shingleRows(
+        benchmarks.select(col(idCol), col(textCol)).distinct(), idCol, textCol, n)
+      .join(benchmarks.select(col(idCol), col(benchCol)).distinct(), Seq(idCol))
+      .select(col(benchCol), col("shingle")).distinct()
+    TextAnalysis.shingleRows(corpus, idCol, textCol, n)
+      .dropDuplicates(idCol, "shingle")
+      .join(broadcast(bg), Seq("shingle"))
+      .groupBy(benchCol)
+      .agg(countDistinct(col(idCol)).as("n_docs_hit"),
+        countDistinct(col("shingle")).as("n_grams_shared"))
+  }
+
   /** [[decontaminate]] with a bloom prefilter — EXACT same result, built
     * for the regime where the benchmark gram set is too large to broadcast
     * as an exact hash relation (multi-benchmark suites, paragraph-length

@@ -268,6 +268,33 @@ object Dedup {
       .drop("__h", "__min")
   }
 
+  /** Banding-config tuning report: verified Jaccard pairs bucketed by a
+    * THRESHOLD LADDER from ONE propose/verify pass — (threshold, n_pairs,
+    * n_docs) per requested minimum, instead of one full shingle scan /
+    * signature agg / candidate join / verification per threshold tried.
+    * Counts are monotone decreasing in the threshold by construction.
+    * Caveat shared with every banding path: pair RECALL at a threshold is
+    * the banding recall at that similarity (1−(1−J)^k per band count), so
+    * the ladder tunes the verify cutoff, not the banding itself.
+    *
+    * Scale: the pair table (already verified, sparse) joins a broadcast
+    * threshold ladder (a handful of rows) and reduces with one
+    * aggregation; the explode-by-endpoint doubles pair rows only. */
+  def thresholdSweep(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, k: Int = 4,
+                     thresholds: Seq[Double] = Seq(0.5, 0.7, 0.9)): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = ngramJaccardViaMinhash(df, idCol, textCol, n, k, thresholds.min)
+    val ladder = broadcast(thresholds.sorted.toDF("threshold"))
+    pairs.join(ladder, col("jaccard") >= col("threshold"))
+      .select(col("threshold"), explode(array(col("a"), col("b"))).as("__doc"))
+      .groupBy("threshold")
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("__doc")).as("n_docs"))
+  }
+
   /** LSH recall measured, not assumed: run the exact all-pairs Jaccard
     * ([[ngramJaccardPairs]], ground truth) and the LSH-proposed variant
     * ([[ngramJaccardViaMinhash]]) over the same (SAMPLED) corpus and
@@ -487,7 +514,10 @@ object Dedup {
                     k: Int = 8, iters: Int = 2, minCos: Double = 0.5,
                     maxClusterSize: Int = 10000): DataFrame = {
     require(maxClusterSize > 0, s"need maxClusterSize > 0; got $maxClusterSize")
-    val asg = Clustering.kmeans(df, idCol, vecCol, k, iters)
+    // the assignment feeds BOTH the size tally and the member join —
+    // checkpoint it eagerly so the broadcast-k assignment scan runs once
+    // (the slim (id, cid) frame is what persists, not the vectors)
+    val asg = Clustering.kmeans(df, idCol, vecCol, k, iters).localCheckpoint(true)
     val sizes = asg.groupBy("cid").agg(count(lit(1)).as("__csz"))
     // one row per CLUSTER (<= k of them) — rides a broadcast join
     val nsplit = expr(s"(__csz + ${maxClusterSize - 1}) DIV $maxClusterSize")

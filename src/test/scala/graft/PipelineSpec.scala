@@ -584,6 +584,51 @@ class PipelineSpec extends SparkSuite {
     assert(out(1L)._2 == 10.0 && out(1L)._3 == 0.0) // collapsed dim: zero variance
   }
 
+  test("contaminationMatrix: per-benchmark hits from one corpus scan, shared docs safe") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five six"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "clean totally different words here now")).toDF("doc_id", "text")
+    // doc 1's text sits in BOTH benchmarks (duplicate membership must not
+    // corrupt the shingle windows); benchmark B also covers doc 2
+    val suite = Seq(
+      ("A", 10L, "one two three four five six"),
+      ("B", 10L, "one two three four five six"),
+      ("B", 11L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("bench_id", "doc_id", "text")
+    val out = pipeline.Curation.contaminationMatrix(corpus, suite,
+        "doc_id", "text", "bench_id", n = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1 has 2 distinct 5-grams, doc2 has 2; A hits doc 1 only
+    assert(out("A") == ((1L, 2L)))
+    assert(out("B") == ((2L, 4L)))
+  }
+
+  test("thresholdSweep: one pass, monotone ladder, counts match single-threshold runs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),     // high overlap with 1
+      (3L, "a b c q r s t u"),     // moderate overlap with 1/2
+      (4L, "z y x w v u t s")).toDF("doc_id", "text")
+    val sweep = pipeline.Dedup.thresholdSweep(docs, "doc_id", "text",
+        n = 3, k = 4, thresholds = Seq(0.3, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // monotone: higher threshold, fewer (or equal) pairs/docs
+    val sorted = sweep.keys.toSeq.sorted
+    sorted.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(sweep(lo)._1 >= sweep(hi)._1 && sweep(lo)._2 >= sweep(hi)._2)
+    }
+    // each ladder rung equals the single-threshold pipeline's pair count
+    sorted.foreach { t =>
+      val single = pipeline.Dedup.ngramJaccardViaMinhash(docs, "doc_id", "text",
+        n = 3, k = 4, minSim = t).count()
+      assert(sweep.get(t).map(_._1).getOrElse(0L) == single,
+        s"threshold $t: sweep=${sweep.get(t)} single=$single")
+    }
+  }
+
   test("oovReport: rate against the corpus's own top-V vocab, zero-token docs pass") {
     import spark.implicits._
     val docs = Seq(
