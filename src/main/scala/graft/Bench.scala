@@ -48,7 +48,10 @@ object Bench {
     // round-7 additions: rare-shingle containment (engulfed-pair recall),
     // winnowing fingerprints, embedding dimension QA, OOV-rate report
     "dedup_containment_rare", "text_winnowing", "embedding_dim_stats",
-    "text_oov_rate", "curate_contamination_matrix", "dedup_threshold_sweep")
+    "text_oov_rate", "curate_contamination_matrix", "dedup_threshold_sweep",
+    "curate_chunk", "text_hot_spans", "embedding_covariance",
+    "curate_semantic_decontaminate", "embedding_norms", "text_zipf",
+    "curate_length_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

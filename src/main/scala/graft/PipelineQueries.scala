@@ -650,6 +650,41 @@ object PipelineQueries {
     "dedup_threshold_sweep" -> ((s, d) =>
       Dedup.thresholdSweep(dedupCorpus(s, d), "doc_id", "text",
         n = 3, k = 4, thresholds = Seq(0.5, 0.7, 0.9))),
+    // context-window chunking: 32-token chunks starting every 24 tokens
+    // (8-token overlap between consecutive chunks)
+    "curate_chunk" -> ((s, d) =>
+      pipeline.Curation.chunkDocuments(docs(s, d), "doc_id", "text",
+        chunkSize = 32, stride = 24)),
+    // duplicated-span coverage over the planted-dup corpus: fraction of
+    // each doc's token positions covered by a 5-gram appearing in >= 2
+    // distinct documents
+    "text_hot_spans" -> ((s, d) =>
+      Dedup.hotSpanCoverage(dedupCorpus(s, d), "doc_id", "text",
+        n = 5, minDf = 2)),
+    // PCA/whitening prep: exact upper-triangle covariance of the embedding
+    // dimensions (decimal-carried moments, like embedding_dim_stats)
+    "embedding_covariance" -> ((s, d) =>
+      pipeline.Clustering.covariance(embeddings(s, d), "embedding")),
+    // semantic decontamination: scrub corpus vectors (vec_id % 50 != 0)
+    // that LSH-bucket with AND cosine-verify against the synthetic eval
+    // slice (vec_id % 50 = 0); survivors come back
+    "curate_semantic_decontaminate" -> ((s, d) => {
+      val e = embeddings(s, d)
+      pipeline.Curation.semanticDecontaminate(
+        e.where(col("vec_id") % 50 =!= 0), e.where(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", planes = 8, minCos = 0.3)
+    }),
+    // embedding-health screen: per-vector L1/L2/Linf norms
+    "embedding_norms" -> ((s, d) =>
+      pipeline.Clustering.norms(embeddings(s, d), "vec_id", "embedding")),
+    // corpus naturalness: least-squares Zipf fit over the top-200 terms
+    "text_zipf" -> ((s, d) =>
+      pipeline.TextAnalysis.zipfFit(docs(s, d), "doc_id", "text", topV = 200)),
+    // exact-percentile length gate via the token-count histogram: keep the
+    // [5%, 95%] word-count band
+    "curate_length_filter" -> ((s, d) =>
+      pipeline.Curation.lengthBandFilter(docs(s, d), "doc_id", "text",
+        pLo = 0.05, pHi = 0.95)),
   )
 
   val oracles: Map[String, String] = {
@@ -1368,6 +1403,118 @@ object PipelineQueries {
            |SELECT threshold, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
            |  CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
            |FROM sweep GROUP BY threshold""".stripMargin,
+      // mirrors Curation.chunkDocuments(chunkSize=32, stride=24): token at
+      // pos belongs to chunks [ceil((pos-31)/24), floor(pos/24)]
+      "curate_chunk" ->
+        s"""WITH ${toksCte("documents")},
+           |tr AS (SELECT doc_id, unnest(w) AS word, unnest(range(len(w))) AS pos
+           |  FROM toks WHERE len(w) >= 1 AND w[1] <> ''),
+           |ch AS (SELECT doc_id, pos, word,
+           |  unnest(range(CASE WHEN pos < 32 THEN 0 ELSE (pos - 32 + 24) // 24 END,
+           |    pos // 24 + 1)) AS chunk_id
+           |  FROM tr)
+           |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           |  CAST(count(*) AS BIGINT) AS n_tokens,
+           |  string_agg(word, ' ' ORDER BY pos) AS chunk_text
+           |FROM ch GROUP BY doc_id, chunk_id""".stripMargin,
+      // mirrors Dedup.hotSpanCoverage(n=5, minDf=2) over the planted-dup
+      // corpus: positions covered by any 5-gram with document freq >= 2
+      "text_hot_spans" ->
+        s"""$corpusCte, ${toksCte("corpus")},
+           |sh AS (SELECT doc_id, unnest(range(len(w) - 4)) AS pos, w
+           |  FROM toks WHERE len(w) >= 5),
+           |sh2 AS (SELECT doc_id, pos,
+           |  w[pos+1]||' '||w[pos+2]||' '||w[pos+3]||' '||w[pos+4]||' '||w[pos+5] AS g
+           |  FROM sh),
+           |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+           |  FROM sh2 GROUP BY g) WHERE df >= 2),
+           |cov AS (SELECT doc_id, count(DISTINCT cp) AS covered FROM
+           |  (SELECT doc_id, unnest(range(pos, pos + 5)) AS cp FROM sh2
+           |   WHERE g IN (SELECT g FROM hot)) GROUP BY doc_id),
+           |tot AS (SELECT doc_id, len(w) AS n_tokens FROM toks
+           |  WHERE len(w) >= 1 AND w[1] <> '')
+           |SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+           |  round(CAST(coalesce(c.covered, 0) AS DOUBLE) /
+           |    CAST(t.n_tokens AS DOUBLE), 4) AS coverage
+           |FROM tot t LEFT JOIN cov c ON c.doc_id = t.doc_id""".stripMargin,
+      // mirrors Clustering.covariance: upper-triangle pair products summed
+      // in DECIMAL(30,10), means from the same decimal-carried moments
+      "embedding_covariance" ->
+        """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+          |e AS (SELECT unnest(ve) AS x, unnest(range(len(ve))) AS i, ve FROM v),
+          |p AS (SELECT i, x, unnest(range(i, len(ve))) AS j, ve FROM e),
+          |pp AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+          |  CAST(x * ve[CAST(j AS INT) + 1] AS DECIMAL(30,10)) AS pr FROM p),
+          |s AS (SELECT i, j, count(*) AS n_vals, CAST(sum(pr) AS DOUBLE) AS sxy
+          |  FROM pp GROUP BY 1, 2),
+          |m AS (SELECT CAST(d AS BIGINT) AS d,
+          |    CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean
+          |  FROM (SELECT unnest(ve) AS x, unnest(range(len(ve))) AS d FROM v)
+          |  GROUP BY 1)
+          |SELECT s.i, s.j, CAST(s.n_vals AS BIGINT) AS n_vals,
+          |  CASE WHEN round(s.sxy / s.n_vals - mi.mean * mj.mean, 6) = 0 THEN 0.0
+          |    ELSE round(s.sxy / s.n_vals - mi.mean * mj.mean, 6) END AS cov
+          |FROM s JOIN m mi ON mi.d = s.i JOIN m mj ON mj.d = s.j""".stripMargin,
+      // mirrors Curation.semanticDecontaminate(planes=8, minCos=0.3): the
+      // embedding_lsh_pairs bucket formula, corpus % 50 != 0 vs eval slice
+      "curate_semantic_decontaminate" -> {
+        def sign(p: Int) =
+          s"(CASE WHEN (strpos('0123456789abcdef', substr(md5('$p|'||i), 1, 1)) - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+        def bit(p: Int) =
+          s"(CASE WHEN list_sum(list_transform(range(0, len(ve)), i -> ve[i+1] * ${sign(p)})) >= 0 THEN ${1L << p} ELSE 0 END)"
+        val bucket = (0 until 8).map(bit).mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           |b AS (SELECT vec_id, ve, $bucket AS bucket FROM v),
+           |c AS (SELECT * FROM b WHERE vec_id % 50 <> 0),
+           |e AS (SELECT * FROM b WHERE vec_id % 50 = 0),
+           |hit AS (SELECT DISTINCT c.vec_id FROM c JOIN e ON c.bucket = e.bucket
+           |  WHERE round(list_cosine_similarity(c.ve, e.ve), 4) >= 0.3)
+           |SELECT vec_id FROM c WHERE vec_id NOT IN (SELECT vec_id FROM hit)""".stripMargin
+      },
+      // mirrors Clustering.norms: left-fold list sums match the native
+      // dot-product kernel's accumulation order
+      "embedding_norms" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+          |SELECT vec_id,
+          |  round(list_sum(list_transform(ve, x -> abs(x))), 6) AS l1,
+          |  round(sqrt(list_sum(list_transform(range(0, len(ve)), i -> ve[i+1] * ve[i+1]))), 6) AS l2,
+          |  round(list_max(list_transform(ve, x -> abs(x))), 6) AS linf
+          |FROM v""".stripMargin,
+      // mirrors TextAnalysis.zipfFit(topV=200): ln() rounded to 8 digits,
+      // decimal-carried regression moments, identical slope formula
+      "text_zipf" ->
+        s"""WITH ${toksCte("documents")},
+           |words AS (SELECT doc_id, unnest(w) AS word FROM toks),
+           |vocab AS (SELECT word, count(*) AS term_freq FROM words WHERE word <> ''
+           |  GROUP BY word ORDER BY term_freq DESC, word ASC LIMIT 200),
+           |xy AS (SELECT
+           |  round(ln(CAST(row_number() OVER (ORDER BY term_freq DESC, word ASC) AS DOUBLE)), 8) AS x,
+           |  round(ln(CAST(term_freq AS DOUBLE)), 8) AS y FROM vocab),
+           |m AS (SELECT count(*) AS n,
+           |  CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+           |  CAST(sum(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+           |  CAST(sum(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+           |  CAST(sum(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx FROM xy)
+           |SELECT CAST(n AS BIGINT) AS n_terms,
+           |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+           |  round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n), 6) AS intercept
+           |FROM m""".stripMargin,
+      // mirrors Curation.lengthBandFilter(0.05, 0.95): k-th smallest word
+      // count with k = ceil(p*n), cutoffs from the count histogram
+      "curate_length_filter" ->
+        s"""WITH wd AS (SELECT doc_id,
+           |  CAST(CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |h AS (SELECT n_tokens, count(*) AS c FROM wd GROUP BY 1),
+           |cum AS (SELECT n_tokens, sum(c) OVER (ORDER BY n_tokens ASC
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm FROM h),
+           |t AS (SELECT count(*) AS n FROM wd),
+           |cuts AS (SELECT
+           |  min(CASE WHEN cm >= ceil(n * 0.05) THEN n_tokens END) AS lo,
+           |  min(CASE WHEN cm >= ceil(n * 0.95) THEN n_tokens END) AS hi FROM cum, t)
+           |SELECT wd.doc_id, wd.n_tokens FROM wd, cuts
+           |WHERE wd.n_tokens BETWEEN lo AND hi""".stripMargin,
       // mirrors Curation.oovReport: top-500 vocab by (term_freq desc,
       // word asc), per-doc OOV tally, zero-token docs rate 0
       "text_oov_rate" ->

@@ -116,6 +116,56 @@ object Clustering {
         round(col("min_val"), 6).as("min_val"),
         round(col("max_val"), 6).as("max_val"))
 
+  /** Per-vector norm QA — (id, l1, l2, linf), rounded to 6 digits: the
+    * embedding-health screen that catches unnormalized batches, zero
+    * vectors and inf/overflow rows before they poison cosine math
+    * downstream. Pure codegen'd projections (the l2 dot product is the
+    * same left-fold [[graft.functions.VectorFunctions.dotNative]] kernel
+    * the ANN operators use), no shuffle at all. */
+  def norms(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol),
+      round(aggregate(v, lit(0.0), (acc, x) => acc + abs(x)), 6).as("l1"),
+      round(sqrt(dotNative(v, v)), 6).as("l2"),
+      round(array_max(transform(v, x => abs(x))), 6).as("linf"))
+  }
+
+  /** Per-dimension-PAIR covariance matrix (upper triangle, i ≤ j) of the
+    * embedding column — the PCA/whitening-prep statistic: cov(i,j) =
+    * E[xᵢxⱼ] − E[xᵢ]E[xⱼ], with every sum carried exactly in
+    * DECIMAL(30,10) (partition-order independent) like [[dimStats]].
+    * Returns (i, j, n_vals, cov), d(d+1)/2 rows for d dimensions.
+    *
+    * Scale: the d(d+1)/2 products per row explode into a map-side
+    * combinable hash aggregation with ~d² groups regardless of corpus
+    * size; the d-row mean table joins back broadcast. No corpus
+    * self-join, no shuffle keyed by row id. */
+  def covariance(df: DataFrame, vecCol: String): DataFrame = {
+    val v = df.select(col(vecCol).cast("array<double>").as("__v"))
+    val pairs = v.select(explode(expr(
+        """flatten(transform(__v, (x, i) ->
+          |  transform(slice(__v, i + 1, size(__v) - i), (y, kk) ->
+          |    struct(i AS i, i + kk AS j, x * y AS p))))""".stripMargin)).as("e"))
+      .select(col("e.i").cast("long").as("i"),
+        col("e.j").cast("long").as("j"), col("e.p").as("p"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n_vals"),
+        sum(col("p").cast("decimal(30,10)")).as("__sxy"))
+    val means = v.select(posexplode(col("__v")).as(Seq("d", "x")))
+      .groupBy(col("d").cast("long").as("d"))
+      .agg(sum(col("x").cast("decimal(30,10)")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("d"), (col("__s").cast("double") / col("__n")).as("__mean"))
+    val c = round(col("__sxy").cast("double") / col("n_vals") -
+      col("__mi") * col("__mj"), 6)
+    pairs
+      .join(broadcast(means.select(col("d").as("i"), col("__mean").as("__mi"))), Seq("i"))
+      .join(broadcast(means.select(col("d").as("j"), col("__mean").as("__mj"))), Seq("j"))
+      // a covariance rounding to zero must read +0.0 on every engine
+      // (Spark's BigDecimal round drops the sign, C round keeps it)
+      .select(col("i"), col("j"), col("n_vals"),
+        when(c === 0.0, lit(0.0)).otherwise(c).as("cov"))
+  }
+
   /** Argmin-distance assignment: broadcast the k centroids, score every
     * corpus row, keep the (distance asc, cid asc) winner via min(struct) —
     * map-side combinable, so the shuffle moves one partial winner per

@@ -463,6 +463,90 @@ object Curation {
         countDistinct(col("shingle")).as("n_grams_shared"))
   }
 
+  /** Length-band quality gate on EXACT percentiles: keep documents whose
+    * word count lies within the corpus's [pLo, pHi] percentile band
+    * (percentile = k-th smallest count with k = ⌈p·n⌉). Returns the
+    * surviving (idCol, n_tokens).
+    *
+    * Scale: an exact global percentile normally means a total sort, which
+    * is exactly what a 100 TB corpus cannot afford — so the cutoffs come
+    * from the token-COUNT histogram instead: distinct word counts are
+    * bounded by document length, so the cumulative window runs over a
+    * tiny frame while the corpus itself is touched by one hash
+    * aggregation and one broadcast-filtered scan. */
+  def lengthBandFilter(df: DataFrame, idCol: String, textCol: String,
+                       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi, s"need 0 <= pLo <= pHi <= 1; got $pLo/$pHi")
+    val wd = df.select(col(idCol),
+      TextAnalysis.wordCount(col(textCol)).cast("long").as("n_tokens"))
+    val hist = wd.groupBy("n_tokens").agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_tokens").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.select(col("n_tokens"), sum(col("__c")).over(w).as("__cum"))
+    val tot = wd.agg(count(lit(1)).as("__n"))
+    val cuts = cum.crossJoin(broadcast(tot))
+      .agg(min(when(col("__cum") >= ceil(col("__n") * pLo), col("n_tokens"))).as("__lo"),
+        min(when(col("__cum") >= ceil(col("__n") * pHi), col("n_tokens"))).as("__hi"))
+    wd.crossJoin(broadcast(cuts))
+      .where(col("n_tokens").between(col("__lo"), col("__hi")))
+      .select(col(idCol), col("n_tokens"))
+  }
+
+  /** Context-window document chunking: split each document's token stream
+    * into chunks of `chunkSize` tokens starting every `stride` tokens
+    * (stride < chunkSize ⇒ overlapping chunks — the sliding training-window
+    * shape). Returns (idCol, chunk_id, n_tokens, chunk_text); the final
+    * chunk of a document may be shorter than `chunkSize`.
+    *
+    * Scale: one explode mapping each token to its covering chunk ids (at
+    * most ⌈chunkSize/stride⌉ memberships per token) feeding one hash
+    * aggregation keyed by (doc, chunk) whose per-group state is bounded by
+    * `chunkSize` tokens. No corpus-wide window, no per-document sort
+    * beyond the in-group array_sort. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize; got chunkSize=$chunkSize stride=$stride")
+    // token at pos belongs to chunks c with c*stride <= pos < c*stride+chunkSize:
+    // c in [ceil((pos-chunkSize+1)/stride), floor(pos/stride)], clamped at 0
+    val lo = when(col("pos") < chunkSize, lit(0L))
+      .otherwise(expr(s"(pos - $chunkSize + $stride) DIV $stride"))
+    val hi = expr(s"pos DIV $stride")
+    TextAnalysis.tokenRows(df, idCol, textCol)
+      .where(length(col("word")) > 0)
+      .select(col(idCol), col("pos"), col("word"),
+        explode(sequence(lo, hi)).as("chunk_id"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x("word")), " ").as("chunk_text"))
+  }
+
+  /** SEMANTIC decontamination: drop corpus rows whose embedding lands in
+    * the same hyperplane bucket as an eval-set embedding AND verifies at
+    * cosine ≥ `minCos`. The eval side is eval-sized by definition, so its
+    * bucketed form broadcasts and corpus rows are scanned once — no
+    * corpus×eval cross join. Returns the surviving corpus ids.
+    *
+    * Recall caveat shared with every LSH path: a contaminated pair can
+    * straddle a hyperplane; lower `planes` (coarser buckets) or union
+    * several plane offsets to trade cost for recall. [[decontaminate]] is
+    * the EXACT n-gram sibling for verbatim leakage. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String, vecCol: String,
+                            planes: Int = 8, minCos: Double = 0.9): DataFrame = {
+    val cb = corpus.select(col(idCol), col(vecCol).as("__cv"),
+      Similarity.cosineBuckets(col(vecCol), planes).as("__bucket"))
+    val eb = evalSet.select(col(vecCol).as("__ev"),
+      Similarity.cosineBuckets(col(vecCol), planes).as("__bucket"))
+    val hit = cb.join(broadcast(eb), Seq("__bucket"))
+      .where(round(Similarity.cosine(col("__cv"), col("__ev")), 4) >= minCos)
+      .select(col(idCol)).distinct()
+    corpus.join(hit, Seq(idCol), "left_anti").select(col(idCol))
+  }
+
   /** [[decontaminate]] with a bloom prefilter — EXACT same result, built
     * for the regime where the benchmark gram set is too large to broadcast
     * as an exact hash relation (multi-benchmark suites, paragraph-length

@@ -295,6 +295,45 @@ object Dedup {
         countDistinct(col("__doc")).as("n_docs"))
   }
 
+  /** Duplicated-SPAN coverage report — the document-level signal behind
+    * "remove duplicated substrings" curation: a token position counts as
+    * COVERED when some n-gram window containing it occurs in at least
+    * `minDf` distinct documents. Returns (idCol, n_tokens, covered_tokens,
+    * coverage) per document with at least one token; a fully duplicated
+    * document reads coverage 1.0, boilerplate-free text reads 0.0.
+    *
+    * Scale: hot grams come from a distinct (doc, gram) hash aggregation
+    * (one row per gram however hot); the cover pass is a shingle-keyed
+    * equi-join — never all-pairs — and the position explode fans out at
+    * most n rows per hot-gram occurrence. */
+  def hotSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, minDf: Int = 2): DataFrame = {
+    require(n >= 2 && minDf >= 2, s"need n >= 2, minDf >= 2; got n=$n minDf=$minDf")
+    val toks = TextAnalysis.tokenRows(df, idCol, textCol)
+      .where(length(col("word")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sh = TextAnalysis.shingleRowsWithPos(toks, idCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val hot = sh.select(col(idCol), col("shingle")).distinct()
+          .groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .where(col("__df") >= minDf).select("shingle")
+        val covered = sh.join(hot, Seq("shingle"), "left_semi")
+          .select(col(idCol),
+            explode(sequence(col("pos"), col("pos") + (n - 1))).as("__cp"))
+          .groupBy(idCol).agg(countDistinct(col("__cp")).as("__cov"))
+        toks.groupBy(idCol).agg(count(lit(1)).as("n_tokens"))
+          .join(covered, Seq(idCol), "left")
+          .select(col(idCol), col("n_tokens"),
+            coalesce(col("__cov"), lit(0L)).as("covered_tokens"),
+            round(coalesce(col("__cov"), lit(0L)).cast("double") /
+              col("n_tokens").cast("double"), 4).as("coverage"))
+          .localCheckpoint(true)
+      } finally sh.unpersist()
+    } finally toks.unpersist()
+  }
+
   /** LSH recall measured, not assumed: run the exact all-pairs Jaccard
     * ([[ngramJaccardPairs]], ground truth) and the LSH-proposed variant
     * ([[ngramJaccardViaMinhash]]) over the same (SAMPLED) corpus and

@@ -175,6 +175,57 @@ object TextAnalysis {
       .select(col(idCol), concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("shingle"))
   }
 
+  /** [[shingleRowsFromTokens]] keeping each shingle's START position —
+    * (id, pos, shingle) — for span-level operators that must map grams
+    * back onto token offsets (e.g. [[Dedup.hotSpanCoverage]]). Same
+    * single lead() window by document id. */
+  def shingleRowsWithPos(toks: DataFrame, idCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
+    val withLeads = toks
+      .select(col(idCol) +: col("pos") +: col("word").as("w0") +:
+        (1 until n).map(k => lead("word", k).over(w).as(s"w$k")): _*)
+    withLeads
+      .where(col(s"w${n - 1}").isNotNull)
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("shingle"))
+  }
+
+  /** Zipf-law fit over the top `topV` vocabulary terms — the corpus
+    * naturalness screen: least-squares slope/intercept of ln(term_freq)
+    * against ln(rank). Natural text reads slope ≈ −1; templated or
+    * machine-generated corpora flatten or step. Returns ONE row
+    * (n_terms, slope, intercept), rounded to 6 digits.
+    *
+    * Scale: vocabulary aggregation is map-side combined; the fit itself
+    * touches only `topV` rows (TakeOrdered + a window over topV rows),
+    * with ln() values rounded to 8 digits and summed in DECIMAL(30,10) so
+    * the regression moments are partition-order independent and
+    * engine-portable. */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String,
+              topV: Int = 200): DataFrame = {
+    require(topV >= 2, s"need topV >= 2; got $topV")
+    val vocab = Curation.vocabulary(df, idCol, textCol)
+      .orderBy(desc("term_freq"), asc("word")).limit(topV)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("term_freq"), asc("word"))
+    val xy = vocab
+      .select(round(log(row_number().over(w).cast("double")), 8).as("__x"),
+        round(log(col("term_freq").cast("double")), 8).as("__y"))
+    val m = xy.agg(count(lit(1)).as("__n"),
+      sum(col("__x").cast("decimal(30,10)")).as("__sx"),
+      sum(col("__y").cast("decimal(30,10)")).as("__sy"),
+      sum((col("__x") * col("__y")).cast("decimal(30,10)")).as("__sxy"),
+      sum((col("__x") * col("__x")).cast("decimal(30,10)")).as("__sxx"))
+    val n = col("__n").cast("double")
+    val (sx, sy, sxy, sxx) = (col("__sx").cast("double"),
+      col("__sy").cast("double"), col("__sxy").cast("double"),
+      col("__sxx").cast("double"))
+    val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    m.select(col("__n").as("n_terms"),
+      round(slope, 6).as("slope"),
+      round(sy / n - slope * (sx / n), 6).as("intercept"))
+  }
+
   /** Top-k characteristic terms per document, scored tf × idf with BM25's
     * rational idf argument `(N − df + 0.5) / (df + 0.5)` — deliberately
     * WITHOUT the ln() around it: every input is an exact small integer

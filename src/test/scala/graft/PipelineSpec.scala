@@ -629,6 +629,109 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("chunkDocuments: overlap windows, short final chunk, token order kept") {
+    import spark.implicits._
+    // 10 tokens, chunkSize=4, stride=3 -> chunks start at 0,3,6,9:
+    // [t0..t3] [t3..t6] [t6..t9] [t9]
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val out = pipeline.Curation.chunkDocuments(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out == Map(
+      0L -> ((4L, "t0 t1 t2 t3")), 1L -> ((4L, "t3 t4 t5 t6")),
+      2L -> ((4L, "t6 t7 t8 t9")), 3L -> ((1L, "t9"))))
+    // non-overlapping stride: exact partition
+    val flat = pipeline.Curation.chunkDocuments(docs, "doc_id", "text",
+        chunkSize = 5, stride = 5)
+      .collect().map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(flat == Map(0L -> "t0 t1 t2 t3 t4", 1L -> "t5 t6 t7 t8 t9"))
+  }
+
+  test("hotSpanCoverage: duplicated docs fully covered, unique doc zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),             // duplicated verbatim in doc 2
+      (2L, "a b c d e f"),
+      (3L, "q w e r t y u"),           // unique -> no hot grams
+      (4L, "z a b c d e f z2 unique tail here")) // contains the hot span
+      .toDF("doc_id", "text")
+    val out = pipeline.Dedup.hotSpanCoverage(docs, "doc_id", "text", n = 5, minDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((6L, 6L, 1.0)))   // both 5-gram windows hot -> all 6 covered
+    assert(out(2L) == ((6L, 6L, 1.0)))
+    assert(out(3L) == ((7L, 0L, 0.0)))
+    // doc 4: hot grams "a b c d e" (pos 1) and "b c d e f" (pos 2) cover
+    // positions 1..6 of its 11 tokens
+    assert(out(4L) == ((11L, 6L, 0.5455)))
+  }
+
+  test("covariance: matches hand-computed moments, upper triangle only") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 6.0f)), (3L, Array(5.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val out = pipeline.Clustering.covariance(vecs, "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // means: x=3, y=4; E[x^2]=35/3, E[xy]=40/3, E[y^2]=56/3
+    assert(out.keySet == Set((0L, 0L), (0L, 1L), (1L, 1L)))
+    assert(out((0L, 0L)) == ((3L, math.rint((35.0/3 - 9) * 1e6) / 1e6)))
+    assert(out((0L, 1L))._2 == math.rint((40.0/3 - 12) * 1e6) / 1e6)
+    assert(out((1L, 1L))._2 == math.rint((56.0/3 - 16) * 1e6) / 1e6)
+  }
+
+  test("semanticDecontaminate: near-eval vector scrubbed, distant survives") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // identical to eval -> scrubbed
+      (2L, Array(-1.0f, -1.0f, -1.0f, -1.0f))) // far from eval
+      .toDF("vec_id", "embedding")
+    val eval = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = pipeline.Curation.semanticDecontaminate(corpus, eval,
+        "vec_id", "embedding", planes = 2, minCos = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L))
+  }
+
+  test("norms: hand-checked l1/l2/linf, signs ignored") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(3.0f, -4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = pipeline.Clustering.norms(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((7.0, 5.0, 4.0)))
+    assert(out(2L) == ((0.0, 0.0, 0.0)))
+  }
+
+  test("zipfFit: exact power law recovers its slope") {
+    import spark.implicits._
+    // term freqs 8/4/2/1 at ranks 1/2/3/4: y = ln f, x = ln r; the fit is
+    // the least-squares line through those four points
+    val doc = (("a " * 8) + ("b " * 4) + ("c " * 2) + "d").trim
+    val docs = Seq((1L, doc)).toDF("doc_id", "text")
+    val row = pipeline.TextAnalysis.zipfFit(docs, "doc_id", "text", topV = 10)
+      .collect().head
+    assert(row.getLong(0) == 4L)
+    val x = Seq(1.0, 2.0, 3.0, 4.0).map(r => math.rint(math.log(r) * 1e8) / 1e8)
+    val y = Seq(8.0, 4.0, 2.0, 1.0).map(f => math.rint(math.log(f) * 1e8) / 1e8)
+    val n = 4.0
+    val (sx, sy) = (x.sum, y.sum)
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val sxx = x.map(a => a * a).sum
+    val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert(math.abs(row.getDouble(1) - slope) < 1e-5, s"slope ${row.getDouble(1)} vs $slope")
+    assert(row.getDouble(1) < -1.0 && row.getDouble(2) > 0.0) // steeper than -1 here
+  }
+
+  test("lengthBandFilter: k-th smallest cutoffs from the histogram") {
+    import spark.implicits._
+    // lengths 1..10; p=[0.2, 0.8] -> k = 2 and 8 -> keep lengths 2..8
+    val docs = (1 to 10).map(i => (i.toLong, ("w " * i).trim)).toDF("doc_id", "text")
+    val out = pipeline.Curation.lengthBandFilter(docs, "doc_id", "text", 0.2, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (2L to 8L).toSet)
+    assert(out(2L) == 2L && out(8L) == 8L)
+  }
+
   test("oovReport: rate against the corpus's own top-V vocab, zero-token docs pass") {
     import spark.implicits._
     val docs = Seq(

@@ -301,6 +301,29 @@ class PlanQualitySpec extends SparkSuite {
       s"IVFPQ assignment/probe regressed to a window sort:\n$pqPlan")
   }
 
+  test("chunking shuffles once with no window; covariance joins broadcast only") {
+    import spark.implicits._
+    val docs = Seq((1L, ("w " * 40).trim)).toDF("doc_id", "text")
+    val ch = graft.pipeline.Curation.chunkDocuments(docs, "doc_id", "text",
+      chunkSize = 8, stride = 6)
+    ch.collect()
+    val chPlan = ch.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // membership comes from the arithmetic explode, never a corpus window
+    assert(!chPlan.contains("Window ["), s"window in chunking:\n$chPlan")
+    assert(!chPlan.toLowerCase.contains("cartesian"), s"cartesian in chunking:\n$chPlan")
+
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(4)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
+    val cov = graft.pipeline.Clustering.covariance(vecs, "embedding")
+    cov.collect()
+    val covPlan = cov.queryExecution.executedPlan.toString
+    // the d-row mean table must ride broadcast joins; the product sums must
+    // partial-aggregate map-side (d² groups, no row-keyed shuffle)
+    assert(!covPlan.contains("SortMergeJoin"), s"mean join not broadcast:\n$covPlan")
+    assert(covPlan.contains("partial_sum"), s"no map-side partials:\n$covPlan")
+    assert(!covPlan.toLowerCase.contains("cartesian"), s"cartesian in covariance:\n$covPlan")
+  }
+
   test("DataFrame cc and PageRank iterate on equi-joins, no cartesian blowup") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
