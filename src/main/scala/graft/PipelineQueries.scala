@@ -170,6 +170,25 @@ object PipelineQueries {
   private val TempSeed = "temp"
 
   /** Shared SQL fragments mirroring TextAnalysis.normalized / wordShingles. */
+  // DuckDB replica of Clustering.covariance, shared by the covariance and
+  // PCA-loadings oracles: covq = (i, j, n_vals, cov), upper triangle
+  private val covCtes =
+    """v AS (SELECT CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |e AS (SELECT unnest(ve) AS x, unnest(range(len(ve))) AS i, ve FROM v),
+      |p AS (SELECT i, x, unnest(range(i, len(ve))) AS j, ve FROM e),
+      |pp AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+      |  CAST(x * ve[CAST(j AS INT) + 1] AS DECIMAL(30,10)) AS pr FROM p),
+      |s AS (SELECT i, j, count(*) AS n_vals, CAST(sum(pr) AS DOUBLE) AS sxy
+      |  FROM pp GROUP BY 1, 2),
+      |m AS (SELECT CAST(d AS BIGINT) AS d,
+      |    CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean
+      |  FROM (SELECT unnest(ve) AS x, unnest(range(len(ve))) AS d FROM v)
+      |  GROUP BY 1),
+      |covq AS (SELECT s.i, s.j, CAST(s.n_vals AS BIGINT) AS n_vals,
+      |  CASE WHEN round(s.sxy / s.n_vals - mi.mean * mj.mean, 6) = 0 THEN 0.0
+      |    ELSE round(s.sxy / s.n_vals - mi.mean * mj.mean, 6) END AS cov
+      |  FROM s JOIN m mi ON mi.d = s.i JOIN m mj ON mj.d = s.j)""".stripMargin
+
   private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private def toksCte(src: String) =
     s"toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM $src)"
@@ -685,6 +704,10 @@ object PipelineQueries {
     "curate_length_filter" -> ((s, d) =>
       pipeline.Curation.lengthBandFilter(docs(s, d), "doc_id", "text",
         pLo = 0.05, pHi = 0.95)),
+    // top principal component via 3 power-iteration rounds over the
+    // covariance matrix — corpus touched once, eigensolve on d-row frames
+    "embedding_pca_loadings" -> ((s, d) =>
+      pipeline.Clustering.pcaLoadings(embeddings(s, d), "embedding", iters = 3)),
   )
 
   val oracles: Map[String, String] = {
@@ -1441,21 +1464,28 @@ object PipelineQueries {
       // mirrors Clustering.covariance: upper-triangle pair products summed
       // in DECIMAL(30,10), means from the same decimal-carried moments
       "embedding_covariance" ->
-        """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-          |e AS (SELECT unnest(ve) AS x, unnest(range(len(ve))) AS i, ve FROM v),
-          |p AS (SELECT i, x, unnest(range(i, len(ve))) AS j, ve FROM e),
-          |pp AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-          |  CAST(x * ve[CAST(j AS INT) + 1] AS DECIMAL(30,10)) AS pr FROM p),
-          |s AS (SELECT i, j, count(*) AS n_vals, CAST(sum(pr) AS DOUBLE) AS sxy
-          |  FROM pp GROUP BY 1, 2),
-          |m AS (SELECT CAST(d AS BIGINT) AS d,
-          |    CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean
-          |  FROM (SELECT unnest(ve) AS x, unnest(range(len(ve))) AS d FROM v)
-          |  GROUP BY 1)
-          |SELECT s.i, s.j, CAST(s.n_vals AS BIGINT) AS n_vals,
-          |  CASE WHEN round(s.sxy / s.n_vals - mi.mean * mj.mean, 6) = 0 THEN 0.0
-          |    ELSE round(s.sxy / s.n_vals - mi.mean * mj.mean, 6) END AS cov
-          |FROM s JOIN m mi ON mi.d = s.i JOIN m mj ON mj.d = s.j""".stripMargin,
+        s"""WITH $covCtes
+           |SELECT i, j, n_vals, cov FROM covq""".stripMargin,
+      // mirrors Clustering.pcaLoadings(iters=3): the covariance CTEs,
+      // mirrored to the full symmetric matrix, three unrolled
+      // decimal-carried matrix-vector products, one final normalization
+      "embedding_pca_loadings" -> {
+        def mul(src: String, dst: String) =
+          s"""w$dst AS (SELECT f.i AS d, CAST(sum(CAST(f.cov * x.v AS DECIMAL(30,10))) AS DOUBLE) AS v
+             |  FROM fm f JOIN $src x ON x.d = f.j GROUP BY f.i),
+             |$dst AS (SELECT d, v / (SELECT max(abs(v)) FROM w$dst) AS v FROM w$dst)""".stripMargin
+        s"""WITH $covCtes,
+           |fm AS (SELECT i, j, cov FROM covq
+           |  UNION ALL SELECT j, i, cov FROM covq WHERE i <> j),
+           |v0 AS (SELECT DISTINCT i AS d, 1.0 AS v FROM fm),
+           |${mul("v0", "v1")},
+           |${mul("v1", "v2")},
+           |${mul("v2", "v3")},
+           |nrm AS (SELECT sqrt(CAST(sum(CAST(v * v AS DECIMAL(30,10))) AS DOUBLE)) AS nv FROM v3)
+           |SELECT CAST(d AS BIGINT) AS dim,
+           |  CASE WHEN round(v / nv, 6) = 0 THEN 0.0 ELSE round(v / nv, 6) END AS loading
+           |FROM v3, nrm""".stripMargin
+      },
       // mirrors Curation.semanticDecontaminate(planes=8, minCos=0.3): the
       // embedding_lsh_pairs bucket formula, corpus % 50 != 0 vs eval slice
       "curate_semantic_decontaminate" -> {

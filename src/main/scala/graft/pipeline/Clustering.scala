@@ -166,6 +166,47 @@ object Clustering {
         when(c === 0.0, lit(0.0)).otherwise(c).as("cov"))
   }
 
+  /** Top principal-component loadings by POWER ITERATION over the
+    * [[covariance]] matrix — the PCA direction without ever collecting a
+    * row of data: v ← C·v from v₀ = 1⃗ for `iters` rounds, normalized once
+    * at the end. Every matrix-vector product is a join over the d²-row
+    * matrix with DECIMAL-carried sums, so the result is partition-order
+    * independent and an SQL oracle replays it exactly. Returns
+    * (dim, loading), d rows.
+    *
+    * Scale: the corpus is touched ONCE (by [[covariance]]); the iteration
+    * runs on d-row / d²-row frames that broadcast — at 100 TB the cost is
+    * the covariance pass, the eigensolve is noise. No driver-side linear
+    * algebra, no per-row collect. */
+  def pcaLoadings(df: DataFrame, vecCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need iters >= 1; got $iters")
+    // mirror the upper triangle into the full symmetric matrix
+    val cov = covariance(df, vecCol).select(col("i"), col("j"), col("cov"))
+    val full = cov.unionByName(
+      cov.where(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    var v = full.select(col("i").as("d")).distinct().withColumn("v", lit(1.0))
+    for (_ <- 0 until iters) {
+      val w = full.join(broadcast(v.select(col("d").as("j"), col("v"))), Seq("j"))
+        .groupBy("i")
+        .agg(sum((col("cov") * col("v")).cast("decimal(30,10)")).as("__s"))
+        .select(col("i").as("d"), col("__s").cast("double").as("v"))
+      // rescale to max|v| = 1 every round: eigenvalues < 1 would otherwise
+      // shrink v into the DECIMAL(30,10) quantum and the next product sum
+      // would lose relative precision (max/divide are exact double ops, so
+      // portability is untouched and the direction is scale-invariant)
+      val mx = w.agg(max(abs(col("v"))).as("__m"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("d"), (col("v") / col("__m")).as("v"))
+    }
+    val nrm = v.agg(sum((col("v") * col("v")).cast("decimal(30,10)")).as("__n"))
+      .select(sqrt(col("__n").cast("double")).as("__nrm"))
+    val l = round(col("v") / col("__nrm"), 6)
+    v.crossJoin(broadcast(nrm))
+      .select(col("d").as("dim"),
+        when(l === 0.0, lit(0.0)).otherwise(l).as("loading"))
+  }
+
   /** Argmin-distance assignment: broadcast the k centroids, score every
     * corpus row, keep the (distance asc, cid asc) winner via min(struct) —
     * map-side combinable, so the shuffle moves one partial winner per

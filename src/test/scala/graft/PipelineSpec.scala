@@ -732,6 +732,18 @@ class PipelineSpec extends SparkSuite {
     assert(out(2L) == 2L && out(8L) == 8L)
   }
 
+  test("pcaLoadings: rank-1 data recovers its principal axis") {
+    import spark.implicits._
+    // points on the line y = 2x: principal axis (1,2)/sqrt(5)
+    val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
+      (3L, Array(3.0f, 6.0f))).toDF("vec_id", "embedding")
+    val out = pipeline.Clustering.pcaLoadings(vecs, "embedding", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(math.abs(out(0L) - 1.0 / math.sqrt(5)) < 1e-3, s"dim0 ${out(0L)}")
+    assert(math.abs(out(1L) - 2.0 / math.sqrt(5)) < 1e-3, s"dim1 ${out(1L)}")
+  }
+
   test("oovReport: rate against the corpus's own top-V vocab, zero-token docs pass") {
     import spark.implicits._
     val docs = Seq(
