@@ -708,6 +708,9 @@ object PipelineQueries {
     // covariance matrix — corpus touched once, eigensolve on d-row frames
     "embedding_pca_loadings" -> ((s, d) =>
       pipeline.Clustering.pcaLoadings(embeddings(s, d), "embedding", iters = 3)),
+    // mixture weights: per-(lang, source) doc/token counts and corpus shares
+    "curate_mix_report" -> ((s, d) =>
+      pipeline.Curation.mixReport(docs(s, d), "text", Seq("lang", "source"))),
   )
 
   val oracles: Map[String, String] = {
@@ -1530,6 +1533,17 @@ object PipelineQueries {
            |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
            |  round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n), 6) AS intercept
            |FROM m""".stripMargin,
+      // mirrors Curation.mixReport over (lang, source)
+      "curate_mix_report" ->
+        s"""WITH g AS (SELECT lang, source, count(*) AS n_docs,
+           |  sum(CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END) AS n_tokens
+           |  FROM documents GROUP BY 1, 2),
+           |t AS (SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM g)
+           |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  round(CAST(n_docs AS DOUBLE) / td, 6) AS doc_share,
+           |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share
+           |FROM g, t""".stripMargin,
       // mirrors Curation.lengthBandFilter(0.05, 0.95): k-th smallest word
       // count with k = ceil(p*n), cutoffs from the count histogram
       "curate_length_filter" ->

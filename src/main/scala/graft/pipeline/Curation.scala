@@ -493,6 +493,28 @@ object Curation {
       .select(col(idCol), col("n_tokens"))
   }
 
+  /** Corpus mixture report — the sampling-weights input for domain/language
+    * rebalancing: per stratum combination, document and token counts plus
+    * their corpus shares. Returns (strataCols..., n_docs, n_tokens,
+    * doc_share, token_share).
+    *
+    * Scale: ONE map-side-combinable hash aggregation over the corpus
+    * (token counting is a codegen'd projection feeding the partial agg)
+    * plus a 1-row totals broadcast — group count is bounded by the strata
+    * cardinality, so nothing skews however hot a stratum is. */
+  def mixReport(df: DataFrame, textCol: String,
+                strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val g = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.wordCount(col(textCol)).cast("long")).as("n_tokens"))
+    val tot = g.agg(sum("n_docs").as("__td"), sum("n_tokens").as("__tt"))
+    g.crossJoin(broadcast(tot))
+      .select(strataCols.map(col) ++ Seq(col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("__td"), 6).as("doc_share"),
+        round(col("n_tokens").cast("double") / col("__tt"), 6).as("token_share")): _*)
+  }
+
   /** Context-window document chunking: split each document's token stream
     * into chunks of `chunkSize` tokens starting every `stride` tokens
     * (stride < chunkSize ⇒ overlapping chunks — the sliding training-window

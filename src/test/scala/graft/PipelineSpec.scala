@@ -732,6 +732,19 @@ class PipelineSpec extends SparkSuite {
     assert(out(2L) == 2L && out(8L) == 8L)
   }
 
+  test("mixReport: per-stratum counts and shares against corpus totals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "web", "one two three"),
+      (2L, "en", "web", "four five"),
+      (3L, "de", "book", "sechs sieben acht neun zehn")).toDF("doc_id", "lang", "source", "text")
+    val out = pipeline.Curation.mixReport(docs, "text", Seq("lang", "source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(("en", "web")) == ((2L, 5L, 0.666667, 0.5)))
+    assert(out(("de", "book")) == ((1L, 5L, 0.333333, 0.5)))
+  }
+
   test("pcaLoadings: rank-1 data recovers its principal axis") {
     import spark.implicits._
     // points on the line y = 2x: principal axis (1,2)/sqrt(5)
