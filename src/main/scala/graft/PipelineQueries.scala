@@ -1530,8 +1530,8 @@ object PipelineQueries {
            |  CAST(sum(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
            |  CAST(sum(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx FROM xy)
            |SELECT CAST(n AS BIGINT) AS n_terms,
-           |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
-           |  round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n), 6) AS intercept
+           |  round((sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0), 6) AS slope,
+           |  round(sy / n - (sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0) * (sx / n), 6) AS intercept
            |FROM m""".stripMargin,
       // mirrors Curation.mixReport over (lang, source)
       "curate_mix_report" ->

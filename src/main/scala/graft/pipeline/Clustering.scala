@@ -180,17 +180,27 @@ object Clustering {
     * algebra, no per-row collect. */
   def pcaLoadings(df: DataFrame, vecCol: String, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"need iters >= 1; got $iters")
-    // mirror the upper triangle into the full symmetric matrix
+    // mirror the upper triangle into the full symmetric matrix, and
+    // materialize it EAGERLY: this d²-row frame is the only thing that
+    // touches the corpus, and without the checkpoint every lazy reference
+    // below (v0, each iteration's product AND its max) would re-run the
+    // whole covariance scan — the plan tree doubles per iteration
+    // checkpoint the upper triangle BEFORE mirroring — a union of two lazy
+    // covariance subtrees would execute the corpus scan twice
     val cov = covariance(df, vecCol).select(col("i"), col("j"), col("cov"))
+      .localCheckpoint(true)
     val full = cov.unionByName(
       cov.where(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .localCheckpoint(true)
     var v = full.select(col("i").as("d")).distinct().withColumn("v", lit(1.0))
     for (_ <- 0 until iters) {
+      // checkpoint each d-row iterate too: the rescale reads it twice
       val w = full.join(broadcast(v.select(col("d").as("j"), col("v"))), Seq("j"))
         .groupBy("i")
         .agg(sum((col("cov") * col("v")).cast("decimal(30,10)")).as("__s"))
         .select(col("i").as("d"), col("__s").cast("double").as("v"))
+        .localCheckpoint(true)
       // rescale to max|v| = 1 every round: eigenvalues < 1 would otherwise
       // shrink v into the DECIMAL(30,10) quantum and the next product sum
       // would lose relative precision (max/divide are exact double ops, so

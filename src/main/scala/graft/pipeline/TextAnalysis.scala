@@ -220,7 +220,11 @@ object TextAnalysis {
     val (sx, sy, sxy, sxx) = (col("__sx").cast("double"),
       col("__sy").cast("double"), col("__sxy").cast("double"),
       col("__sxx").cast("double"))
-    val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    // a single-term vocabulary has zero x-variance: report NULL, not 0/0
+    // NaN (mirrored in the SQL oracle via NULLIF)
+    val denom = when(sxx - sx * sx / n === 0.0, lit(null).cast("double"))
+      .otherwise(sxx - sx * sx / n)
+    val slope = (sxy - sx * sy / n) / denom
     m.select(col("__n").as("n_terms"),
       round(slope, 6).as("slope"),
       round(sy / n - slope * (sx / n), 6).as("intercept"))

@@ -720,6 +720,10 @@ class PipelineSpec extends SparkSuite {
     val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
     assert(math.abs(row.getDouble(1) - slope) < 1e-5, s"slope ${row.getDouble(1)} vs $slope")
     assert(row.getDouble(1) < -1.0 && row.getDouble(2) > 0.0) // steeper than -1 here
+    // degenerate: a single-term vocab has zero x-variance -> NULL, not NaN
+    val one = pipeline.TextAnalysis.zipfFit(
+      Seq((1L, "solo solo solo")).toDF("doc_id", "text"), "doc_id", "text").collect().head
+    assert(one.getLong(0) == 1L && one.isNullAt(1) && one.isNullAt(2))
   }
 
   test("lengthBandFilter: k-th smallest cutoffs from the histogram") {
