@@ -428,7 +428,11 @@ object PipelineQueries {
       val labeled = pipeline.Curation.splitLabel(docs(s, d), "doc_id")
         .withColumn("lang_guess", TextAnalysis.langId(col("text")))
         .select("doc_id", "split", "lang_guess")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-export").toString
+      // ONE deterministic export root per sf dir: the bench cold-times this
+      // memo, and a fresh createTempDirectory per run would leak a full
+      // export tree every invocation — overwrite mode reuses the path
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft-export-${Integer.toHexString(d.hashCode)}").toString
       pipeline.Curation.exportPartitioned(labeled, tmp, Seq("split", "lang_guess"))
         .localCheckpoint(true)
     })),
@@ -1395,9 +1399,11 @@ object PipelineQueries {
           |    min(val) AS mn, max(val) AS mx
           |  FROM vu GROUP BY 1)
           |SELECT pos, n_vals,
-          |  round(s / n_vals, 6) AS mean,
-          |  round(s2 / n_vals - (s / n_vals) * (s / n_vals), 6) AS variance,
-          |  round(mn, 6) AS min_val, round(mx, 6) AS max_val
+          |  CASE WHEN round(s / n_vals, 6) = 0 THEN 0.0 ELSE round(s / n_vals, 6) END AS mean,
+          |  CASE WHEN round(s2 / n_vals - (s / n_vals) * (s / n_vals), 6) = 0 THEN 0.0
+          |    ELSE round(s2 / n_vals - (s / n_vals) * (s / n_vals), 6) END AS variance,
+          |  CASE WHEN round(mn, 6) = 0 THEN 0.0 ELSE round(mn, 6) END AS min_val,
+          |  CASE WHEN round(mx, 6) = 0 THEN 0.0 ELSE round(mx, 6) END AS max_val
           |FROM a""".stripMargin,
       // mirrors Curation.contaminationMatrix over the three synthetic
       // benchmark slices: distinct (bench, gram) sets probe the distinct
@@ -1425,10 +1431,13 @@ object PipelineQueries {
            |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5),
            |lad AS (SELECT unnest(CAST([0.5, 0.7, 0.9] AS DOUBLE[])) AS threshold),
            |sweep AS (SELECT threshold, a AS doc FROM pr JOIN lad ON j >= threshold
-           |  UNION ALL SELECT threshold, b FROM pr JOIN lad ON j >= threshold)
-           |SELECT threshold, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+           |  UNION ALL SELECT threshold, b FROM pr JOIN lad ON j >= threshold),
+           |agg AS (SELECT threshold, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
            |  CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
-           |FROM sweep GROUP BY threshold""".stripMargin,
+           |  FROM sweep GROUP BY threshold)
+           |SELECT lad.threshold, CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+           |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
+           |FROM lad LEFT JOIN agg ON agg.threshold = lad.threshold""".stripMargin,
       // mirrors Curation.chunkDocuments(chunkSize=32, stride=24): token at
       // pos belongs to chunks [ceil((pos-31)/24), floor(pos/24)]
       "curate_chunk" ->
@@ -1476,7 +1485,7 @@ object PipelineQueries {
         def mul(src: String, dst: String) =
           s"""w$dst AS (SELECT f.i AS d, CAST(sum(CAST(f.cov * x.v AS DECIMAL(30,10))) AS DOUBLE) AS v
              |  FROM fm f JOIN $src x ON x.d = f.j GROUP BY f.i),
-             |$dst AS (SELECT d, v / (SELECT max(abs(v)) FROM w$dst) AS v FROM w$dst)""".stripMargin
+             |$dst AS (SELECT d, v / NULLIF((SELECT max(abs(v)) FROM w$dst), 0) AS v FROM w$dst)""".stripMargin
         s"""WITH $covCtes,
            |fm AS (SELECT i, j, cov FROM covq
            |  UNION ALL SELECT j, i, cov FROM covq WHERE i <> j),

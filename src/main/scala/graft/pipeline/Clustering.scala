@@ -108,13 +108,19 @@ object Clustering {
         sum((col("val") * col("val")).cast("decimal(30,10)")).as("__s2"),
         min(col("val")).as("min_val"),
         max(col("val")).as("max_val"))
-      .select(col("pos"), col("n_vals"),
-        round(col("__s").cast("double") / col("n_vals"), 6).as("mean"),
-        round(col("__s2").cast("double") / col("n_vals") -
-          (col("__s").cast("double") / col("n_vals")) *
-          (col("__s").cast("double") / col("n_vals")), 6).as("variance"),
-        round(col("min_val"), 6).as("min_val"),
-        round(col("max_val"), 6).as("max_val"))
+      .select({
+        // a statistic rounding to zero must read +0.0 on every engine
+        // (Spark's BigDecimal round drops the sign, C round keeps it)
+        def z(c: org.apache.spark.sql.Column) =
+          when(c === 0.0, lit(0.0)).otherwise(c)
+        Seq(col("pos"), col("n_vals"),
+          z(round(col("__s").cast("double") / col("n_vals"), 6)).as("mean"),
+          z(round(col("__s2").cast("double") / col("n_vals") -
+            (col("__s").cast("double") / col("n_vals")) *
+            (col("__s").cast("double") / col("n_vals")), 6)).as("variance"),
+          z(round(col("min_val"), 6)).as("min_val"),
+          z(round(col("max_val"), 6)).as("max_val"))
+      }: _*)
 
   /** Per-vector norm QA — (id, l1, l2, linf), rounded to 6 digits: the
     * embedding-health screen that catches unnormalized batches, zero
@@ -206,8 +212,12 @@ object Clustering {
       // would lose relative precision (max/divide are exact double ops, so
       // portability is untouched and the direction is scale-invariant)
       val mx = w.agg(max(abs(col("v"))).as("__m"))
+      // an all-zero covariance matrix (constant or single-row corpus) has
+      // max|v| = 0: surface NULL loadings, not a silent 0/0 NaN cascade
+      // (the oracle mirrors with NULLIF; null sums propagate identically)
       v = w.crossJoin(broadcast(mx))
-        .select(col("d"), (col("v") / col("__m")).as("v"))
+        .select(col("d"), when(col("__m") === 0.0, lit(null).cast("double"))
+          .otherwise(col("v") / col("__m")).as("v"))
     }
     val nrm = v.agg(sum((col("v") * col("v")).cast("decimal(30,10)")).as("__n"))
       .select(sqrt(col("__n").cast("double")).as("__nrm"))

@@ -448,12 +448,15 @@ object Curation {
   def contaminationMatrix(corpus: DataFrame, benchmarks: DataFrame,
                           idCol: String, textCol: String, benchCol: String,
                           n: Int = 8): DataFrame = {
-    // shingle each DISTINCT benchmark document once — a document listed by
-    // several benchmarks must not contribute duplicate (id, pos) token
-    // rows to the shingle window — then fan the grams out to memberships
-    val bg = TextAnalysis.shingleRows(
-        benchmarks.select(col(idCol), col(textCol)).distinct(), idCol, textCol, n)
-      .join(benchmarks.select(col(idCol), col(benchCol)).distinct(), Seq(idCol))
+    // shingle benchmark rows under a (benchmark, id) COMPOSITE key: two
+    // benchmarks reusing the same id — with the same text or different
+    // texts (per-benchmark id spaces are common) — must not interleave
+    // their token streams in one shingle window
+    val b2 = benchmarks.select(col(benchCol), col(idCol), col(textCol)).distinct()
+      .withColumn("__bid",
+        concat_ws("\u0001", col(benchCol), col(idCol).cast("string")))
+    val bg = TextAnalysis.shingleRows(b2, "__bid", textCol, n)
+      .join(b2.select(col("__bid"), col(benchCol)).distinct(), Seq("__bid"))
       .select(col(benchCol), col("shingle")).distinct()
     TextAnalysis.shingleRows(corpus, idCol, textCol, n)
       .dropDuplicates(idCol, "shingle")

@@ -287,12 +287,18 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val pairs = ngramJaccardViaMinhash(df, idCol, textCol, n, k, thresholds.min)
-    val ladder = broadcast(thresholds.sorted.toDF("threshold"))
-    pairs.join(ladder, col("jaccard") >= col("threshold"))
+    val ladder = thresholds.sorted.toDF("threshold")
+    val counts = pairs.join(broadcast(ladder), col("jaccard") >= col("threshold"))
       .select(col("threshold"), explode(array(col("a"), col("b"))).as("__doc"))
       .groupBy("threshold")
       .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
         countDistinct(col("__doc")).as("n_docs"))
+    // every requested rung appears — a threshold no pair reaches reads
+    // (t, 0, 0), not a silently missing row
+    ladder.join(counts, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
   }
 
   /** Duplicated-SPAN coverage report — the document-level signal behind

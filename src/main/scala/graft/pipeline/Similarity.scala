@@ -135,11 +135,15 @@ object Similarity {
       col("centroid")))
     // List assignment: argmax-cosine per corpus vector via a map-side-
     // combinable min(struct(-cos, cid, cv)) — the Clustering.assign shape.
-    // IEEE negation is exact, so asc(-cos) picks the identical winner (and
-    // smallest-cid tiebreak) as the desc(cos) window it replaces; the
-    // partial aggregation reduces to one winner row per vector BEFORE the
-    // shuffle, so nothing moves the n×nlist scored expansion (let alone
-    // with the float vectors aboard) and nothing sorts.
+    // IEEE negation is exact, so asc(-cos) picks the same winner (and
+    // smallest-cid tiebreak) as a desc(cos) ranking for real-valued
+    // cosines. One deliberate difference from the window it replaced: a
+    // NaN cosine (zero-norm centroid) sorts LAST under min(), so a
+    // degenerate centroid wins nothing — the desc window sorted NaN first
+    // and would have assigned the whole corpus to it. The partial
+    // aggregation reduces to one winner row per vector BEFORE the shuffle,
+    // so nothing moves the n×nlist scored expansion (let alone with the
+    // float vectors aboard) and nothing sorts.
     val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(cent)
       .select(col("neighbor_id"),

@@ -433,12 +433,8 @@ object TextAnalysis {
                             n: Int = 4, window: Int = 4): DataFrame = {
     require(n >= 1 && window >= 1, s"need n, window >= 1; got n=$n window=$window")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
-    val grams = tokenRows(df, idCol, textCol)
-      .select(col(idCol) +: col("pos") +: col("word").as("w0") +:
-        (1 until n).map(k => lead("word", k).over(w).as(s"w$k")): _*)
-      .where(col(s"w${n - 1}").isNotNull)
-      .select(col(idCol), col("pos"),
-        md5(concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*)).as("h"))
+    val grams = shingleRowsWithPos(tokenRows(df, idCol, textCol), idCol, n)
+      .select(col(idCol), col("pos"), md5(col("shingle")).as("h"))
     // window minima: least over the next `window` gram hashes; rows whose
     // trailing lead falls off the gram stream are incomplete windows
     val sel = grams

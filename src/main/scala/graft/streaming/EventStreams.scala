@@ -130,7 +130,9 @@ object EventStreams {
     // truncate to whole seconds and merge same-second sequences); numeric
     // columns (e.g. raw epoch-nanos longs) pass through unchanged
     val tsExpr = events.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(col(tsCol))
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
       case _ => col(tsCol).cast("long")
     }
     val ev = events.select(col(userCol).as("__u"), col(typeCol).as("__y"),

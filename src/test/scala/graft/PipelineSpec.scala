@@ -590,19 +590,24 @@ class PipelineSpec extends SparkSuite {
       (1L, "one two three four five six"),
       (2L, "alpha beta gamma delta epsilon zeta"),
       (3L, "clean totally different words here now")).toDF("doc_id", "text")
-    // doc 1's text sits in BOTH benchmarks (duplicate membership must not
-    // corrupt the shingle windows); benchmark B also covers doc 2
+    // doc id 10 appears in BOTH benchmarks — same text in A/B, and id 11
+    // carries DIFFERENT texts across B and C (per-benchmark id spaces):
+    // neither duplicate membership nor id collision may interleave the
+    // shingle windows
     val suite = Seq(
       ("A", 10L, "one two three four five six"),
       ("B", 10L, "one two three four five six"),
-      ("B", 11L, "alpha beta gamma delta epsilon zeta"))
+      ("B", 11L, "alpha beta gamma delta epsilon zeta"),
+      ("C", 11L, "clean totally different words here now"))
       .toDF("bench_id", "doc_id", "text")
     val out = pipeline.Curation.contaminationMatrix(corpus, suite,
         "doc_id", "text", "bench_id", n = 5)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    // doc1 has 2 distinct 5-grams, doc2 has 2; A hits doc 1 only
+    // doc1 has 2 distinct 5-grams, doc2 has 2; A hits doc 1 only; C's
+    // id-11 text matches corpus doc 3 (2 grams) despite B's id-11 clash
     assert(out("A") == ((1L, 2L)))
     assert(out("B") == ((2L, 4L)))
+    assert(out("C") == ((1L, 2L)))
   }
 
   test("thresholdSweep: one pass, monotone ladder, counts match single-threshold runs") {
@@ -615,6 +620,8 @@ class PipelineSpec extends SparkSuite {
     val sweep = pipeline.Dedup.thresholdSweep(docs, "doc_id", "text",
         n = 3, k = 4, thresholds = Seq(0.3, 0.5, 0.9))
       .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // EVERY requested rung appears, including ones no pair reaches
+    assert(sweep.keySet == Set(0.3, 0.5, 0.9))
     // monotone: higher threshold, fewer (or equal) pairs/docs
     val sorted = sweep.keys.toSeq.sorted
     sorted.sliding(2).foreach { case Seq(lo, hi) =>
@@ -624,8 +631,7 @@ class PipelineSpec extends SparkSuite {
     sorted.foreach { t =>
       val single = pipeline.Dedup.ngramJaccardViaMinhash(docs, "doc_id", "text",
         n = 3, k = 4, minSim = t).count()
-      assert(sweep.get(t).map(_._1).getOrElse(0L) == single,
-        s"threshold $t: sweep=${sweep.get(t)} single=$single")
+      assert(sweep(t)._1 == single, s"threshold $t: sweep=${sweep(t)} single=$single")
     }
   }
 
@@ -759,6 +765,12 @@ class PipelineSpec extends SparkSuite {
     assert(out.keySet == Set(0L, 1L))
     assert(math.abs(out(0L) - 1.0 / math.sqrt(5)) < 1e-3, s"dim0 ${out(0L)}")
     assert(math.abs(out(1L) - 2.0 / math.sqrt(5)) < 1e-3, s"dim1 ${out(1L)}")
+    // degenerate: identical vectors -> zero covariance -> NULL loadings,
+    // never a silent NaN cascade
+    val const = Seq((1L, Array(1.0f, 1.0f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val degen = pipeline.Clustering.pcaLoadings(const, "embedding", iters = 2).collect()
+    assert(degen.length == 2 && degen.forall(_.isNullAt(1)))
   }
 
   test("oovReport: rate against the corpus's own top-V vocab, zero-token docs pass") {
