@@ -51,7 +51,8 @@ object Bench {
     "text_oov_rate", "curate_contamination_matrix", "dedup_threshold_sweep",
     "curate_chunk", "text_hot_spans", "embedding_covariance",
     "curate_semantic_decontaminate", "embedding_norms", "text_zipf",
-    "curate_length_filter", "embedding_pca_loadings", "curate_mix_report")
+    "curate_length_filter", "embedding_pca_loadings", "curate_mix_report",
+    "graph_lpa_df")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

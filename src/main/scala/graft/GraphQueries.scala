@@ -321,6 +321,12 @@ object GraphQueries {
     "graph_pagerank_df" -> ((s, d) =>
       GraphAnalytics.pageRankDF(analyticsSubgraph(graph(s, d)), analyticsToLong, numIter = 10)
         .select(col("id"), round(col("rank"), 5).as("rank"))),
+    // DataFrame-native synchronous label propagation (community
+    // detection): 3 rounds, most-frequent-neighbor-label with smallest-
+    // label tie-break — integer-exact, oracle unrolls the rounds
+    "graph_lpa_df" -> ((s, d) =>
+      GraphAnalytics.labelPropagationDF(analyticsSubgraph(graph(s, d)),
+        analyticsToLong, rounds = 3)),
     // GraphX ShortestPaths to the region landmarks: hop counts along the
     // member->nation->region edge direction (regions 0, nations 1,
     // customers/suppliers 2 — the closed form IS the oracle)
@@ -494,7 +500,38 @@ object GraphQueries {
       |tot AS (SELECT sum(r) AS s, count(*) AS n FROM ranks)
       |SELECT id, round(r * n / s, 5) AS rank FROM ranks, tot""".stripMargin
 
+  // mirrors GraphAnalytics.labelPropagationDF(rounds=3) over the analytics
+  // subgraph: symmetrized edges, per-round most-frequent-neighbor label
+  // with (count desc, label asc) tie-break, isolated vertices keep theirs
+  private val lpaSql = {
+    def round(r: Int) =
+      s"""m$r AS (SELECT e.b AS vid, l.lbl, count(*) AS c
+         |  FROM ed e JOIN l$r l ON l.vid = e.a GROUP BY 1, 2),
+         |w$r AS (SELECT vid, lbl,
+         |  row_number() OVER (PARTITION BY vid ORDER BY c DESC, lbl ASC) AS rn FROM m$r),
+         |l${r + 1} AS (SELECT l.vid, coalesce(w.lbl, l.lbl) AS lbl
+         |  FROM l$r l LEFT JOIN w$r w ON w.vid = l.vid AND w.rn = 1)""".stripMargin
+    s"""WITH nodes AS (
+       |  SELECT CAST(r_regionkey AS BIGINT) AS vid, 'region:'||r_regionkey AS id FROM region
+       |  UNION ALL SELECT n_nationkey + 100, 'nation:'||n_nationkey FROM nation
+       |  UNION ALL SELECT s_suppkey + 10000, 'supplier:'||s_suppkey FROM supplier
+       |  UNION ALL SELECT c_custkey + 1000000, 'customer:'||c_custkey FROM customer),
+       |ed0 AS (
+       |  SELECT c_custkey + 1000000 AS a, c_nationkey + 100 AS b FROM customer
+       |  UNION ALL SELECT s_suppkey + 10000, s_nationkey + 100 FROM supplier
+       |  UNION ALL SELECT n_nationkey + 100, CAST(n_regionkey AS BIGINT) FROM nation),
+       |ed AS (SELECT DISTINCT a, b FROM
+       |  (SELECT a, b FROM ed0 UNION ALL SELECT b, a FROM ed0)),
+       |l0 AS (SELECT vid, vid AS lbl FROM nodes),
+       |${round(0)},
+       |${round(1)},
+       |${round(2)}
+       |SELECT n.id, CAST(l3.lbl AS BIGINT) AS label
+       |FROM l3 JOIN nodes n ON n.vid = l3.vid""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_lpa_df" -> lpaSql,
     "zoe_e_all" ->
       s"""SELECT $custInNation AS id FROM customer
          |UNION ALL SELECT $suppInNation FROM supplier

@@ -165,6 +165,47 @@ object GraphAnalytics {
     } finally { verts.unpersist(); edges.unpersist() }
   }
 
+  /** Synchronous label propagation (community detection) without the RDD
+    * round-trip: `rounds` sync updates in which every vertex adopts the
+    * most frequent label among its undirected neighbors, ties broken by
+    * the SMALLEST label — fully deterministic, so an SQL oracle replays
+    * the unrolled rounds exactly. Isolated vertices keep their own label.
+    * Returns (id, label), label being the winning vertex's long id.
+    *
+    * Scale: per round, one equi-join (symmetrized edges × labels on the
+    * source key) and one map-side-combinable min(struct(-count, label))
+    * argmax per destination — the IVF-assignment shape, no window over
+    * the message stream — with an eager localCheckpoint keeping plan
+    * depth constant. Labels and edges co-partition on the vertex key
+    * across rounds on a real cluster. */
+  def labelPropagationDF(g: GraphStore, toLong: Column => Column,
+                         rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1; got $rounds")
+    val verts = g.vertices.select(toLong(col("id")).as("vid"), col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dir = g.edges.select(toLong(col("src")).as("a"), toLong(col("dst")).as("b"))
+    val edges = dir.unionByName(dir.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = verts.select(col("vid"), col("vid").as("lbl")).localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val counts = edges.join(labels.select(col("vid").as("a"), col("lbl")), Seq("a"))
+          .groupBy(col("b").as("vid"), col("lbl"))
+          .agg(count(lit(1)).as("__c"))
+        val winner = counts
+          .select(col("vid"), struct((-col("__c")).as("nc"), col("lbl").as("l")).as("__s"))
+          .groupBy("vid").agg(min("__s").as("__s"))
+          .select(col("vid"), col("__s.l").as("__w"))
+        labels = labels
+          .join(winner, Seq("vid"), "left")
+          .select(col("vid"), coalesce(col("__w"), col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      labels.join(verts, Seq("vid")).select(col("id"), col("lbl").as("label"))
+    } finally { verts.unpersist(); edges.unpersist() }
+  }
+
   /** Single-source-style shortest paths to a LANDMARK set (GraphX
     * ShortestPaths: hop counts following edge direction from each vertex
     * toward the landmarks). Returns one row per (vertex, reachable

@@ -64,6 +64,25 @@ class AnalyticsSpec extends SparkSuite {
     assert(math.abs(df.values.sum - 7.0) < 1e-9) // normalized to |V|
   }
 
+  test("label propagation: sync rounds, min-label ties, isolated keeps label") {
+    // path a(1)-b(2)-c(3) plus the rest of the fixture; hand-walk rounds on
+    // a standalone 3-path + loner graph instead
+    val b2 = new GraphBatch
+    Seq("p", "q", "r", "solo").foreach(n =>
+      b2.createNode(s"v:$n", PropValue.typed("N", Some(n))))
+    Seq(("p", "q"), ("q", "r")).foreach { case (s, d) =>
+      b2.createEdge(s"v:$s", s"v:$d", PropValue("E")) }
+    val pg = b2.toStore(spark).persistAll()
+    val tl: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => when(id === "v:p", 1L).when(id === "v:q", 2L)
+        .when(id === "v:r", 3L).otherwise(9L)
+    // round 1: p<-{2}=2, q<-{1,3} tie ->1, r<-{2}=2 ; round 2: p<-{1}=1,
+    // q<-{2,2}=2, r<-{1}=1 ; solo keeps 9 throughout
+    val out = GraphAnalytics.labelPropagationDF(pg, tl, rounds = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("v:p" -> 1L, "v:q" -> 2L, "v:r" -> 1L, "v:solo" -> 9L))
+  }
+
   test("shortest paths: hop counts along edge direction to the landmark") {
     // landmark d (=4): a->b->c->d = 3, c->d = 1, d = 0; e/f reach d via
     // e->f->d; the loner has no path -> absent from the result
