@@ -281,6 +281,20 @@ object PipelineQueries {
           length(col("text")).cast("long").as("n_chars"),
           TextAnalysis.wordCount(col("text")).cast("long").as("n_words"))
     }),
+    // multimodal REAL image decode: PNG payloads generated from a pixel
+    // formula on the executors, decoded back via JDK ImageIO — PNG is
+    // lossless, so the oracle reproduces every feature from the formula
+    // without parsing a PNG
+    "multimodal_image_features" -> ((s, d) =>
+      pipeline.Multimodal.imageFeatures(
+        pipeline.Multimodal.syntheticImageAssets(s, 120)).toDF()
+        .withColumn("width", col("width").cast("long"))
+        .withColumn("height", col("height").cast("long"))),
+    // multimodal REAL audio decode: WAV/PCM payloads from a sample formula,
+    // decoded back via javax.sound.sampled; oracle mirrors the formula
+    "multimodal_audio_features" -> ((s, d) =>
+      pipeline.Multimodal.audioFeatures(
+        pipeline.Multimodal.syntheticAudioAssets(s, 150)).toDF()),
     // IVF-routed ANN: static coarse quantizer, inverted-list probe
     "ann_ivf_topk" -> ((s, d) => {
       val e = embeddings(s, d)
@@ -1353,6 +1367,50 @@ object PipelineQueries {
            |  CAST(len(text) AS BIGINT) AS n_chars,
            |  CAST(CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END AS BIGINT) AS n_words
            |FROM documents""".stripMargin,
+      // mirrors Multimodal.imageFeatures: the pixel formula of
+      // syntheticImageAssets re-derived in SQL (PNG decode is lossless, so
+      // the decoded pixels ARE the formula values)
+      "multimodal_image_features" ->
+        """WITH a AS (SELECT range AS id,
+          |    CAST(4 + range % 5 AS INTEGER) AS w, CAST(4 + range % 3 AS INTEGER) AS h
+          |  FROM range(0, 120)),
+          |px AS (SELECT id, w, h, xs.x, ys.y FROM a,
+          |  (SELECT range AS x FROM range(0, 8)) xs,
+          |  (SELECT range AS y FROM range(0, 6)) ys
+          |  WHERE xs.x < w AND ys.y < h),
+          |c AS (SELECT id, w, h,
+          |    (id * 31 + x * 7 + y * 13) % 256 AS r,
+          |    (id * 17 + x * 3 + y * 5) % 256 AS g,
+          |    (id * 11 + x * 19 + y * 23) % 256 AS b
+          |  FROM px),
+          |l AS (SELECT id, w, h, r, g, b,
+          |    (r * 299 + g * 587 + b * 114) // 1000 AS lum FROM c)
+          |SELECT id AS asset_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          |  count(*) AS n_px,
+          |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+          |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(lum) AS BIGINT) AS sum_luma,
+          |  CAST(sum(CASE WHEN lum // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l0,
+          |  CAST(sum(CASE WHEN lum // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+          |  CAST(sum(CASE WHEN lum // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+          |  CAST(sum(CASE WHEN lum // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+          |  round(CAST(sum(lum) AS DOUBLE) / count(*), 6) AS mean_luma
+          |FROM l GROUP BY 1, 2, 3""".stripMargin,
+      // mirrors Multimodal.audioFeatures: the PCM sample formula of
+      // syntheticAudioAssets re-derived in SQL (WAV/PCM is lossless)
+      "multimodal_audio_features" ->
+        """WITH a AS (SELECT range AS id, 64 + 16 * (range % 8) AS n FROM range(0, 150)),
+          |s AS (SELECT id, n, ts.t,
+          |    ((id + 1) * 2654435761 + ts.t * 40503) % 4001 - 2000 AS v
+          |  FROM a, (SELECT range AS t FROM range(0, 176)) ts WHERE ts.t < n),
+          |z AS (SELECT id, t, v, lag(v) OVER (PARTITION BY id ORDER BY t) AS pv FROM s)
+          |SELECT id AS asset_id,
+          |  count(*) AS n_samples,
+          |  CAST(sum(v) AS BIGINT) AS sum_amp,
+          |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+          |  CAST(max(abs(v)) AS BIGINT) AS max_abs,
+          |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+          |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 6) AS rms
+          |FROM z GROUP BY 1""".stripMargin,
       // mirrors Dedup.containmentViaRareShingles over the engulfed-prefix
       // corpus: rare shingles (df in [2, 8]) propose, exact containment
       // verifies — the candidate class LSH banding cannot reach

@@ -239,6 +239,44 @@ class PipelineSpec extends SparkSuite {
     assert(Multimodal.extractFeatures(withNull).count() == 29)
   }
 
+  test("multimodal: REAL PNG decode recovers the pixel formula exactly") {
+    val assets = Multimodal.syntheticImageAssets(spark, 12)
+    // payloads are genuine PNGs
+    val head = assets.orderBy("asset_id").select("payload").head.getAs[Array[Byte]](0)
+    assert(head.slice(1, 4).map(_.toChar).mkString == "PNG")
+    val feats = Multimodal.imageFeatures(assets).collect().map(f => f.asset_id -> f).toMap
+    assert(feats.size == 12)
+    // hand-compute asset 0: 4x4 canvas, r=(7x+13y)%256 g=(3x+5y)%256 b=(19x+23y)%256
+    val px = for { y <- 0 until 4; x <- 0 until 4 } yield
+      ((7 * x + 13 * y) % 256, (3 * x + 5 * y) % 256, (19 * x + 23 * y) % 256)
+    val f0 = feats(0L)
+    assert(f0.width == 4 && f0.height == 4 && f0.n_px == 16)
+    assert(f0.sum_r == px.map(_._1).sum && f0.sum_g == px.map(_._2).sum && f0.sum_b == px.map(_._3).sum)
+    val lums = px.map { case (r, g, b) => (r * 299 + g * 587 + b * 114) / 1000 }
+    assert(f0.sum_luma == lums.sum)
+    assert(f0.n_l0 == lums.count(_ / 64 == 0) && f0.n_l3 == lums.count(_ / 64 == 3))
+  }
+
+  test("multimodal: REAL WAV decode recovers the PCM sample formula exactly") {
+    val assets = Multimodal.syntheticAudioAssets(spark, 10)
+    // payloads are genuine RIFF/WAVE containers
+    val head = assets.orderBy("asset_id").select("payload").head.getAs[Array[Byte]](0)
+    assert(head.slice(0, 4).map(_.toChar).mkString == "RIFF")
+    assert(head.slice(8, 12).map(_.toChar).mkString == "WAVE")
+    val feats = Multimodal.audioFeatures(assets).collect().map(f => f.asset_id -> f).toMap
+    assert(feats.size == 10)
+    // hand-compute asset 3: 112 samples of ((4*2654435761 + 40503 t) % 4001) - 2000
+    val n = 64 + 16 * 3
+    val samples = (0 until n).map(t => ((4L * 2654435761L + t.toLong * 40503L) % 4001L - 2000L).toInt)
+    val f3 = feats(3L)
+    assert(f3.n_samples == n)
+    assert(f3.sum_amp == samples.map(_.toLong).sum)
+    assert(f3.sum_sq == samples.map(s => s.toLong * s).sum)
+    assert(f3.max_abs == samples.map(s => math.abs(s.toLong)).max)
+    val zc = samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+    assert(f3.zero_crossings == zc)
+  }
+
   test("bm25: query terms retrieve the containing docs first, dups tie") {
     val q = Seq((100L, "quick brown fox")).toDF("qid", "qtext")
     val top = TextAnalysis.bm25TopK(docs, q, "doc_id", "text", "qid", "qtext", topK = 3)
