@@ -54,8 +54,10 @@ object Bench {
     "curate_length_filter", "embedding_pca_loadings", "curate_mix_report",
     "graph_lpa_df",
     // round-8 additions: REAL JDK image/audio decode (PNG via ImageIO,
-    // WAV/PCM via javax.sound)
-    "multimodal_image_features", "multimodal_audio_features")
+    // WAV/PCM via javax.sound), PCA projection transform, measured ANN
+    // recall per method
+    "multimodal_image_features", "multimodal_audio_features",
+    "embedding_pca_project", "ann_recall_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -606,6 +606,15 @@ object PipelineQueries {
       pipeline.Quantization.ivfPqTopK(e, e.where(col("vec_id") < 5),
         "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4, m = 4, codewords = 16)
     }),
+    // ANN QA: measured recall@k per approximate method (LSH buckets, IVF
+    // probing, IVF-PQ ADC) against the exact brute-force top-k over the
+    // same query slice — the vector-space sibling of dedup_recall_report
+    "ann_recall_report" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.annRecallReport(e, e.where(col("vec_id") < 30),
+        "vec_id", "embedding", k = 3, planes = 4, nlist = 16, nprobe = 4,
+        m = 4, codewords = 16)
+    }),
     // corpus rebalancing: sqrt-temperature quotas per detected language
     "curate_temperature_sample" -> ((s, d) => {
       val withLang = docs(s, d).select(col("doc_id"),
@@ -729,6 +738,12 @@ object PipelineQueries {
     // mixture weights: per-(lang, source) doc/token counts and corpus shares
     "curate_mix_report" -> ((s, d) =>
       pipeline.Curation.mixReport(docs(s, d), "text", Seq("lang", "source"))),
+    // PCA projection: centered coordinates on the top-2 components
+    // (leading loadings + one Hotelling deflation), the usable
+    // dimensionality-reduction transform built on embedding_pca_loadings
+    "embedding_pca_project" -> ((s, d) =>
+      pipeline.Clustering.pcaProject(embeddings(s, d), "vec_id", "embedding",
+        p = 2, iters = 3)),
   )
 
   val oracles: Map[String, String] = {
@@ -1303,6 +1318,77 @@ object PipelineQueries {
            |  floor(CAST(micros AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS dist,
            |  CAST(rnk AS BIGINT) AS rank
            |FROM r WHERE rnk <= 3""".stripMargin,
+      // mirrors Similarity.annRecallReport(k=3, planes=4, nlist=16,
+      // nprobe=4, m=4, codewords=16) on queries vec_id < 30: the exact
+      // brute-force arm plus the lsh/ivf/ivfpq arm replays (same CTE
+      // shapes as ann_topk / ann_lsh_topk / ann_ivf_topk / ann_ivfpq_topk)
+      // joined per-method against the exact pairs
+      "ann_recall_report" -> {
+        def sign(p: Int) =
+          s"(CASE WHEN (strpos('0123456789abcdef', substr(md5('$p|'||i), 1, 1)) - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+        def bit(p: Int) =
+          s"(CASE WHEN list_sum(list_transform(range(0, len(ve)), i -> ve[i+1] * ${sign(p)})) >= 0 THEN ${1L << p} ELSE 0 END)"
+        val bucket = (0 until 4).map(bit).mkString(" + ")
+        s"""WITH $pqCtes,
+           |xq AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 30),
+           |xs AS (SELECT query_id, e.vec_id AS neighbor_id,
+           |  round(list_cosine_similarity(qv, e.ve), 6) AS cos
+           |  FROM xq, v e WHERE e.vec_id <> query_id),
+           |xr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM xs),
+           |exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM xr WHERE rnk <= 3),
+           |lb AS (SELECT vec_id, ve, $bucket AS bucket FROM v),
+           |lq AS (SELECT vec_id AS query_id, ve AS qv, bucket FROM lb WHERE vec_id < 30),
+           |ls AS (SELECT query_id, c.vec_id AS neighbor_id,
+           |  round(list_cosine_similarity(qv, c.ve), 6) AS cos
+           |  FROM lq JOIN lb c ON lq.bucket = c.bucket AND c.vec_id <> lq.query_id),
+           |lr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM ls),
+           |lsh AS MATERIALIZED (SELECT query_id, neighbor_id FROM lr WHERE rnk <= 3),
+           |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < 16),
+           |iasg AS MATERIALIZED (SELECT vec_id, cid FROM (
+           |  SELECT v.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+           |  FROM v, cent c) t WHERE rn = 1),
+           |iprobes AS MATERIALIZED (SELECT query_id, cid FROM (
+           |  SELECT v.vec_id AS query_id, c.cid,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+           |  FROM v, cent c WHERE v.vec_id < 30) t WHERE rn <= 4),
+           |ivs AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           |  round(list_cosine_similarity(qv.ve, av.ve), 6) AS cos
+           |  FROM iprobes p JOIN iasg a ON p.cid = a.cid AND a.vec_id <> p.query_id
+           |  JOIN v qv ON qv.vec_id = p.query_id JOIN v av ON av.vec_id = a.vec_id),
+           |ir AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM ivs),
+           |ivf AS MATERIALIZED (SELECT query_id, neighbor_id FROM ir WHERE rnk <= 3),
+           |pqs AS (SELECT vec_id AS query_id, s, x FROM sv WHERE vec_id < 30),
+           |adc AS (SELECT q.query_id, c.s, c.cid,
+           |    CAST(floor((list_sum(list_transform(range(0, len(q.x)), i -> q.x[i+1] * q.x[i+1]))
+           |     - list_sum(list_transform(range(0, len(q.x)), i -> q.x[i+1] * c.cw[i+1])) * 2
+           |     + list_sum(list_transform(range(0, len(c.cw)), i -> c.cw[i+1] * c.cw[i+1])))
+           |     * 1000000.0 + 0.5) AS BIGINT) AS micro
+           |  FROM pqs q JOIN cb c USING (s)),
+           |pdd AS (SELECT a.query_id, e.vec_id AS neighbor_id, CAST(sum(a.micro) AS BIGINT) AS micros
+           |  FROM enc e JOIN iasg g ON g.vec_id = e.vec_id
+           |  JOIN iprobes p ON p.cid = g.cid
+           |  JOIN adc a ON a.query_id = p.query_id AND a.s = e.s AND a.cid = e.cid
+           |    AND a.query_id <> e.vec_id
+           |  GROUP BY 1, 2),
+           |pr2 AS (SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY micros ASC, neighbor_id ASC) AS rnk FROM pdd),
+           |ipq AS MATERIALIZED (SELECT query_id, neighbor_id FROM pr2 WHERE rnk <= 3),
+           |arms AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+           |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf
+           |  UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ipq),
+           |hits AS (SELECT a.method, count(*) AS n_found,
+           |    sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+           |  FROM arms a LEFT JOIN exact e
+           |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+           |  GROUP BY 1),
+           |den AS (SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_exact FROM exact)
+           |SELECT method,
+           |  CAST(n_queries AS BIGINT) AS n_queries, CAST(n_exact AS BIGINT) AS n_exact,
+           |  CAST(n_found AS BIGINT) AS n_found, CAST(n_hit AS BIGINT) AS n_hit,
+           |  round(CASE WHEN n_exact = 0 THEN 1.0 ELSE CAST(n_hit AS DOUBLE) / n_exact END, 4) AS recall
+           |FROM hits, den""".stripMargin
+      },
       // mirrors Curation.temperatureSample: integer micro-weights from the
       // correctly-rounded sqrt, floor-division quotas, then the same
       // two-phase per-stratum hash-rank as curate_stratified
@@ -1555,6 +1641,52 @@ object PipelineQueries {
            |SELECT CAST(d AS BIGINT) AS dim,
            |  CASE WHEN round(v / nv, 6) = 0 THEN 0.0 ELSE round(v / nv, 6) END AS loading
            |FROM v3, nrm""".stripMargin
+      },
+      // mirrors Clustering.pcaProject(p=2, iters=3): the pca_loadings
+      // replay for component 0, a Hotelling deflation with the published
+      // (rounded) leading loadings, the same replay over the deflated
+      // matrix for component 1, then centered decimal-carried projections
+      "embedding_pca_project" -> {
+        // every intermediate is MATERIALIZED: DuckDB inlines plain CTEs per
+        // reference, and this chain (6 matrix-vector products, each read
+        // twice by its own rescale) would otherwise expand to thousands of
+        // parquet scans of the base table
+        def mul(mat: String, src: String, dst: String) =
+          s"""w$dst AS MATERIALIZED (SELECT f.i AS d, CAST(sum(CAST(f.cov * x.v AS DECIMAL(30,10))) AS DOUBLE) AS v
+             |  FROM $mat f JOIN $src x ON x.d = f.j GROUP BY f.i),
+             |$dst AS MATERIALIZED (SELECT d, v / NULLIF((SELECT max(abs(v)) FROM w$dst), 0) AS v FROM w$dst)""".stripMargin
+        def norm(src: String, dst: String) =
+          s"""n$dst AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(v * v AS DECIMAL(30,10))) AS DOUBLE)) AS nv FROM $src),
+             |$dst AS MATERIALIZED (SELECT d, CASE WHEN round(v / nv, 6) = 0 THEN 0.0
+             |  ELSE round(v / nv, 6) END AS loading FROM $src, n$dst)""".stripMargin
+        s"""WITH $covCtes,
+           |fm AS MATERIALIZED (SELECT i, j, cov FROM covq
+           |  UNION ALL SELECT j, i, cov FROM covq WHERE i <> j),
+           |v0 AS (SELECT DISTINCT i AS d, 1.0 AS v FROM fm),
+           |${mul("fm", "v0", "v1")},
+           |${mul("fm", "v1", "v2")},
+           |${mul("fm", "v2", "v3")},
+           |${norm("v3", "l1")},
+           |lam AS MATERIALIZED (SELECT CAST(sum(CAST(f.cov * a.loading * b.loading AS DECIMAL(30,10))) AS DOUBLE) AS lam
+           |  FROM fm f JOIN l1 a ON a.d = f.i JOIN l1 b ON b.d = f.j),
+           |fm2 AS MATERIALIZED (SELECT f.i, f.j, f.cov - lam.lam * a.loading * b.loading AS cov
+           |  FROM fm f JOIN l1 a ON a.d = f.i JOIN l1 b ON b.d = f.j, lam),
+           |u0 AS (SELECT DISTINCT i AS d, 1.0 AS v FROM fm2),
+           |${mul("fm2", "u0", "u1")},
+           |${mul("fm2", "u1", "u2")},
+           |${mul("fm2", "u2", "u3")},
+           |${norm("u3", "l2")},
+           |comps AS (SELECT CAST(0 AS BIGINT) AS component, d, loading FROM l1
+           |  UNION ALL SELECT 1, d, loading FROM l2),
+           |vid AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           |px AS (SELECT vec_id, CAST(unnest(range(len(ve))) AS BIGINT) AS d, unnest(ve) AS x FROM vid),
+           |proj AS (SELECT px.vec_id, c.component,
+           |    CAST(sum(CAST((px.x - m.mean) * c.loading AS DECIMAL(30,10))) AS DOUBLE) AS s
+           |  FROM px JOIN m ON m.d = px.d JOIN comps c ON c.d = px.d
+           |  GROUP BY 1, 2)
+           |SELECT vec_id, component,
+           |  CASE WHEN round(s, 6) = 0 THEN 0.0 ELSE round(s, 6) END AS coord
+           |FROM proj""".stripMargin
       },
       // mirrors Curation.semanticDecontaminate(planes=8, minCos=0.3): the
       // embedding_lsh_pairs bucket formula, corpus % 50 != 0 vs eval slice

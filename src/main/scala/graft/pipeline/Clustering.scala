@@ -186,19 +186,34 @@ object Clustering {
     * algebra, no per-row collect. */
   def pcaLoadings(df: DataFrame, vecCol: String, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"need iters >= 1; got $iters")
-    // mirror the upper triangle into the full symmetric matrix, and
-    // materialize it EAGERLY: this d²-row frame is the only thing that
-    // touches the corpus, and without the checkpoint every lazy reference
-    // below (v0, each iteration's product AND its max) would re-run the
-    // whole covariance scan — the plan tree doubles per iteration
-    // checkpoint the upper triangle BEFORE mirroring — a union of two lazy
-    // covariance subtrees would execute the corpus scan twice
+    normalizedLoadings(powerIterate(symmetricCov(df, vecCol), iters))
+      .select(col("d").as("dim"), col("loading"))
+  }
+
+  /** The full symmetric covariance matrix as an eagerly-materialized
+    * (i, j, cov) frame. The upper triangle is checkpointed BEFORE
+    * mirroring — a union of two lazy covariance subtrees would execute the
+    * corpus scan twice, and every downstream reference (v0, each power
+    * iteration's product AND its max) would otherwise re-run the whole
+    * scan as the plan tree doubled per iteration. */
+  private def symmetricCov(df: DataFrame, vecCol: String): DataFrame = {
     val cov = covariance(df, vecCol).select(col("i"), col("j"), col("cov"))
       .localCheckpoint(true)
-    val full = cov.unionByName(
+    cov.unionByName(
       cov.where(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cov")))
       .localCheckpoint(true)
+  }
+
+  /** Power iteration v ← C·v from v₀ = 1⃗ over an (i, j, cov) matrix frame,
+    * `iters` decimal-carried matrix-vector products. Caveat (deliberate,
+    * mirrored by the oracle): the all-ones start is DETERMINISTIC, so when
+    * the dominant eigenvector is (near-)orthogonal to 1⃗ — e.g. perfectly
+    * anti-symmetric dimensions — the iteration converges to a secondary
+    * axis or stalls; correct vs the oracle, but "top component" should be
+    * read as "top component reachable from 1⃗". Returns the unnormalized
+    * final iterate (d, v). */
+  private def powerIterate(full: DataFrame, iters: Int): DataFrame = {
     var v = full.select(col("i").as("d")).distinct().withColumn("v", lit(1.0))
     for (_ <- 0 until iters) {
       // checkpoint each d-row iterate too: the rescale reads it twice
@@ -219,12 +234,75 @@ object Clustering {
         .select(col("d"), when(col("__m") === 0.0, lit(null).cast("double"))
           .otherwise(col("v") / col("__m")).as("v"))
     }
+    v
+  }
+
+  /** L2-normalize a (d, v) iterate into (d, loading) rounded to 6 digits
+    * with signed zeros squashed (engine-portable). */
+  private def normalizedLoadings(v: DataFrame): DataFrame = {
     val nrm = v.agg(sum((col("v") * col("v")).cast("decimal(30,10)")).as("__n"))
       .select(sqrt(col("__n").cast("double")).as("__nrm"))
     val l = round(col("v") / col("__nrm"), 6)
     v.crossJoin(broadcast(nrm))
-      .select(col("d").as("dim"),
+      .select(col("d"),
         when(l === 0.0, lit(0.0)).otherwise(l).as("loading"))
+  }
+
+  /** Per-dimension means from decimal-carried sums — the centering vector
+    * for [[pcaProject]] (d rows; broadcasts). */
+  private def dimMeans(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy(col("d").cast("long").as("d"))
+      .agg(sum(col("x").cast("decimal(30,10)")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("d"), (col("__s").cast("double") / col("__n")).as("mean"))
+
+  /** PCA projection: coordinates of every (centered) embedding on the top-p
+    * principal components — the dimensionality-reduction transform that
+    * turns [[pcaLoadings]]' eigensolve into a usable pipeline step.
+    * Components after the first come from HOTELLING DEFLATION on the
+    * (rounded, published) leading loadings: λ = v₁ᵀCv₁, C ← C − λ·v₁v₁ᵀ,
+    * re-iterate. Because deflation uses the 6-decimal published v₁, later
+    * components carry an O(1e-6) residual of earlier axes — deterministic,
+    * replayed exactly by the oracle, and negligible against the components
+    * themselves. Returns (id, component, coord), n·p rows.
+    *
+    * Scale: three narrow corpus passes (covariance, means, projection) and
+    * zero corpus shuffles — the eigensolve and deflation run on d-/d²-row
+    * frames that broadcast; the projection is a posexplode + broadcast
+    * joins + one hash agg keyed by (id, component), map-side combinable
+    * with decimal-carried exactness. At 100 TB the covariance and
+    * projection scans dominate; nothing is keyed by anything hotter than
+    * (row id, component). */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+      p: Int = 2, iters: Int = 3): DataFrame = {
+    require(p >= 1, s"need p >= 1; got $p")
+    var cur = symmetricCov(df, vecCol)
+    val comps = (0 until p).map { k =>
+      val lk = normalizedLoadings(powerIterate(cur, iters)).localCheckpoint(true)
+      if (k < p - 1) {
+        val vi = broadcast(lk.select(col("d").as("i"), col("loading").as("__vi")))
+        val vj = broadcast(lk.select(col("d").as("j"), col("loading").as("__vj")))
+        val lam = cur.join(vi, Seq("i")).join(vj, Seq("j"))
+          .agg(sum((col("cov") * col("__vi") * col("__vj")).cast("decimal(30,10)")).as("__s"))
+          .select(col("__s").cast("double").as("__lam"))
+        cur = cur.join(vi, Seq("i")).join(vj, Seq("j")).crossJoin(broadcast(lam))
+          .select(col("i"), col("j"),
+            (col("cov") - col("__lam") * col("__vi") * col("__vj")).as("cov"))
+          .localCheckpoint(true)
+      }
+      lk.withColumn("component", lit(k.toLong))
+    }
+    val loadings = broadcast(comps.reduce(_ unionByName _)
+      .select(col("component"), col("d"), col("loading")))
+    val coord = round(col("__s").cast("double"), 6)
+    df.select(col(idCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .withColumn("d", col("d").cast("long"))
+      .join(broadcast(dimMeans(df, vecCol)), Seq("d"))
+      .join(loadings, Seq("d"))
+      .groupBy(col(idCol), col("component"))
+      .agg(sum(((col("x") - col("mean")) * col("loading")).cast("decimal(30,10)")).as("__s"))
+      .select(col(idCol), col("component"),
+        when(coord === 0.0, lit(0.0)).otherwise(coord).as("coord"))
   }
 
   /** Argmin-distance assignment: broadcast the k centroids, score every

@@ -191,4 +191,50 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** ANN recall measured, not assumed — the vector-space sibling of
+    * [[Dedup.lshRecallReport]]: run [[bruteForceTopK]] (ground truth) and
+    * each approximate arm (LSH buckets, IVF inverted lists, IVF-PQ with
+    * ADC scoring) over the SAME query slice and report, per method, how
+    * many of the exact top-k pairs the approximate path found. Recall@k =
+    * |approx ∩ exact| / |exact|; for the cosine-ranked arms any miss is
+    * bucketing/probing loss, for IVF-PQ it additionally folds in
+    * quantization error (ADC ranks by compressed L2, not exact cosine) —
+    * which is precisely what an operator gating a 100 TB ANN rollout wants
+    * folded in. Returns one row per method:
+    * (method, n_queries, n_exact, n_found, n_hit, recall).
+    *
+    * Scale: run on a hash-sampled query slice — the exact arm is a full
+    * scan per query and only exists at sample scale; the approximate arms
+    * are the production plans unchanged. */
+  def annRecallReport(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      planes: Int = 4, nlist: Int = 16, nprobe: Int = 4,
+                      m: Int = 4, codewords: Int = 16): DataFrame = {
+    // ground truth consumed by every arm's join AND the denominator — one
+    // materialization, not one brute-force scan per consumer
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .localCheckpoint(true)
+    def arm(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("method"), col("query_id").cast("long"),
+        col("neighbor_id").cast("long"))
+    val arms = arm("lsh", lshTopK(corpus, queries, idCol, vecCol, k, planes))
+      .unionByName(arm("ivf", ivfTopK(corpus, queries, idCol, vecCol, k, nlist, nprobe)))
+      .unionByName(arm("ivfpq", Quantization.ivfPqTopK(corpus, queries, idCol, vecCol,
+        k, nlist, nprobe, m, codewords)))
+    val perArm = arms
+      .join(exact.withColumn("__hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_found"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+    val denom = broadcast(exact.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_exact")))
+    perArm.crossJoin(denom)
+      .select(col("method"), col("n_queries"), col("n_exact"),
+        col("n_found"), col("n_hit"),
+        round(when(col("n_exact") === 0, 1.0)
+          .otherwise(col("n_hit").cast("double") / col("n_exact")), 4).as("recall"))
+  }
 }

@@ -166,6 +166,26 @@ class PipelineSpec extends SparkSuite {
     assert(res.map(_.getAs[Long]("neighbor_id")).contains(2L))
   }
 
+  test("annRecallReport: one row per method, recall in [0,1], hits bounded") {
+    import spark.implicits._
+    // 40 vectors in 2 clusters; queries = first 6 ids
+    val corpus = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.1f, 0.0f, 0.0f) else Array(0.0f, 0.0f, 1.0f, 0.1f)
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 7 + d) % 5) })
+    }.toDF("vec_id", "embedding")
+    val rep = Similarity.annRecallReport(corpus, corpus.where($"vec_id" < 6),
+      "vec_id", "embedding", k = 3, planes = 2, nlist = 8, nprobe = 2,
+      m = 2, codewords = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(rep.keySet == Set("lsh", "ivf", "ivfpq"))
+    rep.foreach { case (m, (nq, nx, nf, nh, rec)) =>
+      assert(nq == 6 && nx == 18, s"$m: $nq/$nx")
+      assert(nh <= nf && nh <= nx, s"$m: hits $nh found $nf exact $nx")
+      assert(rec >= 0.0 && rec <= 1.0 && math.abs(rec - nh.toDouble / nx) < 1e-4)
+    }
+  }
+
   test("langid distinguishes the marker languages") {
     val got = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -809,6 +829,31 @@ class PipelineSpec extends SparkSuite {
       .toDF("vec_id", "embedding")
     val degen = pipeline.Clustering.pcaLoadings(const, "embedding", iters = 2).collect()
     assert(degen.length == 2 && degen.forall(_.isNullAt(1)))
+  }
+
+  test("pcaProject: 2D data with independent axes projects onto them") {
+    import spark.implicits._
+    // spread along x (var 8/3), small spread along y (var 2/3), no
+    // cross-covariance: component 0 ~ x-axis, component 1 ~ y-axis;
+    // coordinates are the centered values along each axis
+    val vecs = Seq(
+      (1L, Array(-2.0f, 0.0f)), (2L, Array(0.0f, -1.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = pipeline.Clustering.pcaProject(vecs, "vec_id", "embedding", p = 2, iters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 8)
+    // component 0 = ±x (sign fixed by the all-ones start: positive here)
+    assert(math.abs(math.abs(out((1L, 0L))) - 2.0) < 1e-3, s"c0(1) ${out((1L, 0L))}")
+    assert(math.abs(out((2L, 0L))) < 1e-3)
+    // component 1 = ±y after deflation
+    assert(math.abs(math.abs(out((2L, 1L))) - 1.0) < 1e-3, s"c1(2) ${out((2L, 1L))}")
+    assert(math.abs(out((1L, 1L))) < 1e-3)
+    // orthogonality of the two published axes survives rounding: the dot
+    // of coordinate vectors across components is ~0 for this data
+    val c0 = Seq(1L, 2L, 3L, 4L).map(i => out((i, 0L)))
+    val c1 = Seq(1L, 2L, 3L, 4L).map(i => out((i, 1L)))
+    assert(math.abs(c0.zip(c1).map { case (a, b) => a * b }.sum) < 1e-2)
   }
 
   test("oovReport: rate against the corpus's own top-V vocab, zero-token docs pass") {
