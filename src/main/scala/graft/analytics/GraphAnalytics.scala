@@ -126,6 +126,7 @@ object GraphAnalytics {
     * reuses one exchange per side per round. */
   def pageRankDF(g: GraphStore, toLong: Column => Column, numIter: Int = 10,
                  resetProb: Double = 0.15): DataFrame = {
+    require(numIter >= 1, s"need numIter >= 1; got $numIter")
     val verts = g.vertices.select(toLong(col("id")).as("vid"), col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = g.edges
@@ -135,28 +136,41 @@ object GraphAnalytics {
       // every join below is a USING join on a shared column name (never a
       // df("col") condition): iteration i+1's rank table carries the edge
       // lineage of iteration i, so dataset-tagged column references would
-      // trip DetectAmbiguousSelfJoin once lineage survives across rounds
-      val outDeg = edges.groupBy(col("src").as("vid")).agg(count(lit(1)).as("__outdeg"))
+      // trip DetectAmbiguousSelfJoin once lineage survives across rounds.
+      //
+      // The loop iterates over OUT-DEGREE VERTICES ONLY, carrying the
+      // out-degree inside the iterated frame: in(v) only ever reads shares
+      // of vertices with out-edges, and r_i(v) = reset + damp·in_i(v) is
+      // recoverable for every vertex from the last message pass — so each
+      // round is ONE equi-join + one hash agg instead of the three joins
+      // (ranks⋈outDeg, edges⋈shares, verts⟕inbound) of the naive loop.
+      // Round 7 measured that naive shape at 78 AQE jobs / 10-16 s for a
+      // 16k-vertex graph — pure scheduler overhead; this shape is 2/5 of
+      // the stages and checkpoints on a 5-round cadence (plan depth stays
+      // bounded; one materialization per 5 rounds, not per 3).
+      val outDegT = edges.groupBy(col("src").as("vid"))
+        .agg(count(lit(1)).as("__outdeg")).localCheckpoint(true)
       // GraphX initializes every rank to 1.0 — on cyclic graphs the init
       // still influences the 10th iterate (decays as ~0.85^t), so parity
       // requires matching it, not starting at resetProb
-      var ranks = verts.select(col("vid"), lit(1.0).as("r")).localCheckpoint(true)
-      for (i <- 1 to numIter) {
-        val shares = ranks.join(outDeg, Seq("vid"))
-          .select(col("vid").as("src"), (col("r") / col("__outdeg")).as("__share"))
-        val inbound = edges.join(shares, Seq("src"))
+      var rr = outDegT.withColumn("r", lit(1.0)).localCheckpoint(true)
+      def inbound(cur: DataFrame): DataFrame =
+        edges.join(cur.select(col("vid").as("src"),
+            (col("r") / col("__outdeg")).as("__share")), Seq("src"))
           .groupBy(col("dst").as("vid")).agg(sum("__share").as("__in"))
-        ranks = verts.select("vid")
-          .join(inbound, Seq("vid"), "left")
-          .select(col("vid"),
+      for (i <- 1 until numIter) {
+        rr = outDegT.join(inbound(rr), Seq("vid"), "left")
+          .select(col("vid"), col("__outdeg"),
             (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("__in"), lit(0.0))).as("r"))
-        // truncate lineage every few rounds (and before the normalization
-        // pass, which consumes ranks twice) — materializing EVERY round
-        // costs a job per iteration for no correctness gain; every third
-        // keeps plan depth bounded at a fraction of the job count
-        if (i % 3 == 0 || i == numIter) ranks = ranks.localCheckpoint(true)
+        if (i % 5 == 0 || i == numIter - 1) rr = rr.localCheckpoint(true)
       }
-      // GraphX runWithOptions normalizes the rank sum to |V|
+      // final round assembles ranks for EVERY vertex (sinks included) from
+      // the last message pass, then GraphX-style normalizes the sum to |V|
+      val ranks = verts.select("vid")
+        .join(inbound(rr), Seq("vid"), "left")
+        .select(col("vid"),
+          (lit(resetProb) + lit(1.0 - resetProb) * coalesce(col("__in"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
       val norm = ranks.agg(sum("r").as("__s"), count(lit(1)).as("__n"))
       ranks.crossJoin(broadcast(norm))
         .select(col("vid"), (col("r") * col("__n") / col("__s")).as("rank"))
