@@ -47,7 +47,7 @@ object PipelineQueries {
     * invocations from accumulating temp dirs and streaming sinks). */
   val memoBackedQueries: Set[String] = Set(
     "curate_dup_clusters_df", "curate_cluster_histogram",
-    "curate_export_manifest")
+    "curate_export_manifest", "curate_funnel")
 
   /** Drop the per-(session, dir) memos behind [[memoBackedQueries]]. The
     * streaming memos (events_stream_dedup / stream_sig_dedup) are NOT
@@ -384,8 +384,29 @@ object PipelineQueries {
     // the chained production pipeline as one report: raw → exact-dedup →
     // near-dedup → decontaminate, one surviving-count row per stage
     "curate_funnel" -> ((s, d) =>
+      // shares the memoized LSH+verify+cc labels with the dup-cluster
+      // queries (raw-corpus labels are drop-equivalent on exact survivors
+      // — see curationFunnel's scaladoc); memo-backed, so the bench busts
+      // it and times the cold pipeline
       pipeline.Curation.curationFunnel(dedupCorpus(s, d),
-        docs(s, d).where(col("doc_id") % 10 === 0), "doc_id", "text")),
+        docs(s, d).where(col("doc_id") % 10 === 0), "doc_id", "text",
+        dupLabels = Some(neardupLabels(s, d)))),
+    // funnel variant with the rare-shingle containment RECALL ARM on:
+    // the corpus additionally plants engulfed-prefix docs (+4M = 8-token
+    // prefix of every 5th doc — containment 1.0, Jaccard ~0, invisible to
+    // LSH banding), and the production pipeline drops them, not just
+    // reports them. Labels are computed over this corpus (the shared memo
+    // covers a different document set).
+    "curate_funnel_rare" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val eng = dedupCorpus(s, d).unionByName(
+        base.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            array_join(slice(TextAnalysis.words(col("text")), 1, 8), " ").as("text")))
+      pipeline.Curation.curationFunnel(eng,
+        docs(s, d).where(col("doc_id") % 10 === 0), "doc_id", "text",
+        rareShingleArm = true)
+    }),
     // curation: survivor selection over the planted-duplicate corpus
     "curate_dedup_corpus" -> ((s, d) =>
       pipeline.Curation.dedupExactKeepFirst(dedupCorpus(s, d), "doc_id", "text")
@@ -1037,6 +1058,59 @@ object PipelineQueries {
            |SELECT 'raw' AS stage, count(*) AS n_docs FROM corpus
            |UNION ALL SELECT 'exact_dedup', count(*) FROM surv1
            |UNION ALL SELECT 'near_dedup', count(*) FROM surv2
+           |UNION ALL SELECT 'decontaminated', count(*) FROM surv3""".stripMargin,
+      // the rare-arm funnel over the engulfed-prefix corpus: the funnel
+      // replay plus the dedup_containment_rare replay restricted to
+      // near-dup survivors, containment clusters closed transitively and
+      // dropped to the min id
+      "curate_funnel_rare" ->
+        s"""${corpusCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |eng AS (SELECT doc_id, text FROM corpus
+           |  UNION ALL SELECT doc_id + 4000000,
+           |    array_to_string(list_slice(string_split($normSql, ' '), 1, 8), ' ')
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |${ngramPipelineCtes("eng")},
+           |surv1 AS (SELECT doc_id FROM (
+           |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m FROM eng)
+           |  WHERE doc_id = m),
+           |prs AS (SELECT a, b
+           |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5
+           |    AND a IN (SELECT doc_id FROM surv1) AND b IN (SELECT doc_id FROM surv1)),
+           |und AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+           |reach AS (SELECT a, b FROM und
+           |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+           |dropd AS (SELECT a FROM reach GROUP BY a HAVING min(b) < a),
+           |surv2 AS (SELECT doc_id FROM surv1 WHERE doc_id NOT IN (SELECT a FROM dropd)),
+           |cex AS MATERIALIZED (SELECT doc_id, unnest(s) AS shingle FROM sh
+           |  WHERE doc_id IN (SELECT doc_id FROM surv2)),
+           |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM cex GROUP BY 1)
+           |  WHERE c BETWEEN 2 AND 8),
+           |rex AS MATERIALIZED (SELECT cex.doc_id, cex.shingle FROM cex JOIN rare USING (shingle)),
+           |ccand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |  FROM rex l JOIN rex r ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
+           |cinter AS (SELECT a, b, count(*) AS i
+           |  FROM ccand JOIN cex la ON la.doc_id = a JOIN cex rb ON rb.doc_id = b AND rb.shingle = la.shingle
+           |  GROUP BY 1, 2),
+           |cpr AS (SELECT a, b FROM cinter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           |  WHERE round(CAST(i AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 4) >= 0.9),
+           |cund AS (SELECT a, b FROM cpr UNION SELECT b, a FROM cpr),
+           |creach AS (SELECT a, b FROM cund
+           |  UNION SELECT r.a, u.b FROM creach r JOIN cund u ON r.b = u.a),
+           |cdropd AS (SELECT a FROM creach GROUP BY a HAVING min(b) < a),
+           |surv2b AS (SELECT doc_id FROM surv2 WHERE doc_id NOT IN (SELECT a FROM cdropd)),
+           |ct AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM eng),
+           |cg AS (SELECT DISTINCT doc_id, g FROM
+           |  (SELECT doc_id, unnest(${shinglesExpr(5)}) AS g FROM ct WHERE len(w) >= 5)),
+           |bt AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+           |bg AS (SELECT DISTINCT g FROM
+           |  (SELECT unnest(${shinglesExpr(5)}) AS g FROM bt WHERE len(w) >= 5)),
+           |bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)),
+           |surv3 AS (SELECT doc_id FROM surv2b WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+           |SELECT 'raw' AS stage, count(*) AS n_docs FROM eng
+           |UNION ALL SELECT 'exact_dedup', count(*) FROM surv1
+           |UNION ALL SELECT 'near_dedup', count(*) FROM surv2
+           |UNION ALL SELECT 'contain_dedup', count(*) FROM surv2b
            |UNION ALL SELECT 'decontaminated', count(*) FROM surv3""".stripMargin,
       // distinct minhash signatures of the planted-dup corpus — the
       // streaming dedup's output is this set regardless of arrival order

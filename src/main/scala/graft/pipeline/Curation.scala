@@ -374,20 +374,31 @@ object Curation {
   }
 
   /** End-to-end curation funnel report: the chained production pipeline
-    * raw → exact-dedup → near-dedup → decontaminate, with one row of
-    * surviving-document counts per stage. Each stage consumes the
-    * previous stage's survivors (near-dup candidate generation and
-    * verification are pairwise-deterministic on text, so survivors'
-    * pairs are exactly the full-corpus pairs restricted to survivor
-    * endpoints — the property the SQL oracle replays). The count
-    * aggregation per stage is one 1-row reduce; the stages themselves
-    * are the operators documented elsewhere in this file. Returns
-    * (stage, n_docs) with stage ∈ raw/exact_dedup/near_dedup/
-    * decontaminated. */
+    * raw → exact-dedup → near-dedup → [rare-shingle containment-dedup] →
+    * decontaminate, with one row of surviving-document counts per stage.
+    * Each stage consumes the previous stage's survivors (near-dup
+    * candidate generation and verification are pairwise-deterministic on
+    * text, so survivors' pairs are exactly the full-corpus pairs
+    * restricted to survivor endpoints — the property the SQL oracle
+    * replays). The count aggregation per stage is one 1-row reduce; the
+    * stages themselves are the operators documented elsewhere in this
+    * file. Returns (stage, n_docs) with stage ∈ raw/exact_dedup/
+    * near_dedup/[contain_dedup]/decontaminated.
+    *
+    * `rareShingleArm = true` turns on the RECALL ARM
+    * [[Dedup.containmentViaRareShingles]] between near-dedup and
+    * decontamination: engulfed-prefix duplicates (containment ≈ 1,
+    * Jaccard ≈ 0 — the class LSH banding systematically misses) are
+    * clustered by containment edges and dropped down to the min-id
+    * survivor, so the production pipeline removes them instead of only
+    * reporting them. */
   def curationFunnel(corpus: DataFrame, benchmark: DataFrame,
                      idCol: String, textCol: String,
                      n: Int = 3, k: Int = 4, minSim: Double = 0.5,
-                     decontamN: Int = 5): DataFrame = {
+                     decontamN: Int = 5,
+                     dupLabels: Option[DataFrame] = None,
+                     rareShingleArm: Boolean = false,
+                     rareMaxDf: Int = 8, minContain: Double = 0.9): DataFrame = {
     // each survivor set feeds BOTH its own count and the next stage's
     // recomputation, so scope a persist per stage: without it the s1
     // dedup replays three times and the near-dup anti-join twice (the
@@ -404,32 +415,56 @@ object Curation {
     try {
       val toks = TextAnalysis.tokenRows(s1, idCol, textCol).persist(lvl)
       try {
-        val pairs = Dedup.ngramJaccardOnShingles(
-            TextAnalysis.shingleRowsFromTokens(toks, idCol, n), idCol, k, minSim)
-          .select("a", "b")
-        val drop = ConnectedComponents.labels(pairs)
+        // the near-dup stage (r7-measured 9 s of the funnel's ~15 at sf0.1)
+        // accepts precomputed duplicate-cluster labels: labels over the RAW
+        // corpus are drop-equivalent on exact survivors (an exact-copy node
+        // has the same text as its original, so it adds no connectivity
+        // among survivors and never owns a component minimum), which lets a
+        // session that also runs the dup-cluster queries share ONE
+        // LSH+verify+cc pass via the caller's memo
+        val labels = dupLabels.getOrElse {
+          ConnectedComponents.labels(
+            Dedup.ngramJaccardOnShingles(
+              TextAnalysis.shingleRowsFromTokens(toks, idCol, n), idCol, k, minSim)
+              .select("a", "b"))
+        }
+        val drop = labels
           .where(col("id") =!= col("cluster"))
           .select(col("id").as("__drop_id"))
         val s2 = s1.join(drop, s1(idCol).cast("long") === col("__drop_id"),
           "left_anti").persist(lvl)
         try {
-          val benchGrams = TextAnalysis
-            .shingleRows(benchmark, idCol, textCol, decontamN)
-            .select("shingle").distinct()
-          val contaminated = TextAnalysis.shingleRowsFromTokens(
-              toks.join(s2.select(idCol), Seq(idCol), "left_semi"),
-              idCol, decontamN)
-            .dropDuplicates(idCol, "shingle")
-            .join(broadcast(benchGrams), Seq("shingle"), "left_semi")
-            .select(idCol).distinct()
-          val s3 = s2.join(contaminated, Seq(idCol), "left_anti")
-          def stage(name: String, df: DataFrame) =
-            df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
-          stage("raw", corpus)
-            .unionByName(stage("exact_dedup", s1))
-            .unionByName(stage("near_dedup", s2))
-            .unionByName(stage("decontaminated", s3))
-            .localCheckpoint(true)
+          // optional containment recall arm: cluster engulfed-prefix pairs
+          // over the near-dup survivors, keep the min-id member per cluster
+          val s2b = if (!rareShingleArm) s2 else {
+            val cDrop = ConnectedComponents.labels(
+                Dedup.containmentViaRareShingles(s2, idCol, textCol,
+                  n, rareMaxDf, minContain).select("a", "b"))
+              .where(col("id") =!= col("cluster"))
+              .select(col("id").as("__cdrop_id"))
+            s2.join(cDrop, s2(idCol).cast("long") === col("__cdrop_id"),
+              "left_anti").persist(lvl)
+          }
+          try {
+            val benchGrams = TextAnalysis
+              .shingleRows(benchmark, idCol, textCol, decontamN)
+              .select("shingle").distinct()
+            val contaminated = TextAnalysis.shingleRowsFromTokens(
+                toks.join(s2b.select(idCol), Seq(idCol), "left_semi"),
+                idCol, decontamN)
+              .dropDuplicates(idCol, "shingle")
+              .join(broadcast(benchGrams), Seq("shingle"), "left_semi")
+              .select(idCol).distinct()
+            val s3 = s2b.join(contaminated, Seq(idCol), "left_anti")
+            def stage(name: String, df: DataFrame) =
+              df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+            val head = stage("raw", corpus)
+              .unionByName(stage("exact_dedup", s1))
+              .unionByName(stage("near_dedup", s2))
+            val tail = (if (rareShingleArm) head.unionByName(stage("contain_dedup", s2b)) else head)
+              .unionByName(stage("decontaminated", s3))
+            tail.localCheckpoint(true)
+          } finally if (rareShingleArm) s2b.unpersist()
         } finally s2.unpersist()
       } finally toks.unpersist()
     } finally s1.unpersist()

@@ -2,7 +2,7 @@ package scratch
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch perf probe for graph_pagerank_df (VERDICT r7 item #3). */
+/** Scratch perf probe: funnel with shared neardupLabels memo (cold/warm). */
 object DevDrive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -20,17 +20,17 @@ object DevDrive {
       println(f"MEASURE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     time("graph_build") { graft.TpchGraph.build(spark, dir) }
-    val fn = graft.SparkEntry.queries("graph_pagerank_df")
-    for (i <- 1 to 3) {
-      val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-      time(s"pagerank_df run$i") {
-        fn(spark, dir).write.mode("overwrite").format("noop").save()
-      }
-      println(s"MEASURE jobs_run$i ${spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobs0}")
+    def run(name: String, label: String): Unit = time(label) {
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
     }
-    // comparison: lpa (same graph, 3 rounds) and graphx pagerank
-    val lpa = graft.SparkEntry.queries("graph_lpa_df")
-    time("lpa_df") { lpa(spark, dir).write.mode("overwrite").format("noop").save() }
+    graft.PipelineQueries.clearMemos(spark, dir)
+    run("curate_funnel", "funnel_cold")          // pays the LSH+cc pass
+    run("curate_funnel", "funnel_warm_memo")     // memo hit
+    graft.PipelineQueries.clearMemos(spark, dir)
+    run("curate_dup_clusters_df", "dup_clusters_cold")
+    run("curate_funnel", "funnel_after_clusters") // shared memo: no LSH+cc
+    run("curate_funnel_rare", "funnel_rare_cold") // own corpus, full pipeline + arm
     spark.stop()
   }
 }
