@@ -74,6 +74,19 @@ object GraphQueries {
   private val streamIngestCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
+  // the symmetrized+deduplicated LPA edge table is loop-invariant AND
+  // call-invariant — persist it once per (session, dir) next to the graph
+  // tables instead of paying its union+distinct shuffle on every call
+  private val symEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def symEdges(s: SparkSession, d: String): DataFrame =
+    symEdgeCache.computeIfAbsent((s, d), { _ =>
+      val df = GraphAnalytics.symmetrizedEdges(analyticsSubgraph(graph(s, d)), analyticsToLong)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly so every consumer reads the cache
+      df
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // stream→graph ingestion through the REAL streaming engine: events are
     // written as a multi-file source, read with maxFilesPerTrigger=2 (3
@@ -326,7 +339,7 @@ object GraphQueries {
     // label tie-break — integer-exact, oracle unrolls the rounds
     "graph_lpa_df" -> ((s, d) =>
       GraphAnalytics.labelPropagationDF(analyticsSubgraph(graph(s, d)),
-        analyticsToLong, rounds = 3)),
+        analyticsToLong, rounds = 3, symEdges = Some(symEdges(s, d)))),
     // GraphX ShortestPaths to the region landmarks: hop counts along the
     // member->nation->region edge direction (regions 0, nations 1,
     // customers/suppliers 2 — the closed form IS the oracle)

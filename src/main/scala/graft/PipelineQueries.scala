@@ -463,11 +463,16 @@ object PipelineQueries {
       val labeled = pipeline.Curation.splitLabel(docs(s, d), "doc_id")
         .withColumn("lang_guess", TextAnalysis.langId(col("text")))
         .select("doc_id", "split", "lang_guess")
-      // ONE deterministic export root per sf dir: the bench cold-times this
-      // memo, and a fresh createTempDirectory per run would leak a full
-      // export tree every invocation — overwrite mode reuses the path
+      // ONE deterministic export root per (sf dir, user, JVM): the bench
+      // cold-times this memo, and a fresh createTempDirectory per run would
+      // leak a full export tree every invocation — overwrite mode reuses
+      // the path. The key is an md5 of the full dir path (String.hashCode
+      // collides across dirs) plus user and pid, so concurrent bench/verify
+      // JVMs on one machine cannot clobber each other's tree mid-manifest.
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
       val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft-export-${Integer.toHexString(d.hashCode)}").toString
+        s"graft-export-$dirKey-${System.getProperty("user.name", "u")}-${ProcessHandle.current.pid}").toString
       pipeline.Curation.exportPartitioned(labeled, tmp, Seq("split", "lang_guess"))
         .localCheckpoint(true)
     })),

@@ -192,15 +192,26 @@ object GraphAnalytics {
     * the message stream — with an eager localCheckpoint keeping plan
     * depth constant. Labels and edges co-partition on the vertex key
     * across rounds on a real cluster. */
+  /** Build the symmetrized, deduplicated (a, b) long edge table
+    * [[labelPropagationDF]] iterates over. Exposed so a session can
+    * persist it ONCE next to its graph tables and share it across calls
+    * (the build is a union + distinct shuffle that is loop-invariant). */
+  def symmetrizedEdges(g: GraphStore, toLong: Column => Column): DataFrame = {
+    val dir = g.edges.select(toLong(col("src")).as("a"), toLong(col("dst")).as("b"))
+    dir.unionByName(dir.select(col("b").as("a"), col("a").as("b"))).distinct()
+  }
+
   def labelPropagationDF(g: GraphStore, toLong: Column => Column,
-                         rounds: Int = 3): DataFrame = {
+                         rounds: Int = 3,
+                         symEdges: Option[DataFrame] = None): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1; got $rounds")
     val verts = g.vertices.select(toLong(col("id")).as("vid"), col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dir = g.edges.select(toLong(col("src")).as("a"), toLong(col("dst")).as("b"))
-    val edges = dir.unionByName(dir.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // caller-provided symmetrized edges are caller-owned (persisted next
+    // to the graph tables and reused across calls); the local build is
+    // scoped to this call
+    val edges = symEdges.getOrElse(
+      symmetrizedEdges(g, toLong).persist(StorageLevel.MEMORY_AND_DISK))
     try {
       var labels = verts.select(col("vid"), col("vid").as("lbl")).localCheckpoint(true)
       for (_ <- 1 to rounds) {
@@ -217,7 +228,10 @@ object GraphAnalytics {
           .localCheckpoint(true)
       }
       labels.join(verts, Seq("vid")).select(col("id"), col("lbl").as("label"))
-    } finally { verts.unpersist(); edges.unpersist() }
+    } finally {
+      verts.unpersist()
+      if (symEdges.isEmpty) edges.unpersist()
+    }
   }
 
   /** Single-source-style shortest paths to a LANDMARK set (GraphX

@@ -483,13 +483,16 @@ object Curation {
   def contaminationMatrix(corpus: DataFrame, benchmarks: DataFrame,
                           idCol: String, textCol: String, benchCol: String,
                           n: Int = 8): DataFrame = {
-    // shingle benchmark rows under a (benchmark, id) COMPOSITE key: two
-    // benchmarks reusing the same id — with the same text or different
-    // texts (per-benchmark id spaces are common) — must not interleave
-    // their token streams in one shingle window
+    // shingle benchmark rows under a (benchmark, id, text-hash) COMPOSITE
+    // key: two benchmarks reusing the same id — or one benchmark reusing
+    // an id for two DIFFERENT texts (id collisions happen in per-benchmark
+    // id spaces) — must not interleave their token streams in one shingle
+    // window; the md5(text) component keeps the key unique per distinct
+    // text even when (benchmark, id) collides
     val b2 = benchmarks.select(col(benchCol), col(idCol), col(textCol)).distinct()
       .withColumn("__bid",
-        concat_ws("\u0001", col(benchCol), col(idCol).cast("string")))
+        concat_ws("\u0001", col(benchCol), col(idCol).cast("string"),
+          md5(col(textCol).cast("string"))))
     val bg = TextAnalysis.shingleRows(b2, "__bid", textCol, n)
       .join(b2.select(col("__bid"), col(benchCol)).distinct(), Seq("__bid"))
       .select(col(benchCol), col("shingle")).distinct()
@@ -521,8 +524,13 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_tokens").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // materialize the tiny cumulative histogram ONCE: the corpus total is
+    // its last cumulative value, so deriving cutoffs needs no second
+    // corpus aggregation (corpus touched exactly twice — histogram + the
+    // final filtered scan)
     val cum = hist.select(col("n_tokens"), sum(col("__c")).over(w).as("__cum"))
-    val tot = wd.agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val tot = cum.agg(max(col("__cum")).as("__n"))
     val cuts = cum.crossJoin(broadcast(tot))
       .agg(min(when(col("__cum") >= ceil(col("__n") * pLo), col("n_tokens"))).as("__lo"),
         min(when(col("__cum") >= ceil(col("__n") * pHi), col("n_tokens"))).as("__hi"))

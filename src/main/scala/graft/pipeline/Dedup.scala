@@ -275,7 +275,14 @@ object Dedup {
     * Counts are monotone decreasing in the threshold by construction.
     * Caveat shared with every banding path: pair RECALL at a threshold is
     * the banding recall at that similarity (1−(1−J)^k per band count), so
-    * the ladder tunes the verify cutoff, not the banding itself.
+    * the ladder tunes the verify cutoff, not the banding itself. More
+    * precisely: because the single propose stage runs ONCE (at the
+    * ladder's minimum), PROPOSAL recall for EVERY rung is that of
+    * `thresholds.min` — a pair whose Jaccard clears a high rung can still
+    * be missed if banding missed it at propose time, so high-rung counts
+    * inherit the low rung's recall rather than the (higher) banding
+    * recall a dedicated run at that threshold would see. Re-band per rung
+    * when per-rung recall matters more than the single-pass cost.
     *
     * Scale: the pair table (already verified, sparse) joins a broadcast
     * threshold ladder (a handful of rows) and reduces with one

@@ -83,6 +83,40 @@ class AnalyticsSpec extends SparkSuite {
     assert(out == Map("v:p" -> 1L, "v:q" -> 2L, "v:r" -> 1L, "v:solo" -> 9L))
   }
 
+  test("label propagation: one scheduler job per round (checkpoint IS the round)") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    // under AQE every shuffle stage is its own job, and broadcast builds
+    // submit theirs from a side thread — disable both so one action = one
+    // job and the counter measures actions per round (the cc-probe pin's
+    // protocol, CurationSpec)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = GraphAnalytics.labelPropagationDF(g, toLong, rounds = 2).collect()
+      assert(out.length == 7)
+      org.apache.spark.GraftSchedulerProbe.drainListenerBus(spark.sparkContext)
+      // budget: 1 init-checkpoint job + 1 checkpoint job per round (2) +
+      // the final collect = 4, +2 slack for the verts/edges persist
+      // materializations the first action may split out
+      val jobs = counter.get()
+      assert(jobs <= 6, s"lpa spent $jobs jobs for 2 rounds + init + collect " +
+        "(round no longer materializes in one action?)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("shortest paths: hop counts along edge direction to the landmark") {
     // landmark d (=4): a->b->c->d = 3, c->d = 1, d = 0; e/f reach d via
     // e->f->d; the loner has no path -> absent from the result

@@ -347,4 +347,36 @@ class PlanQualitySpec extends SparkSuite {
     // the only non-equi join allowed is the 1-row normalization broadcast
     assert(!prPlan.toLowerCase.contains("cartesian"), s"cartesian in pagerank:\n$prPlan")
   }
+
+  test("multimodal decode paths are shuffle-free narrow maps") {
+    // the codec boundary is a mapPartitions over (id, payload); features
+    // come out of the same pass — any Exchange here means the decode
+    // stopped being embarrassingly parallel
+    val img = graft.pipeline.Multimodal.imageFeatures(
+      graft.pipeline.Multimodal.syntheticImageAssets(spark, 6)).toDF()
+    img.collect()
+    val iPlan = img.queryExecution.executedPlan.toString
+    assert(!iPlan.contains("Exchange"), s"shuffle in image decode:\n$iPlan")
+    val aud = graft.pipeline.Multimodal.audioFeatures(
+      graft.pipeline.Multimodal.syntheticAudioAssets(spark, 6)).toDF()
+    aud.collect()
+    val aPlan = aud.queryExecution.executedPlan.toString
+    assert(!aPlan.contains("Exchange"), s"shuffle in audio decode:\n$aPlan")
+  }
+
+  test("pcaProject: loadings/means ride broadcast joins, no corpus self-join") {
+    import spark.implicits._
+    val vecs = (0L until 12L).map(i =>
+      (i, Array.tabulate(3)(j => (i * 2 + j).toFloat))).toDF("vec_id", "embedding")
+    val proj = graft.pipeline.Clustering.pcaProject(vecs, "vec_id", "embedding",
+      p = 2, iters = 2)
+    proj.collect()
+    val plan = proj.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the projection joins d-row frames onto the exploded corpus: both
+    // must be broadcast (a shuffled join keyed by dimension index would
+    // put the whole corpus through a ~d-key — i.e. skewed — exchange)
+    assert(!plan.contains("SortMergeJoin"), s"shuffled join in pca projection:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in pca projection:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), s"cartesian in pca projection:\n$plan")
+  }
 }
