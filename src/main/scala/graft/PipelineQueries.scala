@@ -295,6 +295,16 @@ object PipelineQueries {
     "multimodal_audio_features" -> ((s, d) =>
       pipeline.Multimodal.audioFeatures(
         pipeline.Multimodal.syntheticAudioAssets(s, 150)).toDF()),
+    // the full decode->resize->encode->decode chain: nearest-neighbor
+    // downsample into a 5px box then re-extract features; source indices
+    // are integer math, so the oracle derives every resized pixel from
+    // the generation formula without touching a PNG
+    "multimodal_resize_features" -> ((s, d) =>
+      pipeline.Multimodal.imageFeatures(
+        pipeline.Multimodal.resizeImages(
+          pipeline.Multimodal.syntheticImageAssets(s, 120), maxDim = 5)).toDF()
+        .withColumn("width", col("width").cast("long"))
+        .withColumn("height", col("height").cast("long"))),
     // IVF-routed ANN: static coarse quantizer, inverted-list probe
     "ann_ivf_topk" -> ((s, d) => {
       val e = embeddings(s, d)
@@ -1551,6 +1561,39 @@ object PipelineQueries {
           |l AS (SELECT id, w, h, r, g, b,
           |    (r * 299 + g * 587 + b * 114) // 1000 AS lum FROM c)
           |SELECT id AS asset_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          |  count(*) AS n_px,
+          |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+          |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(lum) AS BIGINT) AS sum_luma,
+          |  CAST(sum(CASE WHEN lum // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l0,
+          |  CAST(sum(CASE WHEN lum // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+          |  CAST(sum(CASE WHEN lum // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+          |  CAST(sum(CASE WHEN lum // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+          |  round(CAST(sum(lum) AS DOUBLE) / count(*), 6) AS mean_luma
+          |FROM l GROUP BY 1, 2, 3""".stripMargin,
+      // mirrors Multimodal.imageFeatures ∘ resizeImages(maxDim=5): target
+      // dims by the resizePlan rule, nearest-neighbor source indices by
+      // integer division, then the same pixel-formula feature replay
+      "multimodal_resize_features" ->
+        """WITH a AS (SELECT range AS id,
+          |    CAST(4 + range % 5 AS INTEGER) AS w, CAST(4 + range % 3 AS INTEGER) AS h
+          |  FROM range(0, 120)),
+          |r AS (SELECT id, w, h,
+          |    CAST(floor(w * least(5.0 / w, 5.0 / h, 1.0)) AS INTEGER) AS tw,
+          |    CAST(floor(h * least(5.0 / w, 5.0 / h, 1.0)) AS INTEGER) AS th
+          |  FROM a),
+          |px AS (SELECT id, w, h, tw, th, xs.x, ys.y FROM r,
+          |  (SELECT range AS x FROM range(0, 8)) xs,
+          |  (SELECT range AS y FROM range(0, 6)) ys
+          |  WHERE xs.x < tw AND ys.y < th),
+          |sp AS (SELECT id, tw, th, (x * w) // tw AS sx, (y * h) // th AS sy FROM px),
+          |c AS (SELECT id, tw, th,
+          |    (id * 31 + sx * 7 + sy * 13) % 256 AS r,
+          |    (id * 17 + sx * 3 + sy * 5) % 256 AS g,
+          |    (id * 11 + sx * 19 + sy * 23) % 256 AS b
+          |  FROM sp),
+          |l AS (SELECT id, tw, th, r, g, b,
+          |    (r * 299 + g * 587 + b * 114) // 1000 AS lum FROM c)
+          |SELECT id AS asset_id, CAST(tw AS BIGINT) AS width, CAST(th AS BIGINT) AS height,
           |  count(*) AS n_px,
           |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
           |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(lum) AS BIGINT) AS sum_luma,

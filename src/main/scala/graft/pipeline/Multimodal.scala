@@ -197,6 +197,53 @@ object Multimodal {
       }
   }
 
+  /** REAL image resize at the codec boundary: decode the PNG, NEAREST-
+    * NEIGHBOR downsample into the `maxDim` box (aspect preserved — the
+    * same target-dimension rule as [[resizePlan]]), re-encode PNG.
+    * Nearest-neighbor reads source pixel `(x·w/tw, y·h/th)` with integer
+    * division, so the resized image's pixels — and any features extracted
+    * from them — remain pure integer functions of the source pixels,
+    * which keeps the whole decode→resize→encode→decode chain
+    * oracle-checkable. Images already inside the box pass through
+    * re-encoded at original size (scale capped at 1.0).
+    * Returns (asset_id, media_type, payload, width, height) with the
+    * resized payload/dims — same 100 TB shape as [[imageFeatures]]:
+    * shuffle-free narrow map, one decoder per partition. */
+  def resizeImages(assets: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim >= 1, s"need maxDim >= 1; got $maxDim")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.where(col("media_type") === "image" && col("payload").isNotNull)
+      .select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"asset $id: payload is not a decodable image")
+          val w = img.getWidth; val h = img.getHeight
+          // the resizePlan rule, evaluated in the same IEEE double ops an
+          // SQL oracle uses: scale = min(maxDim/w, maxDim/h, 1.0)
+          val scale = math.min(math.min(maxDim.toDouble / w, maxDim.toDouble / h), 1.0)
+          val tw = math.floor(w * scale).toInt
+          val th = math.floor(h * scale).toInt
+          val out = new java.awt.image.BufferedImage(tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              out.setRGB(x, y, img.getRGB(x * w / tw, y * h / th))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          (id, "image", bos.toByteArray, tw, th)
+        }
+      }.toDF("asset_id", "media_type", "payload", "width", "height")
+  }
+
   // ---------------------------------------------------------------------
   // REAL audio decode: WAV/PCM via JDK javax.sound.sampled.
   // ---------------------------------------------------------------------

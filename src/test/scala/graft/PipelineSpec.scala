@@ -277,6 +277,27 @@ class PipelineSpec extends SparkSuite {
     assert(f0.n_l0 == lums.count(_ / 64 == 0) && f0.n_l3 == lums.count(_ / 64 == 3))
   }
 
+  test("multimodal: REAL resize downsamples by nearest-neighbor, exactly") {
+    val assets = Multimodal.syntheticImageAssets(spark, 10)
+    val resized = Multimodal.resizeImages(assets, maxDim = 5)
+    val dims = resized.collect().map(r =>
+      r.getAs[Long]("asset_id") -> ((r.getAs[Int]("width"), r.getAs[Int]("height")))).toMap
+    // asset 4: 8x5 canvas -> scale 5/8 -> 5x3 (floor(5*0.625)=3)
+    assert(dims(4L) == ((5, 3)), s"asset 4 dims ${dims(4L)}")
+    // asset 0: 4x4 already inside the box -> unchanged
+    assert(dims(0L) == ((4, 4)))
+    // features of the resized asset 4 match the nearest-neighbor formula:
+    // source pixel (x*8/5, y*5/3) of the generation formula for id=4
+    val f = Multimodal.imageFeatures(resized).collect()
+      .map(x => x.asset_id -> x).toMap.apply(4L)
+    val px = for { y <- 0 until 3; x <- 0 until 5 } yield {
+      val sx = x * 8 / 5; val sy = y * 5 / 3
+      ((4 * 31 + sx * 7 + sy * 13) % 256, (4 * 17 + sx * 3 + sy * 5) % 256,
+        (4 * 11 + sx * 19 + sy * 23) % 256)
+    }
+    assert(f.n_px == 15 && f.sum_r == px.map(_._1).sum && f.sum_b == px.map(_._3).sum)
+  }
+
   test("multimodal: REAL WAV decode recovers the PCM sample formula exactly") {
     val assets = Multimodal.syntheticAudioAssets(spark, 10)
     // payloads are genuine RIFF/WAVE containers
