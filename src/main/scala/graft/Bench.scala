@@ -57,8 +57,8 @@ object Bench {
     // WAV/PCM via javax.sound), PCA projection transform, measured ANN
     // recall per method
     "multimodal_image_features", "multimodal_audio_features",
-    "multimodal_resize_features", "embedding_pca_project",
-    "ann_recall_report", "curate_funnel_rare")
+    "multimodal_resize_features", "multimodal_video_features",
+    "embedding_pca_project", "ann_recall_report", "curate_funnel_rare")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

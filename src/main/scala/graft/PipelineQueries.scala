@@ -305,6 +305,14 @@ object PipelineQueries {
           pipeline.Multimodal.syntheticImageAssets(s, 120), maxDim = 5)).toDF()
         .withColumn("width", col("width").cast("long"))
         .withColumn("height", col("height").cast("long"))),
+    // REAL video decode: animated-GIF container, every-2nd-frame sampling,
+    // per-frame integer features; GIF with exact palettes is lossless, so
+    // the oracle replays the frame-pixel generation formula
+    "multimodal_video_features" -> ((s, d) =>
+      pipeline.Multimodal.videoFrameFeatures(
+        pipeline.Multimodal.syntheticVideoAssets(s, 100), everyK = 2).toDF()
+        .withColumn("width", col("width").cast("long"))
+        .withColumn("height", col("height").cast("long"))),
     // IVF-routed ANN: static coarse quantizer, inverted-list probe
     "ann_ivf_topk" -> ((s, d) => {
       val e = embeddings(s, d)
@@ -1603,6 +1611,39 @@ object PipelineQueries {
           |  CAST(sum(CASE WHEN lum // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
           |  round(CAST(sum(lum) AS DOUBLE) / count(*), 6) AS mean_luma
           |FROM l GROUP BY 1, 2, 3""".stripMargin,
+      // mirrors Multimodal.videoFrameFeatures(everyK=2) over
+      // syntheticVideoAssets: frames f < 3 + id%4 with f%2=0, then the
+      // frame-pixel generation formula replayed per sampled frame
+      "multimodal_video_features" ->
+        """WITH a AS (SELECT range AS id,
+          |    CAST(4 + range % 5 AS INTEGER) AS w, CAST(4 + range % 3 AS INTEGER) AS h,
+          |    CAST(3 + range % 4 AS INTEGER) AS nf
+          |  FROM range(0, 100)),
+          |fr AS (SELECT id, w, h, fs.f FROM a,
+          |  (SELECT range AS f FROM range(0, 6)) fs
+          |  WHERE fs.f < nf AND fs.f % 2 = 0),
+          |px AS (SELECT id, f, w, h, xs.x, ys.y FROM fr,
+          |  (SELECT range AS x FROM range(0, 8)) xs,
+          |  (SELECT range AS y FROM range(0, 6)) ys
+          |  WHERE xs.x < w AND ys.y < h),
+          |c AS (SELECT id, f, w, h,
+          |    (id * 31 + f * 29 + x * 7 + y * 13) % 256 AS r,
+          |    (id * 17 + f * 37 + x * 3 + y * 5) % 256 AS g,
+          |    (id * 11 + f * 41 + x * 19 + y * 23) % 256 AS b
+          |  FROM px),
+          |l AS (SELECT id, f, w, h, r, g, b,
+          |    (r * 299 + g * 587 + b * 114) // 1000 AS lum FROM c)
+          |SELECT id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
+          |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          |  count(*) AS n_px,
+          |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+          |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(lum) AS BIGINT) AS sum_luma,
+          |  CAST(sum(CASE WHEN lum // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l0,
+          |  CAST(sum(CASE WHEN lum // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+          |  CAST(sum(CASE WHEN lum // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+          |  CAST(sum(CASE WHEN lum // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+          |  round(CAST(sum(lum) AS DOUBLE) / count(*), 6) AS mean_luma
+          |FROM l GROUP BY 1, 2, 3, 4""".stripMargin,
       // mirrors Multimodal.audioFeatures: the PCM sample formula of
       // syntheticAudioAssets re-derived in SQL (WAV/PCM is lossless)
       "multimodal_audio_features" ->

@@ -8,14 +8,17 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata; decode/feature-extraction runs
   * per-partition in batches (the Scala analogue of mapInPandas batch UDFs).
   *
-  * Image and audio decode are REAL: PNG via JDK `javax.imageio.ImageIO` and
-  * WAV/PCM via JDK `javax.sound.sampled.AudioSystem` — see [[imageFeatures]]
-  * and [[audioFeatures]], both lossless codecs so the decoded samples (and
-  * therefore every feature) are exactly reproducible by an oracle that
-  * never touches the bytes. Text decode is a codegen'd column conversion
-  * ([[decodeTextAssets]]). Only video frame DECODING remains behind the
-  * pluggable [[Decoder]] boundary (`StubDecoder`), since the JDK ships no
-  * video codec; the frame-sampling PLAN is real ([[frameSamplePlan]]).
+  * Image, audio AND video decode are REAL, all through JDK codecs: PNG via
+  * `javax.imageio.ImageIO` ([[imageFeatures]], [[resizeImages]]), WAV/PCM
+  * via `javax.sound.sampled.AudioSystem` ([[audioFeatures]]), and
+  * multi-frame video as animated GIF via ImageIO's GIF sequence
+  * reader/writer ([[videoFrameFeatures]]). All three containers are
+  * lossless here (PNG and PCM always; GIF whenever each frame has ≤256
+  * distinct colors and carries an exact palette), so the decoded samples —
+  * and therefore every feature — are exactly reproducible by an oracle
+  * that never touches the bytes. Text decode is a codegen'd column
+  * conversion ([[decodeTextAssets]]). The pluggable [[Decoder]] boundary
+  * (`StubDecoder`) remains only for codecs outside the JDK (H.264 etc.).
   */
 object Multimodal {
 
@@ -42,8 +45,9 @@ object Multimodal {
 
   /** Deterministic fake decoder: 8 pseudo-features derived from a rolling
     * hash of the payload bytes. NOT a real codec — stands in only for
-    * video-frame decode (the JDK has no video codec); image and audio have
-    * real JDK decode paths in [[imageFeatures]] / [[audioFeatures]]. */
+    * formats the JDK cannot decode (H.264/mp4 and friends); image, audio
+    * and animated-GIF video have real JDK decode paths in
+    * [[imageFeatures]] / [[audioFeatures]] / [[videoFrameFeatures]]. */
   object StubDecoder extends Decoder {
     def decode(mediaType: String, payload: Array[Byte]): Array[Float] = {
       val h = new Array[Long](8)
@@ -242,6 +246,144 @@ object Multimodal {
           (id, "image", bos.toByteArray, tw, th)
         }
       }.toDF("asset_id", "media_type", "payload", "width", "height")
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL video decode: multi-frame animated GIF via JDK ImageIO.
+  // ---------------------------------------------------------------------
+
+  /** Per-sampled-frame features from a real multi-frame decode: the
+    * [[ImageFeatures]] integer surface plus the frame index. */
+  final case class VideoFrameFeatures(
+      asset_id: Long, frame_idx: Long, width: Int, height: Int, n_px: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, sum_luma: Long,
+      n_l0: Long, n_l1: Long, n_l2: Long, n_l3: Long, mean_luma: Double)
+
+  /** Deterministic synthetic VIDEO corpus with REAL animated-GIF payloads.
+    * Pixel (x, y) of frame `f` of asset `id` is the pure integer formula
+    * {{{ r = (31 id + 29 f +  7 x + 13 y) mod 256
+    *     g = (17 id + 37 f +  3 x +  5 y) mod 256
+    *     b = (11 id + 41 f + 19 x + 23 y) mod 256 }}}
+    * over a `(4 + id mod 5) × (4 + id mod 3)` canvas and `3 + id mod 4`
+    * frames at 10 fps. Each frame is written TYPE_BYTE_INDEXED with an
+    * exact palette of its own colors (≤ w·h ≤ 48 « 256 entries) and
+    * interlacing disabled — under those two conditions the JDK GIF
+    * writer/reader round-trip is bit-exact (the default path is NOT: RGB
+    * input gets quantized to a web-safe palette, and interlaced output is
+    * mis-deinterlaced on read), which is what makes [[videoFrameFeatures]]
+    * oracle-checkable without the oracle parsing a GIF. Encoding runs
+    * per-partition (the codec boundary); everything else is narrow
+    * column plumbing. */
+  def syntheticVideoAssets(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val writerHolder = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+      require(writerHolder.hasNext, "JDK GIF writer missing")
+      ids.map { id =>
+        val w = 4 + (id % 5).toInt
+        val h = 4 + (id % 3).toInt
+        val nf = 3 + (id % 4).toInt
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val px = Array.ofDim[Int](h, w)
+          val pal = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((id * 31 + f * 29 + x * 7 + y * 13) % 256).toInt
+              val g = ((id * 17 + f * 37 + x * 3 + y * 5) % 256).toInt
+              val b = ((id * 11 + f * 41 + x * 19 + y * 23) % 256).toInt
+              val c = (r << 16) | (g << 8) | b
+              px(y)(x) = c
+              if (!pal.contains(c)) pal(c) = pal.size
+              x += 1
+            }
+            y += 1
+          }
+          val m = pal.size
+          val rr = new Array[Byte](m); val gg = new Array[Byte](m); val bb = new Array[Byte](m)
+          pal.foreach { case (c, i) =>
+            rr(i) = ((c >> 16) & 0xff).toByte
+            gg(i) = ((c >> 8) & 0xff).toByte
+            bb(i) = (c & 0xff).toByte
+          }
+          val icm = new java.awt.image.IndexColorModel(8, m, rr, gg, bb)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, px(y)(x)); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+          f += 1
+        }
+        writer.endWriteSequence(); ios.close(); writer.dispose()
+        (id, "video", bos.toByteArray, w, h, nf.toLong * 100L)
+      }
+    }.toDF("asset_id", "media_type", "payload", "width", "height", "duration_ms")
+  }
+
+  /** REAL video decode + frame-sampled feature extraction: ImageIO's GIF
+    * sequence reader parses the animated-GIF container, every `everyK`-th
+    * frame (0, k, 2k, …) is decoded and reduced to the [[ImageFeatures]]
+    * integer surface. This is [[frameSamplePlan]] made real: the plan
+    * variant generates (asset, ts) rows from metadata alone; this one
+    * pays the codec cost. 100 TB shape: identical to [[imageFeatures]] —
+    * a shuffle-free per-partition narrow map, one reader per payload,
+    * O(frame) state; the container is scanned sequentially (inherent to
+    * video codecs — sampling saves decode work, not I/O). */
+  def videoFrameFeatures(assets: DataFrame, everyK: Int): Dataset[VideoFrameFeatures] = {
+    require(everyK >= 1, s"need everyK >= 1; got $everyK")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.where(col("media_type") === "video" && col("payload").isNotNull)
+      .select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)), false)
+          val nf = reader.getNumImages(true)
+          val out = (0 until nf by everyK).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+            val hist = new Array[Long](4)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+                val l = luma(r, g, b)
+                sr += r; sg += g; sb += b; sl += l
+                hist(l / 64) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val nPx = w.toLong * h
+            VideoFrameFeatures(id, f.toLong, w, h, nPx, sr, sg, sb, sl,
+              hist(0), hist(1), hist(2), hist(3),
+              BigDecimal(sl.toDouble / nPx).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          reader.dispose()
+          out
+        }
+      }
   }
 
   // ---------------------------------------------------------------------

@@ -298,6 +298,25 @@ class PipelineSpec extends SparkSuite {
     assert(f.n_px == 15 && f.sum_r == px.map(_._1).sum && f.sum_b == px.map(_._3).sum)
   }
 
+  test("multimodal: REAL video decode frame-samples an animated GIF exactly") {
+    val vids = Multimodal.syntheticVideoAssets(spark, 8)
+    val by = Multimodal.videoFrameFeatures(vids, everyK = 2).collect().groupBy(_.asset_id)
+    // asset 5: 4x6 canvas, 4 frames -> samples frames 0 and 2
+    assert(by(5L).map(_.frame_idx).sorted.sameElements(Array(0L, 2L)))
+    // asset 3: 3 + 3%4 = 6 frames -> samples 0, 2, 4
+    assert(by(3L).map(_.frame_idx).sorted.sameElements(Array(0L, 2L, 4L)))
+    // frame 2 of asset 5 recovers the generation formula bit-for-bit
+    val f52 = by(5L).find(_.frame_idx == 2L).get
+    val px = for { y <- 0 until 6; x <- 0 until 4 } yield
+      ((5 * 31 + 2 * 29 + x * 7 + y * 13) % 256, (5 * 17 + 2 * 37 + x * 3 + y * 5) % 256,
+        (5 * 11 + 2 * 41 + x * 19 + y * 23) % 256)
+    assert(f52.width == 4 && f52.height == 6 && f52.n_px == 24)
+    assert(f52.sum_r == px.map(_._1).sum && f52.sum_g == px.map(_._2).sum &&
+      f52.sum_b == px.map(_._3).sum)
+    val lums = px.map { case (r, g, b) => (r * 299 + g * 587 + b * 114) / 1000 }
+    assert(f52.sum_luma == lums.sum && f52.n_l1 == lums.count(_ / 64 == 1))
+  }
+
   test("multimodal: REAL WAV decode recovers the PCM sample formula exactly") {
     val assets = Multimodal.syntheticAudioAssets(spark, 10)
     // payloads are genuine RIFF/WAVE containers
