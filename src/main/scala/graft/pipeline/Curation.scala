@@ -435,11 +435,18 @@ object Curation {
           "left_anti").persist(lvl)
         try {
           // optional containment recall arm: cluster engulfed-prefix pairs
-          // over the near-dup survivors, keep the min-id member per cluster
+          // over the near-dup survivors, keep the min-id member per
+          // cluster. Shingles come from the SHARED token table (semi-join
+          // restricts to survivors) — the third consumer of the
+          // tokenize-once pass, via containmentOnShingles
           val s2b = if (!rareShingleArm) s2 else {
             val cDrop = ConnectedComponents.labels(
-                Dedup.containmentViaRareShingles(s2, idCol, textCol,
-                  n, rareMaxDf, minContain).select("a", "b"))
+                Dedup.containmentOnShingles(
+                  TextAnalysis.shingleRowsFromTokens(
+                      toks.join(s2.select(idCol), Seq(idCol), "left_semi"),
+                      idCol, n)
+                    .withColumnRenamed(idCol, "doc"),
+                  rareMaxDf, minContain).select("a", "b"))
               .where(col("id") =!= col("cluster"))
               .select(col("id").as("__cdrop_id"))
             s2.join(cDrop, s2(idCol).cast("long") === col("__cdrop_id"),

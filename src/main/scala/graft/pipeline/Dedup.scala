@@ -451,10 +451,20 @@ object Dedup {
     * shingle-intersection aggregation, bounded by candidates. */
   def containmentViaRareShingles(df: DataFrame, idCol: String, textCol: String,
                                  n: Int = 3, maxDf: Int = 8,
-                                 minContain: Double = 0.9): DataFrame = {
+                                 minContain: Double = 0.9): DataFrame =
+    containmentOnShingles(
+      TextAnalysis.shingleRows(df, idCol, textCol, n).withColumnRenamed(idCol, "doc"),
+      maxDf, minContain)
+
+  /** [[containmentViaRareShingles]]' core over a PRECOMPUTED `(doc,
+    * shingle)` table — callers that already hold a token/shingle table
+    * (e.g. the curation funnel, which tokenizes survivors once for all
+    * shingle consumers) skip the tokenize+explode pass. Rows need not be
+    * distinct per (doc, shingle); deduplication happens here. */
+  def containmentOnShingles(shingles: DataFrame, maxDf: Int = 8,
+                            minContain: Double = 0.9): DataFrame = {
     require(maxDf >= 2, s"need maxDf >= 2; got $maxDf")
-    val sh = TextAnalysis.shingleRows(df, idCol, textCol, n)
-      .withColumnRenamed(idCol, "doc")
+    val sh = shingles.select("doc", "shingle")
       .dropDuplicates("doc", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
