@@ -346,6 +346,13 @@ object GraphQueries {
     "graphx_shortest_paths" -> ((s, d) =>
       GraphAnalytics.shortestPaths(analyticsSubgraph(graph(s, d)), analyticsToLong,
         landmarks = Seq(0L, 1L, 2L, 3L, 4L))),
+    // the RDD-free twin: iterated min-propagation with the fused
+    // count+sum convergence probe — same closed-form oracle as the
+    // GraphX bridge (completes the DataFrame-native set: cc, PageRank,
+    // LPA, shortest paths)
+    "graph_sssp_df" -> ((s, d) =>
+      GraphAnalytics.shortestPathsDF(analyticsSubgraph(graph(s, d)), analyticsToLong,
+        landmarks = Seq(0L, 1L, 2L, 3L, 4L))),
 
     // §2.8 host-level aggregation patterns (cocktail_statistic analogues)
     "agg_pricing_summary" -> ((s, d) =>
@@ -684,6 +691,13 @@ object GraphQueries {
         |UNION ALL SELECT 'supplier:'||s_suppkey, CAST(n_regionkey AS BIGINT) FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |UNION ALL SELECT 'customer:'||c_custkey, CAST(n_regionkey AS BIGINT) FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "graphx_shortest_paths" ->
+      """SELECT 'region:'||r_regionkey AS id, CAST(r_regionkey AS BIGINT) AS landmark, CAST(0 AS BIGINT) AS dist FROM region
+        |UNION ALL SELECT 'nation:'||n_nationkey, CAST(n_regionkey AS BIGINT), CAST(1 AS BIGINT) FROM nation
+        |UNION ALL SELECT 'customer:'||c_custkey, CAST(n_regionkey AS BIGINT), CAST(2 AS BIGINT) FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |UNION ALL SELECT 'supplier:'||s_suppkey, CAST(n_regionkey AS BIGINT), CAST(2 AS BIGINT) FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    // the DataFrame min-propagation BFS matches GraphX ShortestPaths
+    // semantics exactly, so both answer to the same closed-form oracle
+    "graph_sssp_df" ->
       """SELECT 'region:'||r_regionkey AS id, CAST(r_regionkey AS BIGINT) AS landmark, CAST(0 AS BIGINT) AS dist FROM region
         |UNION ALL SELECT 'nation:'||n_nationkey, CAST(n_regionkey AS BIGINT), CAST(1 AS BIGINT) FROM nation
         |UNION ALL SELECT 'customer:'||c_custkey, CAST(n_regionkey AS BIGINT), CAST(2 AS BIGINT) FROM customer JOIN nation ON c_nationkey = n_nationkey

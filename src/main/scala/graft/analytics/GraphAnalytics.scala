@@ -234,6 +234,63 @@ object GraphAnalytics {
     }
   }
 
+  /** DataFrame-native landmark shortest paths — [[shortestPaths]] (the
+    * GraphX bridge) without the RDD round-trip, same semantics: hop
+    * counts following edge direction from each vertex toward the
+    * landmarks, one row per (vertex, REACHABLE landmark), unreachable
+    * pairs absent, landmarks at distance 0 to themselves. Distances
+    * propagate dst→src — an edge (s, d) lets s reach every landmark d
+    * reaches at one more hop — the exact dual of GraphX's Pregel
+    * message flow in ShortestPaths.
+    *
+    * Scale: per round ONE equi-join (edges × dist table on the
+    * destination key) and one map-side-combinable min() per
+    * (vertex, landmark); the convergence probe rides the SAME job as
+    * the round's checkpoint materialization (count+sum fixpoint: min
+    * propagation can only add pairs or lower distances, so an unchanged
+    * (row count, Σdist) pair is convergence — the cc probe's shape).
+    * Rounds are bounded by the graph diameter; everything is integer,
+    * zero FP-parity surface. Dist table and edges co-partition on the
+    * vertex key across rounds on a real cluster. */
+  def shortestPathsDF(g: GraphStore, toLong: Column => Column,
+                      landmarks: Seq[Long], maxIters: Int = 50): DataFrame = {
+    require(landmarks.nonEmpty, "need at least one landmark")
+    val verts = g.vertices.select(toLong(col("id")).as("vid"), col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = g.edges
+      .select(toLong(col("src")).as("src"), toLong(col("dst")).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // landmark ids that are not graph vertices seed nothing (GraphX
+      // parity: only vertices can carry the initial 0)
+      var dist = verts
+        .where(col("vid").isin(landmarks: _*))
+        .select(col("vid"), col("vid").as("landmark"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      var prevCount = -1L
+      var prevSum = -1L
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        iter += 1
+        val msgs = edges
+          .join(dist.select(col("vid").as("dst"), col("landmark"), col("dist")), Seq("dst"))
+          .select(col("src").as("vid"), col("landmark"), (col("dist") + 1L).as("dist"))
+        val next = dist.unionByName(msgs)
+          .groupBy("vid", "landmark").agg(min("dist").as("dist"))
+          .localCheckpoint(false) // lazy: the probe agg materializes it
+        val probe = next
+          .agg(count(lit(1)).as("c"), coalesce(sum("dist"), lit(0L)).as("s")).first()
+        val (c, s) = (probe.getLong(0), probe.getLong(1))
+        converged = c == prevCount && s == prevSum
+        prevCount = c; prevSum = s
+        dist = next
+      }
+      require(converged, s"shortest paths did not converge in $maxIters rounds")
+      dist.join(verts, Seq("vid")).select(col("id"), col("landmark"), col("dist"))
+    } finally { verts.unpersist(); edges.unpersist() }
+  }
+
   /** Single-source-style shortest paths to a LANDMARK set (GraphX
     * ShortestPaths: hop counts following edge direction from each vertex
     * toward the landmarks). Returns one row per (vertex, reachable

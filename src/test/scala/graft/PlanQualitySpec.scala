@@ -362,6 +362,19 @@ class PlanQualitySpec extends SparkSuite {
     aud.collect()
     val aPlan = aud.queryExecution.executedPlan.toString
     assert(!aPlan.contains("Exchange"), s"shuffle in audio decode:\n$aPlan")
+    // the chained decode→resize→encode→decode pipeline composes two codec
+    // boundaries and must STILL be one narrow pass
+    val rsz = graft.pipeline.Multimodal.imageFeatures(
+      graft.pipeline.Multimodal.resizeImages(
+        graft.pipeline.Multimodal.syntheticImageAssets(spark, 6), maxDim = 5)).toDF()
+    rsz.collect()
+    val rPlan = rsz.queryExecution.executedPlan.toString
+    assert(!rPlan.contains("Exchange"), s"shuffle in resize chain:\n$rPlan")
+    val vid = graft.pipeline.Multimodal.videoFrameFeatures(
+      graft.pipeline.Multimodal.syntheticVideoAssets(spark, 6), everyK = 2).toDF()
+    vid.collect()
+    val vPlan = vid.queryExecution.executedPlan.toString
+    assert(!vPlan.contains("Exchange"), s"shuffle in video decode:\n$vPlan")
   }
 
   test("pcaProject: loadings/means ride broadcast joins, no corpus self-join") {
