@@ -470,6 +470,23 @@ object PipelineQueries {
         .triangleCount(g, id => split(id, ":").getItem(1).cast("long"))
         .select(col("id"), col("triangles").cast("long").as("triangles"))
     }),
+    // the RDD-free twin: degree-ordered wedge join (compact-forward) —
+    // same clique graph, same closed-form oracle as the GraphX bridge
+    "graph_triangles_df" -> ((s, d) => {
+      val pairs = pipeline.Curation.exactDupCliquePairs(
+        dedupCorpus(s, d), "doc_id", "text", maxGroupSize = 256)
+      val docId = (n: String) => concat(lit("doc:"), col(n))
+      val verts = pairs.select(col("a").as("k")).unionByName(pairs.select(col("b").as("k")))
+        .distinct()
+        .select(concat(lit("doc:"), col("k")).as("id"), lit("").as("prop_hash"))
+      val edges = pairs.select(lit("").as("edge_id"), docId("a").as("src"),
+        docId("b").as("dst"), lit("").as("prop_hash"))
+      val empty = graft.model.GraphStore.empty(s)
+      val g = graft.model.GraphStore(verts, edges, empty.props, empty.propRefs)
+      graft.analytics.GraphAnalytics
+        .triangleCountDF(g, id => split(id, ":").getItem(1).cast("long"))
+        .select(col("id"), col("triangles").cast("long").as("triangles"))
+    }),
     // curation: deterministic md5-bucket sampling (~16%)
     "curate_sample" -> ((s, d) =>
       pipeline.Curation.sampleByHash(docs(s, d), "doc_id", keepOf256 = 41)
@@ -2028,6 +2045,13 @@ object PipelineQueries {
            |  count(*) OVER (PARTITION BY md5(text)) AS n FROM corpus)
            |SELECT doc_id, cluster FROM grouped WHERE n > 1""".stripMargin,
       "graphx_triangles" ->
+        s"""$corpusCte,
+           |g AS (SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS n FROM corpus)
+           |SELECT 'doc:'||doc_id AS id, CAST((n-1)*(n-2)//2 AS BIGINT) AS triangles
+           |FROM g WHERE n > 1 AND n <= 256""".stripMargin,
+      // the DataFrame compact-forward count matches GraphX triangleCount
+      // semantics exactly, so both answer to the same closed-form oracle
+      "graph_triangles_df" ->
         s"""$corpusCte,
            |g AS (SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS n FROM corpus)
            |SELECT 'doc:'||doc_id AS id, CAST((n-1)*(n-2)//2 AS BIGINT) AS triangles

@@ -311,6 +311,59 @@ object GraphAnalytics {
       .select(col("id"), col("landmark"), col("dist"))
   }
 
+  /** DataFrame-native per-vertex triangle count — [[triangleCount]]
+    * (the GraphX bridge) without the RDD round-trip, same semantics:
+    * the graph is treated as undirected simple (duplicate edges merged,
+    * self-loops dropped), and EVERY vertex is reported, 0 when
+    * triangle-free.
+    *
+    * Scale: the classic degree-ordered orientation bounds the wedge
+    * join — every canonical edge points from its lower (degree, id)
+    * endpoint to its higher one, so post-orientation out-degree is
+    * O(√m) on ANY graph (a vertex with out-degree k has k higher-degree
+    * neighbors, each of degree ≥ k, so k² ≤ 2m) and the wedge
+    * self-join's fan-out is Σ outdeg² ≤ O(m^1.5) — the compact-forward
+    * bound — instead of Σ deg², which a skewed hub graph turns
+    * quadratic. Each triangle is enumerated exactly once (apex = its
+    * orientation-minimal corner; the closure probe keys on the oriented
+    * third edge, so of the two wedge orderings only one closes). All
+    * joins are equi-joins on vertex keys; corner counts are a
+    * map-side-combinable sum over the three exploded corners. */
+  def triangleCountDF(g: GraphStore, toLong: Column => Column): DataFrame = {
+    val verts = g.vertices.select(toLong(col("id")).as("vid"), col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e0 = g.edges.select(toLong(col("src")).as("u"), toLong(col("dst")).as("v"))
+    val canon = e0.where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = canon.select(col("a").as("vid")).unionByName(canon.select(col("b").as("vid")))
+        .groupBy("vid").agg(count(lit(1)).as("__deg"))
+      val keyed = canon
+        .join(deg.select(col("vid").as("a"), col("__deg").as("__da")), Seq("a"))
+        .join(deg.select(col("vid").as("b"), col("__deg").as("__db")), Seq("b"))
+      val aLower = struct(col("__da"), col("a")) < struct(col("__db"), col("b"))
+      val oriented = keyed.select(
+        when(aLower, col("a")).otherwise(col("b")).as("s"),
+        when(aLower, col("b")).otherwise(col("a")).as("t"))
+        .localCheckpoint(true)
+      // wedges from each apex s; the probe on the ORIENTED (t1 -> t2)
+      // edge admits exactly one of the pair's two orderings
+      val wedges = oriented
+        .join(oriented.select(col("s"), col("t").as("t2")), Seq("s"))
+        .where(col("t") =!= col("t2"))
+        .select(col("s"), col("t").as("t1"), col("t2"))
+      val triangles = wedges
+        .join(oriented.select(col("s").as("t1"), col("t").as("t2")),
+          Seq("t1", "t2"), "left_semi")
+      val corners = triangles.select(explode(array(col("s"), col("t1"), col("t2"))).as("vid"))
+        .groupBy("vid").agg(count(lit(1)).as("__n"))
+      verts.join(corners, Seq("vid"), "left")
+        .select(col("id"), coalesce(col("__n"), lit(0L)).as("triangles"))
+    } finally { verts.unpersist(); canon.unpersist() }
+  }
+
   /** Per-vertex triangle count (GraphX semantics: graph treated as
     * undirected, needs canonical edge orientation). */
   def triangleCount(g: GraphStore, toLong: Column => Column): DataFrame = {

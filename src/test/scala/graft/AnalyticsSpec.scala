@@ -174,6 +174,75 @@ class AnalyticsSpec extends SparkSuite {
     assert(!df.contains(("v:d", 1L)) && !df.contains(("v:lone", 4L)))
   }
 
+  test("triangle count: DataFrame compact-forward matches GraphX exactly") {
+    val gx = GraphAnalytics.triangleCount(g, toLong).collect()
+      .map(r => r.getString(0) -> r.getAs[Number](1).longValue).toMap
+    val df = GraphAnalytics.triangleCountDF(g, toLong).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == gx, s"df $df vs graphx $gx")
+    // fixture sanity: both triangles count, bridge edge makes none, the
+    // loner reports 0 (present, not absent)
+    assert(df("v:a") == 1L && df("v:d") == 1L && df("v:lone") == 0L)
+  }
+
+  test("triangle count DF: duplicate and reversed edges collapse to one") {
+    // a duplicated edge and a reversed duplicate must not create extra
+    // triangles (canonicalization parity with GraphX's removeSelfEdges +
+    // convertToCanonicalEdges)
+    val b = new GraphBatch
+    Seq("x", "y", "z").foreach(n => b.createNode(s"w:$n", PropValue.typed("N", Some(n))))
+    Seq(("x", "y"), ("y", "x"), ("y", "z"), ("z", "x"), ("x", "x"))
+      .foreach { case (s, d) => b.createEdge(s"w:$s", s"w:$d", PropValue.typed("E", Some(s + d))) }
+    val g2 = b.toStore(spark)
+    val tl: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => when(id === "w:x", 1L).when(id === "w:y", 2L).otherwise(3L)
+    val df = GraphAnalytics.triangleCountDF(g2, tl).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == Map("w:x" -> 1L, "w:y" -> 1L, "w:z" -> 1L), s"got $df")
+  }
+
+  test("randomized graphs: DF cc/sssp/triangles match GraphX on every seed") {
+    // deterministic seeds; ~40 vertices, edge density past the
+    // connectivity threshold so components, cycles and triangles all
+    // occur. Catches orientation/canonicalization edge cases a
+    // hand-built fixture misses (parallel edges both ways, self-loops,
+    // isolated vertices).
+    for (seed <- Seq(7L, 23L, 91L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val b = new GraphBatch
+      (0 until n).foreach(i => b.createNode(s"r:$i", PropValue.typed("N", Some(i.toString))))
+      val m = 70 + rnd.nextInt(30)
+      (0 until m).foreach { k =>
+        val u = rnd.nextInt(n); val v = rnd.nextInt(n) // self-loops allowed
+        b.createEdge(s"r:$u", s"r:$v", PropValue.typed("E", Some(s"$seed-$k")))
+      }
+      val rg = b.toStore(spark).persistAll()
+      val tl: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        id => split(id, ":").getItem(1).cast("long")
+      val gxT = GraphAnalytics.triangleCount(rg, tl).collect()
+        .map(r => r.getString(0) -> r.getAs[Number](1).longValue).toMap
+      val dfT = GraphAnalytics.triangleCountDF(rg, tl).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dfT == gxT, s"seed $seed triangles: df $dfT vs gx $gxT")
+      val lms = Seq(0L, 1L, 2L)
+      val gxS = GraphAnalytics.shortestPaths(rg, tl, lms).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val dfS = GraphAnalytics.shortestPathsDF(rg, tl, lms).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(dfS == gxS, s"seed $seed sssp diverged")
+      val gxC = GraphAnalytics.connectedComponents(rg, tl).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dfC = pipeline.ConnectedComponents.labels(
+          rg.edges.select(tl(col("src")).as("a"), tl(col("dst")).as("b"))).collect()
+        .map(r => "r:" + r.getLong(0) -> r.getLong(1)).toMap
+      // the DF cc runs on edge-touched vertices only; compare that slice
+      dfC.foreach { case (id, c) =>
+        assert(gxC(id) == c, s"seed $seed cc: $id df $c vs gx ${gxC(id)}")
+      }
+    }
+  }
+
   test("triangle count: every triangle member counts its triangle") {
     val tc = GraphAnalytics.triangleCount(g, toLong).collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
