@@ -21,6 +21,9 @@ object PipelineQueries {
   private val streamSigDedupCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
+  private val streamAssetCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   private val exportManifestCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
@@ -358,6 +361,20 @@ object PipelineQueries {
       graft.streaming.EventStreams.runToMemory(s, tmp,
         df => graft.streaming.EventStreams.streamingSignatureDedup(df),
         schema = schema)
+    })),
+    // streaming multimodal ingest: the BATCH image decoder runs unchanged
+    // on a readStream of asset files (filter + typed mapPartitions are
+    // streaming-legal narrow ops), the continuous-media-ingest shape —
+    // per micro-batch, per partition, one decoder; no state, no shuffle
+    "stream_asset_features" -> ((s, d) => streamAssetCache.computeIfAbsent((s, d), { _ =>
+      val assets = pipeline.Multimodal.syntheticImageAssets(s, 60)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sassets").toString
+      assets.write.mode("overwrite").parquet(tmp)
+      graft.streaming.EventStreams.runToMemory(s, tmp,
+        df => pipeline.Multimodal.imageFeatures(df).toDF()
+          .withColumn("width", col("width").cast("long"))
+          .withColumn("height", col("height").cast("long")),
+        schema = pipeline.Multimodal.assetWriteSchema)
     })),
     // BPE-style merge-rule learning: 4 rounds of top-pair promotion with
     // literal two-pass rewrites; later rounds merge against merged tokens
@@ -1574,6 +1591,34 @@ object PipelineQueries {
         """WITH a AS (SELECT range AS id,
           |    CAST(4 + range % 5 AS INTEGER) AS w, CAST(4 + range % 3 AS INTEGER) AS h
           |  FROM range(0, 120)),
+          |px AS (SELECT id, w, h, xs.x, ys.y FROM a,
+          |  (SELECT range AS x FROM range(0, 8)) xs,
+          |  (SELECT range AS y FROM range(0, 6)) ys
+          |  WHERE xs.x < w AND ys.y < h),
+          |c AS (SELECT id, w, h,
+          |    (id * 31 + x * 7 + y * 13) % 256 AS r,
+          |    (id * 17 + x * 3 + y * 5) % 256 AS g,
+          |    (id * 11 + x * 19 + y * 23) % 256 AS b
+          |  FROM px),
+          |l AS (SELECT id, w, h, r, g, b,
+          |    (r * 299 + g * 587 + b * 114) // 1000 AS lum FROM c)
+          |SELECT id AS asset_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          |  count(*) AS n_px,
+          |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+          |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(lum) AS BIGINT) AS sum_luma,
+          |  CAST(sum(CASE WHEN lum // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l0,
+          |  CAST(sum(CASE WHEN lum // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+          |  CAST(sum(CASE WHEN lum // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+          |  CAST(sum(CASE WHEN lum // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+          |  round(CAST(sum(lum) AS DOUBLE) / count(*), 6) AS mean_luma
+          |FROM l GROUP BY 1, 2, 3""".stripMargin,
+      // mirrors imageFeatures run THROUGH the streaming engine over 60
+      // assets — decode is deterministic per payload, so stream == batch
+      // and the oracle is the same pixel-formula replay
+      "stream_asset_features" ->
+        """WITH a AS (SELECT range AS id,
+          |    CAST(4 + range % 5 AS INTEGER) AS w, CAST(4 + range % 3 AS INTEGER) AS h
+          |  FROM range(0, 60)),
           |px AS (SELECT id, w, h, xs.x, ys.y FROM a,
           |  (SELECT range AS x FROM range(0, 8)) xs,
           |  (SELECT range AS y FROM range(0, 6)) ys

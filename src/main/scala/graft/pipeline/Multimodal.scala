@@ -33,6 +33,15 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
+  /** The on-disk shape [[syntheticImageAssets]] writes — what a
+    * `readStream` over an image-asset landing directory declares. */
+  val assetWriteSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+
   final case class MediaFeatures(
       assetId: Long, mediaType: String, nBytes: Long,
       sha: String, features: Array[Float])

@@ -377,6 +377,24 @@ class PlanQualitySpec extends SparkSuite {
     assert(!vPlan.contains("Exchange"), s"shuffle in video decode:\n$vPlan")
   }
 
+  test("triangle wedge join is equi-keyed, never cartesian or nested-loop") {
+    // compact-forward correctness depends on the wedge and closure joins
+    // staying hash equi-joins on vertex keys — a cartesian fallback here
+    // is the quadratic blowup the degree ordering exists to prevent
+    val b = new graft.store.GraphBatch
+    Seq("1", "2", "3", "4").foreach(n =>
+      b.createNode(s"t:$n", graft.model.PropValue.typed("N", Some(n))))
+    Seq(("1", "2"), ("2", "3"), ("3", "1"), ("3", "4"))
+      .foreach { case (s, d) => b.createEdge(s"t:$s", s"t:$d", graft.model.PropValue("E")) }
+    val g = b.toStore(spark)
+    val df = graft.analytics.GraphAnalytics.triangleCountDF(
+      g, id => org.apache.spark.sql.functions.split(id, ":").getItem(1).cast("long"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in triangles:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in triangles:\n$plan")
+  }
+
   test("pcaProject: loadings/means ride broadcast joins, no corpus self-join") {
     import spark.implicits._
     val vecs = (0L until 12L).map(i =>

@@ -97,6 +97,23 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming multimodal ingest: decoded features equal the batch run") {
+    // the BATCH image decoder composed into a readStream unchanged —
+    // filter + typed mapPartitions are streaming-legal narrow ops
+    val assets = graft.pipeline.Multimodal.syntheticImageAssets(spark, 12)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sassets-spec").toString
+    assets.write.mode("overwrite").parquet(dir)
+    val streamed = EventStreams.runToMemory(spark, dir,
+      df => graft.pipeline.Multimodal.imageFeatures(df).toDF(),
+      schema = graft.pipeline.Multimodal.assetWriteSchema)
+    val batch = graft.pipeline.Multimodal.imageFeatures(assets).toDF()
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    val sRows = streamed.collect().map(r => key(r) -> r.toSeq).toMap
+    val bRows = batch.collect().map(r => key(r) -> r.toSeq).toMap
+    assert(sRows == bRows, "streamed decode diverged from batch decode")
+    assert(sRows.size == 12)
+  }
+
   test("stream→graph ingestion: multi-batch, idempotent under full replay") {
     import spark.implicits._
     val events = Seq(
