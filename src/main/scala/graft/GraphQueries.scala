@@ -353,6 +353,22 @@ object GraphQueries {
     "graph_sssp_df" -> ((s, d) =>
       GraphAnalytics.shortestPathsDF(analyticsSubgraph(graph(s, d)), analyticsToLong,
         landmarks = Seq(0L, 1L, 2L, 3L, 4L))),
+    // WEIGHTED shortest paths (min-plus over an explicit weighted edge
+    // table — the WeightedGraph surface with an actual algorithm):
+    // customer -> nation -> region with deterministic integer weights;
+    // paths are unique, so the closed form IS the oracle
+    "graph_wsssp_df" -> ((s, d) => {
+      val e1 = t(s, d, "nation").select(
+        (col("n_nationkey") + 100).cast("long").as("src"),
+        col("n_regionkey").cast("long").as("dst"),
+        (col("n_nationkey") % 5 + 1).cast("double").as("weight"))
+      val e2 = t(s, d, "customer").select(
+        (col("c_custkey") + 1000).cast("long").as("src"),
+        (col("c_nationkey") + 100).cast("long").as("dst"),
+        (col("c_custkey") % 7 + 1).cast("double").as("weight"))
+      GraphAnalytics.weightedShortestPathsDF(e1.unionByName(e2),
+        landmarks = Seq(0L, 1L, 2L, 3L, 4L))
+    }),
 
     // §2.8 host-level aggregation patterns (cocktail_statistic analogues)
     "agg_pricing_summary" -> ((s, d) =>
@@ -702,6 +718,12 @@ object GraphQueries {
         |UNION ALL SELECT 'nation:'||n_nationkey, CAST(n_regionkey AS BIGINT), CAST(1 AS BIGINT) FROM nation
         |UNION ALL SELECT 'customer:'||c_custkey, CAST(n_regionkey AS BIGINT), CAST(2 AS BIGINT) FROM customer JOIN nation ON c_nationkey = n_nationkey
         |UNION ALL SELECT 'supplier:'||s_suppkey, CAST(n_regionkey AS BIGINT), CAST(2 AS BIGINT) FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    // unique-path closed form: region 0 to itself, nation = its own
+    // edge weight, customer = customer-edge + nation-edge weights
+    "graph_wsssp_df" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS vid, CAST(r_regionkey AS BIGINT) AS landmark, CAST(0 AS DOUBLE) AS dist FROM region
+        |UNION ALL SELECT CAST(100 + n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT), CAST(n_nationkey % 5 + 1 AS DOUBLE) FROM nation
+        |UNION ALL SELECT CAST(1000 + c_custkey AS BIGINT), CAST(n_regionkey AS BIGINT), CAST((c_custkey % 7 + 1) + (n_nationkey % 5 + 1) AS DOUBLE) FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "graphx_pagerank" -> pageRankSql,
     // the DataFrame power iteration matches GraphX static PageRank
     // semantics exactly, so both answer to the same closed-form oracle

@@ -311,6 +311,67 @@ object GraphAnalytics {
       .select(col("id"), col("landmark"), col("dist"))
   }
 
+  /** Weighted landmark shortest paths by min-plus (Bellman-Ford)
+    * iteration over an explicit weighted edge table — the algorithmic
+    * realization of the [[weightedEdges]] surface (the reference's
+    * WeightedGraph trait declares weights but ships no algorithm over
+    * them; this composes: `weightedShortestPathsDF(weightedEdges(g)
+    * .select(toLong(col("src")), toLong(col("dst")), col("weight")),
+    * …)`). Input columns (src, dst, weight — any numeric); returns
+    * (vid, landmark, dist) for every vertex that reaches a landmark
+    * following edge direction, landmarks at 0 to themselves,
+    * unreachable pairs absent — [[shortestPathsDF]]'s contract with
+    * hop counts generalized to weights.
+    *
+    * Distances are carried as DECIMAL(28, 6) internally: decimal
+    * addition is exact and order-independent, so the fused count+sum
+    * convergence probe (the [[shortestPathsDF]] shape) cannot be fooled
+    * by float reassociation across shuffles, and ties resolve
+    * identically on any partitioning. Negative weights are accepted
+    * (min-plus handles them while no negative cycle exists); a negative
+    * cycle keeps lowering the sum forever and trips the `maxIters`
+    * require instead of looping. Per round: one equi-join on the
+    * destination key + one map-side-combinable min — one scheduler job,
+    * rounds bounded by the longest shortest path's edge count. */
+  def weightedShortestPathsDF(edges: DataFrame, landmarks: Seq[Long],
+                              maxIters: Int = 50): DataFrame = {
+    require(landmarks.nonEmpty, "need at least one landmark")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("weight").cast("decimal(28,6)").as("weight"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      var dist = landmarks.toDF("vid")
+        .select(col("vid"), col("vid").as("landmark"),
+          lit(BigDecimal(0)).cast("decimal(28,6)").as("dist"))
+        .localCheckpoint(true)
+      var prevCount = -1L
+      var prevSum: java.math.BigDecimal = null
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        iter += 1
+        val msgs = e
+          .join(dist.select(col("vid").as("dst"), col("landmark"), col("dist")), Seq("dst"))
+          .select(col("src").as("vid"), col("landmark"),
+            (col("dist") + col("weight")).cast("decimal(28,6)").as("dist"))
+        val next = dist.unionByName(msgs)
+          .groupBy("vid", "landmark").agg(min("dist").as("dist"))
+          .localCheckpoint(false) // lazy: the probe agg materializes it
+        val probe = next.agg(count(lit(1)).as("c"),
+          coalesce(sum("dist"), lit(BigDecimal(0))).as("s")).first()
+        val (c, s) = (probe.getLong(0), probe.getDecimal(1))
+        converged = c == prevCount && s.compareTo(prevSum) == 0
+        prevCount = c; prevSum = s
+        dist = next
+      }
+      require(converged,
+        s"weighted shortest paths did not converge in $maxIters rounds (negative cycle?)")
+      dist.select(col("vid"), col("landmark"), col("dist").cast("double").as("dist"))
+    } finally e.unpersist()
+  }
+
   /** DataFrame-native per-vertex triangle count — [[triangleCount]]
     * (the GraphX bridge) without the RDD round-trip, same semantics:
     * the graph is treated as undirected simple (duplicate edges merged,

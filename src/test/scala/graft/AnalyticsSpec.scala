@@ -201,6 +201,39 @@ class AnalyticsSpec extends SparkSuite {
     assert(df == Map("w:x" -> 1L, "w:y" -> 1L, "w:z" -> 1L), s"got $df")
   }
 
+  test("weighted shortest paths: min-plus beats hop count, composes with weightedEdges") {
+    import spark.implicits._
+    // direct 1->2 costs 10; the 2-hop detour 1->3->2 costs 2 — a BFS
+    // would pick the direct edge, min-plus must not
+    val e = Seq((1L, 2L, 10.0), (1L, 3L, 1.0), (3L, 2L, 1.0)).toDF("src", "dst", "weight")
+    val d = GraphAnalytics.weightedShortestPathsDF(e, Seq(2L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(d == Map(2L -> 0.0, 1L -> 2.0, 3L -> 1.0), s"got $d")
+    // the same answer through the WeightedGraph surface (weights parsed
+    // from edge property JSON)
+    val b = new GraphBatch
+    Seq("1", "2", "3").foreach(n => b.createNode(s"n:$n", PropValue.typed("N", Some(n))))
+    b.createEdge("n:1", "n:2", PropValue("Weight", Some("10")))
+    b.createEdge("n:1", "n:3", PropValue("Weight", Some("1")))
+    b.createEdge("n:3", "n:2", PropValue("Weight", Some("1")))
+    val g2 = b.toStore(spark)
+    val we = GraphAnalytics.weightedEdges(g2)
+      .select(split(col("src"), ":").getItem(1).cast("long").as("src"),
+        split(col("dst"), ":").getItem(1).cast("long").as("dst"), col("weight"))
+    val d2 = GraphAnalytics.weightedShortestPathsDF(we, Seq(2L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(d2 == d, s"surface-composed $d2 vs direct $d")
+  }
+
+  test("weighted shortest paths: a negative cycle trips maxIters, never loops") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, -1.0), (2L, 1L, -1.0)).toDF("src", "dst", "weight")
+    val ex = intercept[IllegalArgumentException] {
+      GraphAnalytics.weightedShortestPathsDF(e, Seq(1L), maxIters = 6)
+    }
+    assert(ex.getMessage.contains("negative cycle"))
+  }
+
   test("randomized graphs: DF cc/sssp/triangles match GraphX on every seed") {
     // deterministic seeds; ~40 vertices, edge density past the
     // connectivity threshold so components, cycles and triangles all
