@@ -60,8 +60,10 @@ object Bench {
     "multimodal_resize_features", "multimodal_video_features",
     "embedding_pca_project", "ann_recall_report", "curate_funnel_rare",
     // DataFrame-native landmark BFS + degree-ordered triangle counting
-    // (complete the RDD-free graph set) + weighted min-plus paths
-    "graph_sssp_df", "graph_triangles_df", "graph_wsssp_df")
+    // (complete the RDD-free graph set) + weighted min-plus paths +
+    // k-core peeling over the thresholded co-purchase graph
+    "graph_sssp_df", "graph_triangles_df", "graph_wsssp_df",
+    "graph_kcore_df")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -311,6 +311,67 @@ object GraphAnalytics {
       .select(col("id"), col("landmark"), col("dist"))
   }
 
+  /** Vertices of the k-core: the maximal induced subgraph in which every
+    * vertex has UNDIRECTED degree ≥ k, computed by iterative peeling —
+    * each round drops vertices whose degree in the surviving subgraph is
+    * below k, until a fixpoint. Takes an (a, b) pair table (any numeric
+    * ids — the [[graft.pipeline.ConnectedComponents.labels]] input
+    * contract); returns (vid, degree) for surviving vertices, degree
+    * being the within-core degree. A standard corpus/graph-quality
+    * primitive (the dense backbone that survives after stripping
+    * tendrils).
+    *
+    * Scale: per round, one map-side-combinable degree aggregation over
+    * the surviving symmetrized edge list + two semi-joins to restrict
+    * edges to survivors; the survivor count IS the convergence probe
+    * (peeling is monotone — an unchanged count is the fixpoint), fused
+    * with the round's materialization. Rounds are bounded by the peeling
+    * depth (the graph's degeneracy ordering length), small for the
+    * heavy-tailed graphs where k-core matters; each round's state is one
+    * (vid) column. */
+  def kCore(pairs: DataFrame, k: Int, maxIters: Int = 100): DataFrame = {
+    require(k >= 1, s"need k >= 1; got $k")
+    val e0 = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+    val canon = e0.where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val sym = canon.unionByName(canon.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var live = sym.select(col("a").as("vid")).distinct().localCheckpoint(true)
+      var prevCount = -1L
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        iter += 1
+        val liveEdges = sym
+          .join(live.select(col("vid").as("a")), Seq("a"), "left_semi")
+          .join(live.select(col("vid").as("b")), Seq("b"), "left_semi")
+        val next = liveEdges.groupBy(col("a").as("vid"))
+          .agg(count(lit(1)).as("__deg"))
+          .where(col("__deg") >= k)
+          .localCheckpoint(false) // lazy: the probe count materializes it
+        val c = next.count()
+        converged = c == prevCount
+        prevCount = c
+        live = next
+      }
+      require(converged, s"k-core peeling did not converge in $maxIters rounds")
+      live.select(col("vid"), col("__deg").as("degree"))
+    } finally sym.unpersist()
+  }
+
+  /** [[kCore]] over a [[GraphStore]]: canonicalized undirected edges from
+    * the store, result mapped back to string vertex ids. */
+  def kCoreDF(g: GraphStore, toLong: Column => Column, k: Int,
+              maxIters: Int = 100): DataFrame = {
+    val verts = g.vertices.select(toLong(col("id")).as("vid"), col("id"))
+    kCore(g.edges.select(toLong(col("src")).as("a"), toLong(col("dst")).as("b")),
+        k, maxIters)
+      .join(verts, Seq("vid"))
+      .select(col("id"), col("degree"))
+  }
+
   /** Weighted landmark shortest paths by min-plus (Bellman-Ford)
     * iteration over an explicit weighted edge table — the algorithmic
     * realization of the [[weightedEdges]] surface (the reference's

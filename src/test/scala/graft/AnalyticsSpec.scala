@@ -201,6 +201,30 @@ class AnalyticsSpec extends SparkSuite {
     assert(df == Map("w:x" -> 1L, "w:y" -> 1L, "w:z" -> 1L), s"got $df")
   }
 
+  test("k-core: cascading peel strips the tendril, keeps the clique") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus a path 4-5-6: peeling k=2 must CASCADE — 6
+    // falls (deg 1), then 5 (deg 1 after 6 left) — while K4 survives
+    // with within-core degree 3. Parallel and reversed duplicates of one
+    // clique edge check canonicalization.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 3L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val core = GraphAnalytics.kCore(pairs, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core")
+    // k above the max degree empties the core
+    assert(GraphAnalytics.kCore(pairs, k = 5).count() == 0)
+    // the GraphStore wrapper maps back to string ids
+    val b = new GraphBatch
+    Seq("1", "2", "3").foreach(n => b.createNode(s"k:$n", PropValue.typed("N", Some(n))))
+    Seq(("1", "2"), ("2", "3"), ("3", "1"))
+      .foreach { case (s, d) => b.createEdge(s"k:$s", s"k:$d", PropValue("E")) }
+    val viaStore = GraphAnalytics.kCoreDF(b.toStore(spark),
+        id => split(id, ":").getItem(1).cast("long"), k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaStore == Map("k:1" -> 2L, "k:2" -> 2L, "k:3" -> 2L), s"got $viaStore")
+  }
+
   test("weighted shortest paths: min-plus beats hop count, composes with weightedEdges") {
     import spark.implicits._
     // direct 1->2 costs 10; the 2-hop detour 1->3->2 costs 2 — a BFS
