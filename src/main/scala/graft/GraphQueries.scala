@@ -461,8 +461,9 @@ object GraphQueries {
         ev.where(col("event_type") === "view"),
         windowSeconds = 86400)
     }),
-    // ts arrives as LONG nanoseconds (nanosAsLong — Spark has no ns
-    // timestamp type); bucket with exact integer division
+    // ts arrives as LONG nanoseconds (TpchGraph.table's canonical boundary
+    // normalizes whatever the parquet stores); bucket with exact integer
+    // division
     "events_window_agg" -> ((s, d) =>
       t(s, d, "events").groupBy(
         col("event_type"),

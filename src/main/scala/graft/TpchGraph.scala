@@ -46,6 +46,27 @@ object TpchGraph {
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
 
+  /** Canonical event-time contract: a `ts` column is ALWAYS long
+    * nanoseconds-since-epoch downstream of this boundary, regardless of how
+    * the parquet stores it. The driver's testdata has shipped BOTH physical
+    * shapes across rounds — int64 nanoseconds (readable only behind
+    * `spark.sql.legacy.parquet.nanosAsLong`) and `timestamp[us]` (read as
+    * TIMESTAMP_NTZ) — and round 8 proved that letting the physical type leak
+    * breaks every query doing integer ts arithmetic. Normalizing ONCE here
+    * means query code never branches on representation.
+    *
+    * The NTZ→timestamp cast interprets wall-clock in the session timezone;
+    * every graft entry point (Bench/Verify/ZoeCli/tests) pins
+    * spark.sql.session.timeZone=UTC, so the stored micros pass through
+    * unchanged and match DuckDB's `epoch_ns(ts)` oracle exactly. */
+  private def canonicalTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case None | Some(org.apache.spark.sql.types.LongType) => df
+      case Some(_) => // timestamp[us]/[ms], TZ or NTZ → long nanoseconds
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
+
   /** Base-table read, memoized per session. The driver-generated testdata is
     * one parquet file with ONE row group per table, which pins every scan —
     * and all narrow stages after it — to a single task; a real 100 TB input
@@ -54,7 +75,7 @@ object TpchGraph {
     * the parallel copy cached for the session's query stream. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     tableCache.computeIfAbsent((spark, dir, name), { _ =>
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val raw = canonicalTs(spark.read.parquet(s"$dir/$name.parquet"))
       val target = spark.sparkContext.defaultParallelism
       val df =
         if (raw.rdd.getNumPartitions < target) raw.repartition(target) else raw

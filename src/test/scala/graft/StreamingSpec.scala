@@ -9,12 +9,13 @@ import graft.streaming.EventStreams
   * reference has no streaming surface, SURVEY.md §2.8). */
 class StreamingSpec extends SparkSuite {
 
-  /** The raw events table stores nanosecond timestamps, which the streaming
-    * parquet reader rejects (PARQUET_TYPE_ILLEGAL) — re-materialize with
-    * microsecond timestamps once for the streaming tests. */
+  /** Streaming needs a timestamp-typed ts; the canonical table boundary
+    * (TpchGraph.table) guarantees long NANOSECONDS whatever the parquet
+    * physically stores (int64-ns or timestamp[us] — the driver has shipped
+    * both), so re-materialize through it rather than reading raw parquet. */
   lazy val eventsDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    TpchGraph.table(spark, "/root/testdata/sf0.001", "events")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .coalesce(1).write.mode("overwrite").parquet(dir)
     dir
