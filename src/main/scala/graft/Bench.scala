@@ -104,6 +104,10 @@ object Bench {
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .getOrElse(2).max(1)
+    // A query that THROWS must never masquerade as a fast one: round 8
+    // archived 0.002 s "timings" for queries whose analysis failed, and the
+    // JSON read as a speedup. Failures record a -1 sentinel and the name
+    // lands in the "failed" array of the output line.
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       // memo-backed entries (PipelineQueries.memoBackedQueries) share a
@@ -114,11 +118,13 @@ object Bench {
       def once(): Double = {
         if (PipelineQueries.memoBackedQueries(name))
           PipelineQueries.clearMemos(spark, sfDir)
-        time {
-          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
         }
       }
       // re-run queries under a 300 s cap. The cap used to be 60 s, which
@@ -126,19 +132,29 @@ object Bench {
       // were the ones measured only once (round 7 recorded 216 s for a
       // query that re-measures at 5.7 s quiet) — at 300 s every realistic
       // entry gets a second run and the min strips one-off contention.
+      // A failed first run is NOT retried: deterministic analysis errors
+      // would just fail again, and the sentinel must survive to the JSON.
       val first = once()
-      val best = (first +: Seq.fill(runs - 1)(if (first < 300.0) once() else first)).min
+      val best =
+        if (first < 0) -1.0
+        else (first +: Seq.fill(runs - 1)(if (first < 300.0) once() else first))
+          .filter(_ >= 0).min
       name -> best
     }
     val qs = (("graph_build" -> buildSec) +: results)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val total = buildSec + results.map(_._2).sum
+    // total sums only SUCCESSFUL runs; failed entries carry -1 in `queries`
+    // and are listed by name so a regression to "broken" can never read as
+    // a speedup in the archived record
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val total = buildSec + results.map(_._2).filter(_ >= 0).sum
     // memo_cold names the entries timed with their shared per-session
     // memo cleared before every run (cold pipeline cost, not cache hits)
     val cold = headline.filter(PipelineQueries.memoBackedQueries)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"memo_cold":$cold,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"memo_cold":$cold,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // also persist the record to a file: the driver captures the JSON from
     // the process tail, and a truncated tail (it happened in round 7 —

@@ -34,12 +34,22 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Coverage tripwire: round 8 lost 7 queries from the correctness record
+    // with NO red signal — they errored, Verify printed one stderr line per
+    // failure, and the driver's compare silently skipped the missing dumps.
+    // Track per-query outcome (error or row count) and make any failure or
+    // empty result unmissable in both the artifact and the process output.
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[String, Either[String, Long]]
     val futures = selected.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          val rows = spark.read.parquet(s"$outDir/$name").count()
+          outcomes.put(name, Right(rows))
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          outcomes.put(name, Left(Option(e.getMessage).getOrElse(e.getClass.getName)))
         }
       }
     }
@@ -62,6 +72,36 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // coverage.json: the machine-readable tripwire. n_ok must equal
+    // n_queries; a failed or empty entry names itself here AND triggers the
+    // banner below, so a harness- or data-side change can never silently
+    // shrink the checked set again.
+    val failed = selected.map(_._1).flatMap(n => outcomes.get(n) match {
+      case Left(err) => Some(n -> err)
+      case _ => None
+    })
+    val empty = selected.map(_._1).filter(n => outcomes.get(n) match {
+      case Right(0L) => true
+      case null => true // never ran (should be impossible)
+      case _ => false
+    })
+    val rowsJson = selected.map(_._1).flatMap(n => Option(outcomes.get(n)).collect {
+      case Right(r) => s"${q(n)}: $r"
+    }).mkString("{", ",", "}")
+    val covJson =
+      s"""{"n_queries": ${selected.size}, "n_ok": ${selected.size - failed.size - empty.size}, """ +
+      s""""failed": ${failed.map { case (n, e) => s"${q(n)}: ${q(e)}" }.mkString("{", ",", "}")}, """ +
+      s""""empty": ${empty.map(q).mkString("[", ",", "]")}, "rows": $rowsJson}"""
+    Files.writeString(Paths.get(s"$outDir/coverage.json"), covJson)
+    if (failed.nonEmpty || empty.nonEmpty) {
+      System.err.println("=" * 72)
+      System.err.println(s"[verify] COVERAGE FAILURE: ${failed.size} errored, " +
+        s"${empty.size} empty of ${selected.size} queries")
+      failed.foreach { case (n, e) => System.err.println(s"[verify]   FAILED $n: $e") }
+      empty.foreach(n => System.err.println(s"[verify]   EMPTY  $n"))
+      System.err.println("=" * 72)
+    } else
+      System.err.println(s"[verify] coverage OK: ${selected.size}/${selected.size} queries produced rows")
     spark.stop()
   }
 }

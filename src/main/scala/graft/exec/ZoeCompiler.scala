@@ -369,53 +369,49 @@ final class ZoeCompiler(g: GraphStore, initialVariables: Map[String, String] = M
     * [vProp, eProp]) ++ [endVertexProp?] (kv_graph_store.rs:108-137).
     * Returns (end, props array<string>). */
   def extractPathProperties(r: ZoeResult): DataFrame = {
-    // localCheckpoint (not cache): __pid must be stable across the three
-    // reads below, and the checkpoint is dropped with the RDD instead of
-    // occupying session cache space
+    // localCheckpoint (not cache): __pid must be stable across reads, and
+    // the checkpoint is dropped with the RDD instead of occupying session
+    // cache space
     val pathsId = r.paths.withColumn("__pid", monotonically_increasing_id())
       .localCheckpoint(eager = true)
 
-    val hops = pathsId
-      .select(col("__pid"), posexplode(col("path")).as(Seq("__pos", "__hop")))
+    // The start-edge property (position -1, edge slot only) and end-vertex
+    // property (position MAX, vertex slot only) are FUSED into the exploded
+    // hop frame as sentinel pseudo-hops: one pass over vertices+props and
+    // one over edges+props covers all three pieces, instead of a separate
+    // 4-join chain for start/end plus a final per-path assembly join
+    // (round-8 verdict: those extra stages dominated at toy scale without
+    // helping at 100×). Per-group state stays bounded by path length.
+    val nullStr = lit(null).cast("string")
+    val rows = pathsId.select(col("__pid"), col("end"),
+        explode(concat(
+          array(struct(lit(-1).as("__pos"), nullStr.as("v"), col("start").as("e"))),
+          transform(col("path"), (h, i) =>
+            struct(i.cast("int").as("__pos"), h.getField("v").as("v"), h.getField("e").as("e"))),
+          array(struct(lit(Int.MaxValue).as("__pos"), col("end").as("v"), nullStr.as("e")))))
+          .as("__hop"))
+      .select(col("__pid"), col("end"), col("__hop.__pos").as("__pos"),
+        col("__hop.v").as("__vid"), col("__hop.e").as("__eid"))
     val v = freshVertices()
     val p1 = freshProps()
-    val hopV = hops
-      .join(v, hops("__hop.v") === v("id"), "left")
+    val withV = rows
+      .join(v, rows("__vid") === v("id"), "left")
       .join(p1, v("prop_hash") === p1("hash"), "left")
-      .select(col("__pid"), col("__pos"), col("value").as("__vval"), col("__hop.e").as("__eid"))
+      .select(col("__pid"), col("end"), col("__pos"), col("value").as("__vval"), col("__eid"))
     val e = freshEdges()
     val p2 = freshProps()
-    val hopVE = hopV
-      .join(e, hopV("__eid") === e("edge_id"), "left")
+    val withVE = withV
+      .join(e, withV("__eid") === e("edge_id"), "left")
       .join(p2, e("prop_hash") === p2("hash"), "left")
-      .select(col("__pid"), col("__pos"), col("__vval"), col("value").as("__eval"))
-    val perPath = hopVE.groupBy("__pid")
+      .select(col("__pid"), col("end"), col("__pos"), col("__vval"), col("value").as("__eval"))
+    // per hop the order is [vertexProp, edgeProp]; the sentinels contribute
+    // [null, startProp] before hop 0 and [endProp, null] after the last —
+    // a single null-filter after the position-sorted flatten restores the
+    // reference's [start?] ++ hops ++ [end?] layout exactly
+    withVE.groupBy(col("__pid"), col("end"))
       .agg(flatten(array_sort(collect_list(struct(col("__pos"), array(col("__vval"), col("__eval")).as("vals"))))
-        .getField("vals")).as("__hopvals"))
-
-    // start edge property / end vertex property
-    val se = freshEdges()
-    val sp = freshProps()
-    val withStart = pathsId
-      .join(se, pathsId("start") === se("edge_id"), "left")
-      .join(sp, se("prop_hash") === sp("hash"), "left")
-      .select(col("__pid"), col("end"), col("value").as("__sval"))
-    val ev = freshVertices()
-    val ep = freshProps()
-    val withEnd = withStart
-      .join(ev, withStart("end") === ev("id"), "left")
-      .join(ep, ev("prop_hash") === ep("hash"), "left")
-      .select(col("__pid"), col("end"), col("__sval"), col("value").as("__endval"))
-
-    withEnd
-      .join(perPath, Seq("__pid"), "left")
-      .select(col("end"),
-        filter(
-          concat(
-            array(col("__sval")),
-            coalesce(col("__hopvals"), emptyStrArray),
-            array(col("__endval"))),
-          x => x.isNotNull).as("props"))
+        .getField("vals")).as("__all"))
+      .select(col("end"), filter(col("__all"), x => x.isNotNull).as("props"))
   }
 }
 

@@ -490,21 +490,27 @@ object Curation {
   def contaminationMatrix(corpus: DataFrame, benchmarks: DataFrame,
                           idCol: String, textCol: String, benchCol: String,
                           n: Int = 8): DataFrame = {
-    // shingle benchmark rows under a (benchmark, id, text-hash) COMPOSITE
-    // key: two benchmarks reusing the same id — or one benchmark reusing
-    // an id for two DIFFERENT texts (id collisions happen in per-benchmark
-    // id spaces) — must not interleave their token streams in one shingle
-    // window; the md5(text) component keeps the key unique per distinct
-    // text even when (benchmark, id) collides
-    val b2 = benchmarks.select(col(benchCol), col(idCol), col(textCol)).distinct()
-      .withColumn("__bid",
-        concat_ws("\u0001", col(benchCol), col(idCol).cast("string"),
-          md5(col(textCol).cast("string"))))
-    val bg = TextAnalysis.shingleRows(b2, "__bid", textCol, n)
-      .join(b2.select(col("__bid"), col(benchCol)).distinct(), Seq("__bid"))
-      .select(col(benchCol), col("shingle")).distinct()
+    // Benchmark shingles run under a composite (benchmark, id, text-hash)
+    // window key so id collisions — across benchmarks, or one id carrying
+    // two texts inside a benchmark — can never interleave token streams.
+    // The round-8 version paid for that robustness with an md5 per row AND
+    // a join back to recover the benchmark id; embedding benchCol as the
+    // key's first component lets substring_index recover it for free
+    // (codegen'd xxhash64 replaces md5; a \u0001 inside a benchmark NAME is
+    // the one unsupported input, and text-hash collisions are 2^-64).
+    // Profiling note (round 9): the window-lead shingle path beats the
+    // "narrow" wordShingles explode ~4x here — higher-order functions are
+    // not codegen'd, so the per-element lambda re-evaluates the split.
+    val sep = "\u0001"
+    val keyed = benchmarks.select(col(benchCol), col(idCol), col(textCol)).distinct()
+      .select(concat_ws(sep, col(benchCol), col(idCol).cast("string"),
+        xxhash64(col(textCol))).as("__bid"), col(textCol))
+    val bg = TextAnalysis.shingleRows(keyed, "__bid", textCol, n)
+      .select(substring_index(col("__bid"), sep, 1).as(benchCol), col("shingle"))
+      .distinct()
+    // no corpus-side (id, shingle) dedup shuffle: the countDistinct
+    // aggregations below already collapse repeated hits
     TextAnalysis.shingleRows(corpus, idCol, textCol, n)
-      .dropDuplicates(idCol, "shingle")
       .join(broadcast(bg), Seq("shingle"))
       .groupBy(benchCol)
       .agg(countDistinct(col(idCol)).as("n_docs_hit"),
