@@ -1,0 +1,381 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import graft.exec.ZoeCompiler
+import graft.model.{GraphStore, Hashing, PropValue}
+import graft.ql.{BasicQuery, EdgeQuery, PropertyQuery, VertexQuery}
+
+/** Lua-compat script runner: executes the reference's documented Lua builder
+  * surface (lua.rs:27-318 — globals `vq_all/vq_from_ids/vq_from_property/
+  * eq_all/eq_from_ids/eq_from_property/pq_from_id`, the `:outgoing(filter?)/
+  * :ingoing(filter?)/:union/:intersect/:substract` chains, the property-query
+  * `:referencing_*` methods, and the `db:create_node/update_node/delete_node/
+  * create_edge/delete_edge/query` verbs) WITHOUT embedding a Lua interpreter:
+  * a recursive-descent parser for exactly that builder-call subset translates
+  * scripts onto the repo's Zoe builders and bulk mutations. A reference user
+  * runs their scripts unmodified via `script --lua`; anything outside the
+  * subset (control flow, arithmetic, stdlib) fails with a clear position
+  * rather than silently diverging — the reference's own docs and tests never
+  * script beyond this subset (verified round 9: zero Lua examples exist).
+  *
+  * Dispatch parity notes (lua.rs:130-264):
+  *  - `v:outgoing(pq)`   → out-edges ∩ pq.referencing_edges
+  *  - `v:outgoing(eq)`   → out-edges ∩ eq
+  *  - `v:outgoing(vq)`   → far vertices ∩ vq (hops THROUGH the edge set)
+  *  - `v:outgoing("id")` → a bare property id behaves as pq_from_id(id)
+  *  - the `e:…` forms mirror with referencing_vertices, per the reference.
+  * Mutations apply eagerly to the in-memory store image (content-addressed,
+  * refcount-GC'd — same code paths as the CLI verbs) and persist once at
+  * script end iff any mutation ran.
+  */
+object LuaCompat {
+
+  // ---- values ----
+  private sealed trait V
+  private final case class VQ(q: VertexQuery) extends V
+  private final case class EQ(q: EdgeQuery) extends V
+  private final case class PQ(q: PropertyQuery) extends V
+  private final case class Str(s: String) extends V
+  private final case class Num(d: Double) extends V
+  private final case class Arr(vs: Seq[V]) extends V
+  private final case class Res(rendered: String) extends V
+  private case object Unit0 extends V
+
+  // ---- tokens ----
+  private sealed trait Tok { def pos: Int }
+  private final case class TIdent(s: String, pos: Int) extends Tok
+  private final case class TStr(s: String, pos: Int) extends Tok
+  private final case class TNum(d: Double, pos: Int) extends Tok
+  private final case class TPunct(s: String, pos: Int) extends Tok
+
+  private def fail(msg: String, pos: Int): Nothing =
+    throw new IllegalArgumentException(s"lua-compat: $msg (at offset $pos)")
+
+  private def tokenize(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < n && src(i + 1) == '-') {
+        while (i < n && src(i) != '\n') i += 1
+      } else if (c == '\'' || c == '"') {
+        val start = i; i += 1
+        val sb = new StringBuilder
+        while (i < n && src(i) != c) {
+          if (src(i) == '\\' && i + 1 < n) {
+            src(i + 1) match {
+              case 'n' => sb += '\n'; case 't' => sb += '\t'
+              case 'r' => sb += '\r'; case other => sb += other
+            }
+            i += 2
+          } else { sb += src(i); i += 1 }
+        }
+        if (i >= n) fail("unterminated string", start)
+        i += 1
+        out += TStr(sb.result(), start)
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && (src(i).isDigit || src(i) == '.')) i += 1
+        out += TNum(src.substring(start, i).toDouble, start)
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
+        out += TIdent(src.substring(start, i), start)
+      } else if ("(){},:;=".indexOf(c) >= 0) {
+        out += TPunct(c.toString, i); i += 1
+      } else fail(s"unexpected character '$c'", i)
+    }
+    out.result()
+  }
+
+  /** One script run: parse + interpret statement-by-statement. */
+  def run(spark: SparkSession, dbPath: String, code: String): Unit = {
+    var store = GraphStore.load(spark, dbPath)
+    var mutated = false
+    val env = scala.collection.mutable.Map[String, V]()
+    val toks = tokenize(code)
+    var p = 0
+
+    def peek: Option[Tok] = if (p < toks.length) Some(toks(p)) else None
+    def next(): Tok = { val t = toks(p); p += 1; t }
+    def expect(punct: String): Unit = next() match {
+      case TPunct(`punct`, _) => ()
+      case t => fail(s"expected '$punct'", t.pos)
+    }
+
+    def numToId(d: Double): String =
+      if (d == math.floor(d) && !d.isInfinite) d.toLong.toString else d.toString
+
+    def asIds(args: Seq[V], pos: Int): Seq[String] = args.flatMap {
+      case Str(s) => Seq(s)
+      case Num(d) => Seq(numToId(d))
+      case Arr(vs) => asIds(vs, pos)
+      case _ => fail("expected string/number ids", pos)
+    }
+
+    def asPq(v: V, pos: Int): PropertyQuery = v match {
+      case PQ(q) => q
+      case Str(s) => PropertyQuery.fromId(s)
+      case _ => fail("expected a property query or property id", pos)
+    }
+
+    // reference filter-dispatch for v:outgoing(x) / v:ingoing(x) and the
+    // edge-query mirrors (lua.rs:130-264)
+    def vHop(q: VertexQuery, out: Boolean, filter: Option[V], pos: Int): V = {
+      def hop = if (out) q.outgoing else q.ingoing
+      filter match {
+        case None => EQ(hop)
+        case Some(PQ(f)) => EQ(hop.intersect(f.referencingEdges))
+        case Some(Str(s)) => EQ(hop.intersect(PropertyQuery.fromId(s).referencingEdges))
+        case Some(EQ(f)) => EQ(hop.intersect(f))
+        case Some(VQ(f)) => VQ((if (out) hop.outgoing else hop.ingoing).intersect(f))
+        case Some(_) => fail("bad filter for vertex hop", pos)
+      }
+    }
+    def eHop(q: EdgeQuery, out: Boolean, filter: Option[V], pos: Int): V = {
+      def hop = if (out) q.outgoing else q.ingoing
+      filter match {
+        case None => VQ(hop)
+        case Some(PQ(f)) => VQ(hop.intersect(f.referencingVertices))
+        case Some(Str(s)) => VQ(hop.intersect(PropertyQuery.fromId(s).referencingVertices))
+        case Some(VQ(f)) => VQ(hop.intersect(f))
+        case Some(EQ(f)) => EQ((if (out) hop.outgoing else hop.ingoing).intersect(f))
+        case Some(_) => fail("bad filter for edge hop", pos)
+      }
+    }
+
+    def rawProp(value: String): PropValue =
+      PropValue("Raw", Some(value), Nil, Some(Hashing.sha256HexUpper(value)))
+
+    def applyProps(g: GraphStore, pv: PropValue, value: String): GraphStore = {
+      val s2 = spark; import s2.implicits._
+      graft.store.BulkMutations.createProperties(g,
+        Seq((pv.hash, value, pv.variant)).toDF("hash", "value", "schema_type"))
+    }
+
+    def dbCall(method: String, args: Seq[V], pos: Int): V = {
+      val s2 = spark; import s2.implicits._
+      def argStr(i: Int): String = args.lift(i) match {
+        case Some(Str(s)) => s
+        case Some(Num(d)) => numToId(d)
+        case _ => fail(s"db:$method argument ${i + 1} must be a string", pos)
+      }
+      method match {
+        case "query" =>
+          val bq = args match {
+            case Seq(VQ(q)) => BasicQuery.V(q)
+            case Seq(EQ(q)) => BasicQuery.E(q)
+            case Seq(PQ(q)) => BasicQuery.P(q)
+            case _ => fail("db:query takes one vertex/edge/property query", pos)
+          }
+          Res(ZoeCli.renderResult(new ZoeCompiler(store).run(bq)))
+        case "create_node" =>
+          val value = argStr(0)
+          val pv = rawProp(value)
+          val id = java.util.UUID.randomUUID().toString
+          store = graft.store.BulkMutations.createNodes(
+            applyProps(store, pv, value), Seq((id, pv.hash)).toDF("id", "prop_hash"))
+          mutated = true
+          Str(id)
+        case "update_node" =>
+          val id = argStr(0)
+          val value = argStr(1)
+          val pv = rawProp(value)
+          require(!store.vertices.where(org.apache.spark.sql.functions.col("id") === id).isEmpty,
+            s"node $id does not exist")
+          val repointed = applyProps(store, pv, value).copy(vertices =
+            store.vertices.withColumn("prop_hash",
+              org.apache.spark.sql.functions.when(
+                org.apache.spark.sql.functions.col("id") === id,
+                pv.hash).otherwise(org.apache.spark.sql.functions.col("prop_hash"))))
+          store = graft.store.BulkMutations.gcOrphanProps(repointed)
+          mutated = true
+          Str(id)
+        case "delete_node" =>
+          val id = argStr(0)
+          store = graft.store.BulkMutations.gcOrphanProps(
+            graft.store.BulkMutations.deleteNodes(store, Seq(id).toDF("id")))
+          mutated = true
+          Unit0
+        case "create_edge" =>
+          val (src, dst, value) = (argStr(0), argStr(1), argStr(2))
+          val pv = rawProp(value)
+          store = graft.store.BulkMutations.createEdges(
+            applyProps(store, pv, value), Seq((src, dst, pv.hash)).toDF("src", "dst", "prop_hash"))
+          mutated = true
+          Str(Hashing.edgeId(pv.hash, src, dst))
+        case "delete_edge" =>
+          val id = argStr(0)
+          store = graft.store.BulkMutations.gcOrphanProps(
+            graft.store.BulkMutations.deleteEdges(store, Seq(id).toDF("edge_id")))
+          mutated = true
+          Unit0
+        case other => fail(s"unknown db method '$other'", pos)
+      }
+    }
+
+    def methodCall(recv: V, method: String, args: Seq[V], pos: Int): V = (recv, method) match {
+      case (PQ(q), "referencing_properties") => PQ(q.referencingProperties)
+      case (PQ(q), "referenced_properties") => PQ(q.referencedProperties)
+      case (PQ(q), "referencing_vertices") => VQ(q.referencingVertices)
+      case (PQ(q), "referencing_edges") => EQ(q.referencingEdges)
+      case (VQ(q), "outgoing") => vHop(q, out = true, args.headOption, pos)
+      case (VQ(q), "ingoing") => vHop(q, out = false, args.headOption, pos)
+      case (EQ(q), "outgoing") => eHop(q, out = true, args.headOption, pos)
+      case (EQ(q), "ingoing") => eHop(q, out = false, args.headOption, pos)
+      case (VQ(a), "union") => args match {
+        case Seq(VQ(b)) => VQ(a.union(b)); case _ => fail("union needs a vertex query", pos) }
+      case (VQ(a), "intersect") => args match {
+        case Seq(VQ(b)) => VQ(a.intersect(b)); case _ => fail("intersect needs a vertex query", pos) }
+      case (VQ(a), "substract") => args match {
+        case Seq(VQ(b)) => VQ(a.substract(b)); case _ => fail("substract needs a vertex query", pos) }
+      case (EQ(a), "union") => args match {
+        case Seq(EQ(b)) => EQ(a.union(b)); case _ => fail("union needs an edge query", pos) }
+      case (EQ(a), "intersect") => args match {
+        case Seq(EQ(b)) => EQ(a.intersect(b)); case _ => fail("intersect needs an edge query", pos) }
+      case (EQ(a), "substract") => args match {
+        case Seq(EQ(b)) => EQ(a.substract(b)); case _ => fail("substract needs an edge query", pos) }
+      case _ => fail(s"unknown method ':$method' for this receiver", pos)
+    }
+
+    def globalCall(name: String, args: Seq[V], pos: Int): V = name match {
+      case "vq_all" => VQ(VertexQuery.all)
+      case "eq_all" => EQ(EdgeQuery.all)
+      case "vq_from_ids" => VQ(VertexQuery.fromIds(asIds(args, pos)))
+      case "eq_from_ids" => EQ(EdgeQuery.fromIds(asIds(args, pos)))
+      case "vq_from_property" => args match {
+        case Seq(a) => VQ(VertexQuery.fromProperty(asPq(a, pos)))
+        case _ => fail("vq_from_property takes one property query", pos)
+      }
+      case "eq_from_property" => args match {
+        case Seq(a) => EQ(EdgeQuery.fromProperty(asPq(a, pos)))
+        case _ => fail("eq_from_property takes one property query", pos)
+      }
+      case "pq_from_id" => args match {
+        case Seq(Str(s)) => PQ(PropertyQuery.fromId(s))
+        case Seq(Num(d)) => PQ(PropertyQuery.fromId(numToId(d)))
+        case _ => fail("pq_from_id takes one id", pos)
+      }
+      case "print" =>
+        args.foreach(v => println(render(v)))
+        Unit0
+      case other => fail(s"unknown function '$other'", pos)
+    }
+
+    def render(v: V): String = v match {
+      case Res(r) => r
+      case Str(s) => s
+      case Num(d) => numToId(d)
+      case Arr(vs) => vs.map(render).mkString("{", ", ", "}")
+      case Unit0 => "nil"
+      case VQ(q) => s"VertexQuery($q)"
+      case EQ(q) => s"EdgeQuery($q)"
+      case PQ(q) => s"PropertyQuery($q)"
+    }
+
+    // callArgs := "(" [expr {"," expr}] ")" | "{" table "}" | string
+    // (Lua's three call forms; f{...} passes the table, f"s" the string)
+    def parseCallArgs(): Option[Seq[V]] = peek match {
+      case Some(TPunct("(", _)) =>
+        next()
+        val args = Seq.newBuilder[V]
+        if (!peek.exists { case TPunct(")", _) => true; case _ => false }) {
+          args += parseExpr()
+          while (peek.exists { case TPunct(",", _) => true; case _ => false }) {
+            next(); args += parseExpr()
+          }
+        }
+        expect(")")
+        Some(args.result())
+      case Some(TPunct("{", _)) => Some(Seq(parseTable()))
+      case Some(TStr(s, _)) => next(); Some(Seq(Str(s)))
+      case _ => None
+    }
+
+    def parseTable(): V = {
+      expect("{")
+      val vs = Seq.newBuilder[V]
+      if (!peek.exists { case TPunct("}", _) => true; case _ => false }) {
+        vs += parseExpr()
+        while (peek.exists { case TPunct(",", _) => true; case _ => false }) {
+          next(); vs += parseExpr()
+        }
+      }
+      expect("}")
+      Arr(vs.result())
+    }
+
+    def parsePrimary(): V = next() match {
+      case TStr(s, _) => Str(s)
+      case TNum(d, _) => Num(d)
+      case TPunct("{", _) => p -= 1; parseTable()
+      case TPunct("(", _) => val v = parseExpr(); expect(")"); v
+      case TIdent(name, pos) =>
+        parseCallArgs() match {
+          case Some(args) => globalCall(name, args, pos)
+          case None =>
+            if (name == "db") fail("'db' is only usable as db:<method>(...)", pos)
+            env.getOrElse(name, fail(s"undefined variable '$name'", pos))
+        }
+      case t => fail("expected an expression", t.pos)
+    }
+
+    def parseExpr(): V = {
+      // special-case the db receiver before generic primary parsing
+      val first = peek match {
+        case Some(TIdent("db", pos)) if p + 1 < toks.length &&
+          (toks(p + 1) match { case TPunct(":", _) => true; case _ => false }) =>
+          next(); next()
+          val (m, mpos) = next() match {
+            case TIdent(m0, mp) => (m0, mp)
+            case t => fail("expected a db method name", t.pos)
+          }
+          val args = parseCallArgs().getOrElse(fail(s"db:$m needs arguments", mpos))
+          dbCall(m, args, pos)
+        case _ => parsePrimary()
+      }
+      var v = first
+      while (peek.exists { case TPunct(":", _) => true; case _ => false }) {
+        next()
+        val (m, mpos) = next() match {
+          case TIdent(m0, mp) => (m0, mp)
+          case t => fail("expected a method name after ':'", t.pos)
+        }
+        val args = parseCallArgs().getOrElse(Seq.empty)
+        v = methodCall(v, m, args, mpos)
+      }
+      v
+    }
+
+    // stmt := "local"? ident "=" expr | expr ; Res-valued statements print
+    while (p < toks.length) {
+      while (peek.exists { case TPunct(";", _) => true; case _ => false }) next()
+      if (p < toks.length) {
+        val isLocal = peek.exists { case TIdent("local", _) => true; case _ => false }
+        if (isLocal) next()
+        val isAssign = peek.exists { case TIdent(n0, _) => n0 != "db" &&
+          p + 1 < toks.length &&
+          (toks(p + 1) match { case TPunct("=", _) => true; case _ => false })
+          case _ => false }
+        if (isAssign) {
+          val name = next() match {
+            case TIdent(n0, _) => n0
+            case t => fail("expected a variable name", t.pos)
+          }
+          next() // '='
+          env(name) = parseExpr()
+        } else {
+          if (isLocal) fail("'local' must introduce an assignment", toks(p - 1).pos)
+          parseExpr() match {
+            case Res(r) => println(r)
+            case _ => ()
+          }
+        }
+      }
+    }
+
+    if (mutated) store.save(dbPath)
+  }
+}

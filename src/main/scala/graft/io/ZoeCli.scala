@@ -72,6 +72,10 @@ object ZoeCli {
       graft.model.TypedViews.registerViews(g)
       CliLimits.splitSql(scala.io.Source.fromFile(file).mkString)
         .foreach(stmt => runSql(spark, stmt))
+    // Lua-compat migration path: the reference's documented Lua builder
+    // subset runs unmodified (translator, not interpreter — LuaCompat)
+    case "script" :: path :: "--lua" :: file :: Nil =>
+      LuaCompat.run(spark, path, scala.io.Source.fromFile(file).mkString)
     case "repl" :: path :: Nil =>
       val g = GraphStore.load(spark, path)
       graft.model.TypedViews.registerViews(g)
@@ -171,6 +175,7 @@ object ZoeCli {
            |  import <dbPath> <graphml>
            |  export <dbPath> dot|graphml
            |  script <dbPath> <sqlFile>           (;-separated SQL over graft_* views)
+           |  script <dbPath> --lua <luaFile>     (reference Lua builder subset)
            |  repl <dbPath>                       (stdin: ;-separated SQL)
            |  property-id                         (stdin: property bytes)
            |  property-blob                       (stdin: property bytes)

@@ -1,0 +1,153 @@
+package graft
+
+import graft.exec.ZoeCompiler
+import graft.io.{LuaCompat, ZoeCli}
+import graft.ql._
+
+/** The reference's Lua builder surface (lua.rs) through the translator:
+  * every script here uses only constructs the reference's init_lua exposes,
+  * and each result is asserted against the equivalent direct builder query
+  * (wire-format parity via ZoeCli.renderResult). */
+class LuaCompatSpec extends SparkSuite {
+
+  lazy val (batch, ids) = CocktailFixture.build()
+  lazy val dbPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lua-db").toString
+    batch.toStore(spark).save(dir)
+    dir
+  }
+  lazy val g = graft.model.GraphStore.load(spark, dbPath)
+  lazy val zc = new ZoeCompiler(g)
+
+  private def prop(variant: String, payload: String = "") =
+    CocktailFixture.prop(variant, payload)
+
+  private def runScript(code: String): String = {
+    val bout = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bout, true, "UTF-8")) {
+      LuaCompat.run(spark, dbPath, code)
+    }
+    bout.toString("UTF-8").trim
+  }
+
+  private def rendered(q: BasicQuery): String = ZoeCli.renderResult(zc.run(q))
+
+  test("which-cocktails-include-gin chain matches the direct builder run") {
+    val gin = prop("Ingredient", "gin")
+    val script =
+      s"""-- the reference's flagship traversal, scripted
+         |local gin = pq_from_id('${gin.hash}')
+         |local q = gin:referencing_vertices():ingoing():outgoing()
+         |db:query(q)
+         |""".stripMargin
+    val direct = rendered(BasicQuery.V(
+      Zoe.start(gin).referencingVertices.ingoing.outgoing))
+    assert(runScript(script) == direct)
+  }
+
+  test("table-call and string-call sugar parse (vq_from_ids{...}, pq_from_id'...')") {
+    val gin = prop("Ingredient", "gin")
+    val (a, b) = (ids("gin"), ids("rum"))
+    val out = runScript(
+      s"""db:query(vq_from_ids{'$a', '$b'})
+         |db:query(vq_from_property(pq_from_id'${gin.hash}'))
+         |""".stripMargin)
+    val expected = Seq(
+      rendered(BasicQuery.V(VertexQuery.fromIds(Seq(a, b)))),
+      rendered(BasicQuery.V(Zoe.start(gin).referencingVertices)))
+    assert(out.linesIterator.toSeq == expected)
+  }
+
+  test("hop filter dispatch: property query, bare id, and query filters") {
+    val includes = prop("Includes")
+    val gin = prop("Ingredient", "gin")
+    val vGin = Zoe.start(gin).referencingVertices
+    // v:ingoing(pq) == ingoing ∩ pq.referencing_edges; bare-id string is
+    // promoted to pq_from_id; an edge-query filter intersects directly
+    val out = runScript(
+      s"""local gin = pq_from_id('${gin.hash}')
+         |db:query(gin:referencing_vertices():ingoing(pq_from_id('${includes.hash}')))
+         |db:query(gin:referencing_vertices():ingoing('${includes.hash}'))
+         |db:query(gin:referencing_vertices():ingoing(eq_all()))
+         |""".stripMargin)
+    val viaPq = rendered(BasicQuery.E(
+      vGin.ingoing.intersect(Zoe.start(includes).referencingEdges)))
+    val viaEq = rendered(BasicQuery.E(vGin.ingoing.intersect(EdgeQuery.all)))
+    assert(out.linesIterator.toSeq == Seq(viaPq, viaPq, viaEq))
+  }
+
+  test("vertex-query hop filter hops through to the far side (lua.rs parity)") {
+    val gin = prop("Ingredient", "gin")
+    val cocktails = prop("Cocktail", "Dry Martini")
+    val vGin = Zoe.start(gin).referencingVertices
+    val vMartini = Zoe.start(cocktails).referencingVertices
+    val out = runScript(
+      s"""local gin = pq_from_id('${gin.hash}'):referencing_vertices()
+         |db:query(gin:ingoing(pq_from_id('${cocktails.hash}'):referencing_vertices()))
+         |""".stripMargin)
+    // v:ingoing(vq) = v.ingoing.ingoing ∩ vq (the reference's last arm)
+    assert(out == rendered(BasicQuery.V(vGin.ingoing.ingoing.intersect(vMartini))))
+  }
+
+  test("set algebra methods and print()") {
+    val gin = prop("Ingredient", "gin")
+    val rum = prop("Ingredient", "rum")
+    val out = runScript(
+      s"""local a = pq_from_id('${gin.hash}'):referencing_vertices()
+         |local b = pq_from_id('${rum.hash}'):referencing_vertices()
+         |local u = a:union(b); print(db:query(u:substract(a:intersect(b))))
+         |""".stripMargin)
+    val direct = Zoe.start(gin).referencingVertices
+    val other = Zoe.start(rum).referencingVertices
+    assert(out == rendered(BasicQuery.V(
+      direct.union(other).substract(direct.intersect(other)))))
+  }
+
+  test("mutations: create/query/delete round-trip persists to disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lua-mut").toString
+    graft.model.GraphStore.empty(spark).save(dir)
+    val bout = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bout, true, "UTF-8")) {
+      LuaCompat.run(spark, dir,
+        """local n1 = db:create_node('alpha')
+          |local n2 = db:create_node('beta')
+          |local e = db:create_edge(n1, n2, 'knows')
+          |db:query(vq_all())
+          |""".stripMargin)
+    }
+    val shown = bout.toString("UTF-8").trim
+    assert(shown.count(_ == '[') >= 2) // two vertices rendered
+    val g1 = graft.model.GraphStore.load(spark, dir)
+    assert(g1.vertices.count() == 2 && g1.edges.count() == 1)
+    // property store is content-addressed: alpha, beta, knows
+    assert(g1.props.count() == 3)
+    // delete one endpoint: the incident edge stays DANGLING (reference
+    // parity, kv_graph_store.rs:584-602) and only orphaned props are swept
+    val vid = g1.vertices.limit(1).collect()(0).getString(0)
+    LuaCompat.run(spark, dir, s"db:delete_node('$vid')")
+    val g2 = graft.model.GraphStore.load(spark, dir)
+    assert(g2.vertices.count() == 1 && g2.edges.count() == 1)
+    // the ghost edge is then removable by id through the same surface
+    val eid = g2.edges.limit(1).collect()(0).getString(0)
+    LuaCompat.run(spark, dir, s"db:delete_edge('$eid')")
+    assert(graft.model.GraphStore.load(spark, dir).edges.count() == 0)
+  }
+
+  test("constructs outside the reference subset fail with a position") {
+    val e = intercept[IllegalArgumentException] {
+      runScript("for i=1,10 do db:query(vq_all()) end")
+    }
+    assert(e.getMessage.contains("lua-compat"))
+    val e2 = intercept[IllegalArgumentException] { runScript("x = unknown_fn()") }
+    assert(e2.getMessage.contains("unknown function"))
+  }
+
+  test("comments, semicolons and local/global assignment all parse") {
+    val out = runScript(
+      s"""-- leading comment
+         |q = vq_all(); local q2 = q -- trailing comment
+         |db:query(q2)
+         |""".stripMargin)
+    assert(out == rendered(BasicQuery.V(VertexQuery.all)))
+  }
+}
