@@ -305,4 +305,71 @@ class AnalyticsSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(tc("v:a") == 1 && tc("v:e") == 1 && tc("v:lone") == 0)
   }
+
+  test("deep path graph: k-core and weighted sssp stay one job per round") {
+    // A deliberately DEEP graph — a 48-node directed path — maximizes the
+    // round count of both iterative operators, so any accidental
+    // per-round job blowup (a probe no longer fused with the round's
+    // materialization, an extra eager action in the loop) multiplies by
+    // ~50 and trips the budget, as the cc/lpa/sssp pins already guard.
+    import spark.implicits._
+    val nPath = 48
+    val pathEdges = (0 until nPath - 1).map(i => (i.toLong, i.toLong + 1))
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // k=2 peeling eats the path from both ends: 24 peel rounds + 1
+      // confirming round, empty core. Budget: 1 init checkpoint + 1 fused
+      // probe/materialization job per round (25) + slack for the sym
+      // persist's first-touch split
+      counter.set(0)
+      val core = GraphAnalytics.kCore(
+        pathEdges.toDF("a", "b"), k = 2, maxIters = 40).collect()
+      org.apache.spark.GraftSchedulerProbe.drainListenerBus(spark.sparkContext)
+      assert(core.isEmpty, s"a pure path has no 2-core, got ${core.length} rows")
+      val kcoreJobs = counter.get()
+      assert(kcoreJobs <= 31, s"kCore spent $kcoreJobs jobs for ~25 peel rounds " +
+        "(probe no longer fused with the round materialization?)")
+      // ...and a cycle closing the path peels nothing: every vertex keeps
+      // degree 2, so round 1 sets the count and round 2 confirms it
+      counter.set(0)
+      val cycle = GraphAnalytics.kCore(
+        (pathEdges :+ ((nPath - 1).toLong, 0L)).toDF("a", "b"), k = 2,
+        maxIters = 5).collect()
+      org.apache.spark.GraftSchedulerProbe.drainListenerBus(spark.sparkContext)
+      assert(cycle.length == nPath && cycle.forall(_.getLong(1) == 2L))
+      val cycleJobs = counter.get()
+      assert(cycleJobs <= 8, s"kCore on the converged cycle spent $cycleJobs jobs " +
+        "for 2 rounds")
+      // weighted min-plus from landmark 47: distance walks back one hop
+      // per round — 47 productive rounds + 1 confirming round. Budget:
+      // 1 seed checkpoint + 1 fused probe job per round (48) + slack
+      counter.set(0)
+      val dist = GraphAnalytics.weightedShortestPathsDF(
+          pathEdges.map { case (s, d) => (s, d, 1.5) }.toDF("src", "dst", "weight"),
+          landmarks = Seq(nPath - 1L), maxIters = 60).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      org.apache.spark.GraftSchedulerProbe.drainListenerBus(spark.sparkContext)
+      assert(dist.size == nPath) // every path vertex reaches the end
+      assert(dist(0L) == (nPath - 1) * 1.5 && dist(nPath - 1L) == 0.0)
+      assert(dist(24L) == (nPath - 25) * 1.5)
+      val wssspJobs = counter.get()
+      assert(wssspJobs <= 55, s"wsssp spent $wssspJobs jobs for ~48 rounds " +
+        "(probe no longer fused with the round materialization?)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }
