@@ -63,7 +63,12 @@ object Bench {
     // (complete the RDD-free graph set) + weighted min-plus paths +
     // k-core peeling over the thresholded co-purchase graph
     "graph_sssp_df", "graph_triangles_df", "graph_wsssp_df",
-    "graph_kcore_df")
+    "graph_kcore_df",
+    // round-9 additions: the event/streaming entries the round-8 timestamp
+    // break proved can regress — now that Bench records failures as
+    // failures, keep ALL of them in the measured set
+    "events_interval_join", "events_stream_dedup", "stream_graph_ingest",
+    "stream_sig_dedup", "stream_asset_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
