@@ -410,4 +410,44 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in pca projection:\n$plan")
     assert(!plan.toLowerCase.contains("cartesianproduct"), s"cartesian in pca projection:\n$plan")
   }
+
+  test("contamination matrix: corpus side stays narrow up to ONE aggregation") {
+    import spark.implicits._
+    val corpus = (0L until 40L).map(i =>
+      (i, s"alpha beta gamma delta epsilon tok$i zeta eta theta")).toDF("doc_id", "text")
+    val bench = Seq(("b1", 1L, "alpha beta gamma delta epsilon"),
+      ("b2", 2L, "zeta eta theta iota kappa")).toDF("bench_id", "doc_id", "text")
+    val m = graft.pipeline.Curation.contaminationMatrix(
+      corpus, bench, "doc_id", "text", "bench_id", n = 3)
+    m.collect()
+    val plan = m.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the round-9 shape: benchmark grams broadcast onto the corpus shingle
+    // stream (no SortMergeJoin — a shuffled join would move every corpus
+    // shingle), no join back to recover the benchmark id (it rides the
+    // window key), and the only corpus-wide exchange feeds the final
+    // countDistinct aggregation
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark grams not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shingles shuffled into a join:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), s"cartesian:\n$plan")
+  }
+
+  test("path property extraction: fused assembly, no per-piece join chains") {
+    val (batch, _) = CocktailFixture.build()
+    val zc = new ZoeCompiler(batch.toStore(spark).persistAll())
+    val gin = Zoe.start(CocktailFixture.prop("Ingredient", "gin"))
+    val q = gin.referencingVertices.ingoing
+      .intersect(Zoe.start(CocktailFixture.prop("Includes", "")).referencingEdges)
+      .ingoing
+    val df = zc.extractPathProperties(zc.run(q))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the round-9 shape: start/end lookups ride the SAME exploded hop frame
+    // as the hops (sentinel pseudo-positions), so the whole assembly is the
+    // 4 property/element joins + one groupBy — a regression back to the
+    // separate start/end chains shows up as extra join operators
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins <= 4, s"path assembly grew to $joins joins (start/end chains back?):\n$plan")
+    assert(!plan.toLowerCase.contains("cartesianproduct"), s"cartesian in path assembly:\n$plan")
+  }
 }
