@@ -238,6 +238,29 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardViaMinhash(dedupCorpus(s, d), "doc_id", "text",
         n = 3, k = 4, minSim = 0.5)),
+    // paragraph-granularity exact dedup (the C4/RefinedWeb cleaning step):
+    // composite multi-paragraph docs assembled from the planted-dup corpus
+    // (each source doc = one paragraph, 40 composites), boilerplate
+    // paragraphs removed corpus-wide keep-first, docs reassembled in order
+    "dedup_paragraphs" -> ((s, d) => {
+      val comp = dedupCorpus(s, d)
+        .groupBy((col("doc_id") % 40).as("cid"))
+        .agg(concat_ws("\n",
+          array_sort(collect_list(struct(col("doc_id"), col("text"))))
+            .getField("text")).as("text"))
+      Dedup.paragraphDedup(comp, "cid", "text")
+    }),
+    // C4-style line cleaning: short lines (< 30 words) and a blacklist
+    // phrase dropped, documents reassembled from the survivors
+    "curate_clean_lines" -> ((s, d) => {
+      val comp = docs(s, d)
+        .groupBy((col("doc_id") % 50).as("cid"))
+        .agg(concat_ws("\n",
+          array_sort(collect_list(struct(col("doc_id"), col("text"))))
+            .getField("text")).as("text"))
+      pipeline.Curation.lineFilter(comp, "cid", "text", minWords = 30,
+        blacklist = Seq("spark"))
+    }),
     "text_langid" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
     "text_quality" -> ((s, d) =>
@@ -1543,6 +1566,35 @@ object PipelineQueries {
            |    row_number() OVER (PARTITION BY lang_guess ORDER BY h ASC, doc_id ASC) AS rn
            |  FROM surv)
            |SELECT doc_id, lang_guess FROM r WHERE rn <= quota""".stripMargin,
+      "dedup_paragraphs" ->
+        s"""$corpusCte,
+           |comp AS (SELECT doc_id % 40 AS cid,
+           |    string_agg(text, chr(10) ORDER BY doc_id) AS text
+           |  FROM corpus GROUP BY 1),
+           |paras AS (SELECT cid, len(string_split(text, chr(10))) AS n,
+           |    unnest(string_split(text, chr(10))) AS para,
+           |    unnest(range(len(string_split(text, chr(10))))) AS pos
+           |  FROM comp),
+           |keep AS (SELECT cid, n, pos, para FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY para ORDER BY cid, pos) AS rn
+           |    FROM paras) t WHERE rn = 1)
+           |SELECT cid, string_agg(para, chr(10) ORDER BY pos) AS text,
+           |  count(*) AS n_kept, CAST(any_value(n) - count(*) AS BIGINT) AS n_dropped
+           |FROM keep GROUP BY cid""".stripMargin,
+      "curate_clean_lines" ->
+        """WITH comp AS (SELECT doc_id % 50 AS cid,
+          |    string_agg(text, chr(10) ORDER BY doc_id) AS text
+          |  FROM documents GROUP BY 1),
+          |lines AS (SELECT cid, len(string_split(text, chr(10))) AS n,
+          |    unnest(string_split(text, chr(10))) AS line,
+          |    unnest(range(len(string_split(text, chr(10))))) AS pos
+          |  FROM comp),
+          |keep AS (SELECT * FROM lines
+          |  WHERE len(regexp_extract_all(lower(line), '[a-z0-9]+')) >= 30
+          |    AND NOT contains(lower(line), 'spark'))
+          |SELECT cid, string_agg(line, chr(10) ORDER BY pos) AS text,
+          |  count(*) AS n_kept, CAST(any_value(n) - count(*) AS BIGINT) AS n_dropped
+          |FROM keep GROUP BY cid""".stripMargin,
       "dedup_cross_source" ->
         """WITH sourced AS (
           |  SELECT doc_id, text, source FROM documents

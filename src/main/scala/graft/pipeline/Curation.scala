@@ -662,4 +662,33 @@ object Curation {
       }
     } finally benchGrams.unpersist()
   }
+
+  /** C4-style line-level cleaning: drop lines with fewer than `minWords`
+    * word tokens or containing any blacklisted phrase (case-insensitive
+    * substring — the "javascript required" / "lorem ipsum" class of
+    * boilerplate), reassemble each document from its surviving lines in
+    * original order. Documents with zero surviving lines disappear.
+    * Returns (idCol, text, n_kept, n_dropped).
+    *
+    * Scale: the explode + per-line predicates are narrow codegen'd
+    * projections; the ONE shuffle is the document-keyed reassembly with
+    * per-group state bounded by document length. Blacklist lives in the
+    * plan as literals (eval-sized by definition). */
+  def lineFilter(df: DataFrame, idCol: String, textCol: String,
+                 minWords: Int = 3, blacklist: Seq[String] = Nil,
+                 sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      size(split(col(textCol), sep)).cast("long").as("__n"),
+      posexplode(split(col(textCol), sep)).as(Seq("__pos", "__line")))
+    val blacklisted = blacklist.foldLeft(lit(false))((acc, phrase) =>
+      acc || lower(col("__line")).contains(phrase.toLowerCase))
+    val kept = lines.where(
+      TextAnalysis.wordCount(col("__line")) >= minWords && !blacklisted)
+    kept.groupBy(col(idCol), col("__n"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep, array_sort(collect_list(struct(col("__pos"), col("__line"))))
+          .getField("__line")).as("text"))
+      .select(col(idCol), col("text"), col("n_kept"),
+        (col("__n") - col("n_kept")).as("n_dropped"))
+  }
 }

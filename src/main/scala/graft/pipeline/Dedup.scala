@@ -639,4 +639,36 @@ object Dedup {
         round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
       .where(col("cos") >= minCos)
   }
+
+  /** Paragraph-granularity exact dedup — the C4/RefinedWeb/Dolma cleaning
+    * step document-level dedup misses: boilerplate paragraphs repeated
+    * across documents (headers, license blocks, navigation) are removed
+    * CORPUS-WIDE, keeping only the globally first occurrence (min (doc,
+    * position)), and each document is reassembled from its survivors in
+    * original order. Documents whose every paragraph was seen earlier
+    * disappear entirely (they contribute nothing new). Returns
+    * (idCol, text, n_kept, n_dropped).
+    *
+    * Scale: two shuffles — one keyed by paragraph content for the
+    * keep-first window (exact dedup's content-keyed exchange at paragraph
+    * granularity; per-group state is one min struct), one by document id
+    * for the ordered reassembly (per-group state bounded by document
+    * length). The explode itself is narrow. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol),
+      size(split(col(textCol), sep)).cast("long").as("__n"),
+      posexplode(split(col(textCol), sep)).as(Seq("__pos", "__para")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__para")
+    val kept = paras
+      .withColumn("__keep",
+        min(struct(col(idCol).as("i"), col("__pos").as("p"))).over(w))
+      .where(col("__keep.i") === col(idCol) && col("__keep.p") === col("__pos"))
+    kept.groupBy(col(idCol), col("__n"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep, array_sort(collect_list(struct(col("__pos"), col("__para"))))
+          .getField("__para")).as("text"))
+      .select(col(idCol), col("text"), col("n_kept"),
+        (col("__n") - col("n_kept")).as("n_dropped"))
+  }
 }

@@ -910,4 +910,36 @@ class PipelineSpec extends SparkSuite {
     assert(out(2L) == ((2L, 1L, 0.5)))
     assert(out(3L) == ((0L, 0L, 0.0)))
   }
+
+  test("paragraph dedup: corpus-wide keep-first, ordered reassembly, empty docs vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "license header\nreal content one\nfooter"),
+      (2L, "license header\nreal content two\nfooter"), // boilerplate repeats
+      (3L, "license header\nfooter"))                   // nothing new at all
+      .toDF("doc_id", "text")
+    val out = pipeline.Dedup.paragraphDedup(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 owns the first occurrence of every paragraph it has
+    assert(out(1L) == (("license header\nreal content one\nfooter", 3L, 0L)))
+    // doc 2 keeps only its unique middle paragraph
+    assert(out(2L) == (("real content two", 1L, 2L)))
+    // doc 3 contributed nothing new -> absent entirely
+    assert(!out.contains(3L) && out.size == 2)
+  }
+
+  test("line filter: min-words and blacklist drop, order kept, stats count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta\nno\nEnable JavaScript to continue\nepsilon zeta eta theta"),
+      (2L, "x\ny"))
+      .toDF("doc_id", "text")
+    val out = pipeline.Curation.lineFilter(docs, "doc_id", "text",
+        minWords = 3, blacklist = Seq("javascript")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // line 2 (< 3 words) and line 3 (blacklisted, case-insensitive) drop;
+    // survivors keep original order
+    assert(out(1L) == (("alpha beta gamma delta\nepsilon zeta eta theta", 2L, 2L)))
+    assert(!out.contains(2L) && out.size == 1)
+  }
 }
