@@ -90,11 +90,42 @@ object LuaCompat {
     out.result()
   }
 
-  /** One script run: parse + interpret statement-by-statement. */
+  /** One script run: parse + interpret statement-by-statement; mutations
+    * persist once at the end iff any ran. */
   def run(spark: SparkSession, dbPath: String, code: String): Unit = {
-    var store = GraphStore.load(spark, dbPath)
-    var mutated = false
-    val env = scala.collection.mutable.Map[String, V]()
+    val s = new Session(spark, dbPath)
+    s.eval(code)
+    s.finish()
+  }
+
+  /** Line-based repl (the reference's `lua_repl`, lua.rs:368-422): each
+    * line evaluates against ONE persistent session — variables and
+    * uncommitted mutations survive across lines — and an error prints
+    * without killing the session, like the reference's readline loop.
+    * Each line must hold complete statements (the reference repl is
+    * line-based too). */
+  def repl(spark: SparkSession, dbPath: String, lines: Iterator[String]): Unit = {
+    val s = new Session(spark, dbPath)
+    lines.foreach { line =>
+      if (line.trim.nonEmpty)
+        try s.eval(line)
+        catch { case e: Exception => Console.err.println(s"error: ${e.getMessage}") }
+    }
+    s.finish()
+  }
+
+  /** A persistent interpreter session: the variable environment and the
+    * evolving (content-addressed, GC'd) store image live here; `eval`
+    * tokenizes and interprets one chunk of complete statements. */
+  final class Session(spark: SparkSession, dbPath: String) {
+    private var store = GraphStore.load(spark, dbPath)
+    private var mutated = false
+    private val env = scala.collection.mutable.Map[String, V]()
+
+    /** Persist accumulated mutations (no-op for pure-query sessions). */
+    def finish(): Unit = if (mutated) store.save(dbPath)
+
+    def eval(code: String): Unit = {
     val toks = tokenize(code)
     var p = 0
 
@@ -375,7 +406,6 @@ object LuaCompat {
         }
       }
     }
-
-    if (mutated) store.save(dbPath)
+    }
   }
 }

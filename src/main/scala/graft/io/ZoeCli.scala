@@ -76,6 +76,11 @@ object ZoeCli {
     // subset runs unmodified (translator, not interpreter — LuaCompat)
     case "script" :: path :: "--lua" :: file :: Nil =>
       LuaCompat.run(spark, path, scala.io.Source.fromFile(file).mkString)
+    // Lua-compat repl (reference lua_repl parity): line-based, one
+    // persistent session, per-line errors don't kill the loop
+    case "repl" :: path :: "--lua" :: Nil =>
+      LuaCompat.repl(spark, path,
+        Iterator.continually(Console.in.readLine()).takeWhile(_ != null))
     case "repl" :: path :: Nil =>
       val g = GraphStore.load(spark, path)
       graft.model.TypedViews.registerViews(g)
@@ -176,6 +181,7 @@ object ZoeCli {
            |  export <dbPath> dot|graphml
            |  script <dbPath> <sqlFile>           (;-separated SQL over graft_* views)
            |  script <dbPath> --lua <luaFile>     (reference Lua builder subset)
+           |  repl <dbPath> --lua                 (stdin: line-based Lua-compat repl)
            |  repl <dbPath>                       (stdin: ;-separated SQL)
            |  property-id                         (stdin: property bytes)
            |  property-blob                       (stdin: property bytes)

@@ -142,6 +142,23 @@ class LuaCompatSpec extends SparkSuite {
     assert(e2.getMessage.contains("unknown function"))
   }
 
+  test("repl: persistent session, per-line errors don't kill the loop") {
+    val gin = prop("Ingredient", "gin")
+    val bout = new java.io.ByteArrayOutputStream()
+    val berr = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bout, true, "UTF-8")) {
+      Console.withErr(new java.io.PrintStream(berr, true, "UTF-8")) {
+        LuaCompat.repl(spark, dbPath, Iterator(
+          s"q = pq_from_id('${gin.hash}'):referencing_vertices()",
+          "this is not lua at all (",       // errors, loop survives
+          "db:query(q)"))                   // q still bound
+      }
+    }
+    assert(berr.toString("UTF-8").contains("error:"))
+    assert(bout.toString("UTF-8").trim ==
+      rendered(BasicQuery.V(Zoe.start(gin).referencingVertices)))
+  }
+
   test("comments, semicolons and local/global assignment all parse") {
     val out = runScript(
       s"""-- leading comment
