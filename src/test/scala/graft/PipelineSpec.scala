@@ -911,6 +911,49 @@ class PipelineSpec extends SparkSuite {
     assert(out(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("randomized: minhash-propose + array-verify pairs equal the independent all-pairs form") {
+    import spark.implicits._
+    // two INDEPENDENT implementations must agree: ngramJaccardPairs
+    // enumerates all sharing pairs with the exploded join + pair groupBy,
+    // ngramJaccardViaMinhash proposes via banding and verifies with the
+    // collected-array intersect. At minSim = 0.26, k = 4 single-hash
+    // bands: any pair at J >= 0.26 shares a shingle; if its four minima
+    // all differ the pair may legitimately be missed by the propose
+    // stage, so assert (a) via-minhash ⊆ all-pairs with EQUAL scores,
+    // (b) every all-pairs result whose docs share a band is found.
+    val rnd = new scala.util.Random(9090L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    // 20 random base docs + a mutated near-copy of each (one token
+    // swapped) — guaranteed high-jaccard pairs plus random-overlap noise
+    val bases = (1L to 20L).map(i =>
+      i -> Seq.fill(8 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))))
+    val docs = (bases.map { case (i, ws) => (i, ws.mkString(" ")) } ++
+      bases.map { case (i, ws) =>
+        val mut = ws.updated(rnd.nextInt(ws.size), vocab(rnd.nextInt(vocab.size)))
+        (i + 100L, mut.mkString(" "))
+      }).toDF("doc_id", "text")
+    val brute = pipeline.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minSim = 0.26)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = pipeline.Dedup.ngramJaccardViaMinhash(docs, "doc_id", "text",
+        n = 3, k = 4, minSim = 0.26)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty, "fixture produced no near-dup pairs at all")
+    lsh.foreach { case (pair, j) =>
+      assert(brute.get(pair).contains(j), s"pair $pair: lsh $j vs brute ${brute.get(pair)}")
+    }
+    // recall check against the actual banding: recompute the 4 minima per
+    // doc on the driver and require every brute pair sharing a band to be
+    // proposed+verified
+    val sigRows = pipeline.Dedup.minhashSignatures(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    brute.keys.foreach { case (a, b) =>
+      val sharesBand = sigRows(a).zip(sigRows(b)).exists { case (x, y) => x == y }
+      if (sharesBand)
+        assert(lsh.contains((a, b)), s"banded pair ($a,$b) missing from via-minhash")
+    }
+  }
+
   test("paragraph dedup: corpus-wide keep-first, ordered reassembly, empty docs vanish") {
     import spark.implicits._
     val docs = Seq(
