@@ -122,6 +122,7 @@ object Dedup {
     // measured alternative (no persist, exchange reuse) was 3× slower.
     val distinctShingles = bounded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      distinctShingles.count() // eager cache fill — see ngramJaccardOnShingles
       val sizes = distinctShingles.groupBy("doc").agg(count(lit(1)).as("n_sh"))
       val exploded = distinctShingles
       val inter = exploded.select(col("doc").as("a"), col("shingle"))
@@ -181,6 +182,12 @@ object Dedup {
       .dropDuplicates("doc", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // materialize the persist BEFORE wiring the consumers: the final
+      // eager checkpoint otherwise runs signature-agg and set-collect
+      // subtrees concurrently against a cold cache, and each recomputes
+      // the window shingle build for partitions not yet cached (measured
+      // ~25% of the composed pipeline at sf0.1)
+      sh.count()
       verifyJaccard(sh, minhashCandidates(sh, k), minSim).localCheckpoint(true)
     } finally sh.unpersist()
   }
@@ -220,6 +227,7 @@ object Dedup {
       .dropDuplicates("doc", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      sh.count() // eager cache fill — see ngramJaccardOnShingles
       val cand = minhashCandidates(sh, k)
       // same array-based verify as verifyOverlap, scoring BOTH measures
       // from the one intersection projection
@@ -331,6 +339,7 @@ object Dedup {
       val sh = TextAnalysis.shingleRowsWithPos(toks, idCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        sh.count() // eager cache fill — see ngramJaccardOnShingles
         val hot = sh.select(col(idCol), col("shingle")).distinct()
           .groupBy("shingle").agg(count(lit(1)).as("__df"))
           .where(col("__df") >= minDf).select("shingle")
@@ -430,6 +439,7 @@ object Dedup {
       .dropDuplicates("doc", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      sh.count() // eager cache fill — see ngramJaccardOnShingles
       verifyContainment(sh, minhashCandidates(sh, k), minContain).localCheckpoint(true)
     } finally sh.unpersist()
   }
@@ -479,6 +489,7 @@ object Dedup {
       .dropDuplicates("doc", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      sh.count() // eager cache fill — see ngramJaccardOnShingles
       val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
         .where(col("__df") >= 2 && col("__df") <= maxDf)
         .select("shingle")
@@ -543,6 +554,7 @@ object Dedup {
     val win = TextAnalysis.shingleRows(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      win.count() // eager cache fill — see ngramJaccardOnShingles
       val shared = win.groupBy("shingle")
         .agg(countDistinct(col(idCol)).as("__docs"))
         .where(col("__docs") > 1)
