@@ -11,6 +11,10 @@ import graft.store.GraphBatch
   * random query ASTs, with a pure-Scala model interpreter of the reference
   * semantics as the oracle (SURVEY §5 "ScalaCheck set-op algebra vs model").
   */
+/** Path-element shape for synthetic paths frames (fields v/e must match the
+  * compiler's path struct); top-level so Spark can derive its encoder. */
+case class ZoeAlgebraHop(v: String, e: String)
+
 class ZoeAlgebraSpec extends SparkSuite {
 
   /** Driver-side model of the store: node id -> prop hash, edge id ->
@@ -173,5 +177,50 @@ class ZoeAlgebraSpec extends SparkSuite {
       val qe = BasicQuery.E(e)
       assert(ZoeJson.parse(ZoeJson.render(qe)) == qe, s"seed $i")
     }
+  }
+
+  test("extractPathProperties matches a driver-side assembly on random paths") {
+    // Fuzz the FUSED path assembly (start/end sentinels riding the exploded
+    // hop frame) directly: random paths referencing a mix of real ids,
+    // ghosts, and nulls, against a pure-driver reference of the layout
+    // [startEdgeProp?] ++ hops.flatMap(v,e => [vProp?, eProp?]) ++
+    // [endVertexProp?] (kv_graph_store.rs:108-137 — missing elements and
+    // property-less lookups vanish, everything else keeps hop order).
+    import spark.implicits._
+    val (batch, model) = buildGraph(5,
+      Seq((0, 1, 0), (1, 2, 1), (2, 3, 0), (3, 4, 1), (4, 0, 0), (1, 3, 1)))
+    val zc = new ZoeCompiler(batch.toStore(spark).persistAll())
+    val vIds = model.nodes.keys.toVector.sorted
+    val eIds = model.edges.keys.toVector.sorted
+    val valueByHash = (vertexProps ++ edgeProps).map(p => p.hash -> p.json).toMap
+    def lookupV(id: String): Option[String] =
+      Option(id).flatMap(model.nodes.get).flatMap(valueByHash.get)
+    def lookupE(id: String): Option[String] =
+      Option(id).flatMap(model.edges.get).map(_._3).flatMap(valueByHash.get)
+
+    val rnd = new scala.util.Random(4242L)
+    def randV() = if (rnd.nextInt(6) == 0) "ghostV" else vIds(rnd.nextInt(vIds.size))
+    def randE() = if (rnd.nextInt(6) == 0) "ghostE" else eIds(rnd.nextInt(eIds.size))
+    val rows = Seq.fill(80) {
+      val start = rnd.nextInt(4) match { case 0 => null; case _ => randE() }
+      val hops = Seq.fill(rnd.nextInt(4))(ZoeAlgebraHop(randV(), randE()))
+      val end = rnd.nextInt(4) match { case 0 => null; case _ => randV() }
+      (start, hops, end)
+    } :+ ((null, Seq.empty[ZoeAlgebraHop], null)) :+ ((null, Seq.empty[ZoeAlgebraHop], null)) // dup empties
+
+    val dummy = Seq.empty[String].toDF("id")
+    val r = graft.exec.ZoeResult(dummy, dummy, rows.toDF("start", "path", "end"),
+      dummy, Seq.empty[(String, String)].toDF("key", "value"))
+    val got = zc.extractPathProperties(r).collect()
+      .map(row => (Option(row.getString(0)), row.getSeq[String](1).toList))
+      .toSeq.sortBy(_.toString())
+
+    val expected = rows.map { case (start, hops, end) =>
+      val props = lookupE(start).toList ++
+        hops.flatMap(h => lookupV(h.v).toList ++ lookupE(h.e).toList) ++
+        lookupV(end).toList
+      (Option(end), props)
+    }.sortBy(_.toString())
+    assert(got == expected)
   }
 }
