@@ -38,8 +38,9 @@ class ZoeAlgebraSpec extends SparkSuite {
       case VertexQuery.All            => nodes.keySet
       case VertexQuery.Specific(ids)  => ids.toSet // not existence-checked (parity)
       case VertexQuery.Property(pq)   => val h = evalP(pq); nodes.collect { case (n, p) if h(p) => n }.toSet
-      case VertexQuery.Out(eq)        => evalE(eq).map(e => edges(e)._2)
-      case VertexQuery.In(eq)         => evalE(eq).map(e => edges(e)._1)
+      // ghost edge ids (unchecked E.Specific) carry no endpoints — hops skip
+      case VertexQuery.Out(eq)        => evalE(eq).flatMap(e => edges.get(e).map(_._2))
+      case VertexQuery.In(eq)         => evalE(eq).flatMap(e => edges.get(e).map(_._1))
       case VertexQuery.Union(a, b)    => evalV(a) union evalV(b)
       case VertexQuery.Intersect(a, b) => evalV(a) intersect evalV(b)
       case VertexQuery.Substract(a, b) => evalV(a) diff evalV(b)
@@ -51,7 +52,9 @@ class ZoeAlgebraSpec extends SparkSuite {
 
     def evalE(q: EdgeQuery): Set[String] = q match {
       case EdgeQuery.All              => edges.keySet
-      case EdgeQuery.Specific(ids)    => ids.toSet.intersect(edges.keySet)
+      // reference parity: listed edge ids are NOT existence-checked
+      // (kv_graph_store.rs:229-233) — ghosts survive in the edge result
+      case EdgeQuery.Specific(ids)    => ids.toSet
       case EdgeQuery.Property(pq)     => val h = evalP(pq); edges.collect { case (e, (_, _, p)) if h(p) => e }.toSet
       case EdgeQuery.Out(vq)          => val v = evalV(vq); edges.collect { case (e, (s, _, _)) if v(s) => e }.toSet
       case EdgeQuery.In(vq)           => val v = evalV(vq); edges.collect { case (e, (_, d, _)) if v(d) => e }.toSet
@@ -62,6 +65,73 @@ class ZoeAlgebraSpec extends SparkSuite {
         val (x, y) = (evalE(a), evalE(b)); (x diff y) union (y diff x)
       case EdgeQuery.Store(s)         => evalE(s)
       case EdgeQuery.Filter(_, _)     => sys.error("not generated")
+    }
+
+    /** Context = (start edge, path of (vertex, edge) hops) — the traversal
+      * state the compiler threads per row (ql.rs:269-334). The model keeps
+      * the SET of derivable contexts per result id; the compiled engine
+      * keeps all rows and surfaces ONE per id at assembly (`first`), so the
+      * check is membership + id-set equality, never a specific pick. */
+    type Ctx = (Option[String], List[(String, String)])
+    private val freshCtx: Set[Ctx] = Set((None, Nil))
+
+    private def mergeCtx(a: Map[String, Set[Ctx]], b: Map[String, Set[Ctx]]) =
+      (a.keySet ++ b.keySet).map(k =>
+        k -> (a.getOrElse(k, Set.empty) ++ b.getOrElse(k, Set.empty))).toMap
+
+    def ctxV(q: VertexQuery): Map[String, Set[Ctx]] = q match {
+      case VertexQuery.All           => nodes.keySet.map(_ -> freshCtx).toMap
+      case VertexQuery.Specific(ids) => ids.map(_ -> freshCtx).toMap
+      case VertexQuery.Property(pq)  =>
+        val h = evalP(pq)
+        nodes.collect { case (n, p) if h(p) => n -> freshCtx }.toMap
+      // entering a vertex does not extend the path (ql.rs:333-352);
+      // ghost edges have no endpoints and drop out of the hop
+      case VertexQuery.Out(eq) =>
+        ctxE(eq).toSeq.flatMap { case (e, cs) => edges.get(e).map(t => Map(t._2 -> cs)) }
+          .foldLeft(Map.empty[String, Set[Ctx]])(mergeCtx)
+      case VertexQuery.In(eq) =>
+        ctxE(eq).toSeq.flatMap { case (e, cs) => edges.get(e).map(t => Map(t._1 -> cs)) }
+          .foldLeft(Map.empty[String, Set[Ctx]])(mergeCtx)
+      case VertexQuery.Union(a, b)     => mergeCtx(ctxV(a), ctxV(b))
+      case VertexQuery.Intersect(a, b) => // keeps LEFT contexts
+        val keep = ctxV(b).keySet; ctxV(a).filter(kv => keep(kv._1))
+      case VertexQuery.Substract(a, b) => ctxV(a) -- ctxV(b).keySet
+      case VertexQuery.DisjunctiveUnion(a, b) =>
+        val (x, y) = (ctxV(a), ctxV(b))
+        mergeCtx(x -- y.keySet, y -- x.keySet)
+      case VertexQuery.Store(s)      => ctxV(s) // token only; path untouched
+      case VertexQuery.Filter(_, _)  => sys.error("not generated")
+    }
+
+    def ctxE(q: EdgeQuery): Map[String, Set[Ctx]] = q match {
+      // a chain STARTING at an edge records it in `start` (ql.rs:326-334)
+      case EdgeQuery.All           => edges.keySet.map(e => e -> Set((Some(e): Option[String], List.empty[(String, String)]))).toMap
+      case EdgeQuery.Specific(ids) => ids.map(e => e -> Set((Some(e): Option[String], List.empty[(String, String)]))).toMap
+      case EdgeQuery.Property(pq)  =>
+        val h = evalP(pq)
+        edges.collect { case (e, (_, _, p)) if h(p) =>
+          e -> Set((Some(e): Option[String], List.empty[(String, String)])) }.toMap
+      // entering an edge appends (currentVertex, edge) (ql.rs:281-302)
+      case EdgeQuery.Out(vq) =>
+        ctxV(vq).toSeq.flatMap { case (v, cs) =>
+          edges.collect { case (e, (s, _, _)) if s == v =>
+            Map(e -> cs.map { case (st, p) => (st, p :+ (v -> e)) }) }
+        }.foldLeft(Map.empty[String, Set[Ctx]])(mergeCtx)
+      case EdgeQuery.In(vq) =>
+        ctxV(vq).toSeq.flatMap { case (v, cs) =>
+          edges.collect { case (e, (_, d, _)) if d == v =>
+            Map(e -> cs.map { case (st, p) => (st, p :+ (v -> e)) }) }
+        }.foldLeft(Map.empty[String, Set[Ctx]])(mergeCtx)
+      case EdgeQuery.Union(a, b)     => mergeCtx(ctxE(a), ctxE(b))
+      case EdgeQuery.Intersect(a, b) =>
+        val keep = ctxE(b).keySet; ctxE(a).filter(kv => keep(kv._1))
+      case EdgeQuery.Substract(a, b) => ctxE(a) -- ctxE(b).keySet
+      case EdgeQuery.DisjunctiveUnion(a, b) =>
+        val (x, y) = (ctxE(a), ctxE(b))
+        mergeCtx(x -- y.keySet, y -- x.keySet)
+      case EdgeQuery.Store(s)      => ctxE(s)
+      case EdgeQuery.Filter(_, _)  => sys.error("not generated")
     }
   }
 
@@ -176,6 +246,44 @@ class ZoeAlgebraSpec extends SparkSuite {
       val e = genE(4).pureApply(Gen.Parameters.default, Seed(2000L + i))
       val qe = BasicQuery.E(e)
       assert(ZoeJson.parse(ZoeJson.render(qe)) == qe, s"seed $i")
+    }
+  }
+
+  test("traversal contexts (start/path) agree with the model on random ASTs") {
+    val (batch, model) = buildGraph(6,
+      Seq((0, 1, 0), (1, 2, 1), (2, 3, 0), (3, 4, 1), (4, 5, 0), (5, 0, 1),
+        (0, 3, 0), (1, 4, 1), (2, 2, 0)))
+    val zc = new ZoeCompiler(batch.toStore(spark).persistAll())
+    edgeIdPool = model.edges.keys.take(3).toSeq :+ "GHOST"
+    def pathOf(r: org.apache.spark.sql.Row): List[(String, String)] =
+      if (r.isNullAt(1)) Nil
+      else r.getSeq[org.apache.spark.sql.Row](1)
+        .map(h => (h.getAs[String]("v"), h.getAs[String]("e"))).toList
+
+    (1 to 10).foreach { i =>
+      val q = genV(3).pureApply(Gen.Parameters.default, Seed(3000L + i))
+      val m = model.ctxV(q)
+      val rows = zc.run(q).paths.collect()
+        .map(r => (Option(r.getString(0)), pathOf(r), r.getString(2)))
+      // one assembled row per result id; its context must be DERIVABLE
+      // (the engine keeps all colliding rows and surfaces one — `first`)
+      assert(rows.map(_._3).toSet == m.keySet, s"\nseed $i id set: $q")
+      rows.foreach { case (start, path, end) =>
+        assert(m(end).contains((start, path)),
+          s"\nseed $i query: $q\nend $end ctx ($start, $path) not in ${m(end)}")
+      }
+    }
+    (101 to 110).foreach { i =>
+      val q = genE(3).pureApply(Gen.Parameters.default, Seed(4000L + i))
+      val m = model.ctxE(q)
+      // edge-result paths drop the edge id (end = null): one row per id,
+      // each context derivable for SOME result edge
+      val rows = zc.run(q).paths.collect().map(r => (Option(r.getString(0)), pathOf(r)))
+      assert(rows.length == m.size, s"\nseed $i row count: $q")
+      rows.foreach { ctx =>
+        assert(m.values.exists(_.contains(ctx)),
+          s"\nseed $i query: $q\nctx $ctx not derivable")
+      }
     }
   }
 
