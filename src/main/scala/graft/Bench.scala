@@ -69,8 +69,9 @@ object Bench {
     // failures, keep ALL of them in the measured set
     "events_interval_join", "events_stream_dedup", "stream_graph_ingest",
     "stream_sig_dedup", "stream_asset_features",
-    // paragraph-granularity dedup + C4-style line cleaning
-    "dedup_paragraphs", "curate_clean_lines")
+    // paragraph-granularity dedup + C4-style line cleaning + the IVF
+    // probe-depth tuning table (one shared pass, three rungs)
+    "dedup_paragraphs", "curate_clean_lines", "ann_nprobe_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

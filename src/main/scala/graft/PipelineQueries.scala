@@ -346,6 +346,13 @@ object PipelineQueries {
         k = 3, nlist = 16, nprobe = 4)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // IVF probe-depth tuning table: recall@3 + scored-candidate volume per
+    // nprobe rung (1/2/4), all rungs from ONE assignment + probe ranking
+    "ann_nprobe_sweep" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.ivfNprobeSweep(e, e.where(col("vec_id") < 50), "vec_id",
+        "embedding", k = 3, nlist = 16, nprobes = Seq(1, 2, 4))
+    }),
     // embedding near-dup at scale: LSH bucket join over the WHOLE corpus
     // (no candidate-set bound), exact cosine verify
     "embedding_lsh_pairs" -> ((s, d) =>
@@ -2070,6 +2077,41 @@ object PipelineQueries {
           |  FROM q, embeddings e WHERE e.vec_id <> query_id),
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM s)
           |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3""".stripMargin,
+      "ann_nprobe_sweep" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+          |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < 16),
+          |asg AS (SELECT vec_id, cid FROM (
+          |  SELECT v.vec_id, c.cid,
+          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+          |  FROM v, cent c) t WHERE rn = 1),
+          |pr AS (SELECT query_id, cid, rn AS probe_rank FROM (
+          |  SELECT v.vec_id AS query_id, c.cid,
+          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+          |  FROM v, cent c WHERE v.vec_id < 50) t WHERE rn <= 4),
+          |s AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.probe_rank,
+          |  round(list_cosine_similarity(qv.ve, av.ve), 6) AS cos
+          |  FROM pr p JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.query_id
+          |  JOIN v qv ON qv.vec_id = p.query_id JOIN v av ON av.vec_id = a.vec_id),
+          |ex AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY round(list_cosine_similarity(q.ve, c.ve), 6) DESC, c.vec_id ASC) AS rnk
+          |  FROM v q JOIN v c ON c.vec_id <> q.vec_id WHERE q.vec_id < 50) t WHERE rnk <= 3),
+          |den AS (SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_exact FROM ex),
+          |rung(p) AS (VALUES (1), (2), (4)),
+          |cand AS (SELECT r.p, s.query_id, s.neighbor_id, s.cos FROM rung r JOIN s ON s.probe_rank <= r.p),
+          |topk AS (SELECT p, query_id, neighbor_id FROM (
+          |  SELECT p, query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY p, query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          |  FROM cand) t WHERE rnk <= 3),
+          |cagg AS (SELECT p, count(*) AS n_candidates FROM cand GROUP BY p),
+          |hagg AS (SELECT t.p, count(*) AS n_found,
+          |    CAST(coalesce(sum(CASE WHEN ex.query_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit
+          |  FROM topk t LEFT JOIN ex ON t.query_id = ex.query_id AND t.neighbor_id = ex.neighbor_id
+          |  GROUP BY t.p)
+          |SELECT CAST(c.p AS BIGINT) AS nprobe, den.n_queries, den.n_exact,
+          |  c.n_candidates, h.n_found, h.n_hit,
+          |  round(CASE WHEN den.n_exact = 0 THEN 1.0 ELSE CAST(h.n_hit AS DOUBLE) / den.n_exact END, 4) AS recall
+          |FROM cagg c JOIN hagg h ON c.p = h.p, den""".stripMargin,
       "ann_lsh_topk" -> {
         def sign(p: Int) =
           s"(CASE WHEN (strpos('0123456789abcdef', substr(md5('$p|'||i), 1, 1)) - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END)"

@@ -207,6 +207,76 @@ object Similarity {
     * Scale: run on a hash-sampled query slice — the exact arm is a full
     * scan per query and only exists at sample scale; the approximate arms
     * are the production plans unchanged. */
+  /** IVF probe-depth sweep — the nprobe tuning table an operator reads
+    * before a rollout (the ANN sibling of [[Dedup.thresholdSweep]]):
+    * recall@k AND the scored-candidate volume (the cost proxy — work per
+    * query ≈ n_candidates/n_queries exact scores) for a ladder of nprobe
+    * values, ALL from one shared pass. The inverted-file assignment and
+    * the per-query probe ranking run once at the DEEPEST rung with the
+    * probe position kept; each rung is then a filter on probe_rank over
+    * the checkpointed scored table plus one small top-k window — never a
+    * re-probe of the corpus. Ground truth is [[bruteForceTopK]] on the
+    * same (sample-sized) query slice, shared across rungs. Returns one
+    * row per rung: (nprobe, n_queries, n_exact, n_candidates, n_found,
+    * n_hit, recall). */
+  def ivfNprobeSweep(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nlist: Int = 16, nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      s"need a non-empty ladder of nprobe >= 1; got $nprobes")
+    val maxP = nprobes.max
+    val cent = broadcast(corpus.where(col(idCol) < nlist)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid")))
+    // the ivfTopKWith assignment shape: map-side min(struct) argmax
+    val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(cent)
+      .select(col("neighbor_id"),
+        struct((-cosine(col("cv"), col("centroid"))).as("nc"), col("cid"),
+          col("cv")).as("__s"))
+      .groupBy("neighbor_id").agg(min(col("__s")).as("__s"))
+      .select(col("neighbor_id"), col("__s.cv").as("cv"), col("__s.cid").as("cid"))
+    // probe ranking ONCE at the deepest rung, 1-based position kept
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(cent)
+      .select(col("query_id"), col("qv"),
+        struct((-cosine(col("qv"), col("centroid"))).as("nc"), col("cid")).as("__p"))
+      .groupBy("query_id")
+      .agg(first(col("qv")).as("qv"),
+        slice(array_sort(collect_list(col("__p"))), 1, maxP).as("__top"))
+      .select(col("query_id"), col("qv"),
+        posexplode(col("__top")).as(Seq("__pos", "__p")))
+      .select(col("query_id"), col("qv"),
+        (col("__pos") + 1).as("probe_rank"), col("__p.cid").as("cid"))
+    // every corpus vector lives in exactly one list, so no pair repeats
+    val scored = probes.join(assign, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("probe_rank"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      .localCheckpoint(true)
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .localCheckpoint(true)
+    val denom = broadcast(exact.agg(
+      countDistinct(col("query_id")).as("n_queries"),
+      count(lit(1)).as("n_exact")))
+    nprobes.sorted.map { p =>
+      val cand = scored.where(col("probe_rank") <= p)
+      val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+      val top = cand.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      val hits = top
+        .join(exact.withColumn("__hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_found"), coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(hits))
+        .crossJoin(denom)
+        .select(lit(p.toLong).as("nprobe"), col("n_queries"), col("n_exact"),
+          col("n_candidates"), col("n_found"), col("n_hit"),
+          round(when(col("n_exact") === 0, 1.0)
+            .otherwise(col("n_hit").cast("double") / col("n_exact")), 4).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   def annRecallReport(corpus: DataFrame, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int,
                       planes: Int = 4, nlist: Int = 16, nprobe: Int = 4,

@@ -186,6 +186,35 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("ivfNprobeSweep: monotone rungs, deepest rung consistent with ivfTopK") {
+    import spark.implicits._
+    val corpus = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.1f, 0.0f, 0.0f) else Array(0.0f, 0.0f, 1.0f, 0.1f)
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 7 + d) % 5) })
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" < 6)
+    val sweep = Similarity.ivfNprobeSweep(corpus, queries, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobes = Seq(1, 2, 4))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(5), r.getDouble(6)))).toMap
+    // deeper probing can only see MORE candidates and MORE exact hits
+    val ladder = Seq(1L, 2L, 4L).map(sweep)
+    assert(ladder.map(_._1) == ladder.map(_._1).sorted, s"candidates not monotone: $sweep")
+    assert(ladder.map(_._2) == ladder.map(_._2).sorted, s"hits not monotone: $sweep")
+    ladder.foreach { case (_, _, rec) => assert(rec >= 0.0 && rec <= 1.0) }
+    // the deepest rung is the PRODUCTION operator's recall: its found set
+    // must equal ivfTopK at the same nprobe, pair for pair
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3)
+      .select($"query_id".cast("long"), $"neighbor_id".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 4)
+      .select($"query_id".cast("long"), $"neighbor_id".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sweep(4L)._2 == ivf.count(exact.contains),
+      s"deepest rung hits ${sweep(4L)._2} != ivfTopK-derived ${ivf.count(exact.contains)}")
+  }
+
   test("langid distinguishes the marker languages") {
     val got = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
