@@ -78,7 +78,12 @@ object LuaCompat {
       } else if (c.isDigit) {
         val start = i
         while (i < n && (src(i).isDigit || src(i) == '.')) i += 1
-        out += TNum(src.substring(start, i).toDouble, start)
+        val lit = src.substring(start, i)
+        // malformed literals ("1.2.3") fail through the positioned error
+        // path like every other lex error, not a bare NumberFormatException
+        val d = scala.util.Try(lit.toDouble)
+          .getOrElse(fail(s"malformed number '$lit'", start))
+        out += TNum(d, start)
       } else if (c.isLetter || c == '_') {
         val start = i
         while (i < n && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
@@ -108,7 +113,13 @@ object LuaCompat {
     val s = new Session(spark, dbPath)
     lines.foreach { line =>
       if (line.trim.nonEmpty)
-        try s.eval(line)
+        try {
+          s.eval(line)
+          // durability parity with the reference's per-mutation synchronous
+          // commits: persist after every line that mutated, so a killed
+          // repl never discards mutations whose ids were already printed
+          s.finish()
+        }
         catch { case e: Exception => Console.err.println(s"error: ${e.getMessage}") }
     }
     s.finish()
@@ -122,8 +133,15 @@ object LuaCompat {
     private var mutated = false
     private val env = scala.collection.mutable.Map[String, V]()
 
-    /** Persist accumulated mutations (no-op for pure-query sessions). */
-    def finish(): Unit = if (mutated) store.save(dbPath)
+    /** Persist accumulated mutations (no-op when nothing mutated since the
+      * last save — idempotent, so the repl can call it after every line).
+      * Re-opens the store off the fresh files: the pre-save plans hold file
+      * listings of directories the save just swapped away. */
+    def finish(): Unit = if (mutated) {
+      store.save(dbPath)
+      store = GraphStore.load(spark, dbPath)
+      mutated = false
+    }
 
     def eval(code: String): Unit = {
     val toks = tokenize(code)
@@ -229,7 +247,10 @@ object LuaCompat {
           store = graft.store.BulkMutations.gcOrphanProps(
             graft.store.BulkMutations.deleteNodes(store, Seq(id).toDF("id")))
           mutated = true
-          Unit0
+          // the reference returns the deleted id (lua.rs:42-47), so
+          // scripts binding the result (x = db:delete_node(id)) agree;
+          // delete_edge stays nil — the reference returns () there
+          Str(id)
         case "create_edge" =>
           val (src, dst, value) = (argStr(0), argStr(1), argStr(2))
           val pv = rawProp(value)

@@ -501,12 +501,19 @@ object Curation {
     // Profiling note (round 9): the window-lead shingle path beats the
     // "narrow" wordShingles explode ~4x here — higher-order functions are
     // not codegen'd, so the per-element lambda re-evaluates the split.
+    // A NULL benchCol must survive as its own group: concat_ws SKIPS
+    // nulls, which would silently shift the id into the benchmark-name
+    // slot — so nulls ride as a sentinel through the composite key and are
+    // restored on the way out (parity with the join-back form's null group).
     val sep = "\u0001"
+    val nullMark = "\u0002<null>"
     val keyed = benchmarks.select(col(benchCol), col(idCol), col(textCol)).distinct()
-      .select(concat_ws(sep, col(benchCol), col(idCol).cast("string"),
-        xxhash64(col(textCol))).as("__bid"), col(textCol))
+      .select(concat_ws(sep, coalesce(col(benchCol), lit(nullMark)),
+        col(idCol).cast("string"), xxhash64(col(textCol))).as("__bid"), col(textCol))
     val bg = TextAnalysis.shingleRows(keyed, "__bid", textCol, n)
-      .select(substring_index(col("__bid"), sep, 1).as(benchCol), col("shingle"))
+      .select(substring_index(col("__bid"), sep, 1).as("__bname"), col("shingle"))
+      .select(when(col("__bname") === nullMark, lit(null).cast("string"))
+        .otherwise(col("__bname")).as(benchCol), col("shingle"))
       .distinct()
     // no corpus-side (id, shingle) dedup shuffle: the countDistinct
     // aggregations below already collapse repeated hits
@@ -673,13 +680,18 @@ object Curation {
     * Scale: the explode + per-line predicates are narrow codegen'd
     * projections; the ONE shuffle is the document-keyed reassembly with
     * per-group state bounded by document length. Blacklist lives in the
-    * plan as literals (eval-sized by definition). */
+    * plan as literals (eval-sized by definition).
+    *
+    * `sep` is a LITERAL separator (regex-quoted for the split), matching
+    * its literal use in the reassembly concat_ws — a regex-special
+    * separator like "." or "|" splits correctly. */
   def lineFilter(df: DataFrame, idCol: String, textCol: String,
                  minWords: Int = 3, blacklist: Seq[String] = Nil,
                  sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
     val lines = df.select(col(idCol),
-      size(split(col(textCol), sep)).cast("long").as("__n"),
-      posexplode(split(col(textCol), sep)).as(Seq("__pos", "__line")))
+      size(split(col(textCol), sepRe)).cast("long").as("__n"),
+      posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__line")))
     val blacklisted = blacklist.foldLeft(lit(false))((acc, phrase) =>
       acc || lower(col("__line")).contains(phrase.toLowerCase))
     val kept = lines.where(

@@ -230,8 +230,9 @@ object Dedup {
       sh.count() // eager cache fill — see ngramJaccardOnShingles
       val cand = minhashCandidates(sh, k)
       // same array-based verify as verifyOverlap, scoring BOTH measures
-      // from the one intersection projection
-      val sets = sh.groupBy("doc").agg(collect_list("shingle").as("__set"))
+      // from the one intersection projection; per-doc arrays capped by
+      // shingleSets (mega-doc fat-row guard)
+      val sets = shingleSets(sh)
       cand
         .join(sets.select(col("doc").as("a"), col("__set").as("__sa")), Seq("a"))
         .join(sets.select(col("doc").as("b"), col("__set").as("__sb")), Seq("b"))
@@ -382,6 +383,28 @@ object Dedup {
           .otherwise(col("n_common").cast("double") / col("n_exact")), 4).as("recall"))
   }
 
+  /** Per-doc cap on the collected verify-stage shingle arrays. Chunked
+    * training corpora sit far below this (a 4k-token chunk has ≲ 4k word
+    * shingles); the cap exists so ONE un-chunked mega-doc cannot become a
+    * fat row riding every candidate pair it appears in. */
+  private[graft] val MaxVerifyShinglesPerDoc = 8192
+
+  /** Collect each doc's distinct shingles into ONE array, capped at `cap`
+    * entries. Docs over the cap keep the bottom-`cap` shingles by
+    * xxhash64 order — a deterministic bottom-k (KMV-style) subset, chosen
+    * consistently on both sides of a pair, so over-cap pairs degrade to a
+    * sketch ESTIMATE of their overlap instead of an exact score (recall
+    * note: only pairs touching an over-cap doc are affected; everything
+    * under the cap stays exact, and the cap is far above any chunked
+    * document). Per-row memory is thereby bounded by `cap`, not by the
+    * longest document in the corpus. */
+  private[graft] def shingleSets(
+      sh: DataFrame, cap: Int = MaxVerifyShinglesPerDoc): DataFrame =
+    sh.groupBy("doc")
+      .agg(slice(array_sort(collect_list(struct(
+          xxhash64(col("shingle")).as("__hr"), col("shingle")))), 1, cap)
+        .getField("shingle").as("__set"))
+
   /** Shared verify stage: |A∩B| per candidate pair via each doc's COLLECTED
     * shingle-set array and a codegen'd array_intersect — two joins keyed by
     * doc id and one narrow projection. The previous exploded form
@@ -391,11 +414,13 @@ object Dedup {
     * length) — measured 2.5× faster on the 481k-candidate sf0.1 propose
     * set with identical output (shared-band candidates share ≥ 1 shingle,
     * and inter=0 pairs die at the threshold in both forms).
-    * `score(inter, na, nb)` names the overlap measure. */
+    * `score(inter, na, nb)` names the overlap measure.
+    *
+    * Per-row memory is bounded: [[shingleSets]] caps each doc's array. */
   private def verifyOverlap(sh: DataFrame, cand: DataFrame,
                             score: (Column, Column, Column) => Column,
                             outName: String, min: Double): DataFrame = {
-    val sets = sh.groupBy("doc").agg(collect_list("shingle").as("__set"))
+    val sets = shingleSets(sh)
     cand
       .join(sets.select(col("doc").as("a"), col("__set").as("__sa")), Seq("a"))
       .join(sets.select(col("doc").as("b"), col("__set").as("__sb")), Seq("b"))
@@ -672,21 +697,32 @@ object Dedup {
     * disappear entirely (they contribute nothing new). Returns
     * (idCol, text, n_kept, n_dropped).
     *
-    * Scale: two shuffles — one keyed by paragraph content for the
-    * keep-first window (exact dedup's content-keyed exchange at paragraph
-    * granularity; per-group state is one min struct), one by document id
-    * for the ordered reassembly (per-group state bounded by document
-    * length). The explode itself is narrow. */
+    * Scale: the keep-first winner is a hash-keyed `groupBy(xxhash64(para))`
+    * aggregate, NOT a content-keyed window — partial aggregation combines
+    * hot paragraphs (empty lines, boilerplate headers: exactly the skewed
+    * keys of a web corpus) map-side, and the shuffle key is 8 bytes instead
+    * of the paragraph text. The winners frame (one min-(doc,pos) struct per
+    * distinct paragraph) joins back on (hash, doc, pos) — a well-spread
+    * composite key — then ordered reassembly shuffles by document id
+    * (per-group state bounded by document length). The explode is narrow.
+    * xxhash64 collisions merge distinct paragraphs with probability
+    * ~n²/2⁶⁵ — the standard exact-dedup-by-hash trade at corpus scale.
+    *
+    * `sep` is treated as a LITERAL separator (regex-quoted for the split),
+    * matching its literal use in the reassembly concat_ws. */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
     val paras = df.select(col(idCol),
-      size(split(col(textCol), sep)).cast("long").as("__n"),
-      posexplode(split(col(textCol), sep)).as(Seq("__pos", "__para")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__para")
+      size(split(col(textCol), sepRe)).cast("long").as("__n"),
+      posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__para")))
+    val winners = paras
+      .groupBy(xxhash64(col("__para")).as("__ph"))
+      .agg(min(struct(col(idCol).as("i"), col("__pos").as("p"))).as("__keep"))
+      .select(col("__ph"), col("__keep.i").as("__wi"), col("__keep.p").as("__wp"))
     val kept = paras
-      .withColumn("__keep",
-        min(struct(col(idCol).as("i"), col("__pos").as("p"))).over(w))
-      .where(col("__keep.i") === col(idCol) && col("__keep.p") === col("__pos"))
+      .join(winners, xxhash64(col("__para")) === col("__ph") &&
+        col(idCol) === col("__wi") && col("__pos") === col("__wp"))
     kept.groupBy(col(idCol), col("__n"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(sep, array_sort(collect_list(struct(col("__pos"), col("__para"))))

@@ -159,6 +159,45 @@ class LuaCompatSpec extends SparkSuite {
       rendered(BasicQuery.V(Zoe.start(gin).referencingVertices)))
   }
 
+  test("delete_node returns the deleted id (lua.rs:42-47 parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lua-del").toString
+    graft.model.GraphStore.empty(spark).save(dir)
+    val bout = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bout, true, "UTF-8")) {
+      LuaCompat.run(spark, dir,
+        """local n = db:create_node('alpha')
+          |local d = db:delete_node(n)
+          |print(d)
+          |""".stripMargin)
+    }
+    val shown = bout.toString("UTF-8").trim
+    // the printed value is the deleted node's UUID, not nil
+    assert(shown.matches("[0-9a-f-]{36}"), s"expected deleted id, got: $shown")
+  }
+
+  test("malformed numeric literals fail through the positioned error path") {
+    val e = intercept[IllegalArgumentException] { runScript("x = 1.2.3") }
+    assert(e.getMessage.contains("lua-compat") && e.getMessage.contains("offset"),
+      s"unpositioned error: ${e.getMessage}")
+  }
+
+  test("repl persists each mutating line: a killed session keeps printed ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lua-dur").toString
+    graft.model.GraphStore.empty(spark).save(dir)
+    // drive the repl with an iterator that THROWS after the first mutating
+    // line was evaluated — simulating a Ctrl-C / crash mid-session; the
+    // node created (and its id already printed) must survive on disk
+    val lines = Iterator("n = db:create_node('alpha')") ++
+      Iterator.continually[String](throw new RuntimeException("killed"))
+    intercept[RuntimeException] {
+      Console.withOut(new java.io.PrintStream(
+          new java.io.ByteArrayOutputStream(), true, "UTF-8")) {
+        LuaCompat.repl(spark, dir, lines)
+      }
+    }
+    assert(graft.model.GraphStore.load(spark, dir).vertices.count() == 1)
+  }
+
   test("comments, semicolons and local/global assignment all parse") {
     val out = runScript(
       s"""-- leading comment

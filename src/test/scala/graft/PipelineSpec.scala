@@ -737,6 +737,26 @@ class PipelineSpec extends SparkSuite {
     assert(out("C") == ((1L, 2L)))
   }
 
+  test("contaminationMatrix: null benchmark name survives as its own null group") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five six"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    // concat_ws skips nulls — an unhandled null bench_id would shift the
+    // doc id into the benchmark-name slot and report a benchmark "10"
+    val suite = Seq(
+      (Some("A"), 10L, "one two three four five six"),
+      (None, 10L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("bench_id", "doc_id", "text")
+    val rows = pipeline.Curation.contaminationMatrix(corpus, suite,
+        "doc_id", "text", "bench_id", n = 5).collect()
+    val byName = rows.map(r =>
+      Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byName(Some("A")) == ((1L, 2L)))
+    assert(byName(None) == ((1L, 2L)), s"null group lost: ${rows.mkString(",")}")
+    assert(rows.length == 2)
+  }
+
   test("thresholdSweep: one pass, monotone ladder, counts match single-threshold runs") {
     import spark.implicits._
     val docs = Seq(
@@ -1013,5 +1033,53 @@ class PipelineSpec extends SparkSuite {
     // survivors keep original order
     assert(out(1L) == (("alpha beta gamma delta\nepsilon zeta eta theta", 2L, 2L)))
     assert(!out.contains(2L) && out.size == 1)
+  }
+
+  test("regex-special separators split literally in line filter and paragraph dedup") {
+    import spark.implicits._
+    // "|" and "." are regex metacharacters: an unquoted split("|") splits
+    // every character, silently corrupting the line structure
+    val docs = Seq(
+      (1L, "alpha beta gamma|no|delta epsilon zeta"),
+      (2L, "alpha beta gamma|eta theta iota")).toDF("doc_id", "text")
+    val lf = pipeline.Curation.lineFilter(docs, "doc_id", "text",
+        minWords = 3, sep = "|").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(lf(1L) == (("alpha beta gamma|delta epsilon zeta", 2L)))
+    assert(lf(2L) == (("alpha beta gamma|eta theta iota", 2L)))
+    val pd = pipeline.Dedup.paragraphDedup(docs, "doc_id", "text", sep = "|")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 wins the shared first paragraph; doc 2 keeps only its unique one
+    assert(pd(1L) == "alpha beta gamma|no|delta epsilon zeta")
+    assert(pd(2L) == "eta theta iota")
+  }
+
+  test("verify-stage shingle arrays are capped: a mega-doc cannot become a fat row") {
+    import spark.implicits._
+    // one adversarially long un-chunked doc (far more shingles than the cap)
+    // next to normal docs; the capped sets must stay bounded and the
+    // verify join must still return a sane row for the over-cap pair
+    val mega = (0 until 3000).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, mega), (2L, mega),                      // identical mega pair
+      (3L, "alpha beta gamma delta epsilon zeta")) // normal doc
+      .toDF("doc_id", "text")
+    val sh = pipeline.TextAnalysis.shingleRows(docs, "doc_id", "text", 3)
+      .withColumnRenamed("doc_id", "doc").dropDuplicates("doc", "shingle")
+    val cap = 64
+    val sets = pipeline.Dedup.shingleSets(sh, cap).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sets(1L).size == cap && sets(2L).size == cap,
+      s"mega-doc arrays not capped: ${sets(1L).size}")
+    assert(sets(3L).size == 4) // under the cap -> exact, untouched
+    // both sides cap to the SAME bottom-k-by-hash subset, so the identical
+    // mega pair still scores jaccard 1.0 through the capped estimate
+    assert(sets(1L).sorted == sets(2L).sorted)
+    // default cap leaves realistic docs exact: the full pipeline on these
+    // docs (default cap 8192 > 2998 shingles) still finds the exact dup
+    val pairs = pipeline.Dedup.ngramJaccardViaMinhash(
+      docs, "doc_id", "text", n = 3, minSim = 0.9).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L
+      && r.getDouble(2) == 1.0))
   }
 }

@@ -450,4 +450,23 @@ class PlanQualitySpec extends SparkSuite {
     assert(joins <= 4, s"path assembly grew to $joins joins (start/end chains back?):\n$plan")
     assert(!plan.toLowerCase.contains("cartesianproduct"), s"cartesian in path assembly:\n$plan")
   }
+
+  test("paragraph dedup: keep-first is a hash-keyed aggregate, never a content-keyed window") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "header\nalpha\nheader\nbeta"),
+      (2L, "header\ngamma"),
+      (3L, "header\nalpha")).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.paragraphDedup(docs, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // hot paragraphs (empty lines, boilerplate) are the skewed keys of a web
+    // corpus: the winner-per-paragraph step must be a partial-aggregating
+    // groupBy on xxhash64(para) — a Window.partitionBy(content) does no
+    // map-side combine and lands every occurrence of a hot key on one task
+    assert(!plan.contains("Window ["), s"content-keyed window in paragraph dedup:\n$plan")
+    assert(plan.contains("xxhash64"), s"winner key is not hashed:\n$plan")
+    assert("partial_min".r.findAllIn(plan).nonEmpty,
+      s"no map-side partial aggregation for the keep-first winner:\n$plan")
+  }
 }

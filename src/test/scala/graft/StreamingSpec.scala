@@ -212,4 +212,58 @@ class StreamingSpec extends SparkSuite {
     val s = sessions.head
     assert(s.userId == 1L && s.nEvents == 3 && s.firstTs == 0L && s.lastTs == 200L)
   }
+
+  test("ts canonicalization: long-ns, timestamp[us] NTZ, timestamp[ms] TZ all land identical") {
+    // The driver's testdata has shipped different physical ts types across
+    // rounds (int64-ns in r7, timestamp[us] in r8+), and the r8 breakage
+    // class was exactly this boundary. Materialize every shape the driver
+    // could plausibly ship and pin that TpchGraph.table normalizes each to
+    // the SAME long nanoseconds.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("graft-ts-shapes")
+    // ms-aligned instants so every physical precision holds them exactly
+    val ms = Seq(1700000000000L, 1700000086400L, 0L)
+    val expectedNs = ms.map(_ * 1000000L)
+
+    def dirFor(name: String): String = {
+      val d = base.resolve(name); java.nio.file.Files.createDirectories(d); d.toString
+    }
+    // shape 1: raw int64 nanoseconds
+    val longDir = dirFor("long_ns")
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](ms.map(m => Row(m * 1000000L, 1L)).asJava),
+        StructType(Seq(StructField("ts", LongType), StructField("user_id", LongType))))
+      .write.mode("overwrite").parquet(s"$longDir/events.parquet")
+    // shape 2: timestamp[us] NTZ (what the driver ships now)
+    val ntzDir = dirFor("us_ntz")
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](ms.map(m =>
+          Row(java.time.LocalDateTime.ofEpochSecond(m / 1000, ((m % 1000) * 1000000L).toInt,
+            java.time.ZoneOffset.UTC), 1L)).asJava),
+        StructType(Seq(StructField("ts", TimestampNTZType), StructField("user_id", LongType))))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    // shape 3: timestamp[ms] with timezone (TIMESTAMP_MILLIS physical)
+    val msDir = dirFor("ms_tz")
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      spark.createDataFrame(
+          new java.util.ArrayList[Row](ms.map(m => Row(new java.sql.Timestamp(m), 1L)).asJava),
+          StructType(Seq(StructField("ts", TimestampType), StructField("user_id", LongType))))
+        .write.mode("overwrite").parquet(s"$msDir/events.parquet")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+
+    for (dir <- Seq(longDir, ntzDir, msDir)) {
+      val out = TpchGraph.table(spark, dir, "events")
+      assert(out.schema("ts").dataType == LongType, s"$dir: ts not long")
+      val got = out.select("ts").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expectedNs.sorted,
+        s"$dir: canonical ns mismatch: $got vs ${expectedNs.sorted}")
+    }
+  }
 }
