@@ -434,6 +434,12 @@ object Curation {
         val s2 = s1.join(drop, s1(idCol).cast("long") === col("__drop_id"),
           "left_anti").persist(lvl)
         try {
+          // eager fill: s2 feeds several branches of the ONE final
+          // checkpoint job (its stage count, the decontam semi-join, the
+          // s3 anti-join, and the arm when on) — concurrent branches over
+          // a cold cache each recompute the anti-join (the measured ~25%
+          // composed-pipeline overhead), so materialize once up front
+          s2.count()
           // optional containment recall arm: cluster engulfed-prefix pairs
           // over the near-dup survivors, keep the min-id member per
           // cluster. Shingles come from the SHARED token table (semi-join
@@ -449,17 +455,22 @@ object Curation {
                   rareMaxDf, minContain).select("a", "b"))
               .where(col("id") =!= col("cluster"))
               .select(col("id").as("__cdrop_id"))
-            s2.join(cDrop, s2(idCol).cast("long") === col("__cdrop_id"),
+            val armed = s2.join(cDrop, s2(idCol).cast("long") === col("__cdrop_id"),
               "left_anti").persist(lvl)
+            armed.count() // eager fill — same multi-branch rationale as s2
+            armed
           }
           try {
             val benchGrams = TextAnalysis
               .shingleRows(benchmark, idCol, textCol, decontamN)
               .select("shingle").distinct()
+            // NO (id, shingle) dedup shuffle before the probe: the bench
+            // grams are broadcast and the trailing distinct() on idCol
+            // collapses repeated hits anyway — deduping the full survivor
+            // shingle stream first would shuffle it once for nothing
             val contaminated = TextAnalysis.shingleRowsFromTokens(
                 toks.join(s2b.select(idCol), Seq(idCol), "left_semi"),
                 idCol, decontamN)
-              .dropDuplicates(idCol, "shingle")
               .join(broadcast(benchGrams), Seq("shingle"), "left_semi")
               .select(idCol).distinct()
             val s3 = s2b.join(contaminated, Seq(idCol), "left_anti")

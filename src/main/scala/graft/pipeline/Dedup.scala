@@ -149,8 +149,7 @@ object Dedup {
                          n: Int = 3, minSim: Double = 0.5): DataFrame = {
     val sh = TextAnalysis.shingleRows(df, idCol, textCol, n)
       .withColumnRenamed(idCol, "doc")
-      .dropDuplicates("doc", "shingle")
-    verifyJaccard(sh, candidates.select("a", "b"), minSim)
+    verifyJaccard(shingleSets(sh), candidates.select("a", "b"), minSim)
   }
 
   /** Scale-safe exact near-dup detection: MinHash/LSH banding proposes
@@ -173,33 +172,44 @@ object Dedup {
   /** [[ngramJaccardViaMinhash]] over a PRE-BUILT (idCol, shingle) table —
     * the seam for pipelines that tokenize/shingle once and reuse the table
     * across stages ([[Curation.curationFunnel]]). Same propose → verify →
-    * checkpoint flow; the shingle table is deduped and persisted scoped to
-    * this call. */
+    * checkpoint flow, over the one-pass [[perDocSigsAndSet]] frame. */
   def ngramJaccardOnShingles(shingles: DataFrame, idCol: String,
                              k: Int = 4, minSim: Double = 0.5): DataFrame = {
-    val sh = shingles
-      .withColumnRenamed(idCol, "doc")
-      .dropDuplicates("doc", "shingle")
+    val perDoc = perDocSigsAndSet(shingles.withColumnRenamed(idCol, "doc"), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // materialize the persist BEFORE wiring the consumers: the final
-      // eager checkpoint otherwise runs signature-agg and set-collect
-      // subtrees concurrently against a cold cache, and each recomputes
-      // the window shingle build for partitions not yet cached (measured
-      // ~25% of the composed pipeline at sf0.1)
-      sh.count()
-      verifyJaccard(sh, minhashCandidates(sh, k), minSim).localCheckpoint(true)
-    } finally sh.unpersist()
+      // eager checkpoint otherwise runs the candidate and verify subtrees
+      // concurrently against a cold cache, and each recomputes the
+      // aggregation for partitions not yet cached (measured ~25% of the
+      // composed pipeline at sf0.1)
+      perDoc.count()
+      verifyJaccard(perDoc, bandedCandidates(perDoc, k), minSim).localCheckpoint(true)
+    } finally perDoc.unpersist()
   }
 
-  /** Shared propose stage: MinHash signatures over a deduped (doc, shingle)
-    * table, banded into k (band, sig) buckets, candidate pairs = the bucket
-    * equi-join with a < b. Every via-minhash verifier starts here. */
-  private def minhashCandidates(sh: DataFrame, k: Int): DataFrame = {
+  /** ONE doc-keyed aggregation producing the k banded min-hash signatures
+    * AND the capped distinct-shingle array together: min() over the raw
+    * shingle multiset equals min() over the set, and array_distinct
+    * dedupes per-doc INSIDE the aggregation — so the corpus-wide
+    * dropDuplicates(doc, shingle) shuffle and the second per-doc
+    * aggregation the old propose/verify pipeline paid are both gone
+    * (three doc-keyed exchanges → one). Input rows need not be distinct.
+    * Output: (doc, h0..h{k-1}, __set) with __set capped like
+    * [[shingleSets]] (same bottom-k-by-hash estimate semantics). */
+  private def perDocSigsAndSet(shRaw: DataFrame, k: Int): DataFrame = {
     val sigs = (0 until k).map(i =>
       min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-    val sig = sh.groupBy("doc").agg(sigs.head, sigs.tail: _*)
-    val banded = sig.select(col("doc"),
+    val collected = array_distinct(collect_list(struct(
+      xxhash64(col("shingle")).as("h"), col("shingle").as("s")))).as("__hs")
+    shRaw.groupBy("doc").agg(sigs.head, (sigs.tail :+ collected): _*)
+      .withColumn("__set", capHashedSet(col("__hs"))).drop("__hs")
+  }
+
+  /** Candidate pairs from a [[perDocSigsAndSet]] frame: k (band, sig)
+    * buckets exploded per doc, bucket equi-join, a < b. Never all-pairs. */
+  private def bandedCandidates(perDoc: DataFrame, k: Int): DataFrame = {
+    val banded = perDoc.select(col("doc"),
       explode(array((0 until k).map(i => struct(lit(i).as("band"), col(s"h$i").as("sig"))): _*))
         .as("b"))
       .select(col("doc"), col("b.band"), col("b.sig"))
@@ -222,17 +232,16 @@ object Dedup {
   def similarityReport(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, k: Int = 4, minSim: Double = 0.5,
                        minContain: Double = 0.9): DataFrame = {
-    val sh = TextAnalysis.shingleRows(df, idCol, textCol, n)
-      .withColumnRenamed(idCol, "doc")
-      .dropDuplicates("doc", "shingle")
+    val perDoc = perDocSigsAndSet(
+        TextAnalysis.shingleRows(df, idCol, textCol, n).withColumnRenamed(idCol, "doc"), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      sh.count() // eager cache fill — see ngramJaccardOnShingles
-      val cand = minhashCandidates(sh, k)
+      perDoc.count() // eager cache fill — see ngramJaccardOnShingles
+      val cand = bandedCandidates(perDoc, k)
       // same array-based verify as verifyOverlap, scoring BOTH measures
-      // from the one intersection projection; per-doc arrays capped by
+      // from the one intersection projection; per-doc arrays capped like
       // shingleSets (mega-doc fat-row guard)
-      val sets = shingleSets(sh)
+      val sets = perDoc
       cand
         .join(sets.select(col("doc").as("a"), col("__set").as("__sa")), Seq("a"))
         .join(sets.select(col("doc").as("b"), col("__set").as("__sb")), Seq("b"))
@@ -247,7 +256,7 @@ object Dedup {
             .as("containment"))
         .where(col("jaccard") >= minSim || col("containment") >= minContain)
         .localCheckpoint(true)
-    } finally sh.unpersist()
+    } finally perDoc.unpersist()
   }
 
   /** Incremental exact dedup — the daily-ingest production shape: dedupe
@@ -401,9 +410,17 @@ object Dedup {
   private[graft] def shingleSets(
       sh: DataFrame, cap: Int = MaxVerifyShinglesPerDoc): DataFrame =
     sh.groupBy("doc")
-      .agg(slice(array_sort(collect_list(struct(
-          xxhash64(col("shingle")).as("__hr"), col("shingle")))), 1, cap)
-        .getField("shingle").as("__set"))
+      .agg(array_distinct(collect_list(struct(
+        xxhash64(col("shingle")).as("h"), col("shingle").as("s")))).as("__hs"))
+      .select(col("doc"), capHashedSet(col("__hs"), cap).as("__set"))
+
+  /** Cap a collected array<struct<h: xxhash64, s: shingle>> to `cap`
+    * distinct shingles: under the cap the strings are extracted without a
+    * sort (the common path); over it, the bottom-`cap` by hash order —
+    * CaseWhen evaluates lazily, so the sort prices only over-cap rows. */
+  private def capHashedSet(hs: Column, cap: Int = MaxVerifyShinglesPerDoc): Column =
+    when(size(hs) <= cap, hs.getField("s"))
+      .otherwise(slice(array_sort(hs), 1, cap).getField("s"))
 
   /** Shared verify stage: |A∩B| per candidate pair via each doc's COLLECTED
     * shingle-set array and a codegen'd array_intersect — two joins keyed by
@@ -417,10 +434,9 @@ object Dedup {
     * `score(inter, na, nb)` names the overlap measure.
     *
     * Per-row memory is bounded: [[shingleSets]] caps each doc's array. */
-  private def verifyOverlap(sh: DataFrame, cand: DataFrame,
+  private def verifyOverlap(sets: DataFrame, cand: DataFrame,
                             score: (Column, Column, Column) => Column,
                             outName: String, min: Double): DataFrame = {
-    val sets = shingleSets(sh)
     cand
       .join(sets.select(col("doc").as("a"), col("__set").as("__sa")), Seq("a"))
       .join(sets.select(col("doc").as("b"), col("__set").as("__sb")), Seq("b"))
@@ -435,8 +451,10 @@ object Dedup {
       .where(col(outName) >= min)
   }
 
-  private def verifyJaccard(sh: DataFrame, cand: DataFrame, minSim: Double): DataFrame =
-    verifyOverlap(sh, cand,
+  /** `sets` = a (doc, __set) frame — [[shingleSets]] over a shingle table,
+    * or the [[perDocSigsAndSet]] frame the minhash propose already built. */
+  private def verifyJaccard(sets: DataFrame, cand: DataFrame, minSim: Double): DataFrame =
+    verifyOverlap(sets, cand,
       (i, na, nb) => i.cast("double") / (na + nb - i).cast("double"),
       "jaccard", minSim)
 
@@ -444,8 +462,8 @@ object Dedup {
     * measure: 1.0 whenever one document's shingle set is a subset of the
     * other's (verbatim quotes, documents extended with boilerplate),
     * cases plain Jaccard under-scores by the size imbalance. */
-  private def verifyContainment(sh: DataFrame, cand: DataFrame, minContain: Double): DataFrame =
-    verifyOverlap(sh, cand,
+  private def verifyContainment(sets: DataFrame, cand: DataFrame, minContain: Double): DataFrame =
+    verifyOverlap(sets, cand,
       (i, na, nb) => i.cast("double") / least(na, nb).cast("double"),
       "containment", minContain)
 
@@ -459,14 +477,13 @@ object Dedup {
     * with candidates from a df-bounded shared-shingle join. */
   def containmentViaMinhash(df: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, k: Int = 4, minContain: Double = 0.9): DataFrame = {
-    val sh = TextAnalysis.shingleRows(df, idCol, textCol, n)
-      .withColumnRenamed(idCol, "doc")
-      .dropDuplicates("doc", "shingle")
+    val perDoc = perDocSigsAndSet(
+        TextAnalysis.shingleRows(df, idCol, textCol, n).withColumnRenamed(idCol, "doc"), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      sh.count() // eager cache fill — see ngramJaccardOnShingles
-      verifyContainment(sh, minhashCandidates(sh, k), minContain).localCheckpoint(true)
-    } finally sh.unpersist()
+      perDoc.count() // eager cache fill — see ngramJaccardOnShingles
+      verifyContainment(perDoc, bandedCandidates(perDoc, k), minContain).localCheckpoint(true)
+    } finally perDoc.unpersist()
   }
 
   /** Exact containment restricted to an explicit candidate pair set —
@@ -476,8 +493,7 @@ object Dedup {
                              n: Int = 3, minContain: Double = 0.9): DataFrame = {
     val sh = TextAnalysis.shingleRows(df, idCol, textCol, n)
       .withColumnRenamed(idCol, "doc")
-      .dropDuplicates("doc", "shingle")
-    verifyContainment(sh, candidates.select("a", "b"), minContain)
+    verifyContainment(shingleSets(sh), candidates.select("a", "b"), minContain)
   }
 
   /** Containment pairs with DF-BOUNDED rare-shingle candidates — the
@@ -523,7 +539,7 @@ object Dedup {
         .join(rsh.select(col("shingle"), col("doc").as("b")), Seq("shingle"))
         .where(col("a") < col("b"))
         .select("a", "b").distinct()
-      verifyContainment(sh, cand, minContain).localCheckpoint(true)
+      verifyContainment(shingleSets(sh), cand, minContain).localCheckpoint(true)
     } finally sh.unpersist()
   }
 
