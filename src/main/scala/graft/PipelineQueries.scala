@@ -961,11 +961,102 @@ object PipelineQueries {
     // shared by embedding_pq / ann_pq_topk: sub-vector split, static
     // codebook, argmin encoding (mirrors Quantization.subVectors /
     // pqCodebook / pqEncode at m=4, k=16)
-    val pqCtes =
+    val pqBaseCtes =
       """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
         |sv AS (SELECT vec_id, s,
         |    list_slice(ve, s * (len(ve) // 4) + 1, (s + 1) * (len(ve) // 4)) AS x
-        |  FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+        |  FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS s))""".stripMargin
+    // residual IVF-PQ chain (mirrors Quantization.ivfPqTopK): coarse
+    // assignment, residual codebook from ids [16, 32), residual-ADC encode
+    // and per-(query, probed-list) ADC tables — dist(x − c, cw) expanded
+    // into the same pinned dot-product association as resSubDist
+    def dotSql(a: String, b: String) =
+      s"list_sum(list_transform(range(0, len($a)), i -> $a[i+1] * $b[i+1]))"
+    def resDistSql(x: String, c: String, cw: String) =
+      s"${dotSql(x, x)} - ${dotSql(x, c)} * 2 + ${dotSql(c, c)}" +
+        s" - (${dotSql(x, cw)} - ${dotSql(c, cw)}) * 2 + ${dotSql(cw, cw)}"
+    def ivfpqResCtes(qBound: Int): String = {
+      val iters = 2
+      // fitted coarse quantizer: the same unrolled Lloyd chain as
+      // kmeansCtes (L2 assignment, DECIMAL(30,10) sums), rq_-prefixed so
+      // it composes with queries that already define v/cent/etc.
+      val coarse = (0 until iters).map { t =>
+        s"""rq_a$t AS (SELECT vec_id, cid FROM (
+           |  SELECT v.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${kmeansDist("c")} ASC, c.cid ASC) AS rn
+           |  FROM v, rq_cents$t c) WHERE rn = 1),
+           |rq_s$t AS (SELECT a.cid, vu.pos,
+           |    CAST(sum(CAST(vu.val AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS m
+           |  FROM rq_a$t a JOIN rq_vu vu ON vu.vec_id = a.vec_id GROUP BY a.cid, vu.pos),
+           |rq_f$t AS (SELECT cid, array_agg(m ORDER BY pos) AS fresh FROM rq_s$t GROUP BY cid),
+           |rq_cents${t + 1} AS (SELECT c.cid, coalesce(f.fresh, c.cv) AS cv
+           |  FROM rq_cents$t c LEFT JOIN rq_f$t f USING (cid))""".stripMargin
+      }.mkString(",\n")
+      // residual codebook training: seeds = residual sub-vectors of ids
+      // [16, 32), then `iters` unrolled Lloyd steps in each subspace with
+      // the pinned resSubDist association and decimal-sum means
+      val train = (0 until iters).map { t =>
+        s"""rq_pa$t AS (SELECT vec_id, s, cid FROM (
+           |  SELECT e.vec_id, e.s, b.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id, e.s ORDER BY
+           |      ${resDistSql("e.x", "c.c", "b.cw")} ASC, b.cid ASC) AS rn
+           |  FROM sv e JOIN rq_asg g ON g.vec_id = e.vec_id
+           |  JOIN rq_cs c ON c.lcid = g.lcid AND c.s = e.s
+           |  JOIN rq_cb$t b ON b.s = e.s) t WHERE rn = 1),
+           |rq_ps$t AS (SELECT a.s, a.cid, rc.pos,
+           |    CAST(sum(CAST(rc.rval AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mv
+           |  FROM rq_pa$t a JOIN rq_rcomp rc ON rc.vec_id = a.vec_id AND rc.s = a.s
+           |  GROUP BY a.s, a.cid, rc.pos),
+           |rq_pf$t AS (SELECT s, cid, array_agg(mv ORDER BY pos) AS fresh
+           |  FROM rq_ps$t GROUP BY s, cid),
+           |rq_cb${t + 1} AS (SELECT c.s, c.cid, coalesce(f.fresh, c.cw) AS cw
+           |  FROM rq_cb$t c LEFT JOIN rq_pf$t f ON f.s = c.s AND f.cid = c.cid)""".stripMargin
+      }.mkString(",\n")
+      s"""rq_vu AS (SELECT vec_id, unnest(ve) AS val, unnest(range(0, len(ve))) AS pos FROM v),
+         |rq_cents0 AS (SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT 16),
+         |$coarse,
+         |rq_cent AS (SELECT cid AS lcid, cv FROM rq_cents$iters),
+         |rq_cs AS (SELECT lcid, s,
+         |    list_slice(cv, s * (len(cv) // 4) + 1, (s + 1) * (len(cv) // 4)) AS c
+         |  FROM rq_cent CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+         |rq_asg AS MATERIALIZED (SELECT vec_id, lcid FROM (
+         |  SELECT v.vec_id, c.lcid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.lcid ASC) AS rn
+         |  FROM v, rq_cent c) t WHERE rn = 1),
+         |rq_rcomp AS MATERIALIZED (SELECT vec_id, s, pos, xv - cv AS rval FROM (
+         |  SELECT e.vec_id, e.s, unnest(e.x) AS xv, unnest(c.c) AS cv,
+         |    unnest(range(0, len(e.x))) AS pos
+         |  FROM sv e JOIN rq_asg g ON g.vec_id = e.vec_id
+         |  JOIN rq_cs c ON c.lcid = g.lcid AND c.s = e.s)),
+         |rq_cb0 AS (SELECT r.s, r.vec_id AS cid,
+         |    list_transform(range(0, len(r.x)), i -> r.x[i+1] - c.c[i+1]) AS cw
+         |  FROM sv r JOIN rq_asg g ON g.vec_id = r.vec_id
+         |  JOIN rq_cs c ON c.lcid = g.lcid AND c.s = r.s
+         |  WHERE r.vec_id >= 16 AND r.vec_id < 32),
+         |$train,
+         |rq_enc AS (SELECT vec_id, lcid, s, cid FROM (
+         |  SELECT e.vec_id, g.lcid, e.s, b.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id, e.s ORDER BY
+         |      ${resDistSql("e.x", "c.c", "b.cw")} ASC, b.cid ASC) AS rn
+         |  FROM sv e JOIN rq_asg g ON g.vec_id = e.vec_id
+         |  JOIN rq_cs c ON c.lcid = g.lcid AND c.s = e.s
+         |  JOIN rq_cb$iters b ON b.s = e.s) t WHERE rn = 1),
+         |rq_probes AS MATERIALIZED (SELECT query_id, lcid FROM (
+         |  SELECT v.vec_id AS query_id, c.lcid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.lcid ASC) AS rn
+         |  FROM v, rq_cent c WHERE v.vec_id < $qBound) t WHERE rn <= 4),
+         |rq_adc AS (SELECT q.vec_id AS query_id, p.lcid, q.s, b.cid,
+         |    CAST(floor((${resDistSql("q.x", "c.c", "b.cw")}) * 1000000.0 + 0.5) AS BIGINT) AS micro
+         |  FROM sv q JOIN rq_probes p ON p.query_id = q.vec_id
+         |  JOIN rq_cs c ON c.lcid = p.lcid AND c.s = q.s
+         |  JOIN rq_cb$iters b ON b.s = q.s),
+         |rq_dd AS (SELECT a.query_id, e.vec_id AS neighbor_id, CAST(sum(a.micro) AS BIGINT) AS micros
+         |  FROM rq_enc e JOIN rq_adc a ON a.lcid = e.lcid AND a.s = e.s AND a.cid = e.cid
+         |    AND a.query_id <> e.vec_id
+         |  GROUP BY 1, 2)""".stripMargin
+    }
+    val pqCtes =
+      s"""$pqBaseCtes,
         |cb AS (SELECT s, vec_id AS cid, x AS cw FROM sv WHERE vec_id < 16),
         |dsc AS (SELECT a.vec_id, a.s, c.cid,
         |    (list_sum(list_transform(range(0, len(a.x)), i -> a.x[i+1] * a.x[i+1]))
@@ -1450,31 +1541,10 @@ object PipelineQueries {
            |  CAST(rnk AS BIGINT) AS rank
            |FROM r WHERE rnk <= 3""".stripMargin,
       "ann_ivfpq_topk" ->
-        s"""WITH $pqCtes,
-           |cent AS (SELECT vec_id AS lcid, ve AS cv FROM v WHERE vec_id < 16),
-           |asg AS (SELECT vec_id AS neighbor_id, lcid FROM (
-           |  SELECT v.vec_id, c.lcid,
-           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.lcid ASC) AS rn
-           |  FROM v, cent c) t WHERE rn = 1),
-           |probes AS (SELECT query_id, lcid FROM (
-           |  SELECT v.vec_id AS query_id, c.lcid,
-           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.lcid ASC) AS rn
-           |  FROM v, cent c WHERE v.vec_id < 5) t WHERE rn <= 4),
-           |qs AS (SELECT vec_id AS query_id, s, x FROM sv WHERE vec_id < 5),
-           |adc AS (SELECT q.query_id, c.s, c.cid,
-           |    CAST(floor((list_sum(list_transform(range(0, len(q.x)), i -> q.x[i+1] * q.x[i+1]))
-           |     - list_sum(list_transform(range(0, len(q.x)), i -> q.x[i+1] * c.cw[i+1])) * 2
-           |     + list_sum(list_transform(range(0, len(c.cw)), i -> c.cw[i+1] * c.cw[i+1])))
-           |     * 1000000.0 + 0.5) AS BIGINT) AS micro
-           |  FROM qs q JOIN cb c USING (s)),
-           |dd AS (SELECT a.query_id, e.vec_id AS neighbor_id, CAST(sum(a.micro) AS BIGINT) AS micros
-           |  FROM enc e JOIN asg g ON g.neighbor_id = e.vec_id
-           |  JOIN probes p ON p.lcid = g.lcid
-           |  JOIN adc a ON a.query_id = p.query_id AND a.s = e.s AND a.cid = e.cid
-           |    AND a.query_id <> e.vec_id
-           |  GROUP BY 1, 2),
+        s"""WITH $pqBaseCtes,
+           |${ivfpqResCtes(5)},
            |r AS (SELECT query_id, neighbor_id, micros,
-           |    row_number() OVER (PARTITION BY query_id ORDER BY micros ASC, neighbor_id ASC) AS rnk FROM dd)
+           |    row_number() OVER (PARTITION BY query_id ORDER BY micros ASC, neighbor_id ASC) AS rnk FROM rq_dd)
            |SELECT query_id, neighbor_id,
            |  floor(CAST(micros AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS dist,
            |  CAST(rnk AS BIGINT) AS rank
@@ -1490,7 +1560,7 @@ object PipelineQueries {
         def bit(p: Int) =
           s"(CASE WHEN list_sum(list_transform(range(0, len(ve)), i -> ve[i+1] * ${sign(p)})) >= 0 THEN ${1L << p} ELSE 0 END)"
         val bucket = (0 until 4).map(bit).mkString(" + ")
-        s"""WITH $pqCtes,
+        s"""WITH $pqBaseCtes,
            |xq AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 30),
            |xs AS (SELECT query_id, e.vec_id AS neighbor_id,
            |  round(list_cosine_similarity(qv, e.ve), 6) AS cos
@@ -1519,21 +1589,9 @@ object PipelineQueries {
            |  JOIN v qv ON qv.vec_id = p.query_id JOIN v av ON av.vec_id = a.vec_id),
            |ir AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM ivs),
            |ivf AS MATERIALIZED (SELECT query_id, neighbor_id FROM ir WHERE rnk <= 3),
-           |pqs AS (SELECT vec_id AS query_id, s, x FROM sv WHERE vec_id < 30),
-           |adc AS (SELECT q.query_id, c.s, c.cid,
-           |    CAST(floor((list_sum(list_transform(range(0, len(q.x)), i -> q.x[i+1] * q.x[i+1]))
-           |     - list_sum(list_transform(range(0, len(q.x)), i -> q.x[i+1] * c.cw[i+1])) * 2
-           |     + list_sum(list_transform(range(0, len(c.cw)), i -> c.cw[i+1] * c.cw[i+1])))
-           |     * 1000000.0 + 0.5) AS BIGINT) AS micro
-           |  FROM pqs q JOIN cb c USING (s)),
-           |pdd AS (SELECT a.query_id, e.vec_id AS neighbor_id, CAST(sum(a.micro) AS BIGINT) AS micros
-           |  FROM enc e JOIN iasg g ON g.vec_id = e.vec_id
-           |  JOIN iprobes p ON p.cid = g.cid
-           |  JOIN adc a ON a.query_id = p.query_id AND a.s = e.s AND a.cid = e.cid
-           |    AND a.query_id <> e.vec_id
-           |  GROUP BY 1, 2),
+           |${ivfpqResCtes(30)},
            |pr2 AS (SELECT query_id, neighbor_id,
-           |    row_number() OVER (PARTITION BY query_id ORDER BY micros ASC, neighbor_id ASC) AS rnk FROM pdd),
+           |    row_number() OVER (PARTITION BY query_id ORDER BY micros ASC, neighbor_id ASC) AS rnk FROM rq_dd),
            |ipq AS MATERIALIZED (SELECT query_id, neighbor_id FROM pr2 WHERE rnk <= 3),
            |arms AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
            |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf

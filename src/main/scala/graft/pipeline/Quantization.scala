@@ -143,40 +143,54 @@ object Quantization {
         col("rank").cast("long").as("rank"))
   }
 
-  /** IVF-PQ ANN top-k (the faiss IVFPQ architecture): vectors are routed
-    * into `nlist` inverted lists by cosine to a static coarse quantizer
-    * (same min-id convention as [[graft.pipeline.Similarity.ivfTopK]]);
-    * queries probe their `nprobe` nearest lists; and candidates are scored
-    * with the PQ ASYMMETRIC distance of [[pqTopK]] — so per query the work
-    * is ~|corpus|·nprobe/nlist code lookups, never a full scan and never
-    * the float vectors.
+  /** IVF-PQ ANN top-k (the faiss IVFPQ architecture, RESIDUAL encoding):
+    * vectors are routed into `nlist` inverted lists by cosine to a FITTED
+    * coarse quantizer (`iters` Lloyd steps from the min-id seeds —
+    * [[Clustering.kmeansCentroids]]); each vector is PQ-encoded on
+    * its RESIDUAL to the assigned centroid (the faiss-standard refinement
+    * — residuals concentrate near the origin, so the same codebook budget
+    * spends its resolution where the vectors actually live); queries probe
+    * their `nprobe` nearest lists and score candidates with the ASYMMETRIC
+    * distance of the QUERY residual per probed list against the codewords.
     *
-    * Scale: centroids, the ADC tables, and the probe map are broadcast;
-    * the two corpus-sized inputs (the list assignment and the PQ codes)
-    * join on id and reduce with one map-side-combinable integer sum per
-    * (query, vector). Recall follows nprobe exactly as in IVF, compounded
-    * by PQ's quantization error — the standard memory/recall/latency
-    * triangle. Returns (query_id, neighbor_id, dist, rank). */
+    * The residual never materializes on the corpus scan: dist(x − c, cw)
+    * expands to x·x − 2x·c + c·c − 2(x·cw − c·cw) + cw·cw, all codegen'd
+    * dot products of raw sub-slices ([[resSubDist]]). The residual
+    * CODEBOOK is static and SQL-replayable: the residual sub-vectors of
+    * ids [nlist, nlist+codewords) — deliberately DISJOINT from the
+    * centroid source ids [0, nlist), whose residuals are ~0 and would
+    * collapse the codebook into degeneracy.
+    *
+    * Scale: centroid sub-vectors, the residual codebook, the probe map,
+    * and the per-(query, list) ADC tables are broadcast; the corpus-sized
+    * inputs (assignment + sub-vector scan) join on id and reduce with one
+    * map-side-combinable min/sum. Returns (query_id, neighbor_id, dist,
+    * rank) — dist is the ADC estimate of the squared L2 between residual
+    * and codeword chain, ascending, ties to the smaller neighbor id. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                 k: Int, nlist: Int = 16, nprobe: Int = 4,
-                m: Int = 4, codewords: Int = 16): DataFrame = {
+                m: Int = 4, codewords: Int = 16, iters: Int = 2): DataFrame = {
     require(k > 0 && nprobe > 0, s"need k > 0, nprobe > 0; got k=$k nprobe=$nprobe")
     val w = org.apache.spark.sql.expressions.Window
-    val cent = broadcast(corpus.where(col(idCol) < nlist)
-      .select(col(idCol).cast("long").as("lcid"), col(vecCol).as("centroid")))
-    // List assignment and probe selection use the same no-window shapes as
-    // [[Similarity.ivfTopKWith]]: a map-side-combinable min(struct(-cos,
-    // lcid)) argmax for the corpus (one winner row per vector pre-shuffle,
-    // never the n×nlist expansion, no sort) and a partial collect +
-    // array_sort + slice over the nlist-bounded centroid set for the
-    // queries' top-nprobe lists.
-    val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // FITTED coarse quantizer (Lloyd, decimal-sum determinism): residual
+    // encoding only concentrates residuals near the origin when the coarse
+    // centroids actually sit at the data's centers — against a static
+    // min-id "quantizer" the residuals are as spread as the raw vectors
+    // and residual PQ measurably UNDERPERFORMS (observed 0.04 vs 0.11
+    // recall@3 at sf0.1); with the fitted quantizer it beats raw-static.
+    val cent = broadcast(Clustering
+      .kmeansCentroids(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, nlist, iters)
+      .select(col("cid").cast("long").as("lcid"), col("centroid")))
+    // assignment/probe selection: identical shapes to the raw-PQ round —
+    // map-side-combinable argmax for the corpus, partial collect + sort +
+    // slice over the nlist-bounded set for the queries
+    val assign = corpus.select(col(idCol).as("__vid"), col(vecCol).as("cv"))
       .crossJoin(cent)
-      .select(col("neighbor_id"),
+      .select(col("__vid"),
         struct((-Similarity.cosine(col("cv"), col("centroid"))).as("nc"),
           col("lcid")).as("__s"))
-      .groupBy("neighbor_id").agg(min(col("__s")).as("__s"))
-      .select(col("neighbor_id"), col("__s.lcid").as("lcid"))
+      .groupBy("__vid").agg(min(col("__s")).as("__s"))
+      .select(col("__vid"), col("__s.lcid").as("lcid"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(cent)
       .select(col("query_id"),
@@ -186,17 +200,40 @@ object Quantization {
       .agg(slice(array_sort(collect_list(col("__p"))), 1, nprobe).as("__top"))
       .select(col("query_id"), explode(col("__top")).as("__p"))
       .select(col("query_id"), col("__p.lcid").as("lcid"))
-    val cb = pqCodebook(corpus, idCol, vecCol, m, codewords)
-    val qs = subVectors(queries, idCol, vecCol, m)
+    // centroid sub-vectors (nlist × m rows, broadcast)
+    val centSub = broadcast(subVectors(
+        cent.select(col("lcid"), col("centroid")), "lcid", "centroid", m)
+      .select(col("lcid").cast("long").as("lcid"), col("s"), col("x").as("c")))
+    val sv = subVectors(corpus, idCol, vecCol, m)
+    // residual codebook, Lloyd-trained per subspace (seeds from ids
+    // [nlist, nlist+codewords) — disjoint from the centroid ids, whose
+    // ~0 residuals would degenerate the codebook)
+    val resCb = broadcast(trainResidualCodebooks(
+      sv, assign, centSub, idCol, nlist, codewords, iters))
+    // corpus encode: min residual-ADC codeword per (id, sub) — one
+    // map-side-combinable min(struct); residuals never materialize
+    val enc = sv
+      .join(assign, col(idCol) === col("__vid"))
+      .join(centSub, Seq("lcid", "s"))
+      .join(resCb, Seq("s"))
+      .select(col(idCol), col("lcid"), col("s"),
+        struct(resSubDist.as("d"), col("cid")).as("__sc"))
+      .groupBy(col(idCol), col("lcid"), col("s"))
+      .agg(min(col("__sc")).as("__sc"))
+      .select(col(idCol).as("neighbor_id"), col("lcid"),
+        col("s").cast("long").as("sub"), col("__sc.cid").as("code"))
+    // per-(query, probed list) ADC table: the query residual against every
+    // codeword, integer micro-units (queries × nprobe × m × k rows)
+    val adc = subVectors(queries, idCol, vecCol, m)
       .select(col(idCol).as("query_id"), col("s"), col("x"))
-    val adc = qs.join(broadcast(cb), Seq("s"))
-      .select(col("query_id"), col("s").cast("long").as("sub"), col("cid").as("code"),
-        floor(subDist * 1000000.0 + 0.5).cast("long").as("__micro"))
-    val dists = pqEncode(corpus, idCol, vecCol, m, codewords)
-      .select(col(idCol).as("neighbor_id"), col("sub"), col("code"))
-      .join(assign, Seq("neighbor_id"))
-      .join(broadcast(probes), Seq("lcid"))
-      .join(broadcast(adc), Seq("query_id", "sub", "code"))
+      .join(probes, Seq("query_id"))
+      .join(centSub, Seq("lcid", "s"))
+      .join(resCb, Seq("s"))
+      .select(col("query_id"), col("lcid"), col("s").cast("long").as("sub"),
+        col("cid").as("code"),
+        floor(resSubDist * 1000000.0 + 0.5).cast("long").as("__micro"))
+    val dists = enc
+      .join(broadcast(adc), Seq("lcid", "sub", "code"))
       .where(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("__micro")).as("__micros"))
@@ -207,6 +244,84 @@ object Quantization {
         (floor(col("__micros").cast("double") / 100.0 + 0.5).cast("double") / 10000.0)
           .as("dist"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** Residual ADC distance dist(x − c, cw) without materializing x − c:
+    * x·x − 2x·c + c·c − 2(x·cw − c·cw) + cw·cw — every term a codegen'd
+    * native dot product over the raw sub-slices. Term order is pinned;
+    * the DuckDB oracle replays the identical association. */
+  private def resSubDist: org.apache.spark.sql.Column = {
+    import graft.functions.VectorFunctions.dotNative
+    dotNative(col("x"), col("x")) -
+      dotNative(col("x"), col("c")) * 2.0 +
+      dotNative(col("c"), col("c")) -
+      (dotNative(col("x"), col("cw")) - dotNative(col("c"), col("cw"))) * 2.0 +
+      dotNative(col("cw"), col("cw"))
+  }
+
+  /** Lloyd-train the per-subspace residual codebooks: seeds are the
+    * residual sub-vectors of ids [nlist, nlist+codewords); each iteration
+    * reassigns every corpus residual sub-vector to its nearest codeword
+    * (the same [[resSubDist]] the encoder uses — residuals stay
+    * unmaterialized in the distance) and recenters codewords on the mean
+    * of their members. Means carry their sums in DECIMAL(30,10) so the
+    * update is exact and partition-order independent — the same device as
+    * [[Clustering.kmeansCentroids]], which makes the training loop
+    * REPLAYABLE by the SQL oracle with unrolled iterations. Empty
+    * codewords keep their previous value (coalesce). At 100 TB the
+    * training input would be a sample; the encode pass is the corpus-scan
+    * consumer. Returns (s, cid, cw). */
+  private def trainResidualCodebooks(sv: DataFrame, assign: DataFrame,
+                                     centSub: DataFrame, idCol: String,
+                                     nlist: Int, codewords: Int,
+                                     iters: Int): DataFrame = {
+    var cb = sv.where(col(idCol) >= nlist && col(idCol) < nlist + codewords)
+      .join(assign, col(idCol) === col("__vid"))
+      .join(centSub, Seq("lcid", "s"))
+      .select(col("s"), col(idCol).cast("long").as("cid"),
+        zip_with(col("x"), col("c"), (a, b) => a - b).as("cw"))
+      .localCheckpoint(true)
+    if (iters > 0) {
+      // residual components (id, s, pos, rval), computed once: scalar
+      // subtraction against the broadcast centroid component table — no
+      // higher-order lambda in the corpus-sized path
+      val centComp = broadcast(centSub.select(col("lcid"), col("s"),
+        posexplode(col("c")).as(Seq("pos", "cval"))))
+      val rcomp = sv.join(assign, col(idCol) === col("__vid"))
+        .select(col(idCol), col("lcid"), col("s"),
+          posexplode(col("x")).as(Seq("pos", "xval")))
+        .join(centComp, Seq("lcid", "s", "pos"))
+        .select(col(idCol), col("s"), col("pos"),
+          (col("xval") - col("cval")).as("rval"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        rcomp.count() // eager fill: consumed once per iteration
+        (0 until iters).foreach { _ =>
+          val assigned = sv
+            .join(assign, col(idCol) === col("__vid"))
+            .join(centSub, Seq("lcid", "s"))
+            .join(broadcast(cb), Seq("s"))
+            .select(col(idCol), col("s"),
+              struct(resSubDist.as("d"), col("cid")).as("__sc"))
+            .groupBy(col(idCol), col("s")).agg(min(col("__sc")).as("__sc"))
+            .select(col(idCol), col("s"), col("__sc.cid").as("cid"))
+          val means = assigned.join(rcomp, Seq(idCol, "s"))
+            .groupBy("s", "cid", "pos")
+            .agg(sum(col("rval").cast("decimal(30,10)")).as("sm"),
+              count(lit(1)).as("n"))
+            .select(col("s"), col("cid"), col("pos"),
+              (col("sm").cast("double") / col("n")).as("mv"))
+          val fresh = means.groupBy("s", "cid")
+            .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+              x => x.getField("mv")).as("fresh"))
+          cb = cb.join(fresh, Seq("s", "cid"), "left")
+            .select(col("s"), col("cid"),
+              coalesce(col("fresh"), col("cw")).as("cw"))
+            .localCheckpoint(true)
+        }
+      } finally rcomp.unpersist()
+    }
+    cb
   }
 
   /** (id, scale, codes): per-vector symmetric int8 quantization with the
