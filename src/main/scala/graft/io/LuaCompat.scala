@@ -51,6 +51,38 @@ object LuaCompat {
   private def fail(msg: String, pos: Int): Nothing =
     throw new IllegalArgumentException(s"lua-compat: $msg (at offset $pos)")
 
+  /** Marker for input that is not wrong, just unfinished (unclosed paren /
+    * brace / string, dangling operator) — the reference repl keeps reading
+    * lines on mlua's `SyntaxError { incomplete_input: true }`
+    * (lua.rs:407-418) instead of erroring, and [[repl]] mirrors that. */
+  private final class IncompleteInput(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** Cheap pre-eval completeness check on the buffered chunk. Evaluating
+    * first and catching would risk re-running already-executed statements
+    * when the INCOMPLETE tail follows a complete mutating statement; this
+    * inspects only the token stream, so nothing executes until the chunk
+    * is structurally complete. */
+  private def looksIncomplete(code: String): Boolean =
+    try {
+      val toks = tokenize(code)
+      var depth = 0
+      toks.foreach {
+        case TPunct(pct, _) =>
+          if (pct == "(" || pct == "{") depth += 1
+          else if (pct == ")" || pct == "}") depth -= 1
+        case _ => ()
+      }
+      depth > 0 || (toks.lastOption match {
+        case Some(TPunct(pct, _)) => pct == "=" || pct == "," || pct == ":"
+        case Some(TIdent("local", _)) => true
+        case _ => false
+      })
+    } catch {
+      case _: IncompleteInput => true
+      case _: Exception => false // malformed, not unfinished: let eval report it
+    }
+
   private def tokenize(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
@@ -72,7 +104,8 @@ object LuaCompat {
             i += 2
           } else { sb += src(i); i += 1 }
         }
-        if (i >= n) fail("unterminated string", start)
+        if (i >= n)
+          throw new IncompleteInput(s"lua-compat: unterminated string (at offset $start)")
         i += 1
         out += TStr(sb.result(), start)
       } else if (c.isDigit) {
@@ -103,25 +136,37 @@ object LuaCompat {
     s.finish()
   }
 
-  /** Line-based repl (the reference's `lua_repl`, lua.rs:368-422): each
-    * line evaluates against ONE persistent session — variables and
-    * uncommitted mutations survive across lines — and an error prints
-    * without killing the session, like the reference's readline loop.
-    * Each line must hold complete statements (the reference repl is
-    * line-based too). */
+  /** Line-based repl (the reference's `lua_repl`, lua.rs:368-422): lines
+    * evaluate against ONE persistent session — variables survive across
+    * lines, every mutating chunk commits synchronously, and an error
+    * prints without killing the session, like the reference's readline
+    * loop. Structurally INCOMPLETE input (unclosed paren/brace/string,
+    * dangling `=`/`,`) buffers and continues on the next line, mirroring
+    * the reference's `incomplete_input` continuation (lua.rs:407-418). */
   def repl(spark: SparkSession, dbPath: String, lines: Iterator[String]): Unit = {
     val s = new Session(spark, dbPath)
+    var buf = ""
     lines.foreach { line =>
-      if (line.trim.nonEmpty)
-        try {
-          s.eval(line)
-          // durability parity with the reference's per-mutation synchronous
-          // commits: persist after every line that mutated, so a killed
-          // repl never discards mutations whose ids were already printed
-          s.finish()
+      val chunk = if (buf.isEmpty) line else buf + "\n" + line
+      if (chunk.trim.nonEmpty) {
+        if (looksIncomplete(chunk)) buf = chunk // keep reading, like the
+        // reference's incomplete_input continuation loop (lua.rs:407-418)
+        else {
+          buf = ""
+          try {
+            s.eval(chunk)
+            // durability parity with the reference's per-mutation
+            // synchronous commits: persist after every chunk that mutated,
+            // so a killed repl never discards mutations whose ids were
+            // already printed
+            s.finish()
+          }
+          catch { case e: Exception => Console.err.println(s"error: ${e.getMessage}") }
         }
-        catch { case e: Exception => Console.err.println(s"error: ${e.getMessage}") }
+      }
     }
+    if (buf.trim.nonEmpty)
+      Console.err.println("error: lua-compat: unexpected end of input (incomplete chunk)")
     s.finish()
   }
 
@@ -148,7 +193,10 @@ object LuaCompat {
     var p = 0
 
     def peek: Option[Tok] = if (p < toks.length) Some(toks(p)) else None
-    def next(): Tok = { val t = toks(p); p += 1; t }
+    def next(): Tok = {
+      if (p >= toks.length) fail("unexpected end of input", code.length)
+      val t = toks(p); p += 1; t
+    }
     def expect(punct: String): Unit = next() match {
       case TPunct(`punct`, _) => ()
       case t => fail(s"expected '$punct'", t.pos)
