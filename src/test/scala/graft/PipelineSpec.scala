@@ -473,28 +473,39 @@ class PipelineSpec extends SparkSuite {
     assert(d.sameElements(d.sortBy(-_)) && d.forall(_ >= 0.0))
   }
 
-  test("ivf-pq with one list and one probe equals plain PQ ADC search") {
+  test("ivf-pq residual search: ranked, deterministic, monotone in nprobe") {
+    // Residual encoding (round 10) intentionally departs from raw-PQ ADC
+    // — the codebooks quantize residuals to the FITTED coarse centroids —
+    // so the old "one list == plain PQ" identity no longer holds. Pin the
+    // invariants the residual architecture does guarantee instead.
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     val q = vecs.where($"vec_id" < 3)
-    val full = rows(graft.pipeline.Quantization.pqTopK(
-      vecs, q, "vec_id", "embedding", k = 3, m = 2, codewords = 3))
-    // ids start at 1, so nlist=2 keeps exactly ONE centroid (vec 1): every
-    // vector lands in that single list and nprobe=1 scans the whole corpus
-    val routed = rows(graft.pipeline.Quantization.ivfPqTopK(
-      vecs, q, "vec_id", "embedding", k = 3, nlist = 2, nprobe = 1, m = 2, codewords = 3))
-    assert(full.nonEmpty)
-    assert(routed == full)
-    // more lists with fewer probes can only SHRINK each query's result set
-    val narrow = graft.pipeline.Quantization.ivfPqTopK(
-      vecs, q, "vec_id", "embedding", k = 3, nlist = 3, nprobe = 1, m = 2, codewords = 3)
-      .groupBy("query_id").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val fullCounts = graft.pipeline.Quantization.pqTopK(
-      vecs, q, "vec_id", "embedding", k = 3, m = 2, codewords = 3)
-      .groupBy("query_id").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(narrow.forall { case (qid, n) => n <= fullCounts(qid) })
+    def run(nprobe: Int) = graft.pipeline.Quantization.ivfPqTopK(
+      vecs, q, "vec_id", "embedding", k = 3, nlist = 2, nprobe = nprobe,
+      m = 2, codewords = 3)
+    val r1 = rows(run(1))
+    val r2 = rows(run(2))
+    assert(r2.nonEmpty)
+    // per query: ranks are 1..n and ADC distance is ascending with rank
+    Seq(r1, r2).foreach { rs =>
+      rs.groupBy(_._1).values.foreach { g =>
+        val sorted = g.sortBy(_._4)
+        assert(sorted.map(_._4).toSeq == (1L to g.length).toSeq, s"ranks: $g")
+        assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(identity).toSeq,
+          s"dist not ascending: $g")
+      }
+    }
+    // deterministic: training + encode + search replays identically
+    assert(rows(run(2)).toSet == r2.toSet)
+    // probing every list can only find at least as many neighbors per
+    // query as probing one
+    val n1 = r1.groupBy(_._1).view.mapValues(_.length).toMap
+    val n2 = r2.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(n2.keySet.forall(k => n1.getOrElse(k, 0) <= n2(k)), s"$n1 vs $n2")
+    // never returns self-matches and never exceeds k
+    assert(r2.forall(t => t._1 != t._2))
+    assert(n2.values.forall(_ <= 3))
   }
 
   test("temperature sampling: sqrt quotas upweight the small stratum") {
