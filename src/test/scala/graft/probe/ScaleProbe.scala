@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 empirical scale-up probe (VERDICT r9 next-round item 3):
+  * replicate sf0.1 documents/embeddings ~10x with perturbed ids, run the
+  * flagship entries once at 1x and 10x, and report the scaling exponent
+  * log10(t10/t1). Each replica's words carry a copy prefix so the corpus
+  * is 10 INDEPENDENT copies of the original near-dup structure (pair
+  * counts scale linearly, like a real 10x corpus) instead of 10-cliques
+  * of artificial cross-copy duplicates. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]").appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.driver.memory", "48g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "/root/testdata/sf0.1"
+    val big = "target/scaleprobe/sf10x"
+
+    if (args.headOption.contains("build")) {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val embs = spark.read.parquet(s"$base/embeddings.parquet")
+      val docsN = (0 until 10).map { c =>
+        docs.select(
+          (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(lit(s"c${c}x"), w))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+      docsN.repartition(64).write.mode("overwrite").parquet(s"$big/documents.parquet")
+      val embsN = (0 until 10).map { c =>
+        embs.select((col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      embsN.repartition(16).write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+      println(s"MARKER built docs=${spark.read.parquet(s"$big/documents.parquet").count()}" +
+        s" embs=${spark.read.parquet(s"$big/embeddings.parquet").count()}")
+      spark.stop(); return
+    }
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val rows = f
+      println(f"MARKER $name rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    val qs = graft.PipelineQueries.queries
+    for ((dir, tag) <- Seq((base, "1x"), (big, "10x"))) {
+      for (name <- Seq("dedup_paragraphs", "curate_neardup_corpus",
+          "curate_funnel_rare", "ann_ivf_kmeans_topk")) {
+        graft.PipelineQueries.clearMemos(spark, dir)
+        time(s"${name}_$tag") { qs(name)(spark, dir).count() }
+      }
+    }
+    // operator-level paragraphDedup arm: the bench entry's 40-composite
+    // fixture absorbs the whole corpus into 40 giant rows at any scale —
+    // here the composite COUNT scales with the corpus (constant ~125
+    // paragraphs per composite), so the exponent measures the operator
+    for ((dir, tag, groups) <- Seq((base, "1x", 40), (big, "10x", 400))) {
+      val comp = TpchGraph.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .groupBy((col("doc_id") % groups).as("cid"))
+        .agg(concat_ws("\n",
+          array_sort(collect_list(struct(col("doc_id"), col("text"))))
+            .getField("text")).as("text"))
+      time(s"paragraph_dedup_op_$tag") {
+        graft.pipeline.Dedup.paragraphDedup(comp, "cid", "text").count()
+      }
+    }
+    // pagerank arm: the operator over 1 vs 10 disjoint copies of the
+    // region/nation/supplier/customer subgraph (same filter as
+    // GraphQueries.analyticsSubgraph), node ids offset per copy
+    val g0 = TpchGraph.build(spark, base)
+    val keep = Seq("region", "nation", "supplier", "customer")
+    val toLong0: org.apache.spark.sql.Column => org.apache.spark.sql.Column = { id =>
+      val prefix = split(id, ":").getItem(0)
+      val key = split(id, ":").getItem(1).cast("long")
+      when(prefix === "region", key)
+        .when(prefix === "nation", key + 100L)
+        .when(prefix === "supplier", key + 10000L)
+        .when(prefix === "customer", key + 1000000L)
+    }
+    val baseV = g0.vertices.where(split(col("id"), ":").getItem(0).isin(keep: _*))
+    val baseE = g0.edges.where(col("prop_hash").isin(
+      TpchGraph.unitHash("InNation"), TpchGraph.unitHash("InRegion")))
+    def copyStore(n: Int): graft.model.GraphStore = {
+      def off(c: Int, idc: org.apache.spark.sql.Column) =
+        concat(lit("x:"), (toLong0(idc) + lit(c.toLong * 10000000L)).cast("string"))
+      graft.model.GraphStore(
+        (0 until n).map(c => baseV.select(off(c, col("id")).as("id"), col("prop_hash")))
+          .reduce(_ unionByName _),
+        (0 until n).map(c => baseE.select(col("edge_id"),
+          off(c, col("src")).as("src"), off(c, col("dst")).as("dst"), col("prop_hash")))
+          .reduce(_ unionByName _),
+        g0.props, g0.propRefs)
+    }
+    val toLongX: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => split(id, ":").getItem(1).cast("long")
+    time("graph_pagerank_df_1x") {
+      graft.analytics.GraphAnalytics.pageRankDF(copyStore(1), toLongX, numIter = 10).count()
+    }
+    time("graph_pagerank_df_10x") {
+      graft.analytics.GraphAnalytics.pageRankDF(copyStore(10), toLongX, numIter = 10).count()
+    }
+    spark.stop()
+  }
+}
