@@ -716,13 +716,16 @@ object Dedup {
     * Scale: the keep-first winner is a hash-keyed `groupBy(xxhash64(para))`
     * aggregate, NOT a content-keyed window — partial aggregation combines
     * hot paragraphs (empty lines, boilerplate headers: exactly the skewed
-    * keys of a web corpus) map-side, and the shuffle key is 8 bytes instead
-    * of the paragraph text. The winners frame (one min-(doc,pos) struct per
-    * distinct paragraph) joins back on (hash, doc, pos) — a well-spread
-    * composite key — then ordered reassembly shuffles by document id
-    * (per-group state bounded by document length). The explode is narrow.
-    * xxhash64 collisions merge distinct paragraphs with probability
-    * ~n²/2⁶⁵ — the standard exact-dedup-by-hash trade at corpus scale.
+    * keys of a web corpus) map-side, so the hottest key contributes one
+    * partial row per map partition, never one reducer-side row per
+    * occurrence. The winner row CARRIES the paragraph text and the winner
+    * doc's paragraph count through the aggregation (all group members
+    * share the para; `__n` is determined by the winning id), so there is
+    * NO join back — two exchanges total: the hash-keyed winner agg and the
+    * doc-keyed ordered reassembly (per-group state bounded by document
+    * length). The explode is narrow. xxhash64 collisions merge distinct
+    * paragraphs with probability ~n²/2⁶⁵ — the standard
+    * exact-dedup-by-hash trade at corpus scale.
     *
     * `sep` is treated as a LITERAL separator (regex-quoted for the split),
     * matching its literal use in the reassembly concat_ws. */
@@ -732,13 +735,13 @@ object Dedup {
     val paras = df.select(col(idCol),
       size(split(col(textCol), sepRe)).cast("long").as("__n"),
       posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__para")))
-    val winners = paras
-      .groupBy(xxhash64(col("__para")).as("__ph"))
-      .agg(min(struct(col(idCol).as("i"), col("__pos").as("p"))).as("__keep"))
-      .select(col("__ph"), col("__keep.i").as("__wi"), col("__keep.p").as("__wp"))
     val kept = paras
-      .join(winners, xxhash64(col("__para")) === col("__ph") &&
-        col(idCol) === col("__wi") && col("__pos") === col("__wp"))
+      .groupBy(xxhash64(col("__para")).as("__ph"))
+      .agg(min(struct(col(idCol).as("i"), col("__pos").as("p"),
+          col("__n").as("n"))).as("__keep"),
+        min(col("__para")).as("__para"))
+      .select(col("__keep.i").as(idCol), col("__keep.p").as("__pos"),
+        col("__keep.n").as("__n"), col("__para"))
     kept.groupBy(col(idCol), col("__n"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(sep, array_sort(collect_list(struct(col("__pos"), col("__para"))))

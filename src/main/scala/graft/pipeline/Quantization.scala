@@ -170,27 +170,64 @@ object Quantization {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                 k: Int, nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 4, codewords: Int = 16, iters: Int = 2): DataFrame = {
-    require(k > 0 && nprobe > 0, s"need k > 0, nprobe > 0; got k=$k nprobe=$nprobe")
-    val w = org.apache.spark.sql.expressions.Window
-    // FITTED coarse quantizer (Lloyd, decimal-sum determinism): residual
-    // encoding only concentrates residuals near the origin when the coarse
-    // centroids actually sit at the data's centers — against a static
-    // min-id "quantizer" the residuals are as spread as the raw vectors
-    // and residual PQ measurably UNDERPERFORMS (observed 0.04 vs 0.11
-    // recall@3 at sf0.1); with the fitted quantizer it beats raw-static.
-    val cent = broadcast(Clustering
+    val (cent, resCb) = ivfPqIndex(corpus, idCol, vecCol, nlist, m, codewords, iters)
+    ivfPqTopKWith(corpus, queries, idCol, vecCol, k, nprobe, m, cent, resCb)
+  }
+
+  /** Build the trained IVF-PQ INDEX — the production lifecycle splits
+    * here: the index (fitted coarse centroids + Lloyd-trained residual
+    * codebooks, both eval-sized and returned MATERIALIZED) is built once
+    * per corpus and served by every subsequent [[ivfPqTopKWith]] call.
+    *
+    * FITTED coarse quantizer (Lloyd, decimal-sum determinism): residual
+    * encoding only concentrates residuals near the origin when the coarse
+    * centroids actually sit at the data's centers — against a static
+    * min-id "quantizer" the residuals are as spread as the raw vectors
+    * and residual PQ measurably UNDERPERFORMS (observed 0.04 vs 0.11
+    * recall@3 at sf0.1); with the fitted quantizer it beats raw-static.
+    * Residual codebook seeds come from ids [nlist, nlist+codewords) —
+    * disjoint from the centroid seeds, whose ~0 residuals would
+    * degenerate the codebook. Returns (centroids (lcid, centroid),
+    * codebooks (s, cid, cw)). */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int = 16, m: Int = 4, codewords: Int = 16,
+                 iters: Int = 2): (DataFrame, DataFrame) = {
+    val cent = Clustering
       .kmeansCentroids(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, nlist, iters)
-      .select(col("cid").cast("long").as("lcid"), col("centroid")))
-    // assignment/probe selection: identical shapes to the raw-PQ round —
-    // map-side-combinable argmax for the corpus, partial collect + sort +
-    // slice over the nlist-bounded set for the queries
-    val assign = corpus.select(col(idCol).as("__vid"), col(vecCol).as("cv"))
-      .crossJoin(cent)
+      .select(col("cid").cast("long").as("lcid"), col("centroid"))
+      .localCheckpoint(true)
+    val centSub = broadcast(subVectors(
+        cent.select(col("lcid"), col("centroid")), "lcid", "centroid", m)
+      .select(col("lcid").cast("long").as("lcid"), col("s"), col("x").as("c")))
+    val resCb = trainResidualCodebooks(subVectors(corpus, idCol, vecCol, m),
+      listAssign(corpus, idCol, vecCol, cent), centSub, idCol, nlist, codewords, iters)
+    (cent, resCb)
+  }
+
+  /** Corpus → inverted-list assignment: map-side-combinable argmax by
+    * cosine against the broadcast centroids (one winner row per vector
+    * pre-shuffle, never the n×nlist expansion). */
+  private def listAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                         cent: DataFrame): DataFrame =
+    corpus.select(col(idCol).as("__vid"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cent))
       .select(col("__vid"),
         struct((-Similarity.cosine(col("cv"), col("centroid"))).as("nc"),
           col("lcid")).as("__s"))
       .groupBy("__vid").agg(min(col("__s")).as("__s"))
       .select(col("__vid"), col("__s.lcid").as("lcid"))
+
+  /** Serve ANN top-k from a prebuilt [[ivfPqIndex]]. Encode of the corpus
+    * codes stays in this path (same accounting as the raw-PQ rounds);
+    * a production deployment would persist the codes beside the index. */
+  def ivfPqTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nprobe: Int, m: Int,
+                    centIn: DataFrame, resCbIn: DataFrame): DataFrame = {
+    require(k > 0 && nprobe > 0, s"need k > 0, nprobe > 0; got k=$k nprobe=$nprobe")
+    val w = org.apache.spark.sql.expressions.Window
+    val cent = broadcast(centIn)
+    val resCb = broadcast(resCbIn)
+    val assign = listAssign(corpus, idCol, vecCol, centIn)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(cent)
       .select(col("query_id"),
@@ -202,14 +239,9 @@ object Quantization {
       .select(col("query_id"), col("__p.lcid").as("lcid"))
     // centroid sub-vectors (nlist × m rows, broadcast)
     val centSub = broadcast(subVectors(
-        cent.select(col("lcid"), col("centroid")), "lcid", "centroid", m)
+        centIn.select(col("lcid"), col("centroid")), "lcid", "centroid", m)
       .select(col("lcid").cast("long").as("lcid"), col("s"), col("x").as("c")))
     val sv = subVectors(corpus, idCol, vecCol, m)
-    // residual codebook, Lloyd-trained per subspace (seeds from ids
-    // [nlist, nlist+codewords) — disjoint from the centroid ids, whose
-    // ~0 residuals would degenerate the codebook)
-    val resCb = broadcast(trainResidualCodebooks(
-      sv, assign, centSub, idCol, nlist, codewords, iters))
     // corpus encode: min residual-ADC codeword per (id, sub) — one
     // map-side-combinable min(struct); residuals never materialize
     val enc = sv

@@ -280,7 +280,8 @@ object Similarity {
   def annRecallReport(corpus: DataFrame, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int,
                       planes: Int = 4, nlist: Int = 16, nprobe: Int = 4,
-                      m: Int = 4, codewords: Int = 16): DataFrame = {
+                      m: Int = 4, codewords: Int = 16,
+                      ivfPqIdx: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     // ground truth consumed by every arm's join AND the denominator — one
     // materialization, not one brute-force scan per consumer
     val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
@@ -291,8 +292,11 @@ object Similarity {
         col("neighbor_id").cast("long"))
     val arms = arm("lsh", lshTopK(corpus, queries, idCol, vecCol, k, planes))
       .unionByName(arm("ivf", ivfTopK(corpus, queries, idCol, vecCol, k, nlist, nprobe)))
-      .unionByName(arm("ivfpq", Quantization.ivfPqTopK(corpus, queries, idCol, vecCol,
-        k, nlist, nprobe, m, codewords)))
+      .unionByName(arm("ivfpq", {
+        val (cent, cb) = ivfPqIdx.getOrElse(
+          Quantization.ivfPqIndex(corpus, idCol, vecCol, nlist, m, codewords))
+        Quantization.ivfPqTopKWith(corpus, queries, idCol, vecCol, k, nprobe, m, cent, cb)
+      }))
     val perArm = arms
       .join(exact.withColumn("__hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
       .groupBy("method")
