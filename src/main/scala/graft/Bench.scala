@@ -112,11 +112,18 @@ object Bench {
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .getOrElse(2).max(1)
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the measured set — an
+    // iteration aid for profiling one operator without paying the full
+    // sweep. The driver never sets it, so archived rounds always measure
+    // the complete headline list.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val measured = only.fold(headline)(f => headline.filter(f))
     // A query that THROWS must never masquerade as a fast one: round 8
     // archived 0.002 s "timings" for queries whose analysis failed, and the
     // JSON read as a speedup. Failures record a -1 sentinel and the name
     // lands in the "failed" array of the output line.
-    val results = headline.map { name =>
+    val results = measured.map { name =>
       val fn = SparkEntry.queries(name)
       // memo-backed entries (PipelineQueries.memoBackedQueries) share a
       // per-session result cache: without busting it, the second run — and
@@ -158,7 +165,7 @@ object Bench {
     val total = buildSec + results.map(_._2).filter(_ >= 0).sum
     // memo_cold names the entries timed with their shared per-session
     // memo cleared before every run (cold pipeline cost, not cache hits)
-    val cold = headline.filter(PipelineQueries.memoBackedQueries)
+    val cold = measured.filter(PipelineQueries.memoBackedQueries)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =

@@ -700,9 +700,13 @@ object Curation {
                  minWords: Int = 3, blacklist: Seq[String] = Nil,
                  sep: String = "\n"): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
-    val lines = df.select(col(idCol),
-      size(split(col(textCol), sepRe)).cast("long").as("__n"),
-      posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__line")))
+    // split materialized below the Generate — size(split) co-resident with
+    // posexplode(split) would re-split the whole document once per exploded
+    // line (O(lines × doclen) per doc; see Dedup.paragraphDedup)
+    val lines = df
+      .select(col(idCol), split(col(textCol), sepRe).as("__arr"))
+      .select(col(idCol), size(col("__arr")).cast("long").as("__n"),
+        posexplode(col("__arr")).as(Seq("__pos", "__line")))
     val blacklisted = blacklist.foldLeft(lit(false))((acc, phrase) =>
       acc || lower(col("__line")).contains(phrase.toLowerCase))
     val kept = lines.where(

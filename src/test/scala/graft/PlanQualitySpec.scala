@@ -469,4 +469,27 @@ class PlanQualitySpec extends SparkSuite {
     assert("partial_min".r.findAllIn(plan).nonEmpty,
       s"no map-side partial aggregation for the keep-first winner:\n$plan")
   }
+
+  test("paragraph/line explode evaluates split() once per document, below the Generate") {
+    import spark.implicits._
+    // repartition blocks ConvertToLocalRelation from constant-folding the
+    // split over the literal rows, so the split stays in the physical plan
+    val docs = Seq((1L, "a\nb\nc"), (2L, "d\ne")).toDF("doc_id", "text").repartition(2)
+    // a size(split(text)) projected ALONGSIDE posexplode(split(text)) plans
+    // the size() ABOVE the generator, re-splitting the whole document once
+    // per exploded row — O(lines × doclen) per doc, measured 50× on
+    // composite documents. The fixed shape materializes the array in a
+    // projection below the Generate, so the physical plan carries exactly
+    // one split() and the Generate's input is a bare attribute.
+    for (out <- Seq(
+        graft.pipeline.Dedup.paragraphDedup(docs, "doc_id", "text"),
+        graft.pipeline.Curation.lineFilter(docs, "doc_id", "text", minWords = 1))) {
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val splits = "split\\(".r.findAllIn(plan).length
+      assert(splits == 1, s"expected exactly one split() in the physical plan, got $splits:\n$plan")
+      assert(!plan.matches("(?s).*Generate posexplode\\(split.*"),
+        s"generator input is a live split(), not a materialized array:\n$plan")
+    }
+  }
 }
