@@ -200,10 +200,16 @@ object Dedup {
   private def perDocSigsAndSet(shRaw: DataFrame, k: Int): DataFrame = {
     val sigs = (0 until k).map(i =>
       min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-    val collected = array_distinct(collect_list(struct(
-      xxhash64(col("shingle")).as("h"), col("shingle").as("s")))).as("__hs")
+    // collect_set dedupes DURING partial aggregation (map-side hash set),
+    // so reduce-side buffers arrive pre-deduped; the previous
+    // array_distinct(collect_list(struct(h, s))) shipped the raw multiset
+    // and paid an O(n²) interpreted struct-equality distinct per doc on
+    // the (AQE-coalesced) reduce side — measured as the pipeline's
+    // hottest stage at sf0.1. The set is collected as xxhash64 LONGS, not
+    // strings — see [[shingleSets]] for the payload/intersection rationale.
+    val collected = collect_set(xxhash64(col("shingle"))).as("__hs")
     shRaw.groupBy("doc").agg(sigs.head, (sigs.tail :+ collected): _*)
-      .withColumn("__set", capHashedSet(col("__hs"))).drop("__hs")
+      .withColumn("__set", capShingleSet(col("__hs"))).drop("__hs")
   }
 
   /** Candidate pairs from a [[perDocSigsAndSet]] frame: k (band, sig)
@@ -407,20 +413,24 @@ object Dedup {
     * under the cap stays exact, and the cap is far above any chunked
     * document). Per-row memory is thereby bounded by `cap`, not by the
     * longest document in the corpus. */
+  /** Each doc's distinct shingles as a SORTED array of xxhash64 longs.
+    * Hashing before the set collapses the verify payload ~4× (8-byte
+    * longs vs multi-word shingle strings riding every candidate pair) and
+    * makes the per-pair intersection a primitive-typed operation instead
+    * of UTF8String hashing — |A∩B| over hash sets equals the string-set
+    * overlap modulo 2⁻⁶⁴ per-pair collisions (the same tolerance the
+    * contamination probes already accept). */
   private[graft] def shingleSets(
       sh: DataFrame, cap: Int = MaxVerifyShinglesPerDoc): DataFrame =
     sh.groupBy("doc")
-      .agg(array_distinct(collect_list(struct(
-        xxhash64(col("shingle")).as("h"), col("shingle").as("s")))).as("__hs"))
-      .select(col("doc"), capHashedSet(col("__hs"), cap).as("__set"))
+      .agg(collect_set(xxhash64(col("shingle"))).as("__hs"))
+      .select(col("doc"), capShingleSet(col("__hs"), cap).as("__set"))
 
-  /** Cap a collected array<struct<h: xxhash64, s: shingle>> to `cap`
-    * distinct shingles: under the cap the strings are extracted without a
-    * sort (the common path); over it, the bottom-`cap` by hash order —
-    * CaseWhen evaluates lazily, so the sort prices only over-cap rows. */
-  private def capHashedSet(hs: Column, cap: Int = MaxVerifyShinglesPerDoc): Column =
-    when(size(hs) <= cap, hs.getField("s"))
-      .otherwise(slice(array_sort(hs), 1, cap).getField("s"))
+  /** Cap a collected array<long> of hashed shingles to `cap` entries,
+    * sorted ascending either way: the bottom-`cap` by hash order is the
+    * same deterministic KMV-style subset on both sides of a pair. */
+  private def capShingleSet(hs: Column, cap: Int = MaxVerifyShinglesPerDoc): Column =
+    slice(array_sort(hs), 1, cap) // slice clamps to the array length
 
   /** Shared verify stage: |A∩B| per candidate pair via each doc's COLLECTED
     * shingle-set array and a codegen'd array_intersect — two joins keyed by

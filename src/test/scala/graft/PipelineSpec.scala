@@ -1078,8 +1078,9 @@ class PipelineSpec extends SparkSuite {
     val sh = pipeline.TextAnalysis.shingleRows(docs, "doc_id", "text", 3)
       .withColumnRenamed("doc_id", "doc").dropDuplicates("doc", "shingle")
     val cap = 64
+    // sets are hashed-shingle longs (xxhash64), sorted ascending
     val sets = pipeline.Dedup.shingleSets(sh, cap).collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sets(1L).size == cap && sets(2L).size == cap,
       s"mega-doc arrays not capped: ${sets(1L).size}")
     assert(sets(3L).size == 4) // under the cap -> exact, untouched
