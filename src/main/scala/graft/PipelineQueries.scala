@@ -101,10 +101,10 @@ object PipelineQueries {
     s"""${toksCte(src)},
        |sh AS (SELECT doc_id, list_distinct(${shinglesExpr(3)}) AS s FROM toks WHERE len(w) >= 3),
        |sig AS (SELECT doc_id,
-       |  list_min(list_transform(s, x -> md5('0|'||x))) AS h0,
-       |  list_min(list_transform(s, x -> md5('1|'||x))) AS h1,
-       |  list_min(list_transform(s, x -> md5('2|'||x))) AS h2,
-       |  list_min(list_transform(s, x -> md5('3|'||x))) AS h3
+       |  list_min(list_transform(s, x -> substr(md5(x), 1, 8))) AS h0,
+       |  list_min(list_transform(s, x -> substr(md5(x), 9, 8))) AS h1,
+       |  list_min(list_transform(s, x -> substr(md5(x), 17, 8))) AS h2,
+       |  list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS h3
        |FROM sh),
        |banded AS (
        |  SELECT doc_id, 0 AS band, h0 AS sig FROM sig
@@ -1090,19 +1090,19 @@ object PipelineQueries {
         s"""$corpusCte, ${toksCte("corpus")},
            |sh AS (SELECT doc_id, ${shinglesExpr(3)} AS s FROM toks WHERE len(w) >= 3)
            |SELECT doc_id,
-           |  list_min(list_transform(s, x -> md5('0|'||x))) AS h0,
-           |  list_min(list_transform(s, x -> md5('1|'||x))) AS h1,
-           |  list_min(list_transform(s, x -> md5('2|'||x))) AS h2,
-           |  list_min(list_transform(s, x -> md5('3|'||x))) AS h3
+           |  list_min(list_transform(s, x -> substr(md5(x), 1, 8))) AS h0,
+           |  list_min(list_transform(s, x -> substr(md5(x), 9, 8))) AS h1,
+           |  list_min(list_transform(s, x -> substr(md5(x), 17, 8))) AS h2,
+           |  list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS h3
            |FROM sh""".stripMargin,
       "dedup_minhash_pairs" ->
         s"""$corpusCte, ${toksCte("corpus")},
            |sh AS (SELECT doc_id, ${shinglesExpr(3)} AS s FROM toks WHERE len(w) >= 3),
            |sig AS (SELECT doc_id,
-           |  list_min(list_transform(s, x -> md5('0|'||x))) AS h0,
-           |  list_min(list_transform(s, x -> md5('1|'||x))) AS h1,
-           |  list_min(list_transform(s, x -> md5('2|'||x))) AS h2,
-           |  list_min(list_transform(s, x -> md5('3|'||x))) AS h3
+           |  list_min(list_transform(s, x -> substr(md5(x), 1, 8))) AS h0,
+           |  list_min(list_transform(s, x -> substr(md5(x), 9, 8))) AS h1,
+           |  list_min(list_transform(s, x -> substr(md5(x), 17, 8))) AS h2,
+           |  list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS h3
            |FROM sh),
            |banded AS (
            |  SELECT doc_id, 0 AS band, h0 AS sig FROM sig

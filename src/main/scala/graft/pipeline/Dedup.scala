@@ -27,14 +27,22 @@ object Dedup {
       .agg(count(lit(1)).as("dup_cnt"), min(col(idCol)).as("keep_id"))
       .where(col("dup_cnt") > 1)
 
+  /** Band hash i of a shingle: an 8-hex-char (32-bit) slice of ONE md5 of
+    * the shingle. One digest yields k ≤ 4 independent band hashes — 4×
+    * less hashing CPU and a 4× smaller signature payload than the older
+    * k-independent-digest form (md5("<i>|shingle") per band), with the
+    * same min-wise statistics (md5's 32-bit slices are independent) and
+    * the same DuckDB portability (substr(md5(x), 8i+1, 8)). */
+  private def bandHash(i: Int, shingle: Column): Column =
+    substring(md5(shingle), 8 * i + 1, 8)
+
   /** Per-document MinHash signatures h0..h(k-1) over word-3-gram shingles:
-    * hash i = min over shingles of md5("<i>|<shingle>") — the classic
+    * hash i = min over shingles of [[bandHash]] i — the classic
     * per-permutation min-wise hash in portable hex-string space, computed on
     * the long-form shingle plan (codegen'd, map-side partial min, one
     * shuffle by id). Documents with fewer than 3 words are excluded. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int = 4): DataFrame = {
-    val sigs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    val sigs = (0 until k).map(i => min(bandHash(i, col("shingle"))).as(s"h$i"))
     TextAnalysis.shingleRows(df, idCol, textCol, 3)
       .groupBy(idCol)
       .agg(sigs.head, sigs.tail: _*)
@@ -51,7 +59,7 @@ object Dedup {
   def signatureColumns(text: Column, n: Int = 3, k: Int = 4): Seq[Column] =
     (0 until k).map { i =>
       array_min(transform(TextAnalysis.wordShingles(text, n),
-        s => md5(concat(lit(s"$i|"), s)))).as(s"h$i")
+        s => bandHash(i, s))).as(s"h$i")
     }
 
   /** LSH banding: candidate near-dup pairs (a < b) sharing at least one of
@@ -198,8 +206,7 @@ object Dedup {
     * Output: (doc, h0..h{k-1}, __set) with __set capped like
     * [[shingleSets]] (same bottom-k-by-hash estimate semantics). */
   private def perDocSigsAndSet(shRaw: DataFrame, k: Int): DataFrame = {
-    val sigs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    val sigs = (0 until k).map(i => min(bandHash(i, col("shingle"))).as(s"h$i"))
     // collect_set dedupes DURING partial aggregation (map-side hash set),
     // so reduce-side buffers arrive pre-deduped; the previous
     // array_distinct(collect_list(struct(h, s))) shipped the raw multiset
