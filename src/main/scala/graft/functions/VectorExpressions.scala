@@ -191,7 +191,15 @@ object GraftExtensions {
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     two("graft_dot", classOf[DotProduct].getCanonicalName, DotProduct.apply),
-    two("graft_cosine", classOf[CosineSimilarity].getCanonicalName, CosineSimilarity.apply))
+    two("graft_cosine", classOf[CosineSimilarity].getCanonicalName, CosineSimilarity.apply),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingleArray].getCanonicalName, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_shingles expects (text, n), got ${args.length} arguments")
+        require(args(1).foldable, "graft_shingles: n must be a literal")
+        WordShingleArray(args(0), args(1).eval().asInstanceOf[Number].intValue())
+      }))
 
   /** Extensions only run while a session is being built; this installs the
     * same functions on an already-running session (tests, REPLs). */

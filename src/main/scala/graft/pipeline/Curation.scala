@@ -403,18 +403,17 @@ object Curation {
     // recomputation, so scope a persist per stage: without it the s1
     // dedup replays three times and the near-dup anti-join twice (the
     // LSH/verify/cc work itself is already eager inside
-    // ngramJaccardOnShingles). The exact survivors are TOKENIZED ONCE and
-    // that token table feeds both shingle consumers — the n-gram near-dup
-    // propose/verify stage and the decontamN-gram contamination probe
-    // (restricted to near-dup survivors by a semi-join) — instead of each
-    // stage re-normalizing and re-exploding the text. The 4-row result is
-    // checkpointed eagerly so the persists can be released before
-    // returning.
+    // ngramJaccardOnShingles). Each stage shingles its survivor set
+    // directly from the persisted text with the NARROW codegen'd kernel
+    // (shingleRows) — no token-table persist and no per-stage window
+    // shuffle; a narrow re-scan of cached survivors is cheaper than the
+    // exchanges the old tokenize-once window design required. The 4-row
+    // result is checkpointed eagerly so the persists can be released
+    // before returning.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s1 = dedupExactKeepFirst(corpus, idCol, textCol).persist(lvl)
     try {
-      val toks = TextAnalysis.tokenRows(s1, idCol, textCol).persist(lvl)
-      try {
+      {
         // the near-dup stage (r7-measured 9 s of the funnel's ~15 at sf0.1)
         // accepts precomputed duplicate-cluster labels: labels over the RAW
         // corpus are drop-equivalent on exact survivors (an exact-copy node
@@ -425,7 +424,7 @@ object Curation {
         val labels = dupLabels.getOrElse {
           ConnectedComponents.labels(
             Dedup.ngramJaccardOnShingles(
-              TextAnalysis.shingleRowsFromTokens(toks, idCol, n), idCol, k, minSim)
+              TextAnalysis.shingleRows(s1, idCol, textCol, n), idCol, k, minSim)
               .select("a", "b"))
         }
         val drop = labels
@@ -442,17 +441,14 @@ object Curation {
           s2.count()
           // optional containment recall arm: cluster engulfed-prefix pairs
           // over the near-dup survivors, keep the min-id member per
-          // cluster. Shingles come from the SHARED token table (semi-join
-          // restricts to survivors) — the third consumer of the
-          // tokenize-once pass, via containmentOnShingles
+          // cluster. Shingles come narrowly from the persisted s2 text
+          // (the near-dup survivor set), via containmentOnShingles
           val s2b = if (!rareShingleArm) s2 else {
             val cDrop = ConnectedComponents.labels(
                 Dedup.containmentOnShingles(
-                  TextAnalysis.shingleRowsFromTokens(
-                      toks.join(s2.select(idCol), Seq(idCol), "left_semi"),
-                      idCol, n)
+                  TextAnalysis.shingleRowsDistinct(s2, idCol, textCol, n)
                     .withColumnRenamed(idCol, "doc"),
-                  rareMaxDf, minContain).select("a", "b"))
+                  rareMaxDf, minContain, inputDistinct = true).select("a", "b"))
               .where(col("id") =!= col("cluster"))
               .select(col("id").as("__cdrop_id"))
             val armed = s2.join(cDrop, s2(idCol).cast("long") === col("__cdrop_id"),
@@ -468,9 +464,7 @@ object Curation {
             // grams are broadcast and the trailing distinct() on idCol
             // collapses repeated hits anyway — deduping the full survivor
             // shingle stream first would shuffle it once for nothing
-            val contaminated = TextAnalysis.shingleRowsFromTokens(
-                toks.join(s2b.select(idCol), Seq(idCol), "left_semi"),
-                idCol, decontamN)
+            val contaminated = TextAnalysis.shingleRows(s2b, idCol, textCol, decontamN)
               .join(broadcast(benchGrams), Seq("shingle"), "left_semi")
               .select(idCol).distinct()
             val s3 = s2b.join(contaminated, Seq(idCol), "left_anti")
@@ -484,7 +478,7 @@ object Curation {
             tail.localCheckpoint(true)
           } finally if (rareShingleArm) s2b.unpersist()
         } finally s2.unpersist()
-      } finally toks.unpersist()
+      }
     } finally s1.unpersist()
   }
 

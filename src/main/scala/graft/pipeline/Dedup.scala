@@ -113,9 +113,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minSim: Double = 0.5,
                         maxShingleDf: Long = 0L): DataFrame = {
-    val raw = TextAnalysis.shingleRows(df, idCol, textCol, n)
+    // per-doc dedup fused into the narrow shingle kernel — no corpus-wide
+    // dropDuplicates(doc, shingle) exchange
+    val raw = TextAnalysis.shingleRowsDistinct(df, idCol, textCol, n)
       .withColumnRenamed(idCol, "doc")
-      .dropDuplicates("doc", "shingle")
     val bounded =
       if (maxShingleDf <= 0) raw
       else raw.join(
@@ -532,31 +533,41 @@ object Dedup {
                                  n: Int = 3, maxDf: Int = 8,
                                  minContain: Double = 0.9): DataFrame =
     containmentOnShingles(
-      TextAnalysis.shingleRows(df, idCol, textCol, n).withColumnRenamed(idCol, "doc"),
-      maxDf, minContain)
+      TextAnalysis.shingleRowsDistinct(df, idCol, textCol, n)
+        .withColumnRenamed(idCol, "doc"),
+      maxDf, minContain, inputDistinct = true)
 
   /** [[containmentViaRareShingles]]' core over a PRECOMPUTED `(doc,
-    * shingle)` table — callers that already hold a token/shingle table
-    * (e.g. the curation funnel, which tokenizes survivors once for all
-    * shingle consumers) skip the tokenize+explode pass. Rows need not be
-    * distinct per (doc, shingle); deduplication happens here. */
+    * shingle)` table — callers that already hold a shingle table skip the
+    * tokenize+explode pass. Rows need not be distinct per (doc, shingle)
+    * unless `inputDistinct` promises it (e.g. the fused-dedup kernel of
+    * [[TextAnalysis.shingleRowsDistinct]]) — promising it skips the
+    * corpus-wide dropDuplicates exchange. */
   def containmentOnShingles(shingles: DataFrame, maxDf: Int = 8,
-                            minContain: Double = 0.9): DataFrame = {
+                            minContain: Double = 0.9,
+                            inputDistinct: Boolean = false): DataFrame = {
     require(maxDf >= 2, s"need maxDf >= 2; got $maxDf")
-    val sh = shingles.select("doc", "shingle")
-      .dropDuplicates("doc", "shingle")
+    // hash at the source: every downstream exchange (df counts, the rare
+    // candidate self-join, the per-doc set aggregation) moves and compares
+    // fixed-width longs instead of shingle text — the same 2⁻⁶⁴-collision
+    // tolerance as the verify sets, which are hash-based already
+    val raw = shingles.select(col("doc"), xxhash64(col("shingle")).as("__h"))
+    val sh = (if (inputDistinct) raw else raw.dropDuplicates("doc", "__h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sh.count() // eager cache fill — see ngramJaccardOnShingles
-      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      val rare = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
         .where(col("__df") >= 2 && col("__df") <= maxDf)
-        .select("shingle")
-      val rsh = sh.join(rare, Seq("shingle"), "left_semi")
-      val cand = rsh.select(col("shingle"), col("doc").as("a"))
-        .join(rsh.select(col("shingle"), col("doc").as("b")), Seq("shingle"))
+        .select("__h")
+      val rsh = sh.join(rare, Seq("__h"), "left_semi")
+      val cand = rsh.select(col("__h"), col("doc").as("a"))
+        .join(rsh.select(col("__h"), col("doc").as("b")), Seq("__h"))
         .where(col("a") < col("b"))
         .select("a", "b").distinct()
-      verifyContainment(shingleSets(sh), cand, minContain).localCheckpoint(true)
+      val sets = sh.groupBy("doc")
+        .agg(collect_set(col("__h")).as("__hs"))
+        .select(col("doc"), capShingleSet(col("__hs")).as("__set"))
+      verifyContainment(sets, cand, minContain).localCheckpoint(true)
     } finally sh.unpersist()
   }
 

@@ -145,15 +145,12 @@ object TextAnalysis {
   }
 
   /** Word n-gram shingles of the normalized text (empty array when the text
-    * has fewer than n words). Column-level convenience for small inputs:
-    * higher-order array functions are NOT codegen'd and re-evaluate the
-    * tokenization per element — at scale use [[shingleRows]]. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    when(size(w) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
-  }
+    * has fewer than n words). Backed by the fused codegen'd kernel
+    * [[graft.functions.TextKernels.shingles]] — normalize + split + n-gram
+    * join in one byte pass per row, no regex, no interpreted higher-order
+    * walk. Safe in any projection, batch or per-row streaming. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.shinglesNative(text, n)
 
   /** Long-form tokens (id, pos, word): split once, posexplode — fully
     * codegen'd, one pass over the text. The scale-path basis for shingling,
@@ -161,11 +158,26 @@ object TextAnalysis {
   def tokenRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "word")))
 
-  /** Long-form word n-gram shingles (id, shingle), built with window lead()
-    * over the token stream — one shuffle by document id, identical shingle
-    * strings to [[wordShingles]]. */
+  /** Long-form word n-gram shingles (id, shingle) — a NARROW plan: one
+    * Generate explodes the fused codegen'd shingle kernel
+    * ([[wordShingles]]). No exchange, no sort, no regex — the round-10
+    * rewrite of the window-lead form, which paid a corpus-wide shuffle by
+    * document id in EVERY shingle consumer (identical output multiset,
+    * pinned by TextExpressionsSpec). */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shingleRowsFromTokens(tokenRows(df, idCol, textCol), idCol, n)
+    df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+
+  /** [[shingleRows]] with per-document dedup fused into the kernel: the
+    * (id, shingle) rows arrive DISTINCT per document without any exchange
+    * — a document's shingles are co-located by construction, so consumers
+    * that would otherwise pay a corpus-wide dropDuplicates(id, shingle)
+    * shuffle skip it entirely. Cross-document work (df counts, bucket
+    * joins) still shuffles by shingle, which is unavoidable and far
+    * smaller. */
+  def shingleRowsDistinct(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.TextFunctions.shinglesDistinctNative(col(textCol), n))
+        .as("shingle"))
 
   /** [[shingleRows]] over an ALREADY-tokenized (id, pos, word) frame —
     * the seam that lets a multi-stage pipeline (e.g.
