@@ -495,30 +495,16 @@ object Curation {
   def contaminationMatrix(corpus: DataFrame, benchmarks: DataFrame,
                           idCol: String, textCol: String, benchCol: String,
                           n: Int = 8): DataFrame = {
-    // Benchmark shingles run under a composite (benchmark, id, text-hash)
-    // window key so id collisions — across benchmarks, or one id carrying
-    // two texts inside a benchmark — can never interleave token streams.
-    // The round-8 version paid for that robustness with an md5 per row AND
-    // a join back to recover the benchmark id; embedding benchCol as the
-    // key's first component lets substring_index recover it for free
-    // (codegen'd xxhash64 replaces md5; a \u0001 inside a benchmark NAME is
-    // the one unsupported input, and text-hash collisions are 2^-64).
-    // Profiling note (round 9): the window-lead shingle path beats the
-    // "narrow" wordShingles explode ~4x here — higher-order functions are
-    // not codegen'd, so the per-element lambda re-evaluates the split.
-    // A NULL benchCol must survive as its own group: concat_ws SKIPS
-    // nulls, which would silently shift the id into the benchmark-name
-    // slot — so nulls ride as a sentinel through the composite key and are
-    // restored on the way out (parity with the join-back form's null group).
-    val sep = "\u0001"
-    val nullMark = "\u0002<null>"
-    val keyed = benchmarks.select(col(benchCol), col(idCol), col(textCol)).distinct()
-      .select(concat_ws(sep, coalesce(col(benchCol), lit(nullMark)),
-        col(idCol).cast("string"), xxhash64(col(textCol))).as("__bid"), col(textCol))
-    val bg = TextAnalysis.shingleRows(keyed, "__bid", textCol, n)
-      .select(substring_index(col("__bid"), sep, 1).as("__bname"), col("shingle"))
-      .select(when(col("__bname") === nullMark, lit(null).cast("string"))
-        .otherwise(col("__bname")).as(benchCol), col("shingle"))
+    // Shingling is a per-ROW kernel (round 10) — no window, so nothing
+    // can interleave token streams across rows and the old composite
+    // (benchmark, id, text-hash) window-key machinery (with its
+    // separator-in-name caveat and null-sentinel round-trip) is gone:
+    // each benchmark row shingles independently, keyed by benchCol
+    // directly; NULL benchmark names survive as the natural null group
+    // of the trailing aggregations.
+    val bg = benchmarks
+      .select(col(benchCol),
+        explode(TextAnalysis.wordShingles(col(textCol), n)).as("shingle"))
       .distinct()
     // no corpus-side (id, shingle) dedup shuffle: the countDistinct
     // aggregations below already collapse repeated hits
