@@ -34,6 +34,29 @@ object TextKernels {
   private def isWordByte(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
 
+  /** Whitespace word tokens of the normalized text — the byte-walk
+    * equivalent of split(trim(regexp_replace(lower(text), "[^a-z0-9]+",
+    * " ")), " "), INCLUDING the empty-input edge: an all-separator or
+    * empty text normalizes to "" and split("", " ") yields [""], so this
+    * returns a single empty-string word there too (token consumers pin
+    * that behavior). */
+  def words(text: UTF8String): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val len = bytes.length
+    val out = new java.util.ArrayList[Any](8)
+    var i = 0
+    while (i < len) {
+      while (i < len && !isWordByte(bytes(i))) i += 1
+      if (i < len) {
+        val s = i
+        while (i < len && isWordByte(bytes(i))) i += 1
+        out.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, s, i)))
+      }
+    }
+    if (out.isEmpty) new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    else new GenericArrayData(out.toArray)
+  }
+
   /** [[shingles]] with per-document dedup fused in: distinct shingles in
     * first-occurrence order, one narrow pass — callers that would
     * otherwise dropDuplicates(doc, shingle) skip that corpus-wide
@@ -131,8 +154,35 @@ case class WordShingleArray(child: Expression, n: Int,
     copy(child = newChild)
 }
 
+/** Codegen'd `words(text)`: whitespace word tokens of the normalized
+  * text, one fused byte pass per row — regex-free equivalent of the
+  * lower/regexp_replace/trim/split composition (incl. its [""] edge). */
+case class WordArray(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_words"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.words(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.words($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry point. */
 object TextFunctions {
+  /** Native whitespace word tokens of the normalized text. */
+  def wordsNative(text: Column): Column =
+    GraftSqlBridge.column(WordArray(GraftSqlBridge.expression(text)))
+
   /** Native word n-gram shingles of the normalized text — the codegen'd
     * equivalent of the regex/split/HOF formulation, usable in any
     * projection (batch or per-row streaming). */

@@ -17,8 +17,12 @@ object TextAnalysis {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
-  /** Whitespace word tokens of the normalized text. */
-  def words(text: Column): Column = split(normalized(text), " ")
+  /** Whitespace word tokens of the normalized text — the codegen'd
+    * byte-walk kernel ([[graft.functions.TextKernels.words]]), value-
+    * identical to split(normalized(text), " ") including the [""] edge
+    * on empty/all-separator input (pinned by TextExpressionsSpec). */
+  def words(text: Column): Column =
+    graft.functions.TextFunctions.wordsNative(text)
 
   /** Whitespace token count. Counting the maximal alnum runs directly is
     * value-identical to `size(words(text))` with the empty-string guard

@@ -53,6 +53,21 @@ class TextExpressionsSpec extends SparkSuite {
     }
   }
 
+  test("words kernel equals split(normalized) including the empty-string edge") {
+    val cases = Seq(
+      "the quick brown fox", "", "!!!", "  ", "a", "UPPER lower 123",
+      "unicode İstanbul straße Ñandú", "tab\tsep\nnewline", "p.u,n;c:t!",
+      " leading and trailing ", "a1b2c3", "🙂")
+    for (c <- cases) {
+      val got = spark.range(1)
+        .select(graft.functions.TextFunctions.wordsNative(lit(c)).as("w"))
+        .collect()(0).getSeq[String](0)
+      val norm = c.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      val expect = norm.split(" ", -1).toSeq // split("", " ") == Seq("")
+      assert(got == expect, s"text=${c.take(30)}")
+    }
+  }
+
   test("null text yields null, SQL surface registered") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql("SELECT graft_shingles(CAST(NULL AS STRING), 3) AS a, " +
