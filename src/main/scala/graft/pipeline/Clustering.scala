@@ -18,9 +18,12 @@ import graft.functions.VectorFunctions.dotNative
   *    order-free — a double sum would vary with partitioning), divided as
   *    double; clusters that lose every point keep their previous centroid.
   *
-  * Scale shape per iteration: one broadcast of k centroids against a
-  * corpus scan (assignment) + one map-side-combinable groupBy(cid, pos)
-  * (update). Nothing is quadratic in the corpus; k and iters are the only
+  * Scale shape per iteration: assignment is a NARROW corpus scan (the k
+  * centroids broadcast as one collected row; the argmin folds row-locally
+  * in the codegen'd [[graft.functions.NearestCentroid]] kernel — zero
+  * exchanges, nothing ships the corpus vectors) + one map-side-combinable
+  * groupBy(cid, pos) whose shuffle is ~k·dims rows per partition (update).
+  * Nothing is quadratic in the corpus; k and iters are the only
   * multipliers. Centroids are localCheckpointed per iteration so the plan
   * stays flat across iterations.
   */
@@ -63,6 +66,23 @@ object Clustering {
       .select(col("__id").as(idCol), col("cid"))
   }
 
+  /** Append the argmin-centroid assignment to `df` as a `cid` column — the
+    * NARROW form callers should prefer over `kmeans(...)` + join-back on
+    * id: all of `df`'s columns ride through a pure projection (zero
+    * exchanges), so downstream consumers that need the vectors alongside
+    * the assignment never pay an id-keyed corpus join. Scoring is
+    * identical to [[kmeans]] (cast to array<double>, L2² argmin, smallest
+    * cid on ties); rows whose assignment is undefined (null vector /
+    * empty centroid set) are dropped. */
+  def assignTo(df: DataFrame, idCol: String, vecCol: String,
+               cents: DataFrame): DataFrame =
+    df.crossJoin(broadcast(centroidArray(cents)))
+      .withColumn("cid", graft.functions.VectorFunctions
+        .nearestCentroidL2(col(vecCol).cast("array<double>"), col("__cents"))
+        .getField("cid"))
+      .where(col("cid").isNotNull)
+      .drop("__cents")
+
   /** Embedding-space outlier report (the CCNet-style quality filter in
     * vector space): the `topN` vectors FARTHEST from their own k-means
     * centroid — mislabeled, off-distribution, or garbage embeddings
@@ -75,12 +95,13 @@ object Clustering {
     require(topN > 0, s"need topN > 0; got $topN")
     val corpus = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
     val cents = kmeansCentroids(df, idCol, vecCol, k, iters)
-    val d = dotNative(col("__v"), col("__v")) -
-      dotNative(col("__v"), col("centroid")) * 2.0 +
-      dotNative(col("centroid"), col("centroid"))
-    corpus.crossJoin(broadcast(cents))
-      .select(col("__id"), struct(d.as("d"), col("cid")).as("__s"))
-      .groupBy("__id").agg(min(col("__s")).as("__s"))
+    // narrow row-local argmin (see assign) — scoring and winner identical
+    // to the old crossJoin+min(struct), with the distance kept for ranking
+    corpus.crossJoin(broadcast(centroidArray(cents)))
+      .select(col("__id"),
+        graft.functions.VectorFunctions
+          .nearestCentroidL2(col("__v"), col("__cents")).as("__s"))
+      .where(col("__s").isNotNull)
       .select(col("__id").as(idCol), col("__s.cid").as("cid"),
         round(col("__s.d"), 6).as("dist2"))
       .orderBy(desc("dist2"), col(idCol).asc)
@@ -305,18 +326,26 @@ object Clustering {
         when(coord === 0.0, lit(0.0)).otherwise(coord).as("coord"))
   }
 
-  /** Argmin-distance assignment: broadcast the k centroids, score every
-    * corpus row, keep the (distance asc, cid asc) winner via min(struct) —
-    * map-side combinable, so the shuffle moves one partial winner per
-    * (partition, id) instead of the full n×k scored expansion a window
-    * would sort. */
-  private def assign(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val d = dotNative(col("__v"), col("__v")) -
-      dotNative(col("__v"), col("centroid")) * 2.0 +
-      dotNative(col("centroid"), col("centroid"))
-    corpus.crossJoin(broadcast(cents))
-      .select(col("__id"), struct(d.as("d"), col("cid"), col("__v")).as("__s"))
-      .groupBy("__id").agg(min(col("__s")).as("__s"))
-      .select(col("__id"), col("__s.__v").as("__v"), col("__s.cid").as("cid"))
-  }
+  /** The k centroids as ONE collected row (cid-ascending array<struct<cid,
+    * centroid>>) for the row-local argmin kernel — k is bounded (it is the
+    * broadcast side by construction), so the collect_list is a k-row
+    * 1-group aggregate, and the single row rides a broadcast. */
+  private[pipeline] def centroidArray(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(
+      col("cid").cast("long").as("cid"), col("centroid")))).as("__cents"))
+
+  /** Argmin-distance assignment — a NARROW projection: the broadcast
+    * centroid array is folded row-locally by the codegen'd
+    * [[graft.functions.NearestCentroid]] kernel (bit-identical arithmetic
+    * and (distance asc, cid asc) winner as the old
+    * crossJoin+groupBy(min(struct)) shape), so assignment costs ZERO
+    * exchanges — the old form shuffled the whole corpus (vectors aboard)
+    * once per call, once per k-means ITERATION. The n×k scored expansion
+    * never exists as rows. */
+  private def assign(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroidArray(cents)))
+      .select(col("__id"), col("__v"),
+        graft.functions.VectorFunctions
+          .nearestCentroidL2(col("__v"), col("__cents")).getField("cid").as("cid"))
+      .where(col("cid").isNotNull)
 }

@@ -668,18 +668,20 @@ object Dedup {
                     k: Int = 8, iters: Int = 2, minCos: Double = 0.5,
                     maxClusterSize: Int = 10000): DataFrame = {
     require(maxClusterSize > 0, s"need maxClusterSize > 0; got $maxClusterSize")
-    // the assignment feeds BOTH the size tally and the member join —
-    // checkpoint it eagerly so the broadcast-k assignment scan runs once
-    // (the slim (id, cid) frame is what persists, not the vectors)
-    val asg = Clustering.kmeans(df, idCol, vecCol, k, iters).localCheckpoint(true)
-    val sizes = asg.groupBy("cid").agg(count(lit(1)).as("__csz"))
+    // round 10: the assignment is a NARROW projection over the broadcast
+    // fitted centroids (Clustering.assignTo) — no slim-frame checkpoint
+    // and no id-keyed corpus join to carry the vectors back; the only
+    // exchanges left in this operator are the k-group size tally and the
+    // (cid, sub) candidate self-join itself
+    val withAsg = Clustering.assignTo(df.select(col(idCol), col(vecCol)),
+      idCol, vecCol, Clustering.kmeansCentroids(df, idCol, vecCol, k, iters))
+    val sizes = withAsg.groupBy("cid").agg(count(lit(1)).as("__csz"))
     // one row per CLUSTER (<= k of them) — rides a broadcast join
     val nsplit = expr(s"(__csz + ${maxClusterSize - 1}) DIV $maxClusterSize")
     val sub = conv(substring(
       md5(concat(lit("sem|"), col(idCol).cast("string"))), 1, 6), 16, 10)
       .cast("long") % nsplit
-    val withC = df.select(col(idCol), col(vecCol))
-      .join(asg, Seq(idCol))
+    val withC = withAsg
       .join(broadcast(sizes), Seq("cid"))
       .select(col(idCol), col(vecCol), col("cid"), sub.as("__sub"))
     val l = withC.select(col("cid"), col("__sub"),

@@ -204,18 +204,25 @@ object Quantization {
     (cent, resCb)
   }
 
-  /** Corpus → inverted-list assignment: map-side-combinable argmax by
-    * cosine against the broadcast centroids (one winner row per vector
-    * pre-shuffle, never the n×nlist expansion). */
+  /** Corpus → inverted-list assignment: argmax-cosine folded ROW-LOCALLY
+    * over the broadcast centroid array by the codegen'd
+    * [[graft.functions.NearestCentroid]] kernel — a narrow projection with
+    * zero exchanges (the old min(struct) aggregation still shuffled one
+    * winner row per vector); the n×nlist expansion never exists as rows. */
   private def listAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                         cent: DataFrame): DataFrame =
+                         cent: DataFrame): DataFrame = {
+    val centArr = broadcast(cent
+      .select(col("lcid").cast("long").as("cid"), col("centroid"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("centroid"))))
+        .as("__cents")))
     corpus.select(col(idCol).as("__vid"), col(vecCol).as("cv"))
-      .crossJoin(broadcast(cent))
+      .crossJoin(centArr)
       .select(col("__vid"),
-        struct((-Similarity.cosine(col("cv"), col("centroid"))).as("nc"),
-          col("lcid")).as("__s"))
-      .groupBy("__vid").agg(min(col("__s")).as("__s"))
-      .select(col("__vid"), col("__s.lcid").as("lcid"))
+        graft.functions.VectorFunctions
+          .nearestCentroidNegCos(col("cv"), col("__cents"))
+          .getField("cid").as("lcid"))
+      .where(col("lcid").isNotNull)
+  }
 
   /** Serve ANN top-k from a prebuilt [[ivfPqIndex]]. Encode of the corpus
     * codes stays in this path (same accounting as the raw-PQ rounds);
@@ -225,17 +232,21 @@ object Quantization {
                     centIn: DataFrame, resCbIn: DataFrame): DataFrame = {
     require(k > 0 && nprobe > 0, s"need k > 0, nprobe > 0; got k=$k nprobe=$nprobe")
     val w = org.apache.spark.sql.expressions.Window
-    val cent = broadcast(centIn)
     val resCb = broadcast(resCbIn)
     val assign = listAssign(corpus, idCol, vecCol, centIn)
+    // probe selection: row-local transform+sort+slice over the broadcast
+    // centroid array (no per-query aggregation shuffle; see ivfTopKWith)
+    val centArr = broadcast(centIn
+      .select(col("lcid").cast("long").as("cid"), col("centroid"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("centroid"))))
+        .as("__cents")))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(cent)
+      .crossJoin(centArr)
       .select(col("query_id"),
-        struct((-Similarity.cosine(col("qv"), col("centroid"))).as("nc"),
-          col("lcid")).as("__p"))
-      .groupBy("query_id")
-      .agg(slice(array_sort(collect_list(col("__p"))), 1, nprobe).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__p"))
+        explode(slice(array_sort(transform(col("__cents"), c =>
+            struct((-Similarity.cosine(col("qv"), c.getField("centroid"))).as("nc"),
+              c.getField("cid").as("lcid")))),
+          1, nprobe)).as("__p"))
       .select(col("query_id"), col("__p.lcid").as("lcid"))
     // centroid sub-vectors (nlist × m rows, broadcast)
     val centSub = broadcast(subVectors(

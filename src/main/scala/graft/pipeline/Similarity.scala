@@ -131,39 +131,40 @@ object Similarity {
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                   idCol: String, vecCol: String, k: Int,
                   nprobe: Int = 4): DataFrame = {
-    val cent = broadcast(centroids.select(col("cid").cast("long").as("cid"),
-      col("centroid")))
-    // List assignment: argmax-cosine per corpus vector via a map-side-
-    // combinable min(struct(-cos, cid, cv)) — the Clustering.assign shape.
-    // IEEE negation is exact, so asc(-cos) picks the same winner (and
-    // smallest-cid tiebreak) as a desc(cos) ranking for real-valued
-    // cosines. One deliberate difference from the window it replaced: a
-    // NaN cosine (zero-norm centroid) sorts LAST under min(), so a
-    // degenerate centroid wins nothing — the desc window sorted NaN first
-    // and would have assigned the whole corpus to it. The partial
-    // aggregation reduces to one winner row per vector BEFORE the shuffle,
-    // so nothing moves the n×nlist scored expansion (let alone with the
-    // float vectors aboard) and nothing sorts.
+    // the nlist centroids as ONE collected cid-sorted row — nlist is
+    // bounded by construction (it was the broadcast side already), and the
+    // single row broadcasts to both the assignment and the probe scans
+    val cent = broadcast(centroids
+      .select(col("cid").cast("long").as("cid"), col("centroid"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("centroid"))))
+        .as("__cents")))
+    // List assignment: argmax-cosine per corpus vector, folded ROW-LOCALLY
+    // over the broadcast centroid array by the codegen'd NearestCentroid
+    // kernel — a narrow projection with ZERO exchanges, where the old
+    // min(struct(-cos, cid, cv)) aggregation still shuffled one winner row
+    // per vector (float vectors aboard). IEEE negation is exact, so
+    // argmin(-cos) picks the same winner (and smallest-cid tiebreak) as a
+    // desc(cos) ranking for real-valued cosines; a NaN cosine (zero-norm
+    // centroid) compares LARGEST, so a degenerate centroid wins nothing.
+    // The n×nlist scored expansion never exists as rows.
     val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(cent)
-      .select(col("neighbor_id"),
-        struct((-cosine(col("cv"), col("centroid"))).as("nc"), col("cid"),
-          col("cv")).as("__s"))
-      .groupBy("neighbor_id").agg(min(col("__s")).as("__s"))
-      .select(col("neighbor_id"), col("__s.cv").as("cv"), col("__s.cid").as("cid"))
-    // Probe selection: the nprobe nearest lists per query via a partial
-    // collect + array_sort + slice over nlist-bounded arrays (the centroid
-    // set is small by construction — it is broadcast above) — again no
-    // window, no per-query sort shuffle; the collected array orders by
-    // (-cos, cid), so the slice keeps exactly the window's top-nprobe.
+      .select(col("neighbor_id"), col("cv"),
+        graft.functions.VectorFunctions
+          .nearestCentroidNegCos(col("cv"), col("__cents"))
+          .getField("cid").as("cid"))
+      .where(col("cid").isNotNull)
+    // Probe selection: the nprobe nearest lists per query via a row-local
+    // transform + array_sort + slice over the same broadcast nlist-bounded
+    // array — no per-query aggregation or window; the sorted array orders
+    // by (-cos, cid), so the slice keeps exactly the top-nprobe winners.
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(cent)
       .select(col("query_id"), col("qv"),
-        struct((-cosine(col("qv"), col("centroid"))).as("nc"), col("cid")).as("__p"))
-      .groupBy("query_id")
-      .agg(first(col("qv")).as("qv"),
-        slice(array_sort(collect_list(col("__p"))), 1, nprobe).as("__top"))
-      .select(col("query_id"), col("qv"), explode(col("__top")).as("__p"))
+        explode(slice(array_sort(transform(col("__cents"), c =>
+            struct((-cosine(col("qv"), c.getField("centroid"))).as("nc"),
+              c.getField("cid").as("cid")))),
+          1, nprobe)).as("__p"))
       .select(col("query_id"), col("qv"), col("__p.cid").as("cid"))
     val scored = probes.join(assign, Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -226,25 +227,27 @@ object Similarity {
       s"need a non-empty ladder of nprobe >= 1; got $nprobes")
     val maxP = nprobes.max
     val cent = broadcast(corpus.where(col(idCol) < nlist)
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid")))
-    // the ivfTopKWith assignment shape: map-side min(struct) argmax
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("centroid"))))
+        .as("__cents")))
+    // the ivfTopKWith assignment shape: narrow row-local argmax (zero
+    // exchanges; see ivfTopKWith)
     val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(cent)
-      .select(col("neighbor_id"),
-        struct((-cosine(col("cv"), col("centroid"))).as("nc"), col("cid"),
-          col("cv")).as("__s"))
-      .groupBy("neighbor_id").agg(min(col("__s")).as("__s"))
-      .select(col("neighbor_id"), col("__s.cv").as("cv"), col("__s.cid").as("cid"))
-    // probe ranking ONCE at the deepest rung, 1-based position kept
+      .select(col("neighbor_id"), col("cv"),
+        graft.functions.VectorFunctions
+          .nearestCentroidNegCos(col("cv"), col("__cents"))
+          .getField("cid").as("cid"))
+      .where(col("cid").isNotNull)
+    // probe ranking ONCE at the deepest rung, 1-based position kept —
+    // row-local transform+sort+slice over the broadcast centroid array
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(cent)
       .select(col("query_id"), col("qv"),
-        struct((-cosine(col("qv"), col("centroid"))).as("nc"), col("cid")).as("__p"))
-      .groupBy("query_id")
-      .agg(first(col("qv")).as("qv"),
-        slice(array_sort(collect_list(col("__p"))), 1, maxP).as("__top"))
-      .select(col("query_id"), col("qv"),
-        posexplode(col("__top")).as(Seq("__pos", "__p")))
+        posexplode(slice(array_sort(transform(col("__cents"), c =>
+            struct((-cosine(col("qv"), c.getField("centroid"))).as("nc"),
+              c.getField("cid").as("cid")))),
+          1, maxP)).as(Seq("__pos", "__p")))
       .select(col("query_id"), col("qv"),
         (col("__pos") + 1).as("probe_rank"), col("__p.cid").as("cid"))
     // every corpus vector lives in exactly one list, so no pair repeats

@@ -286,12 +286,14 @@ class PlanQualitySpec extends SparkSuite {
     ivf.collect()
     val ivfPlan = finalPlan(ivf)
     // the ONLY WindowExec allowed is the final per-query top-k ranking;
-    // list assignment must be the min(struct) aggregation and the probe
-    // stage the collect+sort+slice over the broadcast centroid set
+    // list assignment must be the NARROW row-local nearest_centroid fold
+    // (round 10) — no aggregation, no exchange keyed by vector id at all
     assert("Window \\[".r.findAllIn(ivfPlan).size == 1,
       s"IVF assignment/probe regressed to a window sort:\n$ivfPlan")
-    assert(ivfPlan.contains("partial_min"),
-      s"assignment aggregation is not map-side combinable:\n$ivfPlan")
+    assert(ivfPlan.contains("graft_nearest_centroid"),
+      s"assignment is not the narrow nearest_centroid kernel:\n$ivfPlan")
+    assert(!ivfPlan.contains("partial_min"),
+      s"assignment regressed to the shuffling min(struct) shape:\n$ivfPlan")
 
     val ivfpq = graft.pipeline.Quantization.ivfPqTopK(vecs, queries,
       "vec_id", "embedding", k = 2, nlist = 4, nprobe = 2, m = 2, codewords = 4)

@@ -120,4 +120,121 @@ class VectorExpressionsSpec extends SparkSuite {
       .head()
     assert(df.getDouble(0) == 32.0 && df.getDouble(1) == 32.0)
   }
+
+  test("nearest_centroid matches the crossJoin+min(struct) winner bit-for-bit") {
+    // the narrow kernel must agree with the shuffle shape it replaced on
+    // BOTH metrics, including the (d, cid) tiebreak, across random data
+    val rnd = new java.util.Random(23)
+    val corpus = (0 until 300).map(i => (i.toLong,
+      Array.fill(12)((rnd.nextFloat() - 0.5f) * 4f))).toDF("id", "v")
+    val cents = (0 until 7).map(c => (c.toLong,
+      Array.fill(12)((rnd.nextDouble() - 0.5) * 4))).toDF("cid", "centroid")
+    val centArr = broadcast(cents.agg(array_sort(collect_list(
+      struct($"cid", $"centroid"))).as("__cents")))
+
+    // reference: the old crossJoin + groupBy(min(struct)) argmin
+    val refL2 = {
+      val d = VectorFunctions.dotNative($"dv", $"dv") -
+        VectorFunctions.dotNative($"dv", $"centroid") * 2.0 +
+        VectorFunctions.dotNative($"centroid", $"centroid")
+      corpus.select($"id", $"v".cast("array<double>").as("dv"))
+        .crossJoin(broadcast(cents))
+        .select($"id", struct(d.as("d"), $"cid").as("s"))
+        .groupBy("id").agg(min($"s").as("s"))
+        .select($"id", $"s.d".as("d"), $"s.cid".as("cid"))
+    }
+    val gotL2 = corpus.select($"id", $"v".cast("array<double>").as("dv"))
+      .crossJoin(broadcast(cents.agg(array_sort(collect_list(
+        struct($"cid", $"centroid"))).as("__cents"))))
+      .select($"id", VectorFunctions.nearestCentroidL2($"dv", $"__cents").as("s"))
+      .select($"id", $"s.d".as("d"), $"s.cid".as("cid"))
+    val jl = refL2.join(gotL2.withColumnRenamed("d", "d2")
+      .withColumnRenamed("cid", "cid2"), Seq("id")).collect()
+    assert(jl.length == 300)
+    jl.foreach { r =>
+      assert(r.getAs[Long]("cid") == r.getAs[Long]("cid2"), s"L2 cid: $r")
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("d")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("d2")), s"L2 d: $r")
+    }
+
+    val refCos = {
+      val cosRef = corpus.crossJoin(broadcast(cents))
+        .select($"id",
+          struct((-VectorFunctions.cosineNative($"v", $"centroid")).as("nc"),
+            $"cid").as("s"))
+        .groupBy("id").agg(min($"s").as("s"))
+        .select($"id", $"s.nc".as("d"), $"s.cid".as("cid"))
+      cosRef
+    }
+    val gotCos = corpus.crossJoin(centArr)
+      .select($"id", VectorFunctions.nearestCentroidNegCos($"v", $"__cents").as("s"))
+      .select($"id", $"s.d".as("d"), $"s.cid".as("cid"))
+    val jc = refCos.join(gotCos.withColumnRenamed("d", "d2")
+      .withColumnRenamed("cid", "cid2"), Seq("id")).collect()
+    assert(jc.length == 300)
+    jc.foreach { r =>
+      assert(r.getAs[Long]("cid") == r.getAs[Long]("cid2"), s"cos cid: $r")
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("d")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("d2")), s"cos d: $r")
+    }
+  }
+
+  test("nearest_centroid edge cases: ties, NaN centroids, nulls, interpreted path") {
+    val dup = Seq((0L, Array(1.0, 0.0))).toDF("id", "v")
+    // two centroids at the SAME point -> equal distance, smallest cid wins
+    val tie = Seq((5L, Array(3.0, 0.0)), (2L, Array(3.0, 0.0)))
+      .toDF("cid", "centroid")
+      .agg(array_sort(collect_list(struct($"cid", $"centroid"))).as("cs"))
+    val w = dup.crossJoin(broadcast(tie))
+      .select(VectorFunctions.nearestCentroidL2($"v", $"cs").as("s")).head()
+    assert(w.getStruct(0).getLong(1) == 2L)
+
+    // a zero-norm centroid scores NaN cosine -> compares largest, never
+    // beats a real candidate
+    val withZero = Seq((0L, Array(0.0, 0.0)), (1L, Array(0.0, 2.0)))
+      .toDF("cid", "centroid")
+      .agg(array_sort(collect_list(struct($"cid", $"centroid"))).as("cs"))
+    val wz = dup.crossJoin(broadcast(withZero))
+      .select(VectorFunctions.nearestCentroidNegCos($"v", $"cs").as("s")).head()
+    assert(wz.getStruct(0).getLong(1) == 1L)
+
+    // null vector / empty centroid set -> null result
+    val nullVec = Seq(Tuple1(Option.empty[Array[Double]])).toDF("v")
+      .crossJoin(broadcast(tie))
+      .select(VectorFunctions.nearestCentroidL2($"v", $"cs").as("s")).head()
+    assert(nullVec.isNullAt(0))
+    val emptyCents = dup
+      .withColumn("cs", expr(
+        "CAST(array() AS array<struct<cid: bigint, centroid: array<double>>>)"))
+      .select(VectorFunctions.nearestCentroidL2($"v", $"cs").as("s")).head()
+    assert(emptyCents.isNullAt(0))
+
+    // a mismatched-length candidate is skipped, not a poison pill
+    val mixed = Seq((0L, Array(9.0)), (1L, Array(0.0, 2.0)))
+      .toDF("cid", "centroid")
+      .agg(array_sort(collect_list(struct($"cid", $"centroid"))).as("cs"))
+    val wm = dup.crossJoin(broadcast(mixed))
+      .select(VectorFunctions.nearestCentroidL2($"v", $"cs").as("s")).head()
+    assert(wm.getStruct(0).getLong(1) == 1L)
+
+    // interpreted (non-codegen) eval path agrees with codegen
+    val prevWs = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    val prevFm = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val wi = dup.crossJoin(broadcast(tie))
+        .select(VectorFunctions.nearestCentroidL2($"v", $"cs").as("s")).head()
+      assert(wi.getStruct(0).getLong(1) == 2L)
+    } finally {
+      prevWs match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.wholeStage", v)
+        case None => spark.conf.unset("spark.sql.codegen.wholeStage")
+      }
+      prevFm match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }
