@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.types._
@@ -367,6 +367,77 @@ object NearestCentroid {
   val NegCos = 1
 }
 
+/** int8_scale(vec) = max(|xᵢ|) / 127.0 — the per-vector symmetric-int8
+  * quantization scale as ONE codegen'd pass, replacing the
+  * posexplode → groupBy(id) → join-back shape (two corpus-keyed exchanges
+  * for a row-local statistic). Null elements are skipped like the max()
+  * aggregate they replace; a vector with no non-null elements (or a null
+  * vector) yields null. */
+case class Int8Scale(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_int8_scale"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _)
+      if et == FloatType || et == DoubleType || et == IntegerType || et == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<numeric> input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var mx = 0.0
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = math.abs(elem match {
+          case FloatType => a.getFloat(i).toDouble
+          case DoubleType => a.getDouble(i)
+          case IntegerType => a.getInt(i).toDouble
+          case LongType => a.getLong(i).toDouble
+          case other => throw new IllegalStateException(s"unreachable element type $other")
+        })
+        if (!seen || x > mx) mx = x
+        seen = true
+      }
+      i += 1
+    }
+    if (!seen) null else mx / 127.0
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val mx = ctx.freshName("mx")
+      val x = ctx.freshName("x")
+      val seen = ctx.freshName("seen")
+      s"""
+         |final int $n = $a.numElements();
+         |double $mx = 0.0;
+         |boolean $seen = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
+         |  final double $x = java.lang.Math.abs(
+         |    (double) (${CodeGenerator.getValue(a, elem, i)}));
+         |  if (!$seen || $x > $mx) { $mx = $x; }
+         |  $seen = true;
+         |}
+         |if (!$seen) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $mx / 127.0; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object VectorFunctions {
   def dotNative(a: Column, b: Column): Column =
@@ -385,6 +456,9 @@ object VectorFunctions {
     GraftSqlBridge.column(NearestCentroid(
       GraftSqlBridge.expression(vec), GraftSqlBridge.expression(cents),
       NearestCentroid.NegCos))
+  /** max(|xᵢ|)/127 — the symmetric-int8 scale (see [[Int8Scale]]). */
+  def int8Scale(vec: Column): Column =
+    GraftSqlBridge.column(Int8Scale(GraftSqlBridge.expression(vec)))
 }
 
 /** SQL surface: install with `spark.sql.extensions=graft.functions.GraftExtensions`

@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * is deterministic for every double, unlike round-half-* conventions that
   * differ between engines.
   *
-  * Scale design: long-form posexplode → groupBy, not higher-order array
-  * lambdas (which are CodegenFallback and re-evaluate per element). Two
-  * map-side-combinable aggregations by vector id, no shuffle keyed on
-  * anything skewable; 100 TB of vectors is linear scan + hash agg.
+  * Scale design (round 10): per-vector statistics are ROW-LOCAL — the
+  * scale comes from the codegen'd [[graft.functions.Int8Scale]] kernel and
+  * the PQ codeword argmin folds in [[graft.functions.NearestCentroid]]
+  * over the broadcast codebook, so quantization is a pure corpus scan with
+  * ZERO id-keyed exchanges (the old long-form posexplode → groupBy(id)
+  * shapes shuffled the corpus twice). 100 TB of vectors is a linear scan.
   */
 object Quantization {
 
@@ -26,18 +28,25 @@ object Quantization {
     * `dequantized(pos) = code * scale`; an all-zero vector quantizes to
     * scale 0 with all-zero codes. This is the canonical scan-shaped output
     * (every column scalar — joins, verification dumps, and columnar sinks
-    * consume it directly); [[int8]] packs it back per vector. */
-  def int8Rows(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val ex = df
-      .select(col(idCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "val")))
-    val scales = ex.groupBy(idCol)
-      .agg((max(abs(col("val"))) / 127.0).as("scale"))
-    ex.join(scales, Seq(idCol))
+    * consume it directly); [[int8]] packs it back per vector.
+    *
+    * The scale is a ROW-LOCAL statistic, computed by the codegen'd
+    * [[graft.functions.Int8Scale]] kernel in the projection BELOW the
+    * explode — the old posexplode → groupBy(id) → join-back shape paid two
+    * corpus-keyed exchanges for it; this plan has zero. The two-select
+    * split keeps the scale evaluated once per VECTOR (an attribute under
+    * the Generate), not once per exploded element. */
+  def int8Rows(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.int8Scale(col("__v")).as("scale"),
+        col("__v"))
+      .select(col(idCol), col("scale"),
+        posexplode(col("__v")).as(Seq("pos", "val")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         when(col("scale") === 0.0, lit(0L))
           .otherwise(floor(col("val") / col("scale") + 0.5)).as("code"),
         col("scale"))
-  }
 
   /** Product quantization (the faiss PQ layout): each vector is split into
     * `m` equal sub-vectors and every sub-vector is replaced by the id of
@@ -53,9 +62,10 @@ object Quantization {
     * `v·v − 2 v·c + c·c` expression as [[Clustering]], ties break to the
     * smallest codeword id, so an oracle replays the encoding exactly.
     *
-    * Scale: the codebook (m × k rows) is broadcast; the corpus is scanned
-    * once into m sub-vector rows and reduced with one map-side-combinable
-    * min(struct) per (id, sub) — nothing shuffles all-pairs or sorts.
+    * Scale: the codebook (m × k rows) is broadcast as one per-subspace
+    * map row; the corpus is scanned once into m sub-vector rows and the
+    * codeword argmin folds ROW-LOCALLY in the codegen'd NearestCentroid
+    * kernel — zero corpus exchanges, nothing shuffles all-pairs or sorts.
     * Vectors whose length is not a multiple of m drop the trailing
     * remainder elements from every computation (caller pads if that
     * matters). Returns (id, sub, code, err2) where err2 is the squared L2
@@ -64,12 +74,26 @@ object Quantization {
                m: Int = 4, k: Int = 16): DataFrame = {
     require(k > 0, s"need k > 0; got $k")
     val sv = subVectors(df, idCol, vecCol, m)
-    val cb = broadcast(pqCodebook(df, idCol, vecCol, m, k))
-    sv.join(cb, Seq("s"))
-      .select(col(idCol), col("s"), struct(subDist.as("d"), col("cid")).as("__sc"))
-      .groupBy(idCol, "s").agg(min(col("__sc")).as("__sc"))
+    // per-subspace codeword arrays collected into ONE broadcast map row
+    // (m keys × k cid-sorted structs); the codeword argmin then folds
+    // ROW-LOCALLY in the NearestCentroid kernel (identical
+    // v·v − 2 v·c + c·c fold and smallest-cid tiebreak as the old
+    // min(struct) aggregation) — the (id, sub)-keyed corpus exchange is
+    // gone; the corpus-side plan is explode + projection only
+    val cbMap = broadcast(pqCodebook(df, idCol, vecCol, m, k)
+      .groupBy("s")
+      .agg(array_sort(collect_list(struct(col("cid"), col("cw").as("centroid"))))
+        .as("__cents"))
+      .agg(map_from_entries(collect_list(struct(col("s"), col("__cents"))))
+        .as("__cb")))
+    sv.crossJoin(cbMap)
+      .select(col(idCol), col("s"),
+        graft.functions.VectorFunctions
+          .nearestCentroidL2(col("x"), element_at(col("__cb"), col("s")))
+          .as("__w"))
+      .where(col("__w").isNotNull)
       .select(col(idCol), col("s").cast("long").as("sub"),
-        col("__sc.cid").as("code"), round(col("__sc.d"), 6).as("err2"))
+        col("__w.cid").as("code"), round(col("__w.d"), 6).as("err2"))
   }
 
   /** Long-form sub-vectors (id, s, x): each vector split into `m` equal
@@ -368,15 +392,17 @@ object Quantization {
   }
 
   /** (id, scale, codes): per-vector symmetric int8 quantization with the
-    * codes packed in element order. The pack stage is pure codegen: struct
-    * collect + array_sort (pos is the leading struct field, so sorting
-    * orders by position) + GetArrayStructFields — no higher-order lambda. */
+    * codes packed in element order — ONE narrow projection (the scale is
+    * the codegen'd [[graft.functions.Int8Scale]] kernel; codes transform
+    * in place), where the old collect-and-sort pack re-keyed the whole
+    * corpus by id. Library surface; the oracled scan shape is
+    * [[int8Rows]]. */
   def int8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    int8Rows(df, idCol, vecCol)
-      .groupBy(idCol)
-      .agg(
-        array_sort(collect_list(struct(col("pos"), col("code"))))
-          .getField("code").as("codes"),
-        min(col("scale")).as("scale"))
-      .select(col(idCol), col("scale"), col("codes"))
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.int8Scale(col("__v")).as("scale"),
+        col("__v"))
+      .select(col(idCol), col("scale"),
+        transform(col("__v"), x => when(col("scale") === 0.0, lit(0L))
+          .otherwise(floor(x / col("scale") + 0.5))).as("codes"))
 }

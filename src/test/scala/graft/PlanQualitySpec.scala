@@ -157,10 +157,15 @@ class PlanQualitySpec extends SparkSuite {
     val df = graft.pipeline.Quantization.pqTopK(vecs, vecs.where($"vec_id" < 2),
       "vec_id", "embedding", k = 2, m = 2, codewords = 4)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(plan.contains("BroadcastExchange"), s"ADC table not broadcast:\n$plan")
     assert(!plan.toLowerCase.contains("cartesian"), s"cartesian:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop:\n$plan")
+    // the codes -> ADC-table lookup must stay an equi hash join; the ONLY
+    // nested-loop allowed is pqEncode's one-row broadcast codebook attach
+    // (a crossJoin of a 1-row aggregate plans as BNLJ by construction)
+    assert(plan.contains("BroadcastHashJoin"), s"codes join not equi:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"unexpected nested-loop joins:\n$plan")
   }
 
   test("temperature sample rides one broadcast of cuts, no full-stratum sort") {
@@ -301,6 +306,44 @@ class PlanQualitySpec extends SparkSuite {
     val pqPlan = finalPlan(ivfpq)
     assert("Window \\[".r.findAllIn(pqPlan).size == 1,
       s"IVFPQ assignment/probe regressed to a window sort:\n$pqPlan")
+  }
+
+  test("quantization and k-means assignment are corpus-shuffle-free") {
+    // range-backed input: a local Seq would fold the whole projection into
+    // a LocalTableScan at optimization time and hide the plan under test
+    val vecs = spark.range(60).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 7), j -> sin(id * 8.0 + CAST(j AS DOUBLE)))")
+        .as("embedding"))
+
+    // int8Rows: a pure scan -> project -> explode plan, ZERO exchanges of
+    // any kind (the per-vector scale folds row-locally in Int8Scale)
+    val i8 = graft.pipeline.Quantization.int8Rows(vecs, "vec_id", "embedding")
+    i8.collect()
+    val i8Plan = i8.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!i8Plan.contains("Exchange"), s"int8Rows shuffles:\n$i8Plan")
+    assert(i8Plan.contains("graft_int8_scale"), s"scale kernel missing:\n$i8Plan")
+
+    // pqEncode: the codeword argmin folds row-locally; the only exchanges
+    // belong to the tiny codebook prep — nothing may re-key the corpus by
+    // vector id
+    val pq = graft.pipeline.Quantization.pqEncode(vecs, "vec_id", "embedding",
+      m = 2, k = 4)
+    pq.collect()
+    val pqPlan = pq.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(pqPlan.contains("graft_nearest_centroid"), s"kernel missing:\n$pqPlan")
+    assert(!pqPlan.contains("hashpartitioning(vec_id"),
+      s"pqEncode re-keys the corpus by id:\n$pqPlan")
+
+    // kmeans final assignment: the centroid fit is checkpoint-truncated,
+    // so the served plan is scan -> broadcast crossJoin -> project with no
+    // id-keyed exchange
+    val km = graft.pipeline.Clustering.kmeans(vecs, "vec_id", "embedding",
+      k = 4, iters = 1)
+    km.collect()
+    val kmPlan = km.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(kmPlan.contains("graft_nearest_centroid"), s"kernel missing:\n$kmPlan")
+    assert(!kmPlan.contains("hashpartitioning(vec_id"),
+      s"kmeans assignment re-keys the corpus by id:\n$kmPlan")
   }
 
   test("chunking shuffles once with no window; covariance joins broadcast only") {

@@ -179,6 +179,28 @@ class VectorExpressionsSpec extends SparkSuite {
     }
   }
 
+  test("int8_scale matches the max(abs)/127 aggregate it replaced") {
+    val rnd = new java.util.Random(41)
+    val df = (0 until 200).map(i => (i.toLong,
+      Array.fill(16)((rnd.nextDouble() - 0.5) * 8))).toDF("id", "v")
+    val ref = df.select($"id", posexplode($"v").as(Seq("pos", "x")))
+      .groupBy("id").agg((max(abs($"x")) / 127.0).as("scale"))
+    val got = df.select($"id", VectorFunctions.int8Scale($"v").as("scale2"))
+    ref.join(got, Seq("id")).collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("scale")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("scale2")), s"$r")
+    }
+    // all-zero vector -> scale 0; null vector -> null; null elements skipped
+    val edge = Seq(
+      (0L, Some(Array(0.0, 0.0))),
+      (1L, None),
+      (2L, Some(Array(-3.0, 1.0)))).toDF("id", "v")
+      .select($"id", VectorFunctions.int8Scale($"v").as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(edge(0L).contains(0.0) && edge(1L).isEmpty &&
+      edge(2L).contains(3.0 / 127.0))
+  }
+
   test("nearest_centroid edge cases: ties, NaN centroids, nulls, interpreted path") {
     val dup = Seq((0L, Array(1.0, 0.0))).toDF("id", "v")
     // two centroids at the SAME point -> equal distance, smallest cid wins
