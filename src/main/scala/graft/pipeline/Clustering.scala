@@ -163,25 +163,27 @@ object Clustering {
     * DECIMAL(30,10) (partition-order independent) like [[dimStats]].
     * Returns (i, j, n_vals, cov), d(d+1)/2 rows for d dimensions.
     *
-    * Scale: the d(d+1)/2 products per row explode into a map-side
-    * combinable hash aggregation with ~d² groups regardless of corpus
-    * size; the d-row mean table joins back broadcast. No corpus
-    * self-join, no shuffle keyed by row id. */
+    * Scale (round 10): ONE corpus pass through the
+    * [[graft.functions.CovMatrix]] imperative aggregate — per-partition
+    * state is the ~d²/2-cell decimal-sum table, merged cell-wise; nothing
+    * amplifies corpus rows (the old plan exploded d(d+1)/2 structs per
+    * row before its hash aggregation, a ~2000× row expansion at d = 64)
+    * and the per-dimension means come from the SAME pass. Decimal
+    * quantization per addend is pinned to `cast(p AS decimal(30,10))`, so
+    * every value is bit-identical to the explode form. The d-row mean
+    * table joins back broadcast; no corpus self-join, no shuffle keyed by
+    * row id. */
   def covariance(df: DataFrame, vecCol: String): DataFrame = {
-    val v = df.select(col(vecCol).cast("array<double>").as("__v"))
-    val pairs = v.select(explode(expr(
-        """flatten(transform(__v, (x, i) ->
-          |  transform(slice(__v, i + 1, size(__v) - i), (y, kk) ->
-          |    struct(i AS i, i + kk AS j, x * y AS p))))""".stripMargin)).as("e"))
-      .select(col("e.i").cast("long").as("i"),
-        col("e.j").cast("long").as("j"), col("e.p").as("p"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("n_vals"),
-        sum(col("p").cast("decimal(30,10)")).as("__sxy"))
-    val means = v.select(posexplode(col("__v")).as(Seq("d", "x")))
-      .groupBy(col("d").cast("long").as("d"))
-      .agg(sum(col("x").cast("decimal(30,10)")).as("__s"), count(lit(1)).as("__n"))
-      .select(col("d"), (col("__s").cast("double") / col("__n")).as("__mean"))
+    // one row; checkpointed because cells and means both consume it
+    val m = df.agg(graft.functions.CovMatrix
+        .covMatrix(col(vecCol).cast("array<double>")).as("__m"))
+      .localCheckpoint(true)
+    val pairs = m.select(explode(col("__m.cells")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"),
+        col("e.n").as("n_vals"), col("e.sxy").as("__sxy"))
+    val means = m.select(explode(col("__m.dims")).as("e"))
+      .select(col("e.d").as("d"),
+        (col("e.sx").cast("double") / col("e.n")).as("__mean"))
     val c = round(col("__sxy").cast("double") / col("n_vals") -
       col("__mi") * col("__mj"), 6)
     pairs

@@ -362,11 +362,22 @@ class PlanQualitySpec extends SparkSuite {
     val cov = graft.pipeline.Clustering.covariance(vecs, "embedding")
     cov.collect()
     val covPlan = cov.queryExecution.executedPlan.toString
-    // the d-row mean table must ride broadcast joins; the product sums must
-    // partial-aggregate map-side (d² groups, no row-keyed shuffle)
+    // the d-row mean table must ride broadcast joins; the second-moment
+    // table must come from the ONE-pass fused aggregate (round 10:
+    // CovMatrix folds the d(d+1)/2 cells row-locally — no per-pair row
+    // explosion, partial mode map-side in ObjectHashAggregate)
     assert(!covPlan.contains("SortMergeJoin"), s"mean join not broadcast:\n$covPlan")
-    assert(covPlan.contains("partial_sum"), s"no map-side partials:\n$covPlan")
     assert(!covPlan.toLowerCase.contains("cartesian"), s"cartesian in covariance:\n$covPlan")
+    // the aggregate is checkpoint-truncated out of the served plan; assert
+    // the shape on the aggregate's own execution instead
+    val m = vecs.agg(graft.functions.CovMatrix.covMatrix(
+      col("embedding").cast("array<double>")))
+    m.collect()
+    val mPlan = m.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(mPlan.contains("ObjectHashAggregate"), s"no object hash agg:\n$mPlan")
+    assert(mPlan.contains("partial_graft_cov_matrix"),
+      s"cov aggregate is not map-side partial:\n$mPlan")
+    assert(!mPlan.contains("Generate"), s"row explosion survived:\n$mPlan")
   }
 
   test("DataFrame cc and PageRank iterate on equi-joins, no cartesian blowup") {

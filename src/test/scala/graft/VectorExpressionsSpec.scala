@@ -201,6 +201,64 @@ class VectorExpressionsSpec extends SparkSuite {
       edge(2L).contains(3.0 / 127.0))
   }
 
+  test("cov_matrix aggregate matches the explode+decimal-sum plan bit-for-bit") {
+    // random data INCLUDING ragged lengths and null elements — the fused
+    // one-pass aggregate must reproduce the exact decimal quantization,
+    // per-cell counts and means of the d(d+1)/2-explode plan it replaced
+    val rnd = new java.util.Random(59)
+    val rows = (0 until 120).map { i =>
+      val d = if (i % 17 == 0) 5 else 8
+      (i.toLong, Array.tabulate(d)(j =>
+        if (i % 23 == 0 && j == 2) null
+        else java.lang.Double.valueOf((rnd.nextDouble() - 0.5) * 6)))
+    }
+    val df = rows.toDF("id", "v")
+      .select($"id", $"v".cast("array<double>").as("__v"))
+
+    val ref = {
+      val pairs = df.select(explode(expr(
+          """flatten(transform(__v, (x, i) ->
+            |  transform(slice(__v, i + 1, size(__v) - i), (y, kk) ->
+            |    struct(i AS i, i + kk AS j, x * y AS p))))""".stripMargin)).as("e"))
+        .select($"e.i".cast("long").as("i"), $"e.j".cast("long").as("j"), $"e.p".as("p"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum($"p".cast("decimal(30,10)")).as("sxy"))
+      val means = df.select(posexplode($"__v").as(Seq("d", "x")))
+        .groupBy($"d".cast("long").as("d"))
+        .agg(count(lit(1)).as("n"), sum($"x".cast("decimal(30,10)")).as("sx"))
+      (pairs.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDecimal(3))).toMap,
+        means.collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDecimal(2))).toMap)
+    }
+    val got = df.agg(graft.functions.CovMatrix.covMatrix($"__v").as("m"))
+      .select(explode($"m.cells").as("c")).collect()
+      .map(r => { val c = r.getStruct(0)
+        (c.getLong(0), c.getLong(1)) -> (c.getLong(2), c.getDecimal(3)) }).toMap
+    val gotDims = df.agg(graft.functions.CovMatrix.covMatrix($"__v").as("m"))
+      .select(explode($"m.dims").as("c")).collect()
+      .map(r => { val c = r.getStruct(0)
+        c.getLong(0) -> (c.getLong(1), c.getDecimal(2)) }).toMap
+
+    assert(got.keySet == ref._1.keySet)
+    got.foreach { case (k, (n, s)) =>
+      val (rn, rs) = ref._1(k)
+      assert(n == rn, s"cell $k count: $n vs $rn")
+      assert(s.compareTo(rs) == 0, s"cell $k sum: $s vs $rs")
+    }
+    assert(gotDims.keySet == ref._2.keySet)
+    gotDims.foreach { case (k, (n, s)) =>
+      val (rn, rs) = ref._2(k)
+      assert(n == rn && s.compareTo(rs) == 0, s"dim $k: ($n, $s) vs ($rn, $rs)")
+    }
+    // partition-order independence of the fused aggregate
+    val p1 = df.repartition(1).agg(graft.functions.CovMatrix.covMatrix($"__v"))
+      .head().toString
+    val p8 = df.repartition(8).agg(graft.functions.CovMatrix.covMatrix($"__v"))
+      .head().toString
+    assert(p1 == p8)
+  }
+
   test("nearest_centroid edge cases: ties, NaN centroids, nulls, interpreted path") {
     val dup = Seq((0L, Array(1.0, 0.0))).toDF("id", "v")
     // two centroids at the SAME point -> equal distance, smallest cid wins
