@@ -216,3 +216,74 @@ object CovMatrix {
     GraftSqlBridge.column(
       CovMatrix(GraftSqlBridge.expression(c)).toAggregateExpression())
 }
+
+/** centered_projection(vec, means, loadings): the per-row PCA coordinates
+  * Σᵢ (xᵢ − mᵢ)·lᵢ as EXACT decimal sums, one struct per component — the
+  * row-local replacement for `posexplode → broadcast joins →
+  * groupBy(id, component) + decimal sum`, whose aggregation re-keyed the
+  * whole corpus by row id. Addends are quantized exactly like
+  * `cast((x − m) * l AS decimal(30,10))` ([[CovBuffer.quantize]]) and
+  * summed exactly, so every coordinate is bit-identical to the aggregation
+  * it replaces. `means` is the d-array of dimension means; `loadings` is
+  * the component-sorted array<struct<component, l: array<double>>>.
+  * Dimensions beyond any input's length contribute nothing (the join-form
+  * dropped them); null elements add nothing to their sum (the decimal cast
+  * of a null product was skipped by sum()); a null vec yields null.
+  * Interpreted (decimal arithmetic does not codegen), like the aggregate
+  * form it mirrors. */
+case class CenteredProjection(vec: Expression, means: Expression, loads: Expression)
+  extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "centered_projection"
+  override def children: Seq[Expression] = Seq(vec, means, loads)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("component", LongType, nullable = false),
+    StructField("s", DecimalType(38, 10), nullable = true))), containsNull = false)
+
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    val m = means.eval(input)
+    val l = loads.eval(input)
+    if (v == null || m == null || l == null) return null
+    // a zero-length vector produced no exploded rows (hence no groups) in
+    // the aggregation form — mirror that by yielding null (explode drops it)
+    if (v.asInstanceOf[ArrayData].numElements() == 0) return null
+    val va = v.asInstanceOf[ArrayData]
+    val ma = m.asInstanceOf[ArrayData]
+    val la = l.asInstanceOf[ArrayData]
+    val out = new Array[Any](la.numElements())
+    var k = 0
+    while (k < la.numElements()) {
+      val row = la.getStruct(k, 2)
+      val comp = row.getLong(0)
+      val larr = row.getArray(1)
+      val n = math.min(va.numElements(), math.min(ma.numElements(), larr.numElements()))
+      var sum: java.math.BigDecimal = null
+      var i = 0
+      while (i < n) {
+        if (!va.isNullAt(i) && !ma.isNullAt(i) && !larr.isNullAt(i)) {
+          val p = (va.getDouble(i) - ma.getDouble(i)) * larr.getDouble(i)
+          val q = CovBuffer.quantize(p)
+          sum = if (sum == null) q else sum.add(q)
+        }
+        i += 1
+      }
+      out(k) = new GenericInternalRow(Array[Any](comp,
+        if (sum == null) null else Decimal(scala.math.BigDecimal(sum.setScale(10)), 38, 10)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vec = newChildren(0), means = newChildren(1), loads = newChildren(2))
+}
+
+object CenteredProjection {
+  def centeredProjection(vec: Column, means: Column, loads: Column): Column =
+    GraftSqlBridge.column(CenteredProjection(
+      GraftSqlBridge.expression(vec), GraftSqlBridge.expression(means),
+      GraftSqlBridge.expression(loads)))
+}

@@ -289,13 +289,12 @@ object Clustering {
     * replayed exactly by the oracle, and negligible against the components
     * themselves. Returns (id, component, coord), n·p rows.
     *
-    * Scale: three narrow corpus passes (covariance, means, projection) and
-    * zero corpus shuffles — the eigensolve and deflation run on d-/d²-row
-    * frames that broadcast; the projection is a posexplode + broadcast
-    * joins + one hash agg keyed by (id, component), map-side combinable
-    * with decimal-carried exactness. At 100 TB the covariance and
-    * projection scans dominate; nothing is keyed by anything hotter than
-    * (row id, component). */
+    * Scale: two corpus passes (the fused one-pass covariance aggregate and
+    * the projection scan) and ZERO corpus shuffles — the eigensolve and
+    * deflation run on d-/d²-row frames that broadcast, and the projection
+    * folds row-locally ([[graft.functions.CenteredProjection]], exact
+    * decimal sums) instead of re-keying the corpus by (row id, component).
+    * At 100 TB both passes are scans; nothing is keyed by corpus rows. */
   def pcaProject(df: DataFrame, idCol: String, vecCol: String,
       p: Int = 2, iters: Int = 3): DataFrame = {
     require(p >= 1, s"need p >= 1; got $p")
@@ -315,16 +314,27 @@ object Clustering {
       }
       lk.withColumn("component", lit(k.toLong))
     }
-    val loadings = broadcast(comps.reduce(_ unionByName _)
-      .select(col("component"), col("d"), col("loading")))
-    val coord = round(col("__s").cast("double"), 6)
-    df.select(col(idCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
-      .withColumn("d", col("d").cast("long"))
-      .join(broadcast(dimMeans(df, vecCol)), Seq("d"))
-      .join(loadings, Seq("d"))
-      .groupBy(col(idCol), col("component"))
-      .agg(sum(((col("x") - col("mean")) * col("loading")).cast("decimal(30,10)")).as("__s"))
-      .select(col(idCol), col("component"),
+    // round 10: the projection folds ROW-LOCALLY — means and per-component
+    // loading arrays ride ONE broadcast row each, and CenteredProjection
+    // reproduces the exact decimal quantization + sum of the old
+    // groupBy(id, component) aggregation, which re-keyed the whole corpus
+    // by row id. The corpus-side plan is scan → project → explode(p).
+    val meansArr = broadcast(dimMeans(df, vecCol)
+      .agg(array_sort(collect_list(struct(col("d"), col("mean")))).as("__ms"))
+      .select(transform(col("__ms"), x => x.getField("mean")).as("__means")))
+    val loadArr = broadcast(comps.reduce(_ unionByName _)
+      .groupBy("component")
+      .agg(array_sort(collect_list(struct(col("d"), col("loading")))).as("__ls"))
+      .select(col("component"),
+        transform(col("__ls"), x => x.getField("loading")).as("__l"))
+      .agg(array_sort(collect_list(struct(col("component"), col("__l"))))
+        .as("__loads")))
+    val coord = round(col("e.s").cast("double"), 6)
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(meansArr).crossJoin(loadArr)
+      .select(col(idCol), explode(graft.functions.CenteredProjection
+        .centeredProjection(col("__v"), col("__means"), col("__loads"))).as("e"))
+      .select(col(idCol), col("e.component").as("component"),
         when(coord === 0.0, lit(0.0)).otherwise(coord).as("coord"))
   }
 

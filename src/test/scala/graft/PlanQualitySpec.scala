@@ -459,11 +459,14 @@ class PlanQualitySpec extends SparkSuite {
       p = 2, iters = 2)
     proj.collect()
     val plan = proj.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // the projection joins d-row frames onto the exploded corpus: both
-    // must be broadcast (a shuffled join keyed by dimension index would
-    // put the whole corpus through a ~d-key — i.e. skewed — exchange)
+    // round 10: the projection folds ROW-LOCALLY (CenteredProjection over
+    // one broadcast means row + one broadcast loadings row) — no join of
+    // any kind touches the corpus, and nothing re-keys it by id
     assert(!plan.contains("SortMergeJoin"), s"shuffled join in pca projection:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in pca projection:\n$plan")
+    assert(plan.contains("centered_projection") || plan.contains("centeredprojection"),
+      s"projection is not the row-local fold:\n$plan")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      s"projection re-keys the corpus by id:\n$plan")
     assert(!plan.toLowerCase.contains("cartesianproduct"), s"cartesian in pca projection:\n$plan")
   }
 

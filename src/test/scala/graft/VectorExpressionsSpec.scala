@@ -259,6 +259,47 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(p1 == p8)
   }
 
+  test("centered_projection matches the groupBy decimal-sum projection bit-for-bit") {
+    val rnd = new java.util.Random(67)
+    val d = 10
+    val p = 3
+    val vecs = (0 until 150).map(i => (i.toLong,
+      Array.fill(d)((rnd.nextDouble() - 0.5) * 4))).toDF("id", "v")
+      .select($"id", $"v".cast("array<double>").as("__v"))
+    val meansRows = (0 until d).map(i => (i.toLong, (rnd.nextDouble() - 0.5)))
+    val loadRows = for (k <- 0 until p; i <- 0 until d)
+      yield (k.toLong, i.toLong, rnd.nextDouble() - 0.5)
+    val means = meansRows.toDF("d", "mean")
+    val loads = loadRows.toDF("component", "d", "loading")
+
+    // reference: the explode + broadcast joins + groupBy(id, component)
+    // decimal aggregation pcaProject used before round 10
+    val ref = vecs.select($"id", posexplode($"__v").as(Seq("d", "x")))
+      .withColumn("d", $"d".cast("long"))
+      .join(broadcast(means), Seq("d"))
+      .join(broadcast(loads), Seq("d"))
+      .groupBy("id", "component")
+      .agg(sum((($"x" - $"mean") * $"loading").cast("decimal(30,10)")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+
+    val meansArr = broadcast(means
+      .agg(array_sort(collect_list(struct($"d", $"mean"))).as("ms"))
+      .select(transform($"ms", x => x.getField("mean")).as("__means")))
+    val loadArr = broadcast(loads.groupBy("component")
+      .agg(array_sort(collect_list(struct($"d", $"loading"))).as("ls"))
+      .select($"component", transform($"ls", x => x.getField("loading")).as("__l"))
+      .agg(array_sort(collect_list(struct($"component", $"__l"))).as("__loads")))
+    val got = vecs.crossJoin(meansArr).crossJoin(loadArr)
+      .select($"id", explode(graft.functions.CenteredProjection
+        .centeredProjection($"__v", $"__means", $"__loads")).as("e"))
+      .select($"id", $"e.component".as("component"), $"e.s".as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, s) =>
+      assert(s.compareTo(ref(k)) == 0, s"$k: $s vs ${ref(k)}") }
+  }
+
   test("nearest_centroid edge cases: ties, NaN centroids, nulls, interpreted path") {
     val dup = Seq((0L, Array(1.0, 0.0))).toDF("id", "v")
     // two centroids at the SAME point -> equal distance, smallest cid wins
