@@ -289,17 +289,22 @@ object Dedup {
     require(corpusHashes.columns.length == 1,
       s"corpusHashes must be a single hash column; " +
         s"got ${corpusHashes.columns.mkString("(", ", ", ")")}")
-    // survivor selection via window-min instead of groupBy + semi-join
-    // back: the batch subtree then appears ONCE in the plan — the
-    // self-join form made Catalyst re-analyze the (union-shaped) batch
-    // tree on both sides, and analysis time dwarfed the actual work
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    // survivor selection is a hash-keyed AGGREGATE whose winner carries the
+    // whole row (min_by on id): partial aggregation combines hot content
+    // groups map-side — a boilerplate page copied across the batch
+    // contributes one partial row per map partition, never every occurrence
+    // on one reducer the way the earlier Window.partitionBy(hash) form did
+    // (windows do no map-side combine, so the hottest key was a straggler
+    // shape — the same skew class paragraphDedup fixed). The batch subtree
+    // still appears ONCE in the plan (no groupBy + semi-join back, which
+    // made Catalyst re-analyze the union-shaped batch tree on both sides).
+    val cols = batch.columns.toSeq
     batch.withColumn("__h", md5(col(textCol)))
-      .withColumn("__min", min(col(idCol)).over(w))
-      .where(col(idCol) === col("__min"))
+      .groupBy("__h")
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__w"))
       .join(corpusHashes.select(col(corpusHashes.columns.head).as("__h")).distinct(),
         Seq("__h"), "left_anti")
-      .drop("__h", "__min")
+      .select(cols.map(c => col(s"__w.$c").as(c)): _*)
   }
 
   /** Banding-config tuning report: verified Jaccard pairs bucketed by a

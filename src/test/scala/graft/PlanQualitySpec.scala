@@ -529,6 +529,22 @@ class PlanQualitySpec extends SparkSuite {
       s"no map-side partial aggregation for the keep-first winner:\n$plan")
   }
 
+  test("incremental dedup: batch winner is a partial-aggregating groupBy, never a hash-keyed window") {
+    import spark.implicits._
+    val batch = Seq((10L, "same"), (11L, "same"), (12L, "other"))
+      .toDF("doc_id", "text").repartition(2)
+    val index = Seq("deadbeef").toDF("hash")
+    val out = graft.pipeline.Dedup.dedupIncrement(index, batch, "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(10L, 12L))
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // a daily batch's hottest content groups (boilerplate pages) must
+    // combine map-side: Window.partitionBy(md5(text)) landed every
+    // occurrence of a hot group on one task with zero partial aggregation
+    assert(!plan.contains("Window ["), s"content-hash window in incremental dedup:\n$plan")
+    assert("partial_min_by".r.findAllIn(plan).nonEmpty,
+      s"no map-side partial aggregation for the batch winner:\n$plan")
+  }
+
   test("paragraph/line explode evaluates split() once per document, below the Generate") {
     import spark.implicits._
     // repartition blocks ConvertToLocalRelation from constant-folding the
