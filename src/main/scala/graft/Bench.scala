@@ -71,7 +71,10 @@ object Bench {
     "stream_sig_dedup", "stream_asset_features",
     // paragraph-granularity dedup + C4-style line cleaning + the IVF
     // probe-depth tuning table (one shared pass, three rungs)
-    "dedup_paragraphs", "curate_clean_lines", "ann_nprobe_sweep")
+    "dedup_paragraphs", "curate_clean_lines", "ann_nprobe_sweep",
+    // persisted-index serving: load the parquet IVF-PQ index, search the
+    // stored codes only (build+save is the one-time memo, not re-timed)
+    "ann_ivfpq_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

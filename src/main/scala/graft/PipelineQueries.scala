@@ -74,6 +74,24 @@ object PipelineQueries {
         nlist = 16, m = 4, codewords = 16, iters = 2)
     })
 
+  // Saved on-disk IVF-PQ index per (session, dir) — built + written ONCE
+  // (the production one-time cost); ann_ivfpq_serve then measures the
+  // serving path alone: load the parquet index, search the stored codes,
+  // never touch the raw embeddings. NOT memo-busted by the bench, same
+  // rationale as ivfPqIdx.
+  private val annIndexPathCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private def savedAnnIndex(s: SparkSession, d: String): String =
+    annIndexPathCache.computeIfAbsent((s, d), { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+      val (cent, cb) = ivfPqIdx(s, d)
+      val codes = pipeline.Quantization
+        .ivfPqEncode(embeddings(s, d), "vec_id", "embedding", 4, cent, cb)
+        .withColumnRenamed("vec_id", "id")
+      pipeline.AnnIndex.save(pipeline.AnnIndex.IvfPq(cent, cb, codes, 4), dir)
+      dir
+    })
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     TpchGraph.table(spark, dir, "documents")
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
@@ -726,6 +744,16 @@ object PipelineQueries {
       val (cent, cb) = ivfPqIdx(s, d)
       pipeline.Quantization.ivfPqTopKWith(e, e.where(col("vec_id") < 5),
         "vec_id", "embedding", k = 3, nprobe = 4, m = 4, cent, cb)
+    }),
+    // the persisted-index lifecycle: load the parquet index (centroids /
+    // codebooks / codes / meta, built + saved once per corpus) and serve
+    // top-k from the STORED codes — the raw embeddings never enter the
+    // serving plan
+    "ann_ivfpq_serve" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val idx = pipeline.AnnIndex.load(s, savedAnnIndex(s, d))
+      pipeline.AnnIndex.search(idx, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, nprobe = 4)
     }),
     // ANN QA: measured recall@k per approximate method (LSH buckets, IVF
     // probing, IVF-PQ ADC) against the exact brute-force top-k over the
@@ -1554,6 +1582,19 @@ object PipelineQueries {
            |  CAST(rnk AS BIGINT) AS rank
            |FROM r WHERE rnk <= 3""".stripMargin,
       "ann_ivfpq_topk" ->
+        s"""WITH $pqBaseCtes,
+           |${ivfpqResCtes(5)},
+           |r AS (SELECT query_id, neighbor_id, micros,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY micros ASC, neighbor_id ASC) AS rnk FROM rq_dd)
+           |SELECT query_id, neighbor_id,
+           |  floor(CAST(micros AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS dist,
+           |  CAST(rnk AS BIGINT) AS rank
+           |FROM r WHERE rnk <= 3""".stripMargin,
+      // the persisted-index serve path is pinned to IDENTICAL results as
+      // the direct ivf-pq search (same quantizers, same codes, same ADC
+      // arithmetic — only read back from parquet), so the oracle is the
+      // same replay
+      "ann_ivfpq_serve" ->
         s"""WITH $pqBaseCtes,
            |${ivfpqResCtes(5)},
            |r AS (SELECT query_id, neighbor_id, micros,

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index lifecycle — the production shape of vector search
+  * over a training corpus: TRAIN the quantizers and ENCODE the corpus once
+  * (both corpus scans), SAVE the result as parquet, then SERVE every query
+  * batch from the loaded index without ever touching the raw embeddings
+  * again. At 100 TB the raw float corpus is the thing you cannot afford to
+  * re-scan per query batch; the stored codes are m small integers + a list
+  * id per vector (~50-100× smaller than a 1k-dim float32 embedding), and
+  * the serving plan reads ONLY them — probe routing and ADC tables are
+  * broadcast-sized ([[Quantization.ivfPqSearchCodes]]).
+  *
+  * The index layout is plain parquet (centroids / codebooks / codes /
+  * meta), so the same files serve any engine that can replay the pinned
+  * ADC arithmetic — the DuckDB oracle does exactly that.
+  */
+object AnnIndex {
+
+  /** A trained IVF-PQ index. `centroids` (lcid, centroid) route queries
+    * and anchor residuals; `codebooks` (s, cid, cw) decode ADC tables;
+    * `codes` (id, lcid, sub, code) are the corpus' persisted
+    * representation (m rows per vector); `m` is the subspace count the
+    * codes were encoded with (queries must split the same way).
+    * centroids/codebooks are eval-sized and broadcast at use; codes are
+    * the only corpus-sized table. */
+  final case class IvfPq(centroids: DataFrame, codebooks: DataFrame,
+                         codes: DataFrame, m: Int)
+
+  /** Train + encode: the two corpus scans a deployment pays ONCE per
+    * corpus version. Same quantizer architecture as
+    * [[Quantization.ivfPqIndex]] (fitted coarse Lloyd quantizer, residual
+    * codebooks) plus the corpus code table ([[Quantization.ivfPqEncode]]).
+    * Requires numeric ids below nlist+codewords to exist (seed
+    * convention). */
+  def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int = 16, m: Int = 4, codewords: Int = 16,
+                 iters: Int = 2): IvfPq = {
+    val (cent, cb) = Quantization.ivfPqIndex(
+      corpus, idCol, vecCol, nlist, m, codewords, iters)
+    val codes = Quantization.ivfPqEncode(corpus, idCol, vecCol, m, cent, cb)
+      .withColumnRenamed(idCol, "id")
+    IvfPq(cent, cb, codes, m)
+  }
+
+  /** Persist the index under `path` as four parquet tables. `codes` is the
+    * corpus-sized table and writes with whatever partitioning it arrives
+    * with (at cluster scale: repartition by lcid first so a probed list is
+    * a contiguous read). */
+  def save(index: IvfPq, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids.parquet")
+    index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks.parquet")
+    index.codes.write.mode("overwrite").parquet(s"$path/codes.parquet")
+    val spark = index.centroids.sparkSession
+    import spark.implicits._
+    Seq(index.m).toDF("m").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta.parquet")
+  }
+
+  /** Load a saved index. Fails with Spark's usual path error when `path`
+    * holds no index. */
+  def load(spark: SparkSession, path: String): IvfPq = {
+    val m = spark.read.parquet(s"$path/meta.parquet").head().getInt(0)
+    IvfPq(
+      spark.read.parquet(s"$path/centroids.parquet"),
+      spark.read.parquet(s"$path/codebooks.parquet"),
+      spark.read.parquet(s"$path/codes.parquet"), m)
+  }
+
+  /** Serve top-k from the index: identical results to
+    * [[Quantization.ivfPqTopKWith]] over the corpus the index was built
+    * from (pinned by spec), but the only corpus-sized input is the stored
+    * code table. Returns (query_id, neighbor_id, dist, rank). */
+  def search(index: IvfPq, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nprobe: Int = 4): DataFrame =
+    Quantization.ivfPqSearchCodes(
+      index.codes.withColumnRenamed("id", idCol), queries, idCol, vecCol,
+      k, nprobe, index.m, index.centroids, index.codebooks)
+}

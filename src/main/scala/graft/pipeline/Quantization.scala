@@ -248,16 +248,55 @@ object Quantization {
       .where(col("lcid").isNotNull)
   }
 
-  /** Serve ANN top-k from a prebuilt [[ivfPqIndex]]. Encode of the corpus
-    * codes stays in this path (same accounting as the raw-PQ rounds);
-    * a production deployment would persist the codes beside the index. */
+  /** Serve ANN top-k from a prebuilt [[ivfPqIndex]]: encode the corpus
+    * codes in-line ([[ivfPqEncode]] — same accounting as the raw-PQ
+    * rounds), then search them ([[ivfPqSearchCodes]]). A production
+    * deployment persists the codes beside the index and serves from the
+    * stored codes alone — [[AnnIndex]] is that lifecycle. */
   def ivfPqTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                     k: Int, nprobe: Int, m: Int,
-                    centIn: DataFrame, resCbIn: DataFrame): DataFrame = {
+                    centIn: DataFrame, resCbIn: DataFrame): DataFrame =
+    ivfPqSearchCodes(ivfPqEncode(corpus, idCol, vecCol, m, centIn, resCbIn),
+      queries, idCol, vecCol, k, nprobe, m, centIn, resCbIn)
+
+  /** Encode the corpus into its inverted-list residual-PQ codes
+    * (idCol, lcid, sub, code) — the PERSISTED representation an IVF-PQ
+    * index stores: m small codes + a list id per vector instead of the
+    * float embedding. One corpus scan; the min residual-ADC codeword per
+    * (id, sub) is a map-side-combinable min(struct) and residuals never
+    * materialize ([[resSubDist]]). */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+                  centIn: DataFrame, resCbIn: DataFrame): DataFrame = {
+    val resCb = broadcast(resCbIn)
+    val assign = listAssign(corpus, idCol, vecCol, centIn)
+    // centroid sub-vectors (nlist × m rows, broadcast)
+    val centSub = broadcast(subVectors(
+        centIn.select(col("lcid"), col("centroid")), "lcid", "centroid", m)
+      .select(col("lcid").cast("long").as("lcid"), col("s"), col("x").as("c")))
+    subVectors(corpus, idCol, vecCol, m)
+      .join(assign, col(idCol) === col("__vid"))
+      .join(centSub, Seq("lcid", "s"))
+      .join(resCb, Seq("s"))
+      .select(col(idCol), col("lcid"), col("s"),
+        struct(resSubDist.as("d"), col("cid")).as("__sc"))
+      .groupBy(col(idCol), col("lcid"), col("s"))
+      .agg(min(col("__sc")).as("__sc"))
+      .select(col(idCol), col("lcid"),
+        col("s").cast("long").as("sub"), col("__sc.cid").as("code"))
+  }
+
+  /** ANN top-k over STORED codes — the serving path of a persisted index:
+    * the corpus-sized input is the (idCol, lcid, sub, code) frame
+    * [[ivfPqEncode]] produced (possibly read back from parquet —
+    * [[AnnIndex.load]]), and the raw embeddings are never touched. Probe
+    * selection and ADC tables are the same broadcast row-local shapes as
+    * [[ivfPqTopKWith]]; the serving scan is m integer codes per vector. */
+  def ivfPqSearchCodes(codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nprobe: Int, m: Int,
+                       centIn: DataFrame, resCbIn: DataFrame): DataFrame = {
     require(k > 0 && nprobe > 0, s"need k > 0, nprobe > 0; got k=$k nprobe=$nprobe")
     val w = org.apache.spark.sql.expressions.Window
     val resCb = broadcast(resCbIn)
-    val assign = listAssign(corpus, idCol, vecCol, centIn)
     // probe selection: row-local transform+sort+slice over the broadcast
     // centroid array (no per-query aggregation shuffle; see ivfTopKWith)
     val centArr = broadcast(centIn
@@ -276,19 +315,8 @@ object Quantization {
     val centSub = broadcast(subVectors(
         centIn.select(col("lcid"), col("centroid")), "lcid", "centroid", m)
       .select(col("lcid").cast("long").as("lcid"), col("s"), col("x").as("c")))
-    val sv = subVectors(corpus, idCol, vecCol, m)
-    // corpus encode: min residual-ADC codeword per (id, sub) — one
-    // map-side-combinable min(struct); residuals never materialize
-    val enc = sv
-      .join(assign, col(idCol) === col("__vid"))
-      .join(centSub, Seq("lcid", "s"))
-      .join(resCb, Seq("s"))
-      .select(col(idCol), col("lcid"), col("s"),
-        struct(resSubDist.as("d"), col("cid")).as("__sc"))
-      .groupBy(col(idCol), col("lcid"), col("s"))
-      .agg(min(col("__sc")).as("__sc"))
-      .select(col(idCol).as("neighbor_id"), col("lcid"),
-        col("s").cast("long").as("sub"), col("__sc.cid").as("code"))
+    val enc = codes.select(col(idCol).as("neighbor_id"), col("lcid"),
+      col("sub"), col("code"))
     // per-(query, probed list) ADC table: the query residual against every
     // codeword, integer micro-units (queries × nprobe × m × k rows)
     val adc = subVectors(queries, idCol, vecCol, m)

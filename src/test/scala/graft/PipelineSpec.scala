@@ -508,6 +508,40 @@ class PipelineSpec extends SparkSuite {
     assert(n2.values.forall(_ <= 3))
   }
 
+  test("ann index: build/save/load/search equals the direct ivf-pq search") {
+    // the persisted-index lifecycle must be RESULT-IDENTICAL to the
+    // in-line path: same quantizers, same codes, same ADC arithmetic —
+    // the parquet round-trip may not perturb a single bit (doubles are
+    // stored binary)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val q = vecs.where($"vec_id" < 3)
+    val direct = rows(graft.pipeline.Quantization.ivfPqTopK(
+      vecs, q, "vec_id", "embedding", k = 3, nlist = 2, nprobe = 2,
+      m = 2, codewords = 3))
+    val idx = graft.pipeline.AnnIndex.buildIvfPq(
+      vecs, "vec_id", "embedding", nlist = 2, m = 2, codewords = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-spec").toString
+    graft.pipeline.AnnIndex.save(idx, dir)
+    val loaded = graft.pipeline.AnnIndex.load(spark, dir)
+    assert(loaded.m == 2)
+    // the serving plan reads only the stored codes — schema is the
+    // persisted contract
+    assert(loaded.codes.columns.toSeq == Seq("id", "lcid", "sub", "code"))
+    val served = rows(graft.pipeline.AnnIndex.search(
+      loaded, q, "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(served == direct, s"served $served\nvs direct $direct")
+    // a second load serves identically (no hidden session state)
+    assert(rows(graft.pipeline.AnnIndex.search(
+      graft.pipeline.AnnIndex.load(spark, dir), q, "vec_id", "embedding",
+      k = 3, nprobe = 2)) == direct)
+    // loading a path that holds no index fails, not silently empties
+    intercept[Exception] {
+      graft.pipeline.AnnIndex.load(spark, dir + "-missing")
+        .codes.count()
+    }
+  }
+
   test("temperature sampling: sqrt quotas upweight the small stratum") {
     val rows = (1 to 100).map(i => (i.toLong, "A")) ++ (101 to 125).map(i => (i.toLong, "B"))
     val df = rows.toDF("id", "stratum")

@@ -529,6 +529,31 @@ class PlanQualitySpec extends SparkSuite {
       s"no map-side partial aggregation for the keep-first winner:\n$plan")
   }
 
+  test("persisted ann serve: the corpus parquet never enters the serving plan") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-annidx-plan").toString
+    val corpus = (0L until 24L)
+      .map(i => (i, Array(i * 0.5 + 1.0, 2.0 - i * 0.25, i * 0.125, 1.0)))
+      .toDF("vec_id", "embedding")
+    corpus.write.parquet(s"$base/corpus.parquet")
+    val stored = spark.read.parquet(s"$base/corpus.parquet")
+    val idx = graft.pipeline.AnnIndex.buildIvfPq(
+      stored, "vec_id", "embedding", nlist = 2, m = 2, codewords = 3)
+    graft.pipeline.AnnIndex.save(idx, s"$base/idx")
+    val loaded = graft.pipeline.AnnIndex.load(spark, s"$base/idx")
+    val queries = Seq((0L, Array(1.0, 2.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    val served = graft.pipeline.AnnIndex.search(
+      loaded, queries, "vec_id", "embedding", k = 3, nprobe = 2)
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+    // the whole point of the persisted index: serving reads the stored
+    // codes (m ints + a list id per vector), never the raw embeddings
+    assert(!plan.contains("corpus.parquet"),
+      s"raw corpus scanned in the serving plan:\n$plan")
+    assert(plan.contains("codes.parquet"),
+      s"stored codes not in the serving plan:\n$plan")
+  }
+
   test("incremental dedup: batch winner is a partial-aggregating groupBy, never a hash-keyed window") {
     import spark.implicits._
     val batch = Seq((10L, "same"), (11L, "same"), (12L, "other"))
