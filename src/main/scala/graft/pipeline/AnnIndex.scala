@@ -78,4 +78,20 @@ object AnnIndex {
     Quantization.ivfPqSearchCodes(
       index.codes.withColumnRenamed("id", idCol), queries, idCol, vecCol,
       k, nprobe, index.m, index.centroids, index.codebooks)
+
+  /** Incremental ingest — the daily-batch sibling of
+    * [[Dedup.dedupIncrement]]: encode `batch` against the index's FROZEN
+    * quantizers (no retraining, one batch-sized scan) and append the new
+    * codes. Exactly equivalent to an index whose codes were encoded over
+    * corpus ∪ batch with the same quantizers (pinned by spec) — the
+    * standard production trade: assignments and codes stay optimal for
+    * the training-time distribution and the index is rebuilt on drift,
+    * but ingest never re-touches the existing corpus. Batch ids must not
+    * collide with stored ids (content-addressed or monotone ids upstream;
+    * a collision would double-count the vector at serve time). */
+  def append(index: IvfPq, batch: DataFrame, idCol: String, vecCol: String): IvfPq =
+    index.copy(codes = index.codes.unionByName(
+      Quantization.ivfPqEncode(batch, idCol, vecCol, index.m,
+          index.centroids, index.codebooks)
+        .withColumnRenamed(idCol, "id")))
 }

@@ -542,6 +542,34 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("ann index append: frozen-quantizer ingest equals encoding the union corpus") {
+    // deterministic 24-vector corpus; ids < 16 are the "ingested" base
+    // (covers every quantizer seed id: coarse [0, 2), codebook [2, 5)),
+    // the rest arrive as a later batch
+    val all = (0L until 24L).map(i => (i,
+      Array((i % 7).toFloat, (i % 5).toFloat - 2f, (i % 3).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val base = all.where($"vec_id" < 16)
+    val batch = all.where($"vec_id" >= 16)
+    val idx = graft.pipeline.AnnIndex.buildIvfPq(
+      base, "vec_id", "embedding", nlist = 2, m = 2, codewords = 3)
+    val appended = graft.pipeline.AnnIndex.append(idx, batch, "vec_id", "embedding")
+    // identity: append = encode(corpus ∪ batch) against the SAME frozen
+    // quantizers — search results must match row for row
+    val expect = graft.pipeline.Quantization.ivfPqSearchCodes(
+      graft.pipeline.Quantization.ivfPqEncode(
+        all, "vec_id", "embedding", 2, idx.centroids, idx.codebooks),
+      all.where($"vec_id" < 3), "vec_id", "embedding",
+      k = 3, nprobe = 2, m = 2, centIn = idx.centroids, resCbIn = idx.codebooks)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val got = rows(graft.pipeline.AnnIndex.search(
+      appended, all.where($"vec_id" < 3), "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(got == rows(expect))
+    // the batch really is searchable: some neighbor comes from batch ids
+    assert(got.exists(_._2 >= 16L), s"no batch neighbor surfaced: $got")
+  }
+
   test("temperature sampling: sqrt quotas upweight the small stratum") {
     val rows = (1 to 100).map(i => (i.toLong, "A")) ++ (101 to 125).map(i => (i.toLong, "B"))
     val df = rows.toDF("id", "stratum")
