@@ -50,6 +50,29 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val rows = f
       println(f"MARKER $name rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
+
+    if (args.headOption.contains("serve")) {
+      // persisted-index serving arm: build+save is the untimed one-time
+      // cost; the timed path is load + search over the stored codes (the
+      // corpus-sized serving input), same 5 queries at both scales
+      for ((dir, tag) <- Seq((base, "1x"), (big, "10x"))) {
+        val e = TpchGraph.table(spark, dir, "embeddings")
+        val idxDir = s"target/scaleprobe/annidx_$tag"
+        graft.pipeline.AnnIndex.save(
+          graft.pipeline.AnnIndex.buildIvfPq(e, "vec_id", "embedding",
+            nlist = 16, m = 4, codewords = 16), idxDir)
+        val loaded = graft.pipeline.AnnIndex.load(spark, idxDir)
+        // warm codegen once so the 1x number is not all JIT
+        graft.pipeline.AnnIndex.search(loaded, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nprobe = 4).count()
+        time(s"ann_serve_$tag") {
+          graft.pipeline.AnnIndex.search(loaded, e.where(col("vec_id") < 5),
+            "vec_id", "embedding", k = 3, nprobe = 4).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     val qs = graft.PipelineQueries.queries
     for ((dir, tag) <- Seq((base, "1x"), (big, "10x"))) {
       for (name <- Seq("dedup_paragraphs", "curate_neardup_corpus",
