@@ -320,25 +320,52 @@ object Dedup {
     * `thresholds.min` — a pair whose Jaccard clears a high rung can still
     * be missed if banding missed it at propose time, so high-rung counts
     * inherit the low rung's recall rather than the (higher) banding
-    * recall a dedicated run at that threshold would see. Re-band per rung
-    * when per-rung recall matters more than the single-pass cost.
+    * recall a dedicated run at that threshold would see.
     *
-    * Scale: the pair table (already verified, sparse) joins a broadcast
-    * threshold ladder (a handful of rows) and reduces with one
-    * aggregation; the explode-by-endpoint doubles pair rows only. */
+    * `rungBands` (opt-in) closes that caveat: when given (one band count
+    * per threshold, aligned with the SORTED ladder), each rung runs its
+    * OWN propose/verify at its band count — per-rung banding recall
+    * (1−(1−J)^kᵢ), at the cost of one propose pass per rung instead of
+    * one total. With every kᵢ == k the result is identical to the
+    * single-pass sweep (pinned by spec); rung counts are then no longer
+    * guaranteed monotone across DIFFERENT band counts (more bands can
+    * propose a pair fewer bands missed).
+    *
+    * Scale (single-pass form): the pair table (already verified, sparse)
+    * joins a broadcast threshold ladder (a handful of rows) and reduces
+    * with one aggregation; the explode-by-endpoint doubles pair rows
+    * only. The per-rung form multiplies the propose cost by the rung
+    * count — use it for tuning runs on samples, not corpus sweeps. */
   def thresholdSweep(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, k: Int = 4,
-                     thresholds: Seq[Double] = Seq(0.5, 0.7, 0.9)): DataFrame = {
+                     thresholds: Seq[Double] = Seq(0.5, 0.7, 0.9),
+                     rungBands: Option[Seq[Int]] = None): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
+    require(rungBands.forall(_.length == thresholds.length),
+      s"rungBands must align with thresholds: ${rungBands.map(_.length)} vs ${thresholds.length}")
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = ngramJaccardViaMinhash(df, idCol, textCol, n, k, thresholds.min)
     val ladder = thresholds.sorted.toDF("threshold")
-    val counts = pairs.join(broadcast(ladder), col("jaccard") >= col("threshold"))
-      .select(col("threshold"), explode(array(col("a"), col("b"))).as("__doc"))
-      .groupBy("threshold")
-      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
-        countDistinct(col("__doc")).as("n_docs"))
+    val counts = rungBands match {
+      case Some(ks) =>
+        // dedicated propose/verify per rung — each rung carries its own
+        // banding recall; pair tables are rung-bounded and sparse
+        thresholds.sorted.zip(ks).map { case (t, ki) =>
+          ngramJaccardViaMinhash(df, idCol, textCol, n, ki, t)
+            .select(lit(t).as("threshold"),
+              explode(array(col("a"), col("b"))).as("__doc"))
+        }.reduce(_ unionByName _)
+          .groupBy("threshold")
+          .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+            countDistinct(col("__doc")).as("n_docs"))
+      case None =>
+        val pairs = ngramJaccardViaMinhash(df, idCol, textCol, n, k, thresholds.min)
+        pairs.join(broadcast(ladder), col("jaccard") >= col("threshold"))
+          .select(col("threshold"), explode(array(col("a"), col("b"))).as("__doc"))
+          .groupBy("threshold")
+          .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+            countDistinct(col("__doc")).as("n_docs"))
+    }
     // every requested rung appears — a threshold no pair reaches reads
     // (t, 0, 0), not a silently missing row
     ladder.join(counts, Seq("threshold"), "left")

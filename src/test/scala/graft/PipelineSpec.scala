@@ -853,6 +853,28 @@ class PipelineSpec extends SparkSuite {
         n = 3, k = 4, minSim = t).count()
       assert(sweep(t)._1 == single, s"threshold $t: sweep=${sweep(t)} single=$single")
     }
+    // per-rung banding with every rung at the shared k is IDENTICAL to the
+    // single-pass sweep (same hash family, same bands → same proposals)
+    val reband = pipeline.Dedup.thresholdSweep(docs, "doc_id", "text",
+        n = 3, k = 4, thresholds = Seq(0.3, 0.5, 0.9),
+        rungBands = Some(Seq(4, 4, 4)))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(reband == sweep, s"reband $reband vs single-pass $sweep")
+    // heterogeneous band counts: each rung equals its own dedicated run
+    val ks = Seq(2, 4, 8)
+    val hetero = pipeline.Dedup.thresholdSweep(docs, "doc_id", "text",
+        n = 3, k = 4, thresholds = Seq(0.3, 0.5, 0.9), rungBands = Some(ks))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    sorted.zip(ks).foreach { case (t, ki) =>
+      val dedicated = pipeline.Dedup.ngramJaccardViaMinhash(docs, "doc_id", "text",
+        n = 3, k = ki, minSim = t).count()
+      assert(hetero(t) == dedicated, s"rung $t k=$ki: ${hetero(t)} vs $dedicated")
+    }
+    // misaligned rungBands fails fast
+    intercept[IllegalArgumentException] {
+      pipeline.Dedup.thresholdSweep(docs, "doc_id", "text",
+        thresholds = Seq(0.3, 0.5), rungBands = Some(Seq(4)))
+    }
   }
 
   test("chunkDocuments: overlap windows, short final chunk, token order kept") {
