@@ -297,7 +297,15 @@ object Dedup {
     // (windows do no map-side combine, so the hottest key was a straggler
     // shape — the same skew class paragraphDedup fixed). The batch subtree
     // still appears ONCE in the plan (no groupBy + semi-join back, which
-    // made Catalyst re-analyze the union-shaped batch tree on both sides).
+    // made Catalyst re-analyze AND re-execute the union-shaped batch tree
+    // on both sides — measured 3-6x slower than either single-subtree
+    // form). Measured trade, accepted deliberately: the string-bearing
+    // min_by buffer is not UnsafeRow-mutable, so both aggregation halves
+    // plan as SortAggregate (~2x the window form on the sf0.1 fixture,
+    // ~1 s absolute) — the constant buys a plan with NO per-key reducer
+    // state, which is what survives a million-copy boilerplate group.
+    // (Catalyst pushes the index anti-join BELOW the aggregate — grouping
+    // key == join key — so known-content rows drop before the sort.)
     val cols = batch.columns.toSeq
     batch.withColumn("__h", md5(col(textCol)))
       .groupBy("__h")
