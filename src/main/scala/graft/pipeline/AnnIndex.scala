@@ -94,4 +94,21 @@ object AnnIndex {
       Quantization.ivfPqEncode(batch, idCol, vecCol, index.m,
           index.centroids, index.codebooks)
         .withColumnRenamed(idCol, "id")))
+
+  /** [[append]] against a SAVED index: encode `batch` with the stored
+    * quantizers and APPEND the codes to the index's parquet code table —
+    * the `foreachBatch` hook for streaming embedding ingest (each
+    * micro-batch pays one batch-sized encode scan; quantizers stay
+    * frozen, the same trade as [[append]]). Parquet append is atomic per
+    * file; a re-run of a failed micro-batch would double its codes, so
+    * drive it from an exactly-once sink (foreachBatch with checkpointing
+    * dedupes by batch id upstream). */
+  def appendSave(spark: SparkSession, path: String, batch: DataFrame,
+                 idCol: String, vecCol: String): Unit = {
+    val idx = load(spark, path)
+    Quantization.ivfPqEncode(batch, idCol, vecCol, idx.m,
+        idx.centroids, idx.codebooks)
+      .withColumnRenamed(idCol, "id")
+      .write.mode("append").parquet(s"$path/codes.parquet")
+  }
 }

@@ -115,6 +115,44 @@ class StreamingSpec extends SparkSuite {
     assert(sRows.size == 12)
   }
 
+  test("streaming embedding ingest appends to the persisted ann index") {
+    import spark.implicits._
+    val all = (0L until 24L).map(i => (i,
+      Array((i % 7).toDouble, (i % 5).toDouble - 2.0, (i % 3).toDouble, 1.0)))
+      .toDF("vec_id", "embedding")
+    val base = all.where(col("vec_id") < 16)
+    val tail = all.where(col("vec_id") >= 16)
+    val idxDir = java.nio.file.Files.createTempDirectory("ann-stream-idx").toString
+    graft.pipeline.AnnIndex.save(
+      graft.pipeline.AnnIndex.buildIvfPq(base, "vec_id", "embedding",
+        nlist = 2, m = 2, codewords = 3), idxDir)
+    val src = java.nio.file.Files.createTempDirectory("ann-stream-src").toString
+    tail.repartition(3).write.mode("overwrite").parquet(src) // 3 micro-batches
+    val ingest: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (df, _) => graft.pipeline.AnnIndex.appendSave(
+        spark, idxDir, df, "vec_id", "embedding")
+    val q = spark.readStream.schema(tail.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.foreachBatch(ingest)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val loaded = graft.pipeline.AnnIndex.load(spark, idxDir)
+    assert(loaded.codes.count() == 24L * 2, "m=2 code rows per vector")
+    // streamed ingest must serve identically to a frozen-quantizer encode
+    // of the full corpus (the same identity AnnIndex.append pins in-memory)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val expect = rows(graft.pipeline.Quantization.ivfPqSearchCodes(
+      graft.pipeline.Quantization.ivfPqEncode(
+        all, "vec_id", "embedding", 2, loaded.centroids, loaded.codebooks),
+      all.where(col("vec_id") < 3), "vec_id", "embedding",
+      k = 3, nprobe = 2, m = 2, centIn = loaded.centroids, resCbIn = loaded.codebooks))
+    val got = rows(graft.pipeline.AnnIndex.search(
+      loaded, all.where(col("vec_id") < 3), "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(got == expect, s"streamed $got vs frozen-encode $expect")
+  }
+
   test("stream→graph ingestion: multi-batch, idempotent under full replay") {
     import spark.implicits._
     val events = Seq(
