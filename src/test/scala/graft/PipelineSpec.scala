@@ -1115,6 +1115,33 @@ class PipelineSpec extends SparkSuite {
     assert(!out.contains(3L) && out.size == 2)
   }
 
+  test("randomized: paragraphDedup equals a driver-side keep-first reference") {
+    import spark.implicits._
+    // heavy-dup corpus from a tiny paragraph alphabet (incl. the empty
+    // line — the hottest real-world key); the reference walks docs in id
+    // order, positions in order, with one global seen-set — exactly the
+    // min(doc, pos) winner the operator aggregates
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("alpha", "beta", "gamma", "delta", "", "header x")
+    val corpus = (1L to 60L).map { i =>
+      val n = 1 + rnd.nextInt(5)
+      (i, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString("\n"))
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expect = corpus.flatMap { case (id, text) =>
+      val paras = text.split(java.util.regex.Pattern.quote("\n"), -1).toSeq
+      val kept = paras.filter(p => seen.add(p))
+      if (kept.isEmpty) None
+      else Some(id -> ((kept.mkString("\n"), kept.size.toLong,
+        (paras.size - kept.size).toLong)))
+    }.toMap
+    val got = pipeline.Dedup.paragraphDedup(
+        corpus.toDF("doc_id", "text").repartition(5), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
+
   test("line filter: min-words and blacklist drop, order kept, stats count") {
     import spark.implicits._
     val docs = Seq(
