@@ -74,7 +74,9 @@ object Bench {
     "dedup_paragraphs", "curate_clean_lines", "ann_nprobe_sweep",
     // persisted-index serving: load the parquet IVF-PQ index, search the
     // stored codes only (build+save is the one-time memo, not re-timed)
-    "ann_ivfpq_serve")
+    "ann_ivfpq_serve",
+    // round-10 addition: Naive Bayes classifier (train + corpus-wide score)
+    "text_nb_confusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

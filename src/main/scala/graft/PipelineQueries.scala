@@ -692,6 +692,23 @@ object PipelineQueries {
     // signal); micro-unit quantization before the per-doc sum
     "text_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(docs(s, d), "doc_id", "text")),
+    // Naive Bayes document classifier (the fastText/CCNet quality-filter
+    // shape): self-train on the lang label, argmax posterior per document
+    "text_nb_classify" -> ((s, d) => {
+      val dd = docs(s, d)
+      val (wm, lt) = TextAnalysis.naiveBayesModel(dd, "text", "lang")
+      TextAnalysis.naiveBayesClassify(dd, "doc_id", "text", wm, lt)
+    }),
+    // NB resubstitution confusion matrix: actual × predicted label counts
+    "text_nb_confusion" -> ((s, d) => {
+      val dd = docs(s, d)
+      val (wm, lt) = TextAnalysis.naiveBayesModel(dd, "text", "lang")
+      TextAnalysis.naiveBayesClassify(dd, "doc_id", "text", wm, lt)
+        .select(col("doc_id"), col("label").as("predicted"))
+        .join(dd.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
+        .groupBy("actual", "predicted")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     // length-weighted sample without replacement (Efraimidis–Spirakis
     // keys over deterministic md5 uniforms), k = 200
     "curate_weighted_sample" -> ((s, d) =>
@@ -1482,6 +1499,56 @@ object PipelineQueries {
            |SELECT doc_id, count(*) AS n_tokens,
            |  round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000.0), 4) AS logprob
            |FROM s GROUP BY doc_id""".stripMargin,
+      "text_nb_classify" ->
+        s"""WITH ${toksCte("documents")},
+           |tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
+           |wrds AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+           |wl AS (SELECT w.doc_id, d.lang, w.word FROM wrds w JOIN documents d USING (doc_id)),
+           |cnt AS (SELECT lang, word, count(*) AS cnt FROM wl GROUP BY 1, 2),
+           |tot AS (SELECT lang, sum(cnt) AS tot FROM cnt GROUP BY 1),
+           |vs AS (SELECT count(DISTINCT word) AS v FROM cnt),
+           |model AS (SELECT vw.word, t.lang,
+           |    CAST(floor(ln((coalesce(c.cnt, 0) + 1.0) / (t.tot + vs.v)) * 1000000.0 + 0.5) AS BIGINT) AS lp
+           |  FROM (SELECT DISTINCT word FROM cnt) vw
+           |  CROSS JOIN tot t CROSS JOIN vs
+           |  LEFT JOIN cnt c ON c.word = vw.word AND c.lang = t.lang),
+           |pri AS (SELECT lang,
+           |    CAST(floor(ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents)) * 1000000.0 + 0.5) AS BIGINT) AS prior
+           |  FROM documents GROUP BY 1),
+           |tf AS (SELECT doc_id, word, count(*) AS tf FROM wrds GROUP BY 1, 2),
+           |sc AS (SELECT tf.doc_id, m.lang, p.prior + sum(tf.tf * m.lp) AS score
+           |  FROM tf JOIN model m USING (word) JOIN pri p ON p.lang = m.lang
+           |  GROUP BY tf.doc_id, m.lang, p.prior),
+           |rk AS (SELECT doc_id, lang, score,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+           |  FROM sc)
+           |SELECT doc_id, lang AS label, CAST(score AS BIGINT) AS score_micro
+           |FROM rk WHERE rn = 1""".stripMargin,
+      "text_nb_confusion" ->
+        s"""WITH ${toksCte("documents")},
+           |tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
+           |wrds AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+           |wl AS (SELECT w.doc_id, d.lang, w.word FROM wrds w JOIN documents d USING (doc_id)),
+           |cnt AS (SELECT lang, word, count(*) AS cnt FROM wl GROUP BY 1, 2),
+           |tot AS (SELECT lang, sum(cnt) AS tot FROM cnt GROUP BY 1),
+           |vs AS (SELECT count(DISTINCT word) AS v FROM cnt),
+           |model AS (SELECT vw.word, t.lang,
+           |    CAST(floor(ln((coalesce(c.cnt, 0) + 1.0) / (t.tot + vs.v)) * 1000000.0 + 0.5) AS BIGINT) AS lp
+           |  FROM (SELECT DISTINCT word FROM cnt) vw
+           |  CROSS JOIN tot t CROSS JOIN vs
+           |  LEFT JOIN cnt c ON c.word = vw.word AND c.lang = t.lang),
+           |pri AS (SELECT lang,
+           |    CAST(floor(ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents)) * 1000000.0 + 0.5) AS BIGINT) AS prior
+           |  FROM documents GROUP BY 1),
+           |tf AS (SELECT doc_id, word, count(*) AS tf FROM wrds GROUP BY 1, 2),
+           |sc AS (SELECT tf.doc_id, m.lang, p.prior + sum(tf.tf * m.lp) AS score
+           |  FROM tf JOIN model m USING (word) JOIN pri p ON p.lang = m.lang
+           |  GROUP BY tf.doc_id, m.lang, p.prior),
+           |rk AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM sc),
+           |pred AS (SELECT doc_id, lang AS predicted FROM rk WHERE rn = 1)
+           |SELECT d.lang AS actual, p.predicted, count(*) AS n_docs
+           |FROM pred p JOIN documents d USING (doc_id)
+           |GROUP BY 1, 2""".stripMargin,
       "curate_weighted_sample" ->
         """WITH u AS (SELECT doc_id, n_chars,
           |  CAST(CAST(concat('0x', substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS DOUBLE)

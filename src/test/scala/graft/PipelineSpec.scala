@@ -707,6 +707,48 @@ class PipelineSpec extends SparkSuite {
     assert(!out.contains(3L))       // empty doc carries no rows
   }
 
+  test("naive Bayes: separable fixture classifies 100%, hand-checked cell math") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple", "fruit"),
+      (2L, "banana apple banana", "fruit"),
+      (3L, "bolt nut bolt", "tool"),
+      (4L, "nut bolt nut", "tool")).toDF("doc_id", "text", "cat")
+    val (wm, lt) = TextAnalysis.naiveBayesModel(docs, "text", "cat")
+    // vocab = {apple, banana, bolt, nut}, V = 4; tot_fruit = tot_tool = 6
+    // lp(apple|fruit) = ln((3+1)/(6+4)); lp(apple|tool) = ln((0+1)/10)
+    val cells = wm.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells.size == 8) // complete 4-word x 2-label matrix
+    val micro = (p: Double) => math.floor(math.log(p) * 1e6 + 0.5).toLong
+    assert(cells(("apple", "fruit")) == micro(4.0 / 10))
+    assert(cells(("apple", "tool")) == micro(1.0 / 10))
+    val labels = lt.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(labels("fruit")._1 == micro(0.5))      // prior ln(2/4)
+    assert(labels("tool")._2 == micro(1.0 / 10))  // OOV cell ln(1/(6+4))
+    val pred = TextAnalysis.naiveBayesClassify(docs, "doc_id", "text", wm, lt)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "fruit", 2L -> "fruit", 3L -> "tool", 4L -> "tool"))
+  }
+
+  test("naive Bayes: unseen words fall back to the OOV cell; zero-token docs drop") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "apple banana apple", "fruit"),
+      (2L, "bolt nut bolt", "tool")).toDF("doc_id", "text", "cat")
+    val (wm, lt) = TextAnalysis.naiveBayesModel(train, "text", "cat")
+    val score = Seq(
+      (10L, "apple zzz"), // zzz unseen by BOTH labels: evidence stays apple's
+      (11L, ""),          // zero tokens -> no classification row
+      (12L, "qqq www")    // all-OOV: tie on evidence, prior+label-asc break
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.naiveBayesClassify(score, "doc_id", "text", wm, lt)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(10L, 12L))
+    assert(out(10L) == "fruit")
+    // equal priors and equal OOV mass -> label-ascending tiebreak
+    assert(out(12L) == "fruit")
+  }
+
   test("weightedSample: deterministic, right size, favors heavy rows") {
     import spark.implicits._
     val rows = (1L to 2000L).map(i => (i, if (i <= 1000) 1000 else 1))
