@@ -75,8 +75,11 @@ object Bench {
     // persisted-index serving: load the parquet IVF-PQ index, search the
     // stored codes only (build+save is the one-time memo, not re-timed)
     "ann_ivfpq_serve",
-    // round-10 addition: Naive Bayes classifier (train + corpus-wide score)
-    "text_nb_confusion")
+    // round-10 additions: Naive Bayes classifier (train + corpus-wide
+    // score) and its streaming model-serving twin
+    "text_nb_confusion", "stream_nb_classify",
+    // hard-negative mining off the shared IVF propose/score core
+    "ann_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -24,6 +24,9 @@ object PipelineQueries {
   private val streamAssetCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
+  private val streamNbCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   private val exportManifestCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
@@ -225,6 +228,34 @@ object PipelineQueries {
   private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private def toksCte(src: String) =
     s"toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM $src)"
+  /** Oracle replay of the Naive Bayes fit + argmax classify (shared by the
+    * batch query and the streaming serve, which emits identical rows). */
+  private lazy val nbClassifySql =
+    s"""WITH ${toksCte("documents")},
+       |tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
+       |wrds AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+       |wl AS (SELECT w.doc_id, d.lang, w.word FROM wrds w JOIN documents d USING (doc_id)),
+       |cnt AS (SELECT lang, word, count(*) AS cnt FROM wl GROUP BY 1, 2),
+       |tot AS (SELECT lang, sum(cnt) AS tot FROM cnt GROUP BY 1),
+       |vs AS (SELECT count(DISTINCT word) AS v FROM cnt),
+       |model AS (SELECT vw.word, t.lang,
+       |    CAST(floor(ln((coalesce(c.cnt, 0) + 1.0) / (t.tot + vs.v)) * 1000000.0 + 0.5) AS BIGINT) AS lp
+       |  FROM (SELECT DISTINCT word FROM cnt) vw
+       |  CROSS JOIN tot t CROSS JOIN vs
+       |  LEFT JOIN cnt c ON c.word = vw.word AND c.lang = t.lang),
+       |pri AS (SELECT lang,
+       |    CAST(floor(ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents)) * 1000000.0 + 0.5) AS BIGINT) AS prior
+       |  FROM documents GROUP BY 1),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM wrds GROUP BY 1, 2),
+       |sc AS (SELECT tf.doc_id, m.lang, p.prior + sum(tf.tf * m.lp) AS score
+       |  FROM tf JOIN model m USING (word) JOIN pri p ON p.lang = m.lang
+       |  GROUP BY tf.doc_id, m.lang, p.prior),
+       |rk AS (SELECT doc_id, lang, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+       |  FROM sc)
+       |SELECT doc_id, lang AS label, CAST(score AS BIGINT) AS score_micro
+       |FROM rk WHERE rn = 1""".stripMargin
+
   private def shinglesExpr(n: Int): String = {
     val parts = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString("||' '||")
     s"list_transform(range(1, len(w)-${n - 2}), i -> $parts)"
@@ -376,6 +407,17 @@ object PipelineQueries {
         k = 3, nlist = 16, nprobe = 4)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // hard-negative mining: per anchor, the top-3 highest-cosine
+    // DIFFERENT-label vectors from the IVF probed lists (label inequality
+    // filters before the top-k window)
+    "ann_hard_negatives" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").cast("long").as("cid"), col("embedding").as("centroid"))
+      Similarity.hardNegatives(e, e.where(col("vec_id") < 50), cents,
+        "vec_id", "embedding", "label", k = 3, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
     // IVF probe-depth tuning table: recall@3 + scored-candidate volume per
     // nprobe rung (1/2/4), all rungs from ONE assignment + probe ranking
     "ann_nprobe_sweep" -> ((s, d) => {
@@ -435,6 +477,19 @@ object PipelineQueries {
           .withColumn("width", col("width").cast("long"))
           .withColumn("height", col("height").cast("long")),
         schema = pipeline.Multimodal.assetWriteSchema)
+    })),
+    // streaming model serving: fit NB on the labeled batch corpus, score a
+    // readStream of the same documents per micro-batch (foreachBatch replays
+    // the oracle-verified batch scorer; whole-file batches keep per-doc
+    // scoring single-shot), append scored rows to a parquet sink
+    "stream_nb_classify" -> ((s, d) => streamNbCache.computeIfAbsent((s, d), { _ =>
+      val dd = docs(s, d)
+      val (wm, lt) = TextAnalysis.naiveBayesModel(dd, "text", "lang")
+      val src = java.nio.file.Files.createTempDirectory("graft-nbsrc").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-nbout").toString
+      dd.repartition(8).write.mode("overwrite").parquet(src)
+      graft.streaming.EventStreams.streamingNbClassify(s, src, out, wm, lt,
+        "doc_id", "text", dd.schema, maxFilesPerTrigger = 3)
     })),
     // BPE-style merge-rule learning: 4 rounds of top-pair promotion with
     // literal two-pass rewrites; later rounds merge against merged tokens
@@ -1499,31 +1554,10 @@ object PipelineQueries {
            |SELECT doc_id, count(*) AS n_tokens,
            |  round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000.0), 4) AS logprob
            |FROM s GROUP BY doc_id""".stripMargin,
-      "text_nb_classify" ->
-        s"""WITH ${toksCte("documents")},
-           |tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
-           |wrds AS (SELECT doc_id, word FROM tok WHERE word <> ''),
-           |wl AS (SELECT w.doc_id, d.lang, w.word FROM wrds w JOIN documents d USING (doc_id)),
-           |cnt AS (SELECT lang, word, count(*) AS cnt FROM wl GROUP BY 1, 2),
-           |tot AS (SELECT lang, sum(cnt) AS tot FROM cnt GROUP BY 1),
-           |vs AS (SELECT count(DISTINCT word) AS v FROM cnt),
-           |model AS (SELECT vw.word, t.lang,
-           |    CAST(floor(ln((coalesce(c.cnt, 0) + 1.0) / (t.tot + vs.v)) * 1000000.0 + 0.5) AS BIGINT) AS lp
-           |  FROM (SELECT DISTINCT word FROM cnt) vw
-           |  CROSS JOIN tot t CROSS JOIN vs
-           |  LEFT JOIN cnt c ON c.word = vw.word AND c.lang = t.lang),
-           |pri AS (SELECT lang,
-           |    CAST(floor(ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents)) * 1000000.0 + 0.5) AS BIGINT) AS prior
-           |  FROM documents GROUP BY 1),
-           |tf AS (SELECT doc_id, word, count(*) AS tf FROM wrds GROUP BY 1, 2),
-           |sc AS (SELECT tf.doc_id, m.lang, p.prior + sum(tf.tf * m.lp) AS score
-           |  FROM tf JOIN model m USING (word) JOIN pri p ON p.lang = m.lang
-           |  GROUP BY tf.doc_id, m.lang, p.prior),
-           |rk AS (SELECT doc_id, lang, score,
-           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
-           |  FROM sc)
-           |SELECT doc_id, lang AS label, CAST(score AS BIGINT) AS score_micro
-           |FROM rk WHERE rn = 1""".stripMargin,
+      "text_nb_classify" -> nbClassifySql,
+      // the streaming serve appends the SAME scored rows the batch argmax
+      // produces (micro-batch-local scoring, whole-file batches)
+      "stream_nb_classify" -> nbClassifySql,
       "text_nb_confusion" ->
         s"""WITH ${toksCte("documents")},
            |tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
@@ -2321,6 +2355,25 @@ object PipelineQueries {
           |  CAST(len(hexpay) AS BIGINT) AS n_bytes,
           |  upper(sha256(hexpay)) AS sha
           |FROM b""".stripMargin,
+      "ann_hard_negatives" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, CAST(label AS BIGINT) AS lbl FROM embeddings),
+          |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < 16),
+          |asg AS (SELECT vec_id, cid FROM (
+          |  SELECT v.vec_id, c.cid,
+          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+          |  FROM v, cent c) t WHERE rn = 1),
+          |probes AS (SELECT query_id, cid FROM (
+          |  SELECT v.vec_id AS query_id, c.cid,
+          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+          |  FROM v, cent c WHERE v.vec_id < 50) t WHERE rn <= 4),
+          |s AS (SELECT p.query_id, qv.lbl AS anchor_label, a.vec_id AS neighbor_id, av.lbl AS neighbor_label,
+          |  round(list_cosine_similarity(qv.ve, av.ve), 6) AS cos
+          |  FROM probes p JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.query_id
+          |  JOIN v qv ON qv.vec_id = p.query_id JOIN v av ON av.vec_id = a.vec_id
+          |  WHERE qv.lbl <> av.lbl),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM s)
+          |SELECT query_id, anchor_label, neighbor_id, neighbor_label, cos, CAST(rnk AS BIGINT) AS rank
+          |FROM r WHERE rnk <= 3""".stripMargin,
       "ann_ivf_topk" ->
         """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
           |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < 16),

@@ -131,6 +131,25 @@ object Similarity {
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                   idCol: String, vecCol: String, k: Int,
                   nprobe: Int = 4): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    // trim to (id, vec): any extra payload columns stay out of this
+    // operator's canonical (query_id, neighbor_id, cos, rank) shape
+    ivfScoredPairs(corpus.select(col(idCol), col(vecCol)),
+        queries.select(col(idCol), col(vecCol)), centroids, idCol, vecCol, nprobe)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** The shared IVF propose/score core: probed-list candidate pairs with
+    * exact cosine, BEFORE any ranking — [[ivfTopKWith]] windows it to
+    * top-k; [[hardNegatives]] filters by label first so same-label
+    * neighbors cannot crowd the negatives out of the top-k. Extra columns
+    * on `corpus`/`queries` beyond (id, vec) ride through to the output
+    * prefixed `n_`/`q_` (narrow — they board the assignment and probe
+    * projections, never a second corpus join). */
+  private def ivfScoredPairs(corpus: DataFrame, queries: DataFrame,
+                             centroids: DataFrame,
+                             idCol: String, vecCol: String,
+                             nprobe: Int): DataFrame = {
     // the nlist centroids as ONE collected cid-sorted row — nlist is
     // bounded by construction (it was the broadcast side already), and the
     // single row broadcasts to both the assignment and the probe scans
@@ -147,31 +166,57 @@ object Similarity {
     // desc(cos) ranking for real-valued cosines; a NaN cosine (zero-norm
     // centroid) compares LARGEST, so a degenerate centroid wins nothing.
     // The n×nlist scored expansion never exists as rows.
-    val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val nExtra = corpus.columns.filterNot(Set(idCol, vecCol)).toSeq
+    val qExtra = queries.columns.filterNot(Set(idCol, vecCol)).toSeq
+    val assign = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
+        nExtra.map(c => col(c).as(s"n_$c")): _*)
       .crossJoin(cent)
-      .select(col("neighbor_id"), col("cv"),
+      .select(col("neighbor_id") +: col("cv") +:
         graft.functions.VectorFunctions
           .nearestCentroidNegCos(col("cv"), col("__cents"))
-          .getField("cid").as("cid"))
+          .getField("cid").as("cid") +: nExtra.map(c => col(s"n_$c")): _*)
       .where(col("cid").isNotNull)
     // Probe selection: the nprobe nearest lists per query via a row-local
     // transform + array_sort + slice over the same broadcast nlist-bounded
     // array — no per-query aggregation or window; the sorted array orders
     // by (-cos, cid), so the slice keeps exactly the top-nprobe winners.
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = queries.select(col(idCol).as("query_id") +: col(vecCol).as("qv") +:
+        qExtra.map(c => col(c).as(s"q_$c")): _*)
       .crossJoin(cent)
-      .select(col("query_id"), col("qv"),
+      .select(col("query_id") +: col("qv") +:
         explode(slice(array_sort(transform(col("__cents"), c =>
             struct((-cosine(col("qv"), c.getField("centroid"))).as("nc"),
               c.getField("cid").as("cid")))),
-          1, nprobe)).as("__p"))
-      .select(col("query_id"), col("qv"), col("__p.cid").as("cid"))
-    val scored = probes.join(assign, Seq("cid"))
+          1, nprobe)).as("__p") +: qExtra.map(c => col(s"q_$c")): _*)
+      .select(col("query_id") +: col("qv") +: col("__p.cid").as("cid") +:
+        qExtra.map(c => col(s"q_$c")): _*)
+    probes.join(assign, Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      .select(col("query_id") +: col("neighbor_id") +:
+        round(cosine(col("qv"), col("cv")), 6).as("cos") +:
+        (qExtra.map(c => col(s"q_$c")) ++ nExtra.map(c => col(s"n_$c"))): _*)
+  }
+
+  /** Hard-negative mining for contrastive/embedding training: for every
+    * anchor, the `k` most similar corpus vectors whose label DIFFERS from
+    * the anchor's — the high-cosine wrong-label examples metric-learning
+    * batches are built around. Candidates come from the same IVF routing
+    * as [[ivfTopKWith]] (probed lists only, never all pairs); the label
+    * inequality filters BEFORE the top-k window, so same-label near
+    * neighbors cannot crowd negatives out. Labels ride the assignment and
+    * probe projections (narrow), not a corpus re-join. Returns (query_id,
+    * anchor_label, neighbor_id, neighbor_label, cos, rank). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String, k: Int,
+                    nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol), col(labelCol).cast("long").as("__lbl"))
+    val q = queries.select(col(idCol), col(vecCol), col(labelCol).cast("long").as("__lbl"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    ivfScoredPairs(c, q, centroids, idCol, vecCol, nprobe)
+      .where(col("q___lbl") =!= col("n___lbl"))
+      .select(col("query_id"), col("q___lbl").as("anchor_label"),
+        col("neighbor_id"), col("n___lbl").as("neighbor_label"), col("cos"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** LSH-bucketed ANN top-k: queries join only corpus vectors in the same

@@ -268,6 +268,38 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Model-serving over a document stream: each micro-batch is scored by
+    * the batch Naive Bayes classifier against a FROZEN model (fit is a
+    * batch job over the labeled corpus; serving replays the exact same
+    * oracle-verified scoring plan per micro-batch — the standard
+    * train-offline / score-online split, same lifecycle as the persisted
+    * ANN index). Per-document scoring is micro-batch-local: the file
+    * source assigns whole files to batches and the tf aggregation + argmax
+    * key on the document id inside one batch, so the output is identical
+    * to batch scoring under any micro-batch partitioning. Scored rows
+    * append to `outDir` as parquet (the restart-safe sink shape; at
+    * cluster scale this is the scored-corpus delta feed). Returns the
+    * read-back scored frame. */
+  def streamingNbClassify(spark: SparkSession, srcDir: String, outDir: String,
+                          wordModel: DataFrame, labelTable: DataFrame,
+                          idCol: String, textCol: String,
+                          schema: StructType,
+                          maxFilesPerTrigger: Int = 4): DataFrame = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.pipeline.TextAnalysis
+          .naiveBayesClassify(batch.toDF(), idCol, textCol, wordModel, labelTable)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming NEAR-duplicate dedup by minhash signature: every arriving
     * document's k-hash signature is computed per row (column-level, no
     * aggregation — the streaming-legal form), and

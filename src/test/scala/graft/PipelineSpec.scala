@@ -215,6 +215,39 @@ class PipelineSpec extends SparkSuite {
       s"deepest rung hits ${sweep(4L)._2} != ivfTopK-derived ${ivf.count(exact.contains)}")
   }
 
+  test("hardNegatives: brute-force parity at full probe depth, labels always differ") {
+    import spark.implicits._
+    val corpus = (0 until 30).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.1f, 0.0f, 0.0f) else Array(0.0f, 0.0f, 1.0f, 0.1f)
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 7 + d) % 5) },
+        i % 3) // labels 0/1/2 cut ACROSS the two geometric clusters
+    }.toDF("vec_id", "embedding", "label")
+    val cents = corpus.where($"vec_id" < 30) // every vector its own list
+      .select($"vec_id".cast("long").as("cid"), $"embedding".as("centroid"))
+    // nprobe = nlist => every list probed => candidate set is the full corpus;
+    // the result must equal the driver-side brute force over different-label pairs
+    val got = Similarity.hardNegatives(corpus, corpus.where($"vec_id" < 5), cents,
+        "vec_id", "embedding", "label", k = 3, nprobe = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).sortBy(t => (t._1, t._6))
+    val vecs = corpus.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2))).toSeq
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = vecs.filter(_._1 < 5).flatMap { case (qid, qv, ql) =>
+      vecs.filter(v => v._1 != qid && v._3 != ql)
+        .map(v => (qid, ql.toLong, v._1, v._3.toLong, cos(qv, v._2)))
+        .sortBy(t => (-t._5, t._3)).take(3).zipWithIndex
+        .map { case (t, i) => (t._1, t._2, t._3, t._4, t._5, i + 1) }
+    }.sortBy(t => (t._1, t._6))
+    assert(got.toSeq == want, s"hard negatives diverge:\n got=$got\nwant=$want")
+    assert(got.forall(t => t._2 != t._4), "same-label pair leaked")
+  }
+
   test("langid distinguishes the marker languages") {
     val got = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

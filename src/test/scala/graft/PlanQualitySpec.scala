@@ -592,4 +592,25 @@ class PlanQualitySpec extends SparkSuite {
         s"generator input is a live split(), not a materialized array:\n$plan")
     }
   }
+
+  test("NB classify: tf partial-aggregates, argmax is an aggregate not a window, no cartesian") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple", "a"),
+      (2L, "bolt nut", "b"),
+      (3L, "apple nut nut", "a")).toDF("doc_id", "text", "lang")
+    val (wm, lt) = graft.pipeline.TextAnalysis.naiveBayesModel(docs, "text", "lang")
+    val out = graft.pipeline.TextAnalysis.naiveBayesClassify(docs, "doc_id", "text", wm, lt)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the per-doc term-frequency and argmax steps must both combine
+    // map-side (hot words / wide docs never pool on one task), and the
+    // label expansion must be the bounded broadcast, not a cartesian
+    assert(!plan.contains("CartesianProduct"), s"cartesian in NB classify:\n$plan")
+    assert(!plan.contains("Window ["), s"windowed argmax in NB classify:\n$plan")
+    assert("partial_count".r.findAllIn(plan).nonEmpty,
+      s"no map-side partial tf aggregation:\n$plan")
+    assert("partial_min".r.findAllIn(plan).nonEmpty,
+      s"argmax is not a partial-aggregating min(struct):\n$plan")
+  }
 }

@@ -115,6 +115,29 @@ class StreamingSpec extends SparkSuite {
     assert(sRows.size == 12)
   }
 
+  test("streaming NB serve: multi-micro-batch scoring equals the batch classifier") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple", "fruit"), (2L, "banana apple", "fruit"),
+      (3L, "bolt nut bolt", "tool"), (4L, "nut bolt", "tool"),
+      (5L, "apple nut", "fruit"), (6L, "banana bolt bolt", "tool"),
+      (7L, "apple apple nut nut", "fruit"), (8L, "bolt banana", "tool")
+    ).toDF("doc_id", "text", "cat")
+    val (wm, lt) = graft.pipeline.TextAnalysis.naiveBayesModel(docs, "text", "cat")
+    val src = java.nio.file.Files.createTempDirectory("graft-nbsrc-spec").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-nbout-spec").toString
+    // 4 files + maxFilesPerTrigger=1 forces 4 separate micro-batches
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    val streamed = EventStreams.streamingNbClassify(spark, src, out, wm, lt,
+      "doc_id", "text", docs.schema, maxFilesPerTrigger = 1)
+    val batch = graft.pipeline.TextAnalysis
+      .naiveBayesClassify(docs, "doc_id", "text", wm, lt)
+    val sRows = streamed.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val bRows = batch.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(sRows == bRows, "streamed NB scoring diverged from batch")
+    assert(sRows.size == 8)
+  }
+
   test("streaming embedding ingest appends to the persisted ann index") {
     import spark.implicits._
     val all = (0L until 24L).map(i => (i,
