@@ -76,7 +76,11 @@ object ScaleProbe {
     val qs = graft.PipelineQueries.queries
     for ((dir, tag) <- Seq((base, "1x"), (big, "10x"))) {
       for (name <- Seq("dedup_paragraphs", "curate_neardup_corpus",
-          "curate_funnel_rare", "ann_ivf_kmeans_topk")) {
+          "curate_funnel_rare", "ann_ivf_kmeans_topk",
+          // round-10 additions: NB fit+score (vocab AND corpus scale 10x
+          // in the prefixed replica) and IVF hard negatives (fixed anchor
+          // set over 10x inverted lists)
+          "text_nb_classify", "ann_hard_negatives")) {
         graft.PipelineQueries.clearMemos(spark, dir)
         time(s"${name}_$tag") { qs(name)(spark, dir).count() }
       }
