@@ -78,8 +78,8 @@ object Bench {
     // round-10 additions: Naive Bayes classifier (train + corpus-wide
     // score) and its streaming model-serving twin
     "text_nb_confusion", "stream_nb_classify",
-    // hard-negative mining off the shared IVF propose/score core
-    "ann_hard_negatives")
+    // hard-negative mining + kNN label-noise vote off the shared IVF core
+    "ann_hard_negatives", "ann_label_noise")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

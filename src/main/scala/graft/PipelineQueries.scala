@@ -418,6 +418,16 @@ object PipelineQueries {
         "vec_id", "embedding", "label", k = 3, nprobe = 4)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // kNN label-vote noise report: per anchor, the majority label among
+    // the IVF top-5 neighbors vs the anchor's own (the geometric
+    // label-noise signal; ties count-desc then label-asc)
+    "ann_label_noise" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").cast("long").as("cid"), col("embedding").as("centroid"))
+      Similarity.knnLabelVote(e, e.where(col("vec_id") < 50), cents,
+        "vec_id", "embedding", "label", k = 5, nprobe = 4)
+    }),
     // IVF probe-depth tuning table: recall@3 + scored-candidate volume per
     // nprobe rung (1/2/4), all rungs from ONE assignment + probe ranking
     "ann_nprobe_sweep" -> ((s, d) => {
@@ -2374,6 +2384,30 @@ object PipelineQueries {
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM s)
           |SELECT query_id, anchor_label, neighbor_id, neighbor_label, cos, CAST(rnk AS BIGINT) AS rank
           |FROM r WHERE rnk <= 3""".stripMargin,
+      "ann_label_noise" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, CAST(label AS BIGINT) AS lbl FROM embeddings),
+          |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < 16),
+          |asg AS (SELECT vec_id, cid FROM (
+          |  SELECT v.vec_id, c.cid,
+          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+          |  FROM v, cent c) t WHERE rn = 1),
+          |probes AS (SELECT query_id, cid FROM (
+          |  SELECT v.vec_id AS query_id, c.cid,
+          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+          |  FROM v, cent c WHERE v.vec_id < 50) t WHERE rn <= 4),
+          |s AS (SELECT p.query_id, qv.lbl AS anchor_label, a.vec_id AS neighbor_id, av.lbl AS neighbor_label,
+          |  round(list_cosine_similarity(qv.ve, av.ve), 6) AS cos
+          |  FROM probes p JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.query_id
+          |  JOIN v qv ON qv.vec_id = p.query_id JOIN v av ON av.vec_id = a.vec_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM s),
+          |votes AS (SELECT query_id, anchor_label, neighbor_label, count(*) AS votes
+          |  FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3),
+          |top AS (SELECT query_id, anchor_label, neighbor_label AS voted_label, votes,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, neighbor_label ASC) AS vrn
+          |  FROM votes)
+          |SELECT query_id, anchor_label, voted_label, CAST(votes AS BIGINT) AS votes,
+          |  voted_label <> anchor_label AS mismatch
+          |FROM top WHERE vrn = 1""".stripMargin,
       "ann_ivf_topk" ->
         """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
           |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < 16),

@@ -219,6 +219,38 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** kNN label-vote report — the embedding-space label-noise detector: for
+    * every anchor, the majority label among its `k` nearest (IVF-routed)
+    * neighbors, compared to the anchor's own label. Anchors whose
+    * neighborhood out-votes their label are the mislabeled/ambiguous rows
+    * a training pipeline routes to review (the Confident-Learning signal,
+    * computed geometrically). Vote ties break (count desc, label asc);
+    * neighbor ranking ties break (cos desc, neighbor_id asc) like every
+    * ANN operator here. Anchors with no different-probe neighbors vanish
+    * (no evidence), same as [[ivfTopKWith]].
+    *
+    * Scale: candidates ride the shared [[ivfScoredPairs]] core (probed
+    * lists only); the top-k window and the per-(anchor, label) vote count
+    * are both keyed by anchor — bounded k rows each — and the final
+    * argmax is a fixed-width min(struct). Returns (query_id,
+    * anchor_label, voted_label, votes, mismatch). */
+  def knnLabelVote(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                   idCol: String, vecCol: String, labelCol: String, k: Int,
+                   nprobe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol), col(labelCol).cast("long").as("__lbl"))
+    val q = queries.select(col(idCol), col(vecCol), col(labelCol).cast("long").as("__lbl"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    val topk = ivfScoredPairs(c, q, centroids, idCol, vecCol, nprobe)
+      .withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
+    topk.groupBy(col("query_id"), col("q___lbl"), col("n___lbl"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"), col("q___lbl").as("anchor_label"))
+      .agg(min(struct((-col("votes")).as("__neg"), col("n___lbl").as("lbl"))).as("__top"))
+      .select(col("query_id"), col("anchor_label"),
+        col("__top.lbl").as("voted_label"), (-col("__top.__neg")).as("votes"),
+        (col("__top.lbl") =!= col("anchor_label")).as("mismatch"))
+  }
+
   /** LSH-bucketed ANN top-k: queries join only corpus vectors in the same
     * bucket (equi-join on bucket id) — the 100 TB path where broadcast of
     * per-bucket candidates replaces a full scan per query. Recall < 1 by

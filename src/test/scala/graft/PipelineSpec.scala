@@ -248,6 +248,43 @@ class PipelineSpec extends SparkSuite {
     assert(got.forall(t => t._2 != t._4), "same-label pair leaked")
   }
 
+  test("knnLabelVote: brute-force parity at full probe depth, mismatch flags planted noise") {
+    import spark.implicits._
+    // two tight geometric clusters; labels follow the cluster EXCEPT two
+    // planted noise rows whose label crosses over
+    val corpus = (0 until 24).map { i =>
+      val cluster = i % 2
+      val base = if (cluster == 0) Array(1.0f, 0.1f, 0.0f, 0.0f) else Array(0.0f, 0.0f, 1.0f, 0.1f)
+      val lbl = if (i == 4) 1 - cluster else if (i == 7) 1 - cluster else cluster
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.005f * ((i * 7 + d) % 5) }, lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = corpus.select($"vec_id".cast("long").as("cid"), $"embedding".as("centroid"))
+    val got = Similarity.knnLabelVote(corpus, corpus, cents,
+        "vec_id", "embedding", "label", k = 5, nprobe = 24)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // driver-side brute force: top-5 by (cos desc, id asc), majority vote
+    val vecs = corpus.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2).toLong)).toSeq
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      BigDecimal(dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = vecs.map { case (qid, qv, ql) =>
+      val top = vecs.filter(_._1 != qid)
+        .map(v => (v._1, v._3, cos(qv, v._2))).sortBy(t => (-t._3, t._1)).take(5)
+      val (lbl, votes) = top.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      qid -> ((ql, lbl, votes.toLong, lbl != ql))
+    }.toMap
+    assert(got == want, s"vote report diverges:\n got=$got\nwant=$want")
+    // the planted cross-labeled rows are flagged; clean rows are not
+    assert(got(4L)._4 && got(7L)._4, "planted noise rows not flagged")
+    assert(!got(0L)._4 && !got(1L)._4, "clean rows falsely flagged")
+  }
+
   test("langid distinguishes the marker languages") {
     val got = docs.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
