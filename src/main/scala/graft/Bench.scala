@@ -79,7 +79,9 @@ object Bench {
     // score) and its streaming model-serving twin
     "text_nb_confusion", "stream_nb_classify",
     // hard-negative mining + kNN label-noise vote off the shared IVF core
-    "ann_hard_negatives", "ann_label_noise")
+    "ann_hard_negatives", "ann_label_noise",
+    // DeepWalk-style deterministic walk corpus over the co-purchase graph
+    "graph_random_walks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

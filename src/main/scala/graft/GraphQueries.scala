@@ -367,6 +367,21 @@ object GraphQueries {
         .select("a", "b")
       GraphAnalytics.kCore(pairs, k = 3)
     }),
+    // DeepWalk-style sequence sampling: one deterministic 4-step walk per
+    // node of the symmetrized co-purchase graph (md5-uniform step choice
+    // over the dst-ordered adjacency — bit-reproducible across engines)
+    "graph_random_walks" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w"))
+        .where(col("w") >= 2)
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      GraphAnalytics.randomWalks(sym, walkLen = 4)
+        .select(col("walk_id").cast("long"), col("step"), col("node").cast("long"))
+    }),
     // WEIGHTED shortest paths (min-plus over an explicit weighted edge
     // table — the WeightedGraph surface with an actual algorithm):
     // customer -> nation -> region with deterministic integer weights;
@@ -543,6 +558,32 @@ object GraphQueries {
        |$steps
        |SELECT CAST(vid AS BIGINT) AS vid, CAST(deg AS BIGINT) AS degree
        |FROM d$rounds WHERE deg >= 3""".stripMargin
+  }
+
+  // unrolled 4-step replay of the deterministic walk: same co-purchase
+  // pairs CTE as kCoreSql, same md5-uniform rank choice as the Spark side
+  private val randomWalksSql: String = {
+    val hops = (1 to 4).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT w.walk_id, a.dst AS node FROM w${i - 1} w
+         |  JOIN degs dg ON dg.src = w.node
+         |  JOIN adj a ON a.src = w.node
+         |   AND a.rn = CAST(concat('0x', substr(md5('walk|'||CAST(w.walk_id AS VARCHAR)||'|$i'), 1, 12)) AS BIGINT) % dg.deg + 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 to 4).map(i =>
+      s"SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST($i AS BIGINT) AS step, CAST(node AS BIGINT) AS node FROM w$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
+       |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+       |  WHERE w >= 2),
+       |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
+       |adj AS MATERIALIZED (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM sym),
+       |degs AS MATERIALIZED (SELECT src, max(rn) AS deg FROM adj GROUP BY src),
+       |w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node FROM sym),
+       |$hops
+       |$out""".stripMargin
   }
 
   /** DuckDB fragment computing an edge's content-hash id (the exact bytes of
@@ -761,6 +802,7 @@ object GraphQueries {
         |UNION ALL SELECT 'customer:'||c_custkey, CAST(n_regionkey AS BIGINT), CAST(2 AS BIGINT) FROM customer JOIN nation ON c_nationkey = n_nationkey
         |UNION ALL SELECT 'supplier:'||s_suppkey, CAST(n_regionkey AS BIGINT), CAST(2 AS BIGINT) FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "graph_kcore_df" -> kCoreSql,
+    "graph_random_walks" -> randomWalksSql,
     // unique-path closed form: region 0 to itself, nation = its own
     // edge weight, customer = customer-edge + nation-edge weights
     "graph_wsssp_df" ->

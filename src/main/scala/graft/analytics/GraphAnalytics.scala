@@ -2,6 +2,7 @@ package graft.analytics
 
 import org.apache.spark.graphx.{Edge, Graph => XGraph, VertexId}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.model.GraphStore
@@ -329,6 +330,56 @@ object GraphAnalytics {
     * depth (the graph's degeneracy ordering length), small for the
     * heavy-tailed graphs where k-core matters; each round's state is one
     * (vid) column. */
+  /** Deterministic random-walk corpus generation — the DeepWalk/node2vec
+    * sequence-sampling step that turns a graph into training sequences for
+    * embedding models: one fixed-length walk per distinct source node over
+    * a directed edge list. The step choice is the engine-portable md5
+    * uniform the sampling operators use (md5(seed|walk|step) mod degree
+    * picks a rank in the node's dst-ordered adjacency), so walks are
+    * bit-reproducible across engines and runs — no RNG state, no
+    * Math.random. Walks that reach a node with no out-edges truncate
+    * (inner-join semantics), so symmetrize the edge list for walks that
+    * must survive.
+    *
+    * Scale: the dst-ordered adjacency ranking is one window keyed by
+    * src (degree-bounded per task — adjacency ranking is inherently
+    * per-node) built ONCE and persisted; each of the `walkLen` hops is a
+    * pair of equi-joins (degree lookup, then (node, rank) into the
+    * adjacency) on exactly one row per live walk — never a
+    * degree-expanded candidate set — with the hop frame localCheckpointed
+    * so the union of steps replays nothing. Returns (walk_id, step,
+    * node): the long-form sequence corpus, step 0 = the start node. */
+  def randomWalks(edges: DataFrame, walkLen: Int, seed: String = "walk"): DataFrame = {
+    require(walkLen >= 1, s"need walkLen >= 1; got $walkLen")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val adj = e
+      .withColumn("rn", row_number().over(Window.partitionBy("src").orderBy("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val degs = adj.groupBy("src").agg(max("rn").as("deg"))
+      var cur = e.select(col("src").as("walk_id")).distinct()
+        .select(col("walk_id"), col("walk_id").as("node"))
+        .localCheckpoint(true)
+      val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
+        cur.select(col("walk_id"), lit(0L).as("step"), col("node")))
+      for (s <- 1 to walkLen) {
+        val pick = conv(substring(md5(concat_ws("|", lit(seed),
+            col("walk_id").cast("string"), lit(s.toString))), 1, 12), 16, 10)
+          .cast("long") % col("deg") + 1
+        cur = cur
+          .join(degs.withColumnRenamed("src", "node"), Seq("node"))
+          .select(col("walk_id"), col("node"), pick.as("__rn"))
+          .join(adj.select(col("src").as("node"), col("rn").as("__rn"), col("dst")),
+            Seq("node", "__rn"))
+          .select(col("walk_id"), col("dst").as("node"))
+          .localCheckpoint(true)
+        steps += cur.select(col("walk_id"), lit(s.toLong).as("step"), col("node"))
+      }
+      steps.reduce(_ unionByName _)
+    } finally adj.unpersist()
+  }
+
   def kCore(pairs: DataFrame, k: Int, maxIters: Int = 100): DataFrame = {
     require(k >= 1, s"need k >= 1; got $k")
     val e0 = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))

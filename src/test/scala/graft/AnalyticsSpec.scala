@@ -201,6 +201,39 @@ class AnalyticsSpec extends SparkSuite {
     assert(df == Map("w:x" -> 1L, "w:y" -> 1L, "w:z" -> 1L), s"got $df")
   }
 
+  test("randomWalks: valid edges every hop, deterministic, dead ends truncate") {
+    import spark.implicits._
+    // a 4-cycle plus a one-way spur into a dead end (node 9)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (1L, 0L), (2L, 1L), (3L, 2L), (0L, 3L), (4L, 9L)).toDF("src", "dst")
+    val out = graft.analytics.GraphAnalytics.randomWalks(edges, walkLen = 3, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byWalk = out.groupBy(_._1).map { case (w, rows) =>
+      w -> rows.sortBy(_._2).map(_._3).toSeq }.toMap
+    // every start node walks; step 0 is the start itself
+    assert(byWalk.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byWalk.foreach { case (w, path) => assert(path.head == w) }
+    // every consecutive pair is a real directed edge
+    val eset = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    byWalk.values.foreach { path =>
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(eset.contains((a, b)), s"phantom hop $a->$b")
+        case _ =>
+      }
+    }
+    // cycle walks run the full length; the spur truncates at the dead end
+    assert(Seq(0L, 1L, 2L, 3L).forall(byWalk(_).size == 4))
+    assert(byWalk(4L) == Seq(4L, 9L), s"dead-end walk did not truncate: ${byWalk(4L)}")
+    // bit-reproducible
+    val out2 = graft.analytics.GraphAnalytics.randomWalks(edges, walkLen = 3, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toSeq == out2.sorted.toSeq)
+    // a different seed changes at least one hop on the cycle
+    val out3 = graft.analytics.GraphAnalytics.randomWalks(edges, walkLen = 3, seed = "u")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toSeq != out3.sorted.toSeq, "seed does not influence the walk")
+  }
+
   test("k-core: cascading peel strips the tendril, keeps the clique") {
     import spark.implicits._
     // K4 on {1,2,3,4} plus a path 4-5-6: peeling k=2 must CASCADE — 6
