@@ -81,7 +81,8 @@ object Bench {
     // hard-negative mining + kNN label-noise vote off the shared IVF core
     "ann_hard_negatives", "ann_label_noise",
     // DeepWalk-style deterministic walk corpus over the co-purchase graph
-    "graph_random_walks")
+    // + its skip-gram pair extraction (shared walk materialization)
+    "graph_random_walks", "graph_walk_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

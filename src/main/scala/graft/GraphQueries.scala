@@ -87,6 +87,25 @@ object GraphQueries {
       df
     })
 
+  // the walk corpus is already a chain of eager localCheckpoints —
+  // memoize it per (session, dir) so the walks query and the skip-gram
+  // pair query share one materialization
+  private val walkCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def coPurchaseWalks(s: SparkSession, d: String): DataFrame =
+    walkCache.computeIfAbsent((s, d), { _ =>
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w"))
+        .where(col("w") >= 2)
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      GraphAnalytics.randomWalks(sym, walkLen = 4)
+        .select(col("walk_id").cast("long"), col("step"), col("node").cast("long"))
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // stream→graph ingestion through the REAL streaming engine: events are
     // written as a multi-file source, read with maxFilesPerTrigger=2 (3
@@ -370,18 +389,11 @@ object GraphQueries {
     // DeepWalk-style sequence sampling: one deterministic 4-step walk per
     // node of the symmetrized co-purchase graph (md5-uniform step choice
     // over the dst-ordered adjacency — bit-reproducible across engines)
-    "graph_random_walks" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
-        .where(col("p") < col("p2"))
-        .groupBy(col("p").as("a"), col("p2").as("b"))
-        .agg(countDistinct("o").as("w"))
-        .where(col("w") >= 2)
-      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      GraphAnalytics.randomWalks(sym, walkLen = 4)
-        .select(col("walk_id").cast("long"), col("step"), col("node").cast("long"))
-    }),
+    "graph_random_walks" -> ((s, d) => coPurchaseWalks(s, d)),
+    // word2vec-over-walks batch feed: (center, context) tallies within a
+    // 2-step window of the shared walk corpus
+    "graph_walk_pairs" -> ((s, d) =>
+      GraphAnalytics.walkSkipGramPairs(coPurchaseWalks(s, d), window = 2)),
     // WEIGHTED shortest paths (min-plus over an explicit weighted edge
     // table — the WeightedGraph surface with an actual algorithm):
     // customer -> nation -> region with deterministic integer weights;
@@ -562,17 +574,17 @@ object GraphQueries {
 
   // unrolled 4-step replay of the deterministic walk: same co-purchase
   // pairs CTE as kCoreSql, same md5-uniform rank choice as the Spark side
-  private val randomWalksSql: String = {
+  private val walkCtes: String = {
     val hops = (1 to 4).map { i =>
       s"""w$i AS MATERIALIZED (SELECT w.walk_id, a.dst AS node FROM w${i - 1} w
          |  JOIN degs dg ON dg.src = w.node
          |  JOIN adj a ON a.src = w.node
          |   AND a.rn = CAST(concat('0x', substr(md5('walk|'||CAST(w.walk_id AS VARCHAR)||'|$i'), 1, 12)) AS BIGINT) % dg.deg + 1)""".stripMargin
     }.mkString(",\n")
-    val out = (0 to 4).map(i =>
+    val walks = (0 to 4).map(i =>
       s"SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST($i AS BIGINT) AS step, CAST(node AS BIGINT) AS node FROM w$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH e AS MATERIALIZED (
+      .mkString("\n  UNION ALL ")
+    s"""e AS MATERIALIZED (
        |  SELECT a, b FROM (
        |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
        |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
@@ -582,9 +594,19 @@ object GraphQueries {
        |adj AS MATERIALIZED (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM sym),
        |degs AS MATERIALIZED (SELECT src, max(rn) AS deg FROM adj GROUP BY src),
        |w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node FROM sym),
-       |$hops
-       |$out""".stripMargin
+       |$hops,
+       |walks AS MATERIALIZED ($walks)""".stripMargin
   }
+
+  private val randomWalksSql: String =
+    s"WITH $walkCtes\nSELECT walk_id, step, node FROM walks"
+
+  private val walkPairsSql: String =
+    s"""WITH $walkCtes
+       |SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+       |FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+       | AND a.step <> b.step AND abs(a.step - b.step) <= 2
+       |GROUP BY 1, 2""".stripMargin
 
   /** DuckDB fragment computing an edge's content-hash id (the exact bytes of
     * Hashing.edgeJson) from SQL expressions for the endpoint ids. */
@@ -803,6 +825,7 @@ object GraphQueries {
         |UNION ALL SELECT 'supplier:'||s_suppkey, CAST(n_regionkey AS BIGINT), CAST(2 AS BIGINT) FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "graph_kcore_df" -> kCoreSql,
     "graph_random_walks" -> randomWalksSql,
+    "graph_walk_pairs" -> walkPairsSql,
     // unique-path closed form: region 0 to itself, nation = its own
     // edge weight, customer = customer-edge + nation-edge weights
     "graph_wsssp_df" ->

@@ -380,6 +380,23 @@ object GraphAnalytics {
     } finally adj.unpersist()
   }
 
+  /** Skip-gram training pairs from a walk corpus ([[randomWalks]] output):
+    * every (center, context) node pair co-occurring within `window` steps
+    * of the same walk, tallied — the word2vec-over-walks batch feed.
+    * Pair volume is |walk rows| × 2·window bounded (the join keys on
+    * walk_id and the window is a constant), aggregated map-side into
+    * (center, context) counts. */
+  def walkSkipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, s"need window >= 1; got $window")
+    val a = walks.select(col("walk_id"), col("step").as("__sa"), col("node").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("__sb"), col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .where(col("__sa") =!= col("__sb") &&
+        abs(col("__sa") - col("__sb")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def kCore(pairs: DataFrame, k: Int, maxIters: Int = 100): DataFrame = {
     require(k >= 1, s"need k >= 1; got $k")
     val e0 = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))

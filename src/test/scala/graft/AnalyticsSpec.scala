@@ -234,6 +234,26 @@ class AnalyticsSpec extends SparkSuite {
     assert(out.sorted.toSeq != out3.sorted.toSeq, "seed does not influence the walk")
   }
 
+  test("walkSkipGramPairs: hand-traced window pairs over a fixed corpus") {
+    import spark.implicits._
+    // one walk 10->11->12, one walk 20->21 (already-materialized corpus —
+    // the operator is independent of how walks were produced)
+    val walks = Seq(
+      (10L, 0L, 10L), (10L, 1L, 11L), (10L, 2L, 12L),
+      (20L, 0L, 20L), (20L, 1L, 21L)).toDF("walk_id", "step", "node")
+    val got = graft.analytics.GraphAnalytics.walkSkipGramPairs(walks, window = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // window=1: adjacent pairs only, both directions, one count each
+    val want = Map(
+      (10L, 11L) -> 1L, (11L, 10L) -> 1L, (11L, 12L) -> 1L, (12L, 11L) -> 1L,
+      (20L, 21L) -> 1L, (21L, 20L) -> 1L)
+    assert(got == want, s"got $got")
+    // window=2 adds the distance-2 ends of the 3-node walk
+    val got2 = graft.analytics.GraphAnalytics.walkSkipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got2 == want ++ Map((10L, 12L) -> 1L, (12L, 10L) -> 1L), s"got $got2")
+  }
+
   test("k-core: cascading peel strips the tendril, keeps the clique") {
     import spark.implicits._
     // K4 on {1,2,3,4} plus a path 4-5-6: peeling k=2 must CASCADE — 6
