@@ -92,6 +92,10 @@ object GraphQueries {
   // pair query share one materialization
   private val walkCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  /** Bench hook: drop the shared walk-corpus memo so each walk entry is
+    * timed cold (see PipelineQueries.memoBackedQueries). */
+  def clearWalkMemo(s: SparkSession, d: String): Unit = walkCache.remove((s, d))
+
   private def coPurchaseWalks(s: SparkSession, d: String): DataFrame =
     walkCache.computeIfAbsent((s, d), { _ =>
       val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))

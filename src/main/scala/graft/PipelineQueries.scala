@@ -53,7 +53,10 @@ object PipelineQueries {
     * invocations from accumulating temp dirs and streaming sinks). */
   val memoBackedQueries: Set[String] = Set(
     "curate_dup_clusters_df", "curate_cluster_histogram",
-    "curate_export_manifest", "curate_funnel")
+    "curate_export_manifest", "curate_funnel",
+    // the shared walk-corpus memo: each entry timed cold pays the full
+    // walk build (same convention as the funnel family above)
+    "graph_random_walks", "graph_walk_pairs")
 
   /** Drop the per-(session, dir) memos behind [[memoBackedQueries]]. The
     * streaming memos (events_stream_dedup / stream_sig_dedup) are NOT
@@ -63,6 +66,7 @@ object PipelineQueries {
   def clearMemos(s: SparkSession, d: String): Unit = {
     neardupLabelsCache.remove((s, d))
     exportManifestCache.remove((s, d))
+    GraphQueries.clearWalkMemo(s, d)
   }
 
   // Trained IVF-PQ index per (session, dir) — the production lifecycle
