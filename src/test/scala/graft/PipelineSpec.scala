@@ -800,6 +800,41 @@ class PipelineSpec extends SparkSuite {
     assert(pred == Map(1L -> "fruit", 2L -> "fruit", 3L -> "tool", 4L -> "tool"))
   }
 
+  test("naive Bayes: randomized corpora match a driver-side reference exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    for (round <- 1 to 5) {
+      val labels = Vector.tabulate(2 + rnd.nextInt(2))(i => s"l$i")
+      val docs = (1 to (8 + rnd.nextInt(12))).map { id =>
+        val words = Seq.fill(rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+        (id.toLong, words.mkString(" "), labels(rnd.nextInt(labels.size)))
+      }
+      val df = docs.toDF("doc_id", "text", "cat")
+      val (wm, lt) = TextAnalysis.naiveBayesModel(df, "text", "cat")
+      val got = TextAnalysis.naiveBayesClassify(df, "doc_id", "text", wm, lt)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      // driver-side reference: same quantized-micro-ln model, same argmax
+      val micro = (p: Double) => math.floor(math.log(p) * 1e6 + 0.5).toLong
+      val toks = docs.map { case (id, t, l) => (id, t.split(" ").filter(_.nonEmpty), l) }
+      val cnt = toks.flatMap { case (_, ws, l) => ws.map(w => (l, w)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tot = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val v = cnt.keys.map(_._2).toSet.size
+      val priors = docs.groupBy(_._3).view.mapValues(g => micro(g.size.toDouble / docs.size)).toMap
+      val present = tot.keySet
+      val want = toks.filter(_._2.nonEmpty).map { case (id, ws, _) =>
+        val scores = present.toSeq.map { l =>
+          val s = priors(l) + ws.map(w =>
+            micro((cnt.getOrElse((l, w), 0L) + 1.0) / (tot(l) + v))).sum
+          (l, s)
+        }
+        id -> scores.minBy { case (l, s) => (-s, l) }
+      }.toMap
+      assert(got == want, s"round $round diverged:\n got=$got\nwant=$want\ndocs=$docs")
+    }
+  }
+
   test("naive Bayes: unseen words fall back to the OOV cell; zero-token docs drop") {
     import spark.implicits._
     val train = Seq(
