@@ -73,6 +73,38 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("walks")) {
+      // walk arm: randomWalks + skip-gram pairs over 1 vs 10 DISJOINT
+      // copies of the sf0.1 thresholded co-purchase graph (node ids offset
+      // per copy) — walk count and pair volume scale linearly by design
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w"))
+        .where(col("w") >= 2)
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      sym.count()
+      def copies(n: Int) = (0 until n).map(c =>
+        sym.select((col("src") + lit(c.toLong * 10000000L)).as("src"),
+          (col("dst") + lit(c.toLong * 10000000L)).as("dst")))
+        .reduce(_ unionByName _)
+      for ((n, tag) <- Seq((1, "1x"), (10, "10x"))) {
+        val e = copies(n)
+        time(s"graph_random_walks_$tag") {
+          graft.analytics.GraphAnalytics.randomWalks(e, walkLen = 4).count()
+        }
+        time(s"graph_walk_pairs_$tag") {
+          graft.analytics.GraphAnalytics.walkSkipGramPairs(
+            graft.analytics.GraphAnalytics.randomWalks(e, walkLen = 4), window = 2).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     val qs = graft.PipelineQueries.queries
     for ((dir, tag) <- Seq((base, "1x"), (big, "10x"))) {
       for (name <- Seq("dedup_paragraphs", "curate_neardup_corpus",
