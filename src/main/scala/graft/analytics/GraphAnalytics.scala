@@ -349,7 +349,8 @@ object GraphAnalytics {
     * degree-expanded candidate set — with the hop frame localCheckpointed
     * so the union of steps replays nothing. Returns (walk_id, step,
     * node): the long-form sequence corpus, step 0 = the start node. */
-  def randomWalks(edges: DataFrame, walkLen: Int, seed: String = "walk"): DataFrame = {
+  def randomWalks(edges: DataFrame, walkLen: Int, seed: String = "walk",
+                  eager: Boolean = true): DataFrame = {
     require(walkLen >= 1, s"need walkLen >= 1; got $walkLen")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
@@ -357,23 +358,26 @@ object GraphAnalytics {
       .withColumn("rn", row_number().over(Window.partitionBy("src").orderBy("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // eager=false keeps the whole hop chain as one live plan (plan
+      // inspection, embedding in a larger lazy pipeline); the default
+      // checkpoints each hop so the union of steps replays nothing
+      def settle(df: DataFrame): DataFrame =
+        if (eager) df.localCheckpoint(true) else df
       val degs = adj.groupBy("src").agg(max("rn").as("deg"))
-      var cur = e.select(col("src").as("walk_id")).distinct()
-        .select(col("walk_id"), col("walk_id").as("node"))
-        .localCheckpoint(true)
+      var cur = settle(e.select(col("src").as("walk_id")).distinct()
+        .select(col("walk_id"), col("walk_id").as("node")))
       val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
         cur.select(col("walk_id"), lit(0L).as("step"), col("node")))
       for (s <- 1 to walkLen) {
         val pick = conv(substring(md5(concat_ws("|", lit(seed),
             col("walk_id").cast("string"), lit(s.toString))), 1, 12), 16, 10)
           .cast("long") % col("deg") + 1
-        cur = cur
+        cur = settle(cur
           .join(degs.withColumnRenamed("src", "node"), Seq("node"))
           .select(col("walk_id"), col("node"), pick.as("__rn"))
           .join(adj.select(col("src").as("node"), col("rn").as("__rn"), col("dst")),
             Seq("node", "__rn"))
-          .select(col("walk_id"), col("dst").as("node"))
-          .localCheckpoint(true)
+          .select(col("walk_id"), col("dst").as("node")))
         steps += cur.select(col("walk_id"), lit(s.toLong).as("step"), col("node"))
       }
       steps.reduce(_ unionByName _)

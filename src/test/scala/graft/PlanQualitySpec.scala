@@ -593,6 +593,24 @@ class PlanQualitySpec extends SparkSuite {
     }
   }
 
+  test("random walks: hop joins are equi-keyed, no cartesian or nested loop") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (1L, 0L), (2L, 1L), (0L, 2L))
+      .toDF("src", "dst")
+    // eager=false keeps every hop join in ONE live plan (the default
+    // checkpoints each hop, which would hide the joins from inspection)
+    val out = graft.analytics.GraphAnalytics.randomWalks(edges, walkLen = 2,
+      eager = false)
+    out.collect()
+    // each hop must join exactly one adjacency row per live walk — a
+    // degree-expanded candidate set (join on src alone, rank filtered
+    // after) or a nested loop would blow up on hub nodes at corpus scale
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("Join"), s"hop joins missing from the live plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in walk plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in walk plan:\n$plan")
+  }
+
   test("NB classify: tf partial-aggregates, argmax is an aggregate not a window, no cartesian") {
     import spark.implicits._
     val docs = Seq(
