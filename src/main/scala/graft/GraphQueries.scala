@@ -398,6 +398,20 @@ object GraphQueries {
     // 2-step window of the shared walk corpus
     "graph_walk_pairs" -> ((s, d) =>
       GraphAnalytics.walkSkipGramPairs(coPurchaseWalks(s, d), window = 2)),
+    // weight-proportional walks: step choice lands the md5 uniform in the
+    // neighbor's slot of the cumulative shared-order-count ladder
+    "graph_weighted_walks" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w"))
+        .where(col("w") >= 2)
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("w").as("weight"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"), col("w").as("weight")))
+      GraphAnalytics.weightedRandomWalks(sym, walkLen = 4)
+        .select(col("walk_id").cast("long"), col("step"), col("node").cast("long"))
+    }),
     // WEIGHTED shortest paths (min-plus over an explicit weighted edge
     // table — the WeightedGraph surface with an actual algorithm):
     // customer -> nation -> region with deterministic integer weights;
@@ -604,6 +618,36 @@ object GraphQueries {
 
   private val randomWalksSql: String =
     s"WITH $walkCtes\nSELECT walk_id, step, node FROM walks"
+
+  // weighted variant: same replay with the cumulative-weight ladder (lo/hi
+  // slots per neighbor) instead of the uniform rank choice
+  private val weightedWalksSql: String = {
+    def pick(i: Int) =
+      s"CAST(concat('0x', substr(md5('wwalk|'||CAST(t.walk_id AS VARCHAR)||'|$i'), 1, 12)) AS BIGINT) % dg.tot"
+    val hops = (1 to 4).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT t.walk_id, a.dst AS node FROM v${i - 1} t
+         |  JOIN wdegs dg ON dg.src = t.node
+         |  JOIN wadj a ON a.src = t.node
+         |   AND ${pick(i)} >= a.lo AND ${pick(i)} < a.hi)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 to 4).map(i =>
+      s"SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST($i AS BIGINT) AS step, CAST(node AS BIGINT) AS node FROM v$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH we AS MATERIALIZED (
+       |  SELECT a, b, w FROM (
+       |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
+       |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+       |  WHERE w >= 2),
+       |wsym AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM we UNION ALL SELECT b AS src, a AS dst, w FROM we),
+       |wadj AS MATERIALIZED (SELECT src, dst,
+       |  sum(w) OVER (PARTITION BY src ORDER BY dst) AS hi,
+       |  sum(w) OVER (PARTITION BY src ORDER BY dst) - w AS lo FROM wsym),
+       |wdegs AS MATERIALIZED (SELECT src, max(hi) AS tot FROM wadj GROUP BY src),
+       |v0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS node FROM wsym),
+       |$hops
+       |$out""".stripMargin
+  }
 
   private val walkPairsSql: String =
     s"""WITH $walkCtes
@@ -830,6 +874,7 @@ object GraphQueries {
     "graph_kcore_df" -> kCoreSql,
     "graph_random_walks" -> randomWalksSql,
     "graph_walk_pairs" -> walkPairsSql,
+    "graph_weighted_walks" -> weightedWalksSql,
     // unique-path closed form: region 0 to itself, nation = its own
     // edge weight, customer = customer-edge + nation-edge weights
     "graph_wsssp_df" ->

@@ -384,6 +384,58 @@ object GraphAnalytics {
     } finally adj.unpersist()
   }
 
+  /** [[randomWalks]] with edge-weight-proportional step choice — the
+    * weighted-graph walk (node2vec's static-bias case): a neighbor is
+    * chosen with probability weight/Σweights, deterministically, by
+    * landing the md5 uniform in the neighbor's slot of the per-source
+    * cumulative-weight ladder. Weights are positive integers (quantize
+    * upstream if fractional) so the ladder is exact in both engines;
+    * duplicate (src, dst) edges collapse to their max weight.
+    *
+    * Scale: the ladder is ONE window keyed by src (degree-bounded, built
+    * once and persisted); each hop joins on the source node with the
+    * ladder-interval containment as the join residual — the interval
+    * test evaluates during the join without materializing a
+    * degree-expanded row set, and exactly one adjacency row survives per
+    * live walk. Same output shape and truncation semantics as
+    * [[randomWalks]]. */
+  def weightedRandomWalks(edges: DataFrame, walkLen: Int, seed: String = "wwalk",
+                          eager: Boolean = true): DataFrame = {
+    require(walkLen >= 1, s"need walkLen >= 1; got $walkLen")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("weight").cast("long").as("w"))
+      .where(col("w") > 0)
+      .groupBy("src", "dst").agg(max("w").as("w"))
+    val adj = e
+      .withColumn("hi", sum("w").over(Window.partitionBy("src").orderBy("dst")))
+      .withColumn("lo", col("hi") - col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      def settle(df: DataFrame): DataFrame =
+        if (eager) df.localCheckpoint(true) else df
+      val degs = adj.groupBy("src").agg(max("hi").as("tot"))
+      var cur = settle(e.select(col("src").as("walk_id")).distinct()
+        .select(col("walk_id"), col("walk_id").as("node")))
+      val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
+        cur.select(col("walk_id"), lit(0L).as("step"), col("node")))
+      for (s <- 1 to walkLen) {
+        val pick = conv(substring(md5(concat_ws("|", lit(seed),
+            col("walk_id").cast("string"), lit(s.toString))), 1, 12), 16, 10)
+          .cast("long") % col("tot")
+        val hop = cur
+          .join(degs.withColumnRenamed("src", "node"), Seq("node"))
+          .select(col("walk_id"), col("node"), pick.as("__pick"))
+        val a = adj.select(col("src").as("__n"), col("lo"), col("hi"), col("dst"))
+        cur = settle(hop
+          .join(a, hop("node") === a("__n") &&
+            col("__pick") >= col("lo") && col("__pick") < col("hi"))
+          .select(col("walk_id"), col("dst").as("node")))
+        steps += cur.select(col("walk_id"), lit(s.toLong).as("step"), col("node"))
+      }
+      steps.reduce(_ unionByName _)
+    } finally adj.unpersist()
+  }
+
   /** Skip-gram training pairs from a walk corpus ([[randomWalks]] output):
     * every (center, context) node pair co-occurring within `window` steps
     * of the same walk, tallied — the word2vec-over-walks batch feed.
