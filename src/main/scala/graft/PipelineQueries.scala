@@ -315,6 +315,17 @@ object PipelineQueries {
             .getField("text")).as("text"))
       Dedup.paragraphDedup(comp, "cid", "text")
     }),
+    // cross-document duplicated-paragraph ratios (the CCNet/RefinedWeb
+    // boilerplate signal): share of each composite's paragraphs and bytes
+    // seen in at least one other composite
+    "dedup_paragraph_report" -> ((s, d) => {
+      val comp = dedupCorpus(s, d)
+        .groupBy((col("doc_id") % 40).as("cid"))
+        .agg(concat_ws("\n",
+          array_sort(collect_list(struct(col("doc_id"), col("text"))))
+            .getField("text")).as("text"))
+      Dedup.dupParagraphReport(comp, "cid", "text")
+    }),
     // C4-style line cleaning: short lines (< 30 words) and a blacklist
     // phrase dropped, documents reassembled from the survivors
     "curate_clean_lines" -> ((s, d) => {
@@ -1815,6 +1826,20 @@ object PipelineQueries {
            |SELECT cid, string_agg(para, chr(10) ORDER BY pos) AS text,
            |  count(*) AS n_kept, CAST(any_value(n) - count(*) AS BIGINT) AS n_dropped
            |FROM keep GROUP BY cid""".stripMargin,
+      "dedup_paragraph_report" ->
+        s"""$corpusCte,
+           |comp AS (SELECT doc_id % 40 AS cid,
+           |    string_agg(text, chr(10) ORDER BY doc_id) AS text
+           |  FROM corpus GROUP BY 1),
+           |pr AS (SELECT cid, unnest(string_split(text, chr(10))) AS para FROM comp),
+           |ph AS (SELECT cid, para, strlen(para) AS len FROM pr),
+           |grp AS (SELECT para, count(DISTINCT cid) AS ndocs FROM ph GROUP BY para),
+           |j AS (SELECT p.cid, p.len, g.ndocs FROM ph p JOIN grp g ON g.para = p.para)
+           |SELECT cid, count(*) AS n_paras,
+           |  round(CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_para_frac,
+           |  round(coalesce(CAST(sum(CASE WHEN ndocs > 1 THEN len ELSE 0 END) AS DOUBLE)
+           |    / (CASE WHEN sum(len) > 0 THEN sum(len) END), 0.0), 4) AS dup_char_frac
+           |FROM j GROUP BY cid""".stripMargin,
       "curate_clean_lines" ->
         """WITH comp AS (SELECT doc_id % 50 AS cid,
           |    string_agg(text, chr(10) ORDER BY doc_id) AS text

@@ -799,6 +799,40 @@ object Dedup {
     *
     * `sep` is treated as a LITERAL separator (regex-quoted for the split),
     * matching its literal use in the reassembly concat_ws. */
+  /** Per-document CROSS-corpus duplicated-paragraph ratios — the
+    * CCNet/RefinedWeb boilerplate signal that [[graft.pipeline.TextAnalysis.repetitionTable]]'s
+    * WITHIN-document fractions cannot see: for each document, the share
+    * of its paragraphs (and of its paragraph bytes) whose content appears
+    * in at least one OTHER document. High values mark navigation chrome,
+    * license footers, and syndicated copy; curation thresholds on them
+    * before (or instead of) hard paragraph removal.
+    *
+    * Scale: one narrow explode; the per-paragraph distinct-document tally
+    * keys on xxhash64(paragraph) (8-byte shuffle key, map-side partial
+    * distinct) and joins back on the same hash; the per-document rollup
+    * is one map-side-combined aggregation. Byte fractions use
+    * octet_length (engine-exact; char counting diverges on
+    * supplementary-plane text). Returns (idCol, n_paras, dup_para_frac,
+    * dup_char_frac), 4 dp. */
+  def dupParagraphReport(df: DataFrame, idCol: String, textCol: String,
+                         sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val paras = df
+      .select(col(idCol), explode(split(col(textCol), sepRe)).as("__para"))
+      .select(col(idCol), xxhash64(col("__para")).as("__ph"),
+        octet_length(col("__para")).cast("long").as("__len"))
+    val grp = paras.groupBy("__ph")
+      .agg(countDistinct(col(idCol)).as("__ndocs"))
+    paras.join(grp, Seq("__ph"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_paras"),
+        round(sum(when(col("__ndocs") > 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("dup_para_frac"),
+        round(coalesce(
+          sum(when(col("__ndocs") > 1, col("__len")).otherwise(0L)).cast("double") /
+            when(sum("__len") > 0, sum("__len")), lit(0.0)), 4).as("dup_char_frac"))
+  }
+
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      sep: String = "\n"): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)

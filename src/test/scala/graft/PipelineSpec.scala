@@ -777,6 +777,27 @@ class PipelineSpec extends SparkSuite {
     assert(!out.contains(3L))       // empty doc carries no rows
   }
 
+  test("dupParagraphReport: hand-traced cross-doc ratios; within-doc repeats don't count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared\nunique-one"),           // 1 of 2 paras shared
+      (2L, "shared\nunique-two\nlonely"),   // 1 of 3 shared
+      (3L, "solo\nsolo"),                   // repeats only WITHIN itself
+      (4L, "")).toDF("doc_id", "text")      // one empty paragraph
+    val out = Dedup.dupParagraphReport(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 0.5)
+    // chars: "shared"=6 of 6+10=16 -> 0.375
+    assert(out(1L)._3 == 0.375)
+    assert(out(2L)._1 == 3 && out(2L)._2 == 0.3333)
+    // doc 3's repeated paragraph lives in ONE distinct doc -> not duplicated
+    assert(out(3L) == ((2L, 0.0, 0.0)), s"within-doc repeat misflagged: ${out(3L)}")
+    // the empty doc's single empty paragraph is unique -> 0, and its
+    // zero-byte denominator coalesces instead of dividing by zero
+    assert(out(4L) == ((1L, 0.0, 0.0)))
+  }
+
   test("naive Bayes: separable fixture classifies 100%, hand-checked cell math") {
     import spark.implicits._
     val docs = Seq(
