@@ -83,8 +83,9 @@ object Bench {
     // DeepWalk-style deterministic walk corpus over the co-purchase graph
     // + its skip-gram pair extraction (shared walk materialization)
     "graph_random_walks", "graph_walk_pairs", "graph_weighted_walks",
-    // CCNet-style cross-document duplicated-paragraph ratios
-    "dedup_paragraph_report")
+    // CCNet-style cross-document duplicated-paragraph ratios +
+    // seed-conditioned personalized PageRank
+    "dedup_paragraph_report", "graph_ppr_df")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

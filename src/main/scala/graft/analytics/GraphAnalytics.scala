@@ -180,6 +180,60 @@ object GraphAnalytics {
     } finally { verts.unpersist(); edges.unpersist() }
   }
 
+  /** Personalized PageRank over a seed set — the seed-conditioned
+    * relevance feature (recommendation candidates, graph-local expansion
+    * of a labeled set): r_{t+1}(v) = reset·seed(v) + damp·Σ_in
+    * r_t(u)/outdeg(u), r_0(v) = reset·seed(v). Unlike [[pageRankDF]]
+    * there is no |V|-normalization: mass stays localized around the
+    * seeds, and non-reachable vertices report 0 — thresholding on the raw
+    * score IS the use case.
+    *
+    * Scale: identical loop shape to [[pageRankDF]] (one equi-join + one
+    * map-side-combinable aggregation per round, out-degree vertices only
+    * in the iterate, checkpoint every 5 rounds); the seed flag is one
+    * extra double riding the iterated frame. `seeds` is a (vid: long)
+    * frame — at cluster scale typically small and broadcast by AQE into
+    * the out-degree join. Returns (id, rank). */
+  def personalizedPageRankDF(g: GraphStore, toLong: Column => Column,
+                             seeds: DataFrame, numIter: Int = 10,
+                             resetProb: Double = 0.15): DataFrame = {
+    require(numIter >= 1, s"need numIter >= 1; got $numIter")
+    val verts = g.vertices.select(toLong(col("id")).as("vid"), col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = g.edges
+      .select(toLong(col("src")).as("src"), toLong(col("dst")).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedT = seeds.select(col("vid").cast("long").as("vid"),
+        lit(1.0).as("__sd")).distinct()
+      val outDegT = edges.groupBy(col("src").as("vid"))
+        .agg(count(lit(1)).as("__outdeg"))
+        .join(seedT, Seq("vid"), "left")
+        .select(col("vid"), col("__outdeg"),
+          coalesce(col("__sd"), lit(0.0)).as("__sd"))
+        .localCheckpoint(true)
+      var rr = outDegT.withColumn("r", lit(resetProb) * col("__sd"))
+        .localCheckpoint(true)
+      def inbound(cur: DataFrame): DataFrame =
+        edges.join(cur.select(col("vid").as("src"),
+            (col("r") / col("__outdeg")).as("__share")), Seq("src"))
+          .groupBy(col("dst").as("vid")).agg(sum("__share").as("__in"))
+      for (i <- 1 until numIter) {
+        rr = outDegT.join(inbound(rr), Seq("vid"), "left")
+          .select(col("vid"), col("__outdeg"), col("__sd"),
+            (lit(resetProb) * col("__sd") +
+              lit(1.0 - resetProb) * coalesce(col("__in"), lit(0.0))).as("r"))
+        if (i % 5 == 0 || i == numIter - 1) rr = rr.localCheckpoint(true)
+      }
+      verts
+        .join(inbound(rr), Seq("vid"), "left")
+        .join(seedT, Seq("vid"), "left")
+        .select(col("id"),
+          (lit(resetProb) * coalesce(col("__sd"), lit(0.0)) +
+            lit(1.0 - resetProb) * coalesce(col("__in"), lit(0.0))).as("rank"))
+    } finally { verts.unpersist(); edges.unpersist() }
+  }
+
   /** Synchronous label propagation (community detection) without the RDD
     * round-trip: `rounds` sync updates in which every vertex adopts the
     * most frequent label among its undirected neighbors, ties broken by

@@ -234,6 +234,33 @@ class AnalyticsSpec extends SparkSuite {
     assert(out.sorted.toSeq != out3.sorted.toSeq, "seed does not influence the walk")
   }
 
+  test("personalizedPageRankDF: hand-computed DAG fixpoint, mass stays seed-local") {
+    import spark.implicits._
+    import graft.model.{GraphStore, PropValue}
+    val marker = PropValue.typed("N")
+    val verts = Seq("n:1", "n:2", "n:3", "n:4", "n:5", "n:6")
+      .toDF("id").withColumn("prop_hash", lit(marker.hash))
+    val edges = Seq(("n:1", "n:2"), ("n:1", "n:3"), ("n:2", "n:3"), ("n:5", "n:6"))
+      .toDF("src", "dst")
+      .select(lit("e").as("edge_id"), col("src"), col("dst"), lit(marker.hash).as("prop_hash"))
+    val props = Seq((marker.hash, marker.json, marker.variant))
+      .toDF("hash", "value", "schema_type")
+    val g = GraphStore(verts, edges, props, Seq.empty[(String, String)].toDF("parent_hash", "child_hash"))
+    val toLong: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => split(id, ":").getItem(1).cast("long")
+    val seeds = Seq(1L).toDF("vid")
+    val out = graft.analytics.GraphAnalytics
+      .personalizedPageRankDF(g, toLong, seeds, numIter = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // DAG fixpoint (exact after 3 rounds): r1 = 0.15 (seed, no in-edges);
+    // r2 = 0.85*(0.15/2); r3 = 0.85*(0.15/2 + r2); the 5->6 component and
+    // the isolated node carry NO mass — seed-locality is the contract
+    assert(math.abs(out("n:1") - 0.15) < 1e-12)
+    assert(math.abs(out("n:2") - 0.85 * 0.075) < 1e-12)
+    assert(math.abs(out("n:3") - 0.85 * (0.075 + 0.85 * 0.075)) < 1e-12)
+    assert(out("n:4") == 0.0 && out("n:5") == 0.0 && out("n:6") == 0.0)
+  }
+
   test("weightedRandomWalks: ladder math hand-checked, weight bias measured") {
     import spark.implicits._
     // star from 0 with weights 1:9 toward nodes 1 and 2; 1 and 2 loop home
