@@ -516,6 +516,23 @@ object TextAnalysis {
     (wordModel, labelTable)
   }
 
+  /** Persist a fitted [[naiveBayesModel]] as two parquet frames — the
+    * train-offline artifact the serving side ([[naiveBayesClassify]],
+    * [[graft.streaming.EventStreams.streamingNbClassify]]) loads without
+    * re-touching the training corpus; same lifecycle as the persisted ANN
+    * index ([[AnnIndex.save]]). */
+  def saveNbModel(wordModel: DataFrame, labelTable: DataFrame, path: String): Unit = {
+    wordModel.write.mode("overwrite").parquet(s"$path/word_model.parquet")
+    labelTable.write.mode("overwrite").parquet(s"$path/label_table.parquet")
+  }
+
+  /** Load a saved NB model. Fails with Spark's usual path error when
+    * `path` holds no model. */
+  def loadNbModel(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/word_model.parquet"),
+      spark.read.parquet(s"$path/label_table.parquet"))
+
   /** Score and classify documents with a fitted [[naiveBayesModel]]:
     * argmax over labels of prior + Σ_w tf(w)·lp(w,l), unseen words falling
     * back to the label's smoothed OOV cell. Ties break label-ascending.

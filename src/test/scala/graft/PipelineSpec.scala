@@ -821,6 +821,25 @@ class PipelineSpec extends SparkSuite {
     assert(pred == Map(1L -> "fruit", 2L -> "fruit", 3L -> "tool", 4L -> "tool"))
   }
 
+  test("naive Bayes: saved model reloads and classifies identically; missing path fails") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple", "fruit"), (2L, "banana apple", "fruit"),
+      (3L, "bolt nut bolt", "tool"), (4L, "nut bolt", "tool")).toDF("doc_id", "text", "cat")
+    val (wm, lt) = TextAnalysis.naiveBayesModel(docs, "text", "cat")
+    val dir = java.nio.file.Files.createTempDirectory("graft-nbmodel").toString
+    TextAnalysis.saveNbModel(wm, lt, dir)
+    val (wm2, lt2) = TextAnalysis.loadNbModel(spark, dir)
+    val direct = TextAnalysis.naiveBayesClassify(docs, "doc_id", "text", wm, lt)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val loaded = TextAnalysis.naiveBayesClassify(docs, "doc_id", "text", wm2, lt2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(direct == loaded, "reloaded model diverges from the fitted one")
+    intercept[Exception] {
+      TextAnalysis.loadNbModel(spark, dir + "/nope")._1.collect()
+    }
+  }
+
   test("naive Bayes: randomized corpora match a driver-side reference exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260814)
