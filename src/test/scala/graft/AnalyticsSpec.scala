@@ -293,6 +293,63 @@ class AnalyticsSpec extends SparkSuite {
     assert(out.sorted.toSeq == out2.sorted.toSeq)
   }
 
+  test("walks fuzz: random digraphs match a driver-side md5 simulator exactly") {
+    import spark.implicits._
+    def u48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val rnd = new scala.util.Random(4242)
+    for (round <- 1 to 4) {
+      val n = 5 + rnd.nextInt(6)
+      // duplicate edges and self-loops allowed: dedupe/collapse is part of
+      // the contract under test
+      val raw = Seq.fill(3 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+        1L + rnd.nextInt(5)))
+      val edges = raw.toDF("src", "dst", "weight")
+      val len = 3 + rnd.nextInt(3)
+      // driver-side adjacency: distinct (src, dst) sorted by dst; weights
+      // collapse duplicates to their max
+      val dedup = raw.map(t => (t._1, t._2)).distinct
+      val adj = dedup.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+      val wAdj = raw.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).max)
+        .toSeq.map { case ((s, d), w) => (s, d, w) }
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toVector).toMap
+      def simulate(seed: String, pickDst: (Long, Long, Int) => Option[Long]) = {
+        val starts = dedup.map(_._1).distinct.sorted
+        starts.flatMap { w0 =>
+          var cur = w0
+          var alive = true
+          (0 to len).flatMap { step =>
+            if (step == 0) Seq((w0, 0L, w0))
+            else if (!alive) Seq.empty
+            else pickDst(w0, cur, step) match {
+              case Some(d) => cur = d; Seq((w0, step.toLong, d))
+              case None => alive = false; Seq.empty
+            }
+          }
+        }.sorted
+      }
+      val wantU = simulate("walk", (w, cur, step) =>
+        adj.get(cur).map(ns => ns((u48(s"walk|$w|$step") % ns.size).toInt)))
+      val gotU = graft.analytics.GraphAnalytics.randomWalks(edges, len)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(gotU == wantU, s"round $round unweighted diverged\n got=$gotU\nwant=$wantU")
+      val wantW = simulate("wwalk", { (w, cur, step) =>
+        wAdj.get(cur).map { ns =>
+          val tot = ns.map(_._3).sum
+          val pick = u48(s"wwalk|$w|$step") % tot
+          var acc = 0L
+          ns.find { t => acc += t._3; pick < acc }.get._2
+        }
+      })
+      val gotW = graft.analytics.GraphAnalytics.weightedRandomWalks(edges, len)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(gotW == wantW, s"round $round weighted diverged\n got=$gotW\nwant=$wantW")
+    }
+  }
+
   test("walkSkipGramPairs: hand-traced window pairs over a fixed corpus") {
     import spark.implicits._
     // one walk 10->11->12, one walk 20->21 (already-materialized corpus —
