@@ -277,15 +277,20 @@ object EventStreams {
     * source assigns whole files to batches and the tf aggregation + argmax
     * key on the document id inside one batch, so the output is identical
     * to batch scoring under any micro-batch partitioning. Scored rows
-    * append to `outDir` as parquet (the restart-safe sink shape; at
-    * cluster scale this is the scored-corpus delta feed). Returns the
-    * read-back scored frame. */
+    * append to `outDir` as parquet (at cluster scale this is the
+    * scored-corpus delta feed). Pass `checkpointDir` for restart safety:
+    * the source tracks processed files there, so a killed-and-restarted
+    * serve resumes at the first unscored file instead of re-appending
+    * every document's rows again; without it (tests, one-shot runs) a
+    * restart reprocesses from scratch. Returns the read-back scored
+    * frame. */
   def streamingNbClassify(spark: SparkSession, srcDir: String, outDir: String,
                           wordModel: DataFrame, labelTable: DataFrame,
                           idCol: String, textCol: String,
                           schema: StructType,
-                          maxFilesPerTrigger: Int = 4): DataFrame = {
-    val q = spark.readStream.schema(schema)
+                          maxFilesPerTrigger: Int = 4,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val w0 = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
       .writeStream
@@ -295,7 +300,7 @@ object EventStreams {
           .write.mode("append").parquet(outDir)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    val q = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d)).start()
     q.awaitTermination()
     spark.read.parquet(outDir)
   }

@@ -138,6 +138,36 @@ class StreamingSpec extends SparkSuite {
     assert(sRows.size == 8)
   }
 
+  test("streaming NB serve: checkpointed restart scores only unseen files, no dup rows") {
+    import spark.implicits._
+    val train = Seq((1L, "apple banana", "fruit"), (2L, "bolt nut", "tool"))
+      .toDF("doc_id", "text", "cat")
+    val (wm, lt) = graft.pipeline.TextAnalysis.naiveBayesModel(train, "text", "cat")
+    val src = java.nio.file.Files.createTempDirectory("graft-nbck-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-nbck-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-nbck-ck").toString
+    def addFile(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-nbck-tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"$tag.parquet"))
+    }
+    addFile(Seq((10L, "apple apple", "x"), (11L, "bolt bolt", "x"))
+      .toDF("doc_id", "text", "cat"), "b0")
+    val first = EventStreams.streamingNbClassify(spark, src, out, wm, lt,
+      "doc_id", "text", train.schema, maxFilesPerTrigger = 1, checkpointDir = Some(ck))
+    assert(first.select("doc_id").as[Long].collect().sorted.toSeq == Seq(10L, 11L))
+    // "restart": a second run over the SAME source (one new file) with the
+    // SAME checkpoint must score only the new documents
+    addFile(Seq((12L, "banana nut", "x")).toDF("doc_id", "text", "cat"), "b1")
+    val second = EventStreams.streamingNbClassify(spark, src, out, wm, lt,
+      "doc_id", "text", train.schema, maxFilesPerTrigger = 1, checkpointDir = Some(ck))
+    val ids = second.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(10L, 11L, 12L), s"restart re-scored or skipped: $ids")
+  }
+
   test("streaming embedding ingest appends to the persisted ann index") {
     import spark.implicits._
     val all = (0L until 24L).map(i => (i,
