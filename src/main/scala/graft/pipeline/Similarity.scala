@@ -136,14 +136,17 @@ object Similarity {
     // operator's canonical (query_id, neighbor_id, cos, rank) shape
     ivfScoredPairs(corpus.select(col(idCol), col(vecCol)),
         queries.select(col(idCol), col(vecCol)), centroids, idCol, vecCol, nprobe)
+      .drop("probe_rank")
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** The shared IVF propose/score core: probed-list candidate pairs with
     * exact cosine, BEFORE any ranking — [[ivfTopKWith]] windows it to
     * top-k; [[hardNegatives]] filters by label first so same-label
-    * neighbors cannot crowd the negatives out of the top-k. Extra columns
-    * on `corpus`/`queries` beyond (id, vec) ride through to the output
+    * neighbors cannot crowd the negatives out of the top-k;
+    * [[ivfNprobeSweep]] ranks once at the deepest rung and derives the
+    * shallower rungs from the emitted `probe_rank`. Extra columns on
+    * `corpus`/`queries` beyond (id, vec) ride through to the output
     * prefixed `n_`/`q_` (narrow — they board the assignment and probe
     * projections, never a second corpus join). */
   private def ivfScoredPairs(corpus: DataFrame, queries: DataFrame,
@@ -184,15 +187,15 @@ object Similarity {
         qExtra.map(c => col(c).as(s"q_$c")): _*)
       .crossJoin(cent)
       .select(col("query_id") +: col("qv") +:
-        explode(slice(array_sort(transform(col("__cents"), c =>
+        posexplode(slice(array_sort(transform(col("__cents"), c =>
             struct((-cosine(col("qv"), c.getField("centroid"))).as("nc"),
               c.getField("cid").as("cid")))),
-          1, nprobe)).as("__p") +: qExtra.map(c => col(s"q_$c")): _*)
-      .select(col("query_id") +: col("qv") +: col("__p.cid").as("cid") +:
-        qExtra.map(c => col(s"q_$c")): _*)
+          1, nprobe)).as(Seq("__pos", "__p")) +: qExtra.map(c => col(s"q_$c")): _*)
+      .select(col("query_id") +: col("qv") +: (col("__pos") + 1).as("probe_rank") +:
+        col("__p.cid").as("cid") +: qExtra.map(c => col(s"q_$c")): _*)
     probes.join(assign, Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id") +: col("neighbor_id") +:
+      .select(col("query_id") +: col("neighbor_id") +: col("probe_rank") +:
         round(cosine(col("qv"), col("cv")), 6).as("cos") +:
         (qExtra.map(c => col(s"q_$c")) ++ nExtra.map(c => col(s"n_$c"))): _*)
   }
@@ -303,35 +306,15 @@ object Similarity {
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
       s"need a non-empty ladder of nprobe >= 1; got $nprobes")
     val maxP = nprobes.max
-    val cent = broadcast(corpus.where(col(idCol) < nlist)
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid"))
-      .agg(array_sort(collect_list(struct(col("cid"), col("centroid"))))
-        .as("__cents")))
-    // the ivfTopKWith assignment shape: narrow row-local argmax (zero
-    // exchanges; see ivfTopKWith)
-    val assign = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .crossJoin(cent)
-      .select(col("neighbor_id"), col("cv"),
-        graft.functions.VectorFunctions
-          .nearestCentroidNegCos(col("cv"), col("__cents"))
-          .getField("cid").as("cid"))
-      .where(col("cid").isNotNull)
-    // probe ranking ONCE at the deepest rung, 1-based position kept —
-    // row-local transform+sort+slice over the broadcast centroid array
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(cent)
-      .select(col("query_id"), col("qv"),
-        posexplode(slice(array_sort(transform(col("__cents"), c =>
-            struct((-cosine(col("qv"), c.getField("centroid"))).as("nc"),
-              c.getField("cid").as("cid")))),
-          1, maxP)).as(Seq("__pos", "__p")))
-      .select(col("query_id"), col("qv"),
-        (col("__pos") + 1).as("probe_rank"), col("__p.cid").as("cid"))
-    // every corpus vector lives in exactly one list, so no pair repeats
-    val scored = probes.join(assign, Seq("cid"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("probe_rank"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    // ONE shared-core pass at the deepest rung (assignment + probe ranking
+    // + exact scoring); every shallower rung is a filter on the emitted
+    // probe_rank — no per-rung re-scan
+    val scored = ivfScoredPairs(
+        corpus.select(col(idCol), col(vecCol)),
+        queries.select(col(idCol), col(vecCol)),
+        corpus.where(col(idCol) < nlist)
+          .select(col(idCol).cast("long").as("cid"), col(vecCol).as("centroid")),
+        idCol, vecCol, maxP)
       .localCheckpoint(true)
     val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
       .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
