@@ -315,6 +315,10 @@ object PipelineQueries {
             .getField("text")).as("text"))
       Dedup.paragraphDedup(comp, "cid", "text")
     }),
+    // deterministic epoch shuffle: reproducible per-epoch shard +
+    // within-shard order from md5(epoch|id), no RNG state
+    "curate_epoch_shuffle" -> ((s, d) =>
+      pipeline.Curation.epochShuffle(docs(s, d), "doc_id", epoch = 1, nShards = 8)),
     // cross-document duplicated-paragraph ratios (the CCNet/RefinedWeb
     // boilerplate signal): share of each composite's paragraphs and bytes
     // seen in at least one other composite
@@ -1826,6 +1830,13 @@ object PipelineQueries {
            |SELECT cid, string_agg(para, chr(10) ORDER BY pos) AS text,
            |  count(*) AS n_kept, CAST(any_value(n) - count(*) AS BIGINT) AS n_dropped
            |FROM keep GROUP BY cid""".stripMargin,
+      "curate_epoch_shuffle" ->
+        """WITH h AS (SELECT doc_id, md5('epoch|1|' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+          |s AS (SELECT doc_id, hx,
+          |  CAST(concat('0x', substr(hx, 1, 6)) AS BIGINT) % 8 AS shard FROM h)
+          |SELECT doc_id, shard,
+          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS ord
+          |FROM s""".stripMargin,
       "dedup_paragraph_report" ->
         s"""$corpusCte,
            |comp AS (SELECT doc_id % 40 AS cid,

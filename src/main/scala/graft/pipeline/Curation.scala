@@ -300,6 +300,33 @@ object Curation {
       .drop("__cnt", "__quota", "__target", "__cut", "__rn")
   }
 
+  /** Deterministic epoch shuffle — the per-epoch reshuffling that
+    * pretraining shard writers need: every epoch presents a different but
+    * fully reproducible permutation (no RNG state, no collected
+    * permutation table), so a resumed or re-run job regenerates byte-equal
+    * shards. Each document's shard and within-shard position come from
+    * md5(epoch|id): shard = first 24 hash bits mod `nShards`, order = the
+    * full hash (ties by id). Different epochs give uncorrelated
+    * assignments; the same epoch always gives the same one.
+    *
+    * Scale: one hash-keyed exchange; the within-shard ordering windows
+    * over shard-sized partitions — pick nShards well above the executor
+    * count and each shard sorts locally (the same contract as
+    * [[packSequences]]'s per-shard chains). Returns (idCol, shard, ord)
+    * with ord the 1-based position inside the shard. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   nShards: Int): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1; got $nShards")
+    val h = md5(concat_ws("|", lit("epoch"), lit(epoch.toString),
+      col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), h.as("__h"),
+        (conv(substring(h, 1, 6), 16, 10).cast("long") % nShards).as("shard"))
+      .withColumn("ord", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Greedy sequence packing ("concat and chop", the standard LLM
     * pretraining batch layout): within each shard, documents are laid
     * end-to-end in id order and cut into fixed token-budget chunks; a

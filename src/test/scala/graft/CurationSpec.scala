@@ -4,6 +4,28 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.Curation
 
 class CurationSpec extends SparkSuite {
+
+  test("epochShuffle: reproducible permutation per epoch, epochs uncorrelated") {
+    import spark.implicits._
+    val docs = (1L to 400L).toDF("doc_id")
+    val e1 = pipeline.Curation.epochShuffle(docs, "doc_id", epoch = 1, nShards = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every doc assigned exactly once; within each shard ord is 1..n
+    assert(e1.size == 400)
+    e1.values.groupBy(_._1).foreach { case (_, members) =>
+      val ords = members.map(_._2).toSeq.sorted
+      assert(ords == (1L to ords.size).toSeq, s"ord not a dense permutation: $ords")
+    }
+    // byte-deterministic re-run
+    val e1b = pipeline.Curation.epochShuffle(docs, "doc_id", epoch = 1, nShards = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(e1 == e1b)
+    // a different epoch moves a substantial fraction of documents
+    val e2 = pipeline.Curation.epochShuffle(docs, "doc_id", epoch = 2, nShards = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val moved = e1.count { case (id, a) => e2(id) != a }
+    assert(moved > 300, s"epochs too correlated: only $moved/400 moved")
+  }
   import spark.implicits._
 
   lazy val docs = Seq(
