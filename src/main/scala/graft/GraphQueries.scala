@@ -359,7 +359,11 @@ object GraphQueries {
         .select(col("id"), round(col("rank"), 5).as("rank"))),
     // personalized PageRank: seed-conditioned relevance from every 10th
     // customer; mass stays seed-local (no |V| normalization), closed-form
-    // oracle on the member->nation->region DAG
+    // oracle on the member->nation->region DAG. Emitted as integer
+    // micro-units (rank · 1e6, exact in this DAG because every out-degree
+    // is 1) — the repo-wide convention for quantized scores, after the
+    // round-10 double emit flipped round(rank, 5) between 16- and 32-core
+    // runs of the same build (partition-order float summation).
     "graph_ppr_df" -> ((s, d) => {
       val g = analyticsSubgraph(graph(s, d))
       val seeds = g.vertices
@@ -367,7 +371,8 @@ object GraphQueries {
           split(col("id"), ":").getItem(1).cast("long") % 10 === 0)
         .select(analyticsToLong(col("id")).as("vid"))
       GraphAnalytics.personalizedPageRankDF(g, analyticsToLong, seeds, numIter = 10)
-        .select(col("id"), round(col("rank"), 5).as("rank"))
+        .select(col("id"),
+          round(col("rank") * lit(1000000), 0).cast("long").as("rank_u6"))
     }),
     // DataFrame-native synchronous label propagation (community
     // detection): 3 rounds, most-frequent-neighbor-label with smallest-
@@ -894,25 +899,27 @@ object GraphQueries {
         |UNION ALL SELECT CAST(100 + n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT), CAST(n_nationkey % 5 + 1 AS DOUBLE) FROM nation
         |UNION ALL SELECT CAST(1000 + c_custkey AS BIGINT), CAST(n_regionkey AS BIGINT), CAST((c_custkey % 7 + 1) + (n_nationkey % 5 + 1) AS DOUBLE) FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "graphx_pagerank" -> pageRankSql,
-    // PPR closed form on the member->nation->region DAG: members (no
-    // in-edges) hold reset*seed; a nation collects 0.85 * sum of its seed
-    // members' 0.15/1 shares; a region collects 0.85 * sum of its nations
+    // PPR closed form on the member->nation->region DAG, in exact integer
+    // micro-units (every out-degree is 1, so all mass values are exact
+    // multiples of 1e-6): a seed member holds 0.15 = 150000u; a nation
+    // collects 0.85 * 0.15 * |its seed members| = 127500u each; a region
+    // collects 0.85 * that = 108375u per seed member under it. Integer
+    // arithmetic on BOTH sides — no float summation order to diverge.
     "graph_ppr_df" ->
       """WITH seedc AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 10 = 0),
-        |nr AS (SELECT n_nationkey, n_regionkey,
-        |  CAST(0.85 AS DOUBLE) * CAST(0.15 AS DOUBLE) *
-        |    (SELECT count(*) FROM seedc WHERE c_nationkey = n_nationkey) AS r
-        |  FROM nation),
         |ranks AS (
         |  SELECT 'customer:'||c_custkey AS id,
-        |    CASE WHEN c_custkey % 10 = 0 THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS r
+        |    CASE WHEN c_custkey % 10 = 0 THEN 150000 ELSE 0 END AS u
         |  FROM customer
-        |  UNION ALL SELECT 'supplier:'||s_suppkey, CAST(0.0 AS DOUBLE) FROM supplier
-        |  UNION ALL SELECT 'nation:'||n_nationkey, r FROM nr
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 0 FROM supplier
+        |  UNION ALL SELECT 'nation:'||n_nationkey,
+        |    127500 * (SELECT count(*) FROM seedc WHERE c_nationkey = n_nationkey)
+        |  FROM nation
         |  UNION ALL SELECT 'region:'||r_regionkey,
-        |    CAST(0.85 AS DOUBLE) * (SELECT coalesce(sum(r), 0.0) FROM nr WHERE n_regionkey = r_regionkey)
+        |    108375 * (SELECT count(*) FROM seedc JOIN nation ON c_nationkey = n_nationkey
+        |              WHERE n_regionkey = r_regionkey)
         |  FROM region)
-        |SELECT id, round(r, 5) AS rank FROM ranks""".stripMargin,
+        |SELECT id, CAST(u AS BIGINT) AS rank_u6 FROM ranks""".stripMargin,
     // the DataFrame power iteration matches GraphX static PageRank
     // semantics exactly, so both answer to the same closed-form oracle
     "graph_pagerank_df" -> pageRankSql,

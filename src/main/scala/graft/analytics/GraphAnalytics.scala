@@ -191,13 +191,32 @@ object GraphAnalytics {
     * Scale: identical loop shape to [[pageRankDF]] (one equi-join + one
     * map-side-combinable aggregation per round, out-degree vertices only
     * in the iterate, checkpoint every 5 rounds); the seed flag is one
-    * extra double riding the iterated frame. `seeds` is a (vid: long)
+    * extra column riding the iterated frame. `seeds` is a (vid: long)
     * frame — at cluster scale typically small and broadcast by AQE into
-    * the out-degree join. Returns (id, rank). */
+    * the out-degree join.
+    *
+    * Rank mass is carried as DECIMAL(28,12), NOT double: decimal addition
+    * is exact, so the per-iteration share sums are independent of
+    * partition count and reduce order. The previous double form flipped
+    * `round(rank, 5)` between 16- and 32-core runs of the SAME build —
+    * the partition-order float hazard [[weightedShortestPathsDF]]
+    * documents. The share division is quantized to 12 dp (HALF_UP) once
+    * per iteration, deterministically. Returns (id, rank: decimal(28,12)). */
   def personalizedPageRankDF(g: GraphStore, toLong: Column => Column,
                              seeds: DataFrame, numIter: Int = 10,
                              resetProb: Double = 0.15): DataFrame = {
     require(numIter >= 1, s"need numIter >= 1; got $numIter")
+    val mass = "decimal(28,12)"
+    // BigDecimal.decimal uses the double's SHORTEST decimal rendering, so
+    // resetProb = 0.15 becomes exactly 0.15, not 0.1499999... The reset/
+    // damp literals deliberately KEEP their natural small precision (2,2):
+    // casting them to (28,12) would make every product (28,12)×(28,12),
+    // whose ideal scale 24 exceeds precision 38 and gets bounded to SIX
+    // decimal places by Spark's decimal rules — a 5e-7 error per round.
+    // (2,2)×(28,12) → (31,14) fits, so products stay exact pre-quantize.
+    val reset = lit(BigDecimal.decimal(resetProb))
+    val damp = lit(BigDecimal.decimal(1.0 - resetProb))
+    val zero = lit(BigDecimal(0)).cast(mass)
     val verts = g.vertices.select(toLong(col("id")).as("vid"), col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = g.edges
@@ -205,32 +224,33 @@ object GraphAnalytics {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val seedT = seeds.select(col("vid").cast("long").as("vid"),
-        lit(1.0).as("__sd")).distinct()
+        lit(BigDecimal(1)).cast(mass).as("__sd")).distinct()
       val outDegT = edges.groupBy(col("src").as("vid"))
         .agg(count(lit(1)).as("__outdeg"))
         .join(seedT, Seq("vid"), "left")
         .select(col("vid"), col("__outdeg"),
-          coalesce(col("__sd"), lit(0.0)).as("__sd"))
+          coalesce(col("__sd"), zero).as("__sd"))
         .localCheckpoint(true)
-      var rr = outDegT.withColumn("r", lit(resetProb) * col("__sd"))
+      var rr = outDegT.withColumn("r", (reset * col("__sd")).cast(mass))
         .localCheckpoint(true)
       def inbound(cur: DataFrame): DataFrame =
         edges.join(cur.select(col("vid").as("src"),
-            (col("r") / col("__outdeg")).as("__share")), Seq("src"))
-          .groupBy(col("dst").as("vid")).agg(sum("__share").as("__in"))
+            (col("r") / col("__outdeg")).cast(mass).as("__share")), Seq("src"))
+          .groupBy(col("dst").as("vid"))
+          .agg(sum("__share").cast(mass).as("__in"))
       for (i <- 1 until numIter) {
         rr = outDegT.join(inbound(rr), Seq("vid"), "left")
           .select(col("vid"), col("__outdeg"), col("__sd"),
-            (lit(resetProb) * col("__sd") +
-              lit(1.0 - resetProb) * coalesce(col("__in"), lit(0.0))).as("r"))
+            (reset * col("__sd") +
+              damp * coalesce(col("__in"), zero)).cast(mass).as("r"))
         if (i % 5 == 0 || i == numIter - 1) rr = rr.localCheckpoint(true)
       }
       verts
         .join(inbound(rr), Seq("vid"), "left")
         .join(seedT, Seq("vid"), "left")
         .select(col("id"),
-          (lit(resetProb) * coalesce(col("__sd"), lit(0.0)) +
-            lit(1.0 - resetProb) * coalesce(col("__in"), lit(0.0))).as("rank"))
+          (reset * coalesce(col("__sd"), zero) +
+            damp * coalesce(col("__in"), zero)).cast(mass).as("rank"))
     } finally { verts.unpersist(); edges.unpersist() }
   }
 
@@ -493,16 +513,24 @@ object GraphAnalytics {
   /** Skip-gram training pairs from a walk corpus ([[randomWalks]] output):
     * every (center, context) node pair co-occurring within `window` steps
     * of the same walk, tallied — the word2vec-over-walks batch feed.
-    * Pair volume is |walk rows| × 2·window bounded (the join keys on
-    * walk_id and the window is a constant), aggregated map-side into
+    *
+    * The 2·window·|walk rows| bound is STRUCTURAL: each center row
+    * explodes into its ±window context step offsets (a narrow 2·window
+    * fan-out) and equi-joins the corpus on `(walk_id, step)` — one
+    * matching context row per offset, since a walk has one node per step.
+    * A walk_id-only join with the window test as a residual would pay
+    * (walkLen+1)² comparisons per walk before filtering — 10-20× the CPU
+    * at DeepWalk-typical walkLen 40-80. Pairs aggregate map-side into
     * (center, context) counts. */
   def walkSkipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
     require(window >= 1, s"need window >= 1; got $window")
-    val a = walks.select(col("walk_id"), col("step").as("__sa"), col("node").as("center"))
-    val b = walks.select(col("walk_id"), col("step").as("__sb"), col("node").as("context"))
-    a.join(b, Seq("walk_id"))
-      .where(col("__sa") =!= col("__sb") &&
-        abs(col("__sa") - col("__sb")) <= window)
+    val offsets = array(((-window to window).filter(_ != 0).map(o => lit(o.toLong))): _*)
+    val a = walks.select(col("walk_id"), col("step"), col("node").as("center"))
+      .select(col("walk_id"), col("step"), col("center"),
+        explode(offsets).as("__off"))
+      .select(col("walk_id"), col("center"), (col("step") + col("__off")).as("step"))
+    val b = walks.select(col("walk_id"), col("step"), col("node").as("context"))
+    a.join(b, Seq("walk_id", "step"))
       .groupBy("center", "context")
       .agg(count(lit(1)).as("n_pairs"))
   }

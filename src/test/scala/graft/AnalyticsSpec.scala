@@ -249,13 +249,19 @@ class AnalyticsSpec extends SparkSuite {
     val toLong: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       id => split(id, ":").getItem(1).cast("long")
     val seeds = Seq(1L).toDF("vid")
-    val out = graft.analytics.GraphAnalytics
+    val ppr = graft.analytics.GraphAnalytics
       .personalizedPageRankDF(g, toLong, seeds, numIter = 10)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // rank rides as exact DECIMAL(28,12) — partition-order independent
+    assert(ppr.schema("rank").dataType ==
+      org.apache.spark.sql.types.DecimalType(28, 12))
+    val out = ppr.collect()
+      .map(r => r.getString(0) -> r.getDecimal(1).doubleValue()).toMap
     // DAG fixpoint (exact after 3 rounds): r1 = 0.15 (seed, no in-edges);
     // r2 = 0.85*(0.15/2); r3 = 0.85*(0.15/2 + r2); the 5->6 component and
-    // the isolated node carry NO mass — seed-locality is the contract
-    assert(math.abs(out("n:1") - 0.15) < 1e-12)
+    // the isolated node carry NO mass — seed-locality is the contract.
+    // All values are finite decimals within 12 dp; the double-arithmetic
+    // expected values are 1-ulp approximations, hence the 1e-12 band.
+    assert(out("n:1") == 0.15)
     assert(math.abs(out("n:2") - 0.85 * 0.075) < 1e-12)
     assert(math.abs(out("n:3") - 0.85 * (0.075 + 0.85 * 0.075)) < 1e-12)
     assert(out("n:4") == 0.0 && out("n:5") == 0.0 && out("n:6") == 0.0)

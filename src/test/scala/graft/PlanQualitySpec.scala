@@ -627,6 +627,29 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in weighted walk plan:\n$plan")
   }
 
+  test("skip-gram pairs: context join is equi-keyed on (walk_id, step), no residual window scan") {
+    import spark.implicits._
+    val walks = Seq(
+      (10L, 0L, 10L), (10L, 1L, 11L), (10L, 2L, 12L), (10L, 3L, 13L),
+      (20L, 0L, 20L), (20L, 1L, 21L)).toDF("walk_id", "step", "node")
+    val out = graft.analytics.GraphAnalytics.walkSkipGramPairs(walks, window = 2)
+    out.collect()
+    // the 2·window·|rows| pair bound must be STRUCTURAL: the context join
+    // keys on BOTH walk_id and the exploded step offset. A walk_id-only
+    // equi-join with |sa-sb| <= window as a residual pays (walkLen+1)²
+    // comparisons per walk — 10-20× the CPU at DeepWalk-typical len 40-80.
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val joinKeys = """(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[([^\]]*)\]"""
+      .r.findAllMatchIn(plan).map(_.group(2)).toSeq
+    assert(joinKeys.nonEmpty, s"no hash/merge join in skip-gram plan:\n$plan")
+    assert(joinKeys.forall(k => k.contains("walk_id#") && k.contains("step#")),
+      s"skip-gram join not keyed on (walk_id, step): keys $joinKeys\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in skip-gram plan:\n$plan")
+    assert(!plan.toLowerCase.contains("abs("),
+      s"residual window test survived in the skip-gram join:\n$plan")
+  }
+
   test("NB classify: tf partial-aggregates, argmax is an aggregate not a window, no cartesian") {
     import spark.implicits._
     val docs = Seq(

@@ -101,6 +101,17 @@ object ScaleProbe {
           graft.analytics.GraphAnalytics.walkSkipGramPairs(
             graft.analytics.GraphAnalytics.randomWalks(e, walkLen = 4), window = 2).count()
         }
+        // DeepWalk-typical walkLen-40 arm, pair stage ISOLATED: the walk
+        // corpus is materialized first so the timing measures only the
+        // (walk_id, step)-keyed pair join — must scale linearly in walk
+        // rows (a walk_id-only residual join would scale with len² here)
+        val corpus40 = graft.analytics.GraphAnalytics
+          .randomWalks(e, walkLen = 40).persist()
+        corpus40.count()
+        time(s"graph_walk_pairs_len40_$tag") {
+          graft.analytics.GraphAnalytics.walkSkipGramPairs(corpus40, window = 5).count()
+        }
+        corpus40.unpersist()
       }
       spark.stop(); return
     }
