@@ -585,29 +585,68 @@ object Dedup {
     * corpus-wide dropDuplicates exchange. */
   def containmentOnShingles(shingles: DataFrame, maxDf: Int = 8,
                             minContain: Double = 0.9,
-                            inputDistinct: Boolean = false): DataFrame = {
+                            inputDistinct: Boolean = false,
+                            eager: Boolean = true): DataFrame = {
     require(maxDf >= 2, s"need maxDf >= 2; got $maxDf")
     // hash at the source: every downstream exchange (df counts, the rare
     // candidate self-join, the per-doc set aggregation) moves and compares
     // fixed-width longs instead of shingle text — the same 2⁻⁶⁴-collision
     // tolerance as the verify sets, which are hash-based already
     val raw = shingles.select(col("doc"), xxhash64(col("shingle")).as("__h"))
+    // cache at the session's shuffle parallelism: a narrow shingle kernel
+    // over a unioned input otherwise persists at 2× the partition count,
+    // and every downstream scan of the cache pays 2× the task overhead
+    val nPart = shingles.sparkSession.sessionState.conf.numShufflePartitions
     val sh = (if (inputDistinct) raw else raw.dropDuplicates("doc", "__h"))
+      .coalesce(nPart)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sh.count() // eager cache fill — see ngramJaccardOnShingles
-      val rare = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
-        .where(col("__df") >= 2 && col("__df") <= maxDf)
-        .select("__h")
-      val rsh = sh.join(rare, Seq("__h"), "left_semi")
-      val cand = rsh.select(col("__h"), col("doc").as("a"))
-        .join(rsh.select(col("__h"), col("doc").as("b")), Seq("__h"))
-        .where(col("a") < col("b"))
-        .select("a", "b").distinct()
-      val sets = sh.groupBy("doc")
+      // candidate pairs in ONE corpus shuffle: group docs per shingle
+      // (collect_set is df-bounded — the where clause keeps only arrays
+      // of 2..maxDf docs, so no group outgrows maxDf longs) and unfold
+      // each sorted doc list into its a<b pairs with a narrow transform.
+      // The previous form — a df-count aggregation, a rare semi-join, and
+      // a self-join — paid THREE corpus-wide passes over the shingle
+      // cache for the same pair list.
+      val candLive = sh.groupBy("__h")
+        .agg(sort_array(collect_set(col("doc"))).as("__ds"))
+        .where(size(col("__ds")) >= 2 && size(col("__ds")) <= maxDf)
+        .select(explode(flatten(transform(col("__ds"), (a, i) =>
+          transform(slice(col("__ds"), i + lit(2), size(col("__ds")) - i - 1),
+            b => struct(a.as("a"), b.as("b")))))).as("__p"))
+        .select(col("__p.a").as("a"), col("__p.b").as("b"))
+        .distinct()
+      // the candidate list has TWO consumers (the verify join and the
+      // set-bounding semi-join below). A lazy persist does NOT protect it:
+      // AQE compiles independent query stages concurrently, and both
+      // consumers race to compute the full pair list before either fills
+      // the cache — measured as ~2× the task time of the whole query. An
+      // EAGER checkpoint is one extra scheduled job but computes the
+      // df-bounded pair list exactly once.
+      val cand = if (eager) candLive.localCheckpoint(true) else candLive
+      // verify sets are built for CANDIDATE docs only: with a rare-
+      // shingle df window most docs never pair, and a corpus-wide
+      // per-doc collect_set is pure waste — the containment join drops
+      // every non-candidate set anyway. The semi-join keeps set
+      // building candidate-bounded at any corpus size. No distinct on
+      // candDocs: the left-semi join absorbs duplicates for free.
+      val candDocs = cand.select(col("a").as("doc"))
+        .unionByName(cand.select(col("b").as("doc")))
+      // sets feed BOTH sides of the verify join, and Spark builds each
+      // broadcast side independently — without a barrier the semi-join +
+      // collect_set pipeline runs TWICE (observed in the physical plan as
+      // two sibling BroadcastExchanges over identical aggregate subtrees).
+      // The candidate-bounded output is small; checkpoint it once.
+      val setsLive = sh.join(candDocs, Seq("doc"), "left_semi")
+        .groupBy("doc")
         .agg(collect_set(col("__h")).as("__hs"))
         .select(col("doc"), capShingleSet(col("__hs")).as("__set"))
-      verifyContainment(sets, cand, minContain).localCheckpoint(true)
+      val sets = if (eager) setsLive.localCheckpoint(true) else setsLive
+      val out = verifyContainment(sets, cand, minContain)
+      // eager=false keeps the live plan inspectable (plan-shape tests);
+      // the default checkpoint cuts lineage above the persisted shingles
+      if (eager) out.localCheckpoint(true) else out
     } finally sh.unpersist()
   }
 

@@ -627,6 +627,35 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in weighted walk plan:\n$plan")
   }
 
+  test("containment verify sets are candidate-bounded: set agg input rides a doc-keyed semi-join") {
+    import spark.implicits._
+    // docs 1/2 share a rare shingle (candidates); 3..6 have singleton
+    // shingles and must never reach the per-doc collect_set
+    val sh = Seq(
+      (1L, "x"), (1L, "a"), (2L, "x"), (2L, "b"),
+      (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f")).toDF("doc", "shingle")
+    val out = graft.pipeline.Dedup.containmentOnShingles(sh,
+      maxDf = 8, minContain = 0.4, inputDistinct = true, eager = false)
+    out.collect()
+    // round 10 built verify sets for EVERY doc in the corpus — pure waste
+    // when the rare-df window pairs only a sliver of docs (the 1.5 → 3-5 s
+    // regression on dedup_containment_rare). The collect_set aggregation
+    // must sit above a doc-keyed left-semi join against the candidate ids,
+    // and the candidate pairs must come from ONE per-shingle aggregation
+    // (pair arrays unfolded in place), never a rare-table self-join.
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("collect_set"), s"no set aggregation in plan:\n$plan")
+    assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[doc#\d+L?\], \[doc#\d+L?\], LeftSemi"""
+      .r.findFirstIn(plan).isDefined,
+      s"set-agg input not semi-joined on doc:\n$plan")
+    // the candidate stage joins nothing: all Join operators in the plan
+    // are either the set-bounding LeftSemi or the two verify Inner joins
+    // on the pair keys — a join keyed on the shingle hash would be the
+    // three-pass self-join shape this rewrite removed
+    assert(!"""Join \[__h#\d+L?\]""".r.findFirstIn(plan).isDefined,
+      s"shingle-keyed join survived (self-join candidate shape):\n$plan")
+  }
+
   test("skip-gram pairs: context join is equi-keyed on (walk_id, step), no residual window scan") {
     import spark.implicits._
     val walks = Seq(
