@@ -85,7 +85,10 @@ object Bench {
     "graph_random_walks", "graph_walk_pairs", "graph_weighted_walks",
     // CCNet-style cross-document duplicated-paragraph ratios +
     // seed-conditioned personalized PageRank
-    "dedup_paragraph_report", "graph_ppr_df", "curate_epoch_shuffle")
+    "dedup_paragraph_report", "graph_ppr_df", "curate_epoch_shuffle",
+    // round-11 addition: half-corpus NB fit scoring the full corpus — the
+    // OOV fallback cell on a measured path
+    "text_nb_oov_classify")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

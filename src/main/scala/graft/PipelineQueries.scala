@@ -232,13 +232,19 @@ object PipelineQueries {
   private val normSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
   private def toksCte(src: String) =
     s"toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM $src)"
-  /** Oracle replay of the Naive Bayes fit + argmax classify (shared by the
-    * batch query and the streaming serve, which emits identical rows). */
-  private lazy val nbClassifySql =
-    s"""WITH ${toksCte("documents")},
+  /** Oracle replay of the Naive Bayes fit + argmax classify, the model
+    * fitted on `trainWhere`-filtered documents and every document scored.
+    * Out-of-vocabulary words fall back to the per-label smoothed OOV cell
+    * (left join + coalesce) exactly as the Spark classify does — with a
+    * full-corpus fit no OOV word exists, so the dedicated
+    * `text_nb_oov_classify` query trains on HALF the corpus to keep the
+    * fallback path oracle-verified. */
+  private def nbClassifySqlFor(trainWhere: String) =
+    s"""WITH train AS (SELECT * FROM documents WHERE $trainWhere),
+       |${toksCte("documents")},
        |tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
        |wrds AS (SELECT doc_id, word FROM tok WHERE word <> ''),
-       |wl AS (SELECT w.doc_id, d.lang, w.word FROM wrds w JOIN documents d USING (doc_id)),
+       |wl AS (SELECT w.doc_id, d.lang, w.word FROM wrds w JOIN train d USING (doc_id)),
        |cnt AS (SELECT lang, word, count(*) AS cnt FROM wl GROUP BY 1, 2),
        |tot AS (SELECT lang, sum(cnt) AS tot FROM cnt GROUP BY 1),
        |vs AS (SELECT count(DISTINCT word) AS v FROM cnt),
@@ -248,17 +254,23 @@ object PipelineQueries {
        |  CROSS JOIN tot t CROSS JOIN vs
        |  LEFT JOIN cnt c ON c.word = vw.word AND c.lang = t.lang),
        |pri AS (SELECT lang,
-       |    CAST(floor(ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents)) * 1000000.0 + 0.5) AS BIGINT) AS prior
-       |  FROM documents GROUP BY 1),
+       |    CAST(floor(ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM train)) * 1000000.0 + 0.5) AS BIGINT) AS prior
+       |  FROM train GROUP BY 1),
        |tf AS (SELECT doc_id, word, count(*) AS tf FROM wrds GROUP BY 1, 2),
-       |sc AS (SELECT tf.doc_id, m.lang, p.prior + sum(tf.tf * m.lp) AS score
-       |  FROM tf JOIN model m USING (word) JOIN pri p ON p.lang = m.lang
-       |  GROUP BY tf.doc_id, m.lang, p.prior),
+       |oov AS (SELECT t.lang,
+       |    CAST(floor(ln(1.0 / (t.tot + vs.v)) * 1000000.0 + 0.5) AS BIGINT) AS oc
+       |  FROM tot t CROSS JOIN vs),
+       |sc AS (SELECT tf.doc_id, o.lang, p.prior + sum(tf.tf * coalesce(m.lp, o.oc)) AS score
+       |  FROM tf CROSS JOIN oov o
+       |  LEFT JOIN model m ON m.word = tf.word AND m.lang = o.lang
+       |  JOIN pri p ON p.lang = o.lang
+       |  GROUP BY tf.doc_id, o.lang, p.prior),
        |rk AS (SELECT doc_id, lang, score,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
        |  FROM sc)
        |SELECT doc_id, lang AS label, CAST(score AS BIGINT) AS score_micro
        |FROM rk WHERE rn = 1""".stripMargin
+  private lazy val nbClassifySql = nbClassifySqlFor("1 = 1")
 
   private def shinglesExpr(n: Int): String = {
     val parts = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]").mkString("||' '||")
@@ -781,6 +793,15 @@ object PipelineQueries {
     "text_nb_classify" -> ((s, d) => {
       val dd = docs(s, d)
       val (wm, lt) = TextAnalysis.naiveBayesModel(dd, "text", "lang")
+      TextAnalysis.naiveBayesClassify(dd, "doc_id", "text", wm, lt)
+    }),
+    // NB with a REAL out-of-vocabulary path: the model fits on even
+    // doc_ids only, so odd documents carry words the model never saw and
+    // exercise the per-label OOV fallback cell end-to-end vs the oracle
+    "text_nb_oov_classify" -> ((s, d) => {
+      val dd = docs(s, d)
+      val (wm, lt) = TextAnalysis.naiveBayesModel(
+        dd.where(col("doc_id") % 2 === 0), "text", "lang")
       TextAnalysis.naiveBayesClassify(dd, "doc_id", "text", wm, lt)
     }),
     // NB resubstitution confusion matrix: actual × predicted label counts
@@ -1584,6 +1605,8 @@ object PipelineQueries {
            |  round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000.0), 4) AS logprob
            |FROM s GROUP BY doc_id""".stripMargin,
       "text_nb_classify" -> nbClassifySql,
+      // even-doc fit / full-corpus score: odd docs hit the OOV cell
+      "text_nb_oov_classify" -> nbClassifySqlFor("doc_id % 2 = 0"),
       // the streaming serve appends the SAME scored rows the batch argmax
       // produces (micro-batch-local scoring, whole-file batches)
       "stream_nb_classify" -> nbClassifySql,

@@ -349,6 +349,12 @@ object Dedup {
                      thresholds: Seq[Double] = Seq(0.5, 0.7, 0.9),
                      rungBands: Option[Seq[Int]] = None): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
+    // duplicate rungs would be UNION'd into one threshold group in
+    // per-rung mode and their pair counts summed — double the truth —
+    // while single-pass mode reports each duplicate identically; reject
+    // the ambiguity instead of picking a mode-dependent answer
+    require(thresholds.distinct.length == thresholds.length,
+      s"thresholds must be distinct; got $thresholds")
     require(rungBands.forall(_.length == thresholds.length),
       s"rungBands must align with thresholds: ${rungBands.map(_.length)} vs ${thresholds.length}")
     val spark = df.sparkSession

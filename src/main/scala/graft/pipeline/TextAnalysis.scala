@@ -505,14 +505,19 @@ object TextAnalysis {
         microLn((coalesce(col("__cnt"), lit(0L)) + lit(1L)).cast("double") /
           (col("__tot") + col("__v"))).as("__lp"))
     val nDocs = train.agg(count(lit(1)).as("__n"))
+    // totals joins LEFT with __tot defaulting to 0: a label whose training
+    // documents are all token-less has no cnt rows, and an inner join
+    // would silently drop it from the model — losing its prior and any
+    // chance of prediction. With __tot = 0 its OOV cell is ln(1/V), the
+    // maximally smoothed estimate.
     val labelTable = train.groupBy(col(labelCol).cast("string").as("__lbl"))
       .agg(count(lit(1)).as("__nl"))
       .crossJoin(broadcast(nDocs))
-      .join(totals, Seq("__lbl"))
+      .join(totals, Seq("__lbl"), "left")
       .crossJoin(broadcast(vs))
       .select(col("__lbl"),
         microLn(col("__nl").cast("double") / col("__n")).as("__prior"),
-        microLn(lit(1.0) / (col("__tot") + col("__v"))).as("__oov"))
+        microLn(lit(1.0) / (coalesce(col("__tot"), lit(0L)) + col("__v"))).as("__oov"))
     (wordModel, labelTable)
   }
 

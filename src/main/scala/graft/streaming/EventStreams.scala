@@ -290,6 +290,18 @@ object EventStreams {
                           schema: StructType,
                           maxFilesPerTrigger: Int = 4,
                           checkpointDir: Option[String] = None): DataFrame = {
+    // an uncheckpointed re-run over a non-empty outDir would re-score
+    // every source file and APPEND — the read-back would silently hold
+    // duplicate rows per document. Fail fast instead: resumable serving
+    // requires the checkpoint; one-shot serving requires a fresh outDir.
+    if (checkpointDir.isEmpty) {
+      val existing = new org.apache.hadoop.fs.Path(outDir)
+      val fs = existing.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(existing) || fs.listStatus(existing).isEmpty,
+        s"outDir $outDir is non-empty and no checkpointDir was given: " +
+          "an uncheckpointed serve would re-score every file and append " +
+          "duplicate rows. Pass checkpointDir to resume, or use a fresh outDir.")
+    }
     val w0 = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
