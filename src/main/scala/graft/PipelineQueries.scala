@@ -78,7 +78,7 @@ object PipelineQueries {
   private def ivfPqIdx(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ivfPqIndexCache.computeIfAbsent((s, d), { _ =>
       pipeline.Quantization.ivfPqIndex(embeddings(s, d), "vec_id", "embedding",
-        nlist = 16, m = 4, codewords = 16, iters = 2)
+        nlist = 16, m = 16, codewords = 256, iters = 2)
     })
 
   // Saved on-disk IVF-PQ index per (session, dir) — built + written ONCE
@@ -93,9 +93,9 @@ object PipelineQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
       val (cent, cb) = ivfPqIdx(s, d)
       val codes = pipeline.Quantization
-        .ivfPqEncode(embeddings(s, d), "vec_id", "embedding", 4, cent, cb)
+        .ivfPqEncode(embeddings(s, d), "vec_id", "embedding", 16, cent, cb)
         .withColumnRenamed("vec_id", "id")
-      pipeline.AnnIndex.save(pipeline.AnnIndex.IvfPq(cent, cb, codes, 4), dir)
+      pipeline.AnnIndex.save(pipeline.AnnIndex.IvfPq(cent, cb, codes, 16), dir)
       dir
     })
 
@@ -865,7 +865,7 @@ object PipelineQueries {
       val e = embeddings(s, d)
       val (cent, cb) = ivfPqIdx(s, d)
       pipeline.Quantization.ivfPqTopKWith(e, e.where(col("vec_id") < 5),
-        "vec_id", "embedding", k = 3, nprobe = 4, m = 4, cent, cb)
+        "vec_id", "embedding", k = 3, nprobe = 8, m = 16, cent, cb)
     }),
     // the persisted-index lifecycle: load the parquet index (centroids /
     // codebooks / codes / meta, built + saved once per corpus) and serve
@@ -875,7 +875,7 @@ object PipelineQueries {
       val e = embeddings(s, d)
       val idx = pipeline.AnnIndex.load(s, savedAnnIndex(s, d))
       pipeline.AnnIndex.search(idx, e.where(col("vec_id") < 5),
-        "vec_id", "embedding", k = 3, nprobe = 4)
+        "vec_id", "embedding", k = 3, nprobe = 8)
     }),
     // ANN QA: measured recall@k per approximate method (LSH buckets, IVF
     // probing, IVF-PQ ADC) against the exact brute-force top-k over the
@@ -884,7 +884,7 @@ object PipelineQueries {
       val e = embeddings(s, d)
       Similarity.annRecallReport(e, e.where(col("vec_id") < 30),
         "vec_id", "embedding", k = 3, planes = 4, nlist = 16, nprobe = 4,
-        m = 4, codewords = 16, ivfPqIdx = Some(ivfPqIdx(s, d)))
+        m = 16, codewords = 256, ivfPqNprobe = 8, ivfPqIdx = Some(ivfPqIdx(s, d)))
     }),
     // corpus rebalancing: sqrt-temperature quotas per detected language
     "curate_temperature_sample" -> ((s, d) => {
@@ -1138,8 +1138,9 @@ object PipelineQueries {
     def resDistSql(x: String, c: String, cw: String) =
       s"${dotSql(x, x)} - ${dotSql(x, c)} * 2 + ${dotSql(c, c)}" +
         s" - (${dotSql(x, cw)} - ${dotSql(c, cw)}) * 2 + ${dotSql(cw, cw)}"
-    def ivfpqResCtes(qBound: Int): String = {
+    def ivfpqResCtes(qBound: Int, m: Int = 16, cw: Int = 256, nprobe: Int = 8): String = {
       val iters = 2
+      val nlist = 16
       // fitted coarse quantizer: the same unrolled Lloyd chain as
       // kmeansCtes (L2 assignment, DECIMAL(30,10) sums), rq_-prefixed so
       // it composes with queries that already define v/cent/etc.
@@ -1163,7 +1164,7 @@ object PipelineQueries {
            |  SELECT e.vec_id, e.s, b.cid,
            |    row_number() OVER (PARTITION BY e.vec_id, e.s ORDER BY
            |      ${resDistSql("e.x", "c.c", "b.cw")} ASC, b.cid ASC) AS rn
-           |  FROM sv e JOIN rq_asg g ON g.vec_id = e.vec_id
+           |  FROM rq_sv e JOIN rq_asg g ON g.vec_id = e.vec_id
            |  JOIN rq_cs c ON c.lcid = g.lcid AND c.s = e.s
            |  JOIN rq_cb$t b ON b.s = e.s) t WHERE rn = 1),
            |rq_ps$t AS (SELECT a.s, a.cid, rc.pos,
@@ -1176,12 +1177,15 @@ object PipelineQueries {
            |  FROM rq_cb$t c LEFT JOIN rq_pf$t f ON f.s = c.s AND f.cid = c.cid)""".stripMargin
       }.mkString(",\n")
       s"""rq_vu AS (SELECT vec_id, unnest(ve) AS val, unnest(range(0, len(ve))) AS pos FROM v),
-         |rq_cents0 AS (SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT 16),
+         |rq_sv AS (SELECT vec_id, s,
+         |    list_slice(ve, s * (len(ve) // $m) + 1, (s + 1) * (len(ve) // $m)) AS x
+         |  FROM v CROSS JOIN (SELECT unnest(range(0, $m)) AS s)),
+         |rq_cents0 AS (SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT $nlist),
          |$coarse,
          |rq_cent AS (SELECT cid AS lcid, cv FROM rq_cents$iters),
          |rq_cs AS (SELECT lcid, s,
-         |    list_slice(cv, s * (len(cv) // 4) + 1, (s + 1) * (len(cv) // 4)) AS c
-         |  FROM rq_cent CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+         |    list_slice(cv, s * (len(cv) // $m) + 1, (s + 1) * (len(cv) // $m)) AS c
+         |  FROM rq_cent CROSS JOIN (SELECT unnest(range(0, $m)) AS s)),
          |rq_asg AS MATERIALIZED (SELECT vec_id, lcid FROM (
          |  SELECT v.vec_id, c.lcid,
          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.lcid ASC) AS rn
@@ -1189,28 +1193,28 @@ object PipelineQueries {
          |rq_rcomp AS MATERIALIZED (SELECT vec_id, s, pos, xv - cv AS rval FROM (
          |  SELECT e.vec_id, e.s, unnest(e.x) AS xv, unnest(c.c) AS cv,
          |    unnest(range(0, len(e.x))) AS pos
-         |  FROM sv e JOIN rq_asg g ON g.vec_id = e.vec_id
+         |  FROM rq_sv e JOIN rq_asg g ON g.vec_id = e.vec_id
          |  JOIN rq_cs c ON c.lcid = g.lcid AND c.s = e.s)),
          |rq_cb0 AS (SELECT r.s, r.vec_id AS cid,
          |    list_transform(range(0, len(r.x)), i -> r.x[i+1] - c.c[i+1]) AS cw
-         |  FROM sv r JOIN rq_asg g ON g.vec_id = r.vec_id
+         |  FROM rq_sv r JOIN rq_asg g ON g.vec_id = r.vec_id
          |  JOIN rq_cs c ON c.lcid = g.lcid AND c.s = r.s
-         |  WHERE r.vec_id >= 16 AND r.vec_id < 32),
+         |  WHERE r.vec_id >= $nlist AND r.vec_id < ${nlist + cw}),
          |$train,
          |rq_enc AS (SELECT vec_id, lcid, s, cid FROM (
          |  SELECT e.vec_id, g.lcid, e.s, b.cid,
          |    row_number() OVER (PARTITION BY e.vec_id, e.s ORDER BY
          |      ${resDistSql("e.x", "c.c", "b.cw")} ASC, b.cid ASC) AS rn
-         |  FROM sv e JOIN rq_asg g ON g.vec_id = e.vec_id
+         |  FROM rq_sv e JOIN rq_asg g ON g.vec_id = e.vec_id
          |  JOIN rq_cs c ON c.lcid = g.lcid AND c.s = e.s
          |  JOIN rq_cb$iters b ON b.s = e.s) t WHERE rn = 1),
          |rq_probes AS MATERIALIZED (SELECT query_id, lcid FROM (
          |  SELECT v.vec_id AS query_id, c.lcid,
          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.lcid ASC) AS rn
-         |  FROM v, rq_cent c WHERE v.vec_id < $qBound) t WHERE rn <= 4),
+         |  FROM v, rq_cent c WHERE v.vec_id < $qBound) t WHERE rn <= $nprobe),
          |rq_adc AS (SELECT q.vec_id AS query_id, p.lcid, q.s, b.cid,
          |    CAST(floor((${resDistSql("q.x", "c.c", "b.cw")}) * 1000000.0 + 0.5) AS BIGINT) AS micro
-         |  FROM sv q JOIN rq_probes p ON p.query_id = q.vec_id
+         |  FROM rq_sv q JOIN rq_probes p ON p.query_id = q.vec_id
          |  JOIN rq_cs c ON c.lcid = p.lcid AND c.s = q.s
          |  JOIN rq_cb$iters b ON b.s = q.s),
          |rq_dd AS (SELECT a.query_id, e.vec_id AS neighbor_id, CAST(sum(a.micro) AS BIGINT) AS micros
@@ -1757,7 +1761,9 @@ object PipelineQueries {
            |  CAST(rnk AS BIGINT) AS rank
            |FROM r WHERE rnk <= 3""".stripMargin,
       // mirrors Similarity.annRecallReport(k=3, planes=4, nlist=16,
-      // nprobe=4, m=4, codewords=16) on queries vec_id < 30: the exact
+      // nprobe=4 for plain IVF, and the round-11 IVF-PQ default m=16,
+      // codewords=256, nprobe=8 — measured recall@10 0.58 at sf0.1 vs
+      // 0.20 for the old m=4/cw=16/nprobe=4) on queries vec_id < 30: the exact
       // brute-force arm plus the lsh/ivf/ivfpq arm replays (same CTE
       // shapes as ann_topk / ann_lsh_topk / ann_ivf_topk / ann_ivfpq_topk)
       // joined per-method against the exact pairs

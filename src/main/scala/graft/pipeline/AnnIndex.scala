@@ -36,7 +36,7 @@ object AnnIndex {
     * Requires numeric ids below nlist+codewords to exist (seed
     * convention). */
   def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
-                 nlist: Int = 16, m: Int = 4, codewords: Int = 16,
+                 nlist: Int = 16, m: Int = 16, codewords: Int = 256,
                  iters: Int = 2): IvfPq = {
     val (cent, cb) = Quantization.ivfPqIndex(
       corpus, idCol, vecCol, nlist, m, codewords, iters)
@@ -74,7 +74,7 @@ object AnnIndex {
     * from (pinned by spec), but the only corpus-sized input is the stored
     * code table. Returns (query_id, neighbor_id, dist, rank). */
   def search(index: IvfPq, queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, nprobe: Int = 4): DataFrame =
+             k: Int, nprobe: Int = 8): DataFrame =
     Quantization.ivfPqSearchCodes(
       index.codes.withColumnRenamed("id", idCol), queries, idCol, vecCol,
       k, nprobe, index.m, index.centroids, index.codebooks)

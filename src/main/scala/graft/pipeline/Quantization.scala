@@ -192,8 +192,8 @@ object Quantization {
     * rank) — dist is the ADC estimate of the squared L2 between residual
     * and codeword chain, ascending, ties to the smaller neighbor id. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-                k: Int, nlist: Int = 16, nprobe: Int = 4,
-                m: Int = 4, codewords: Int = 16, iters: Int = 2): DataFrame = {
+                k: Int, nlist: Int = 16, nprobe: Int = 8,
+                m: Int = 16, codewords: Int = 256, iters: Int = 2): DataFrame = {
     val (cent, resCb) = ivfPqIndex(corpus, idCol, vecCol, nlist, m, codewords, iters)
     ivfPqTopKWith(corpus, queries, idCol, vecCol, k, nprobe, m, cent, resCb)
   }
@@ -214,7 +214,7 @@ object Quantization {
     * degenerate the codebook. Returns (centroids (lcid, centroid),
     * codebooks (s, cid, cw)). */
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                 nlist: Int = 16, m: Int = 4, codewords: Int = 16,
+                 nlist: Int = 16, m: Int = 16, codewords: Int = 256,
                  iters: Int = 2): (DataFrame, DataFrame) = {
     val cent = Clustering
       .kmeansCentroids(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, nlist, iters)

@@ -343,7 +343,8 @@ object Similarity {
   def annRecallReport(corpus: DataFrame, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int,
                       planes: Int = 4, nlist: Int = 16, nprobe: Int = 4,
-                      m: Int = 4, codewords: Int = 16,
+                      m: Int = 16, codewords: Int = 256,
+                      ivfPqNprobe: Int = 8,
                       ivfPqIdx: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     // ground truth consumed by every arm's join AND the denominator — one
     // materialization, not one brute-force scan per consumer
@@ -358,7 +359,7 @@ object Similarity {
       .unionByName(arm("ivfpq", {
         val (cent, cb) = ivfPqIdx.getOrElse(
           Quantization.ivfPqIndex(corpus, idCol, vecCol, nlist, m, codewords))
-        Quantization.ivfPqTopKWith(corpus, queries, idCol, vecCol, k, nprobe, m, cent, cb)
+        Quantization.ivfPqTopKWith(corpus, queries, idCol, vecCol, k, ivfPqNprobe, m, cent, cb)
       }))
     val perArm = arms
       .join(exact.withColumn("__hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
