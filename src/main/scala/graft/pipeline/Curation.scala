@@ -439,6 +439,16 @@ object Curation {
     // before returning.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s1 = dedupExactKeepFirst(corpus, idCol, textCol).persist(lvl)
+    // ONE shingle table serves the whole n-gram funnel: the near-dup
+    // propose/verify and the rare-containment arm both consume n-shingles
+    // of the exact survivors, so the text kernel runs once and the arm
+    // narrows the CACHED rows to near-dup survivors with a semi-join
+    // instead of re-scanning text. Distinct-per-doc rows are equivalent
+    // for BOTH consumers: minhash mins are set-functions and the verify
+    // sets dedupe internally anyway. Lazy persist is safe here — the
+    // stages consume it sequentially, never as concurrent cold branches.
+    val sh3 = TextAnalysis.shingleRowsDistinct(s1, idCol, textCol, n)
+      .withColumnRenamed(idCol, "doc").persist(lvl)
     try {
       {
         // the near-dup stage (r7-measured 9 s of the funnel's ~15 at sf0.1)
@@ -450,8 +460,7 @@ object Curation {
         // LSH+verify+cc pass via the caller's memo
         val labels = dupLabels.getOrElse {
           ConnectedComponents.labels(
-            Dedup.ngramJaccardOnShingles(
-              TextAnalysis.shingleRows(s1, idCol, textCol, n), idCol, k, minSim)
+            Dedup.ngramJaccardOnShingles(sh3, "doc", k, minSim)
               .select("a", "b"))
         }
         val drop = labels
@@ -468,13 +477,12 @@ object Curation {
           s2.count()
           // optional containment recall arm: cluster engulfed-prefix pairs
           // over the near-dup survivors, keep the min-id member per
-          // cluster. Shingles come narrowly from the persisted s2 text
-          // (the near-dup survivor set), via containmentOnShingles
+          // cluster. Shingles come from the funnel-shared cached table,
+          // narrowed to near-dup survivors — no second text scan
           val s2b = if (!rareShingleArm) s2 else {
             val cDrop = ConnectedComponents.labels(
                 Dedup.containmentOnShingles(
-                  TextAnalysis.shingleRowsDistinct(s2, idCol, textCol, n)
-                    .withColumnRenamed(idCol, "doc"),
+                  sh3.join(s2.select(col(idCol).as("doc")), Seq("doc"), "left_semi"),
                   rareMaxDf, minContain, inputDistinct = true).select("a", "b"))
               .where(col("id") =!= col("cluster"))
               .select(col("id").as("__cdrop_id"))
@@ -506,7 +514,7 @@ object Curation {
           } finally if (rareShingleArm) s2b.unpersist()
         } finally s2.unpersist()
       }
-    } finally s1.unpersist()
+    } finally { sh3.unpersist(); s1.unpersist() }
   }
 
   /** Multi-benchmark contamination MATRIX — the eval-suite screening
