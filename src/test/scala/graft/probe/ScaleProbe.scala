@@ -73,6 +73,73 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("graphiter")) {
+      // iterative-arm decomposition (VERDICT r10 item 5): the pagerank /
+      // walk exponents (0.45-0.59) mix a PER-ROUND FIXED COST (job
+      // scheduling, checkpoint materialization — constant in data size)
+      // with the true data term. Vary the ROUND COUNT at each scale:
+      //   round_cost(scale) = (t_long - t_short) / extra_rounds
+      // subtracts the setup/assembly cost entirely, and the round-cost
+      // ratio 10x/1x is the data-term exponent the totals blur. Job
+      // counts come from the scheduler listener.
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      })
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w"))
+        .where(col("w") >= 2)
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      sym.count()
+      def copies(nc: Int) = (0 until nc).map(c =>
+        sym.select((col("src") + lit(c.toLong * 10000000L)).as("src"),
+          (col("dst") + lit(c.toLong * 10000000L)).as("dst")))
+        .reduce(_ unionByName _)
+      import graft.model.GraphStore
+      def store(e: DataFrame): GraphStore = {
+        val verts = e.select(col("src").as("n")).unionByName(e.select(col("dst").as("n")))
+          .distinct().select(col("n").cast("string").as("id"))
+        val props = spark.range(0).select(col("id").cast("string").as("hash"),
+          col("id").cast("string").as("value"), col("id").cast("string").as("schema_type"))
+        val pc = spark.range(0).select(col("id").cast("string").as("parent_hash"),
+          col("id").cast("string").as("child_hash"))
+        GraphStore(verts, e.select(lit("e").as("edge_id"), col("src").cast("string").as("src"),
+          col("dst").cast("string").as("dst"), lit("h").as("prop_hash")), props, pc)
+      }
+      val toLong: org.apache.spark.sql.Column => org.apache.spark.sql.Column = _.cast("long")
+      for ((nc, tag) <- Seq((1, "1x"), (10, "10x"))) {
+        val e = copies(nc).persist(); e.count()
+        val g = store(e)
+        // warm the per-scale plan once so codegen is out of the deltas
+        graft.analytics.GraphAnalytics.pageRankDF(g, toLong, numIter = 2).count()
+        for (iters <- Seq(2, 10)) {
+          jobs.set(0)
+          time(s"pagerank_${tag}_iters$iters") {
+            graft.analytics.GraphAnalytics.pageRankDF(g, toLong, numIter = iters).count()
+          }
+          println(s"MARKER pagerank_${tag}_iters$iters jobs=${jobs.get}")
+        }
+        graft.analytics.GraphAnalytics.randomWalks(e, walkLen = 2).count()
+        for (len <- Seq(2, 8)) {
+          jobs.set(0)
+          time(s"walks_${tag}_len$len") {
+            graft.analytics.GraphAnalytics.randomWalks(e, walkLen = len).count()
+          }
+          println(s"MARKER walks_${tag}_len$len jobs=${jobs.get}")
+        }
+        e.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("walks")) {
       // walk arm: randomWalks + skip-gram pairs over 1 vs 10 DISJOINT
       // copies of the sf0.1 thresholded co-purchase graph (node ids offset
