@@ -86,9 +86,10 @@ object Bench {
     // CCNet-style cross-document duplicated-paragraph ratios +
     // seed-conditioned personalized PageRank
     "dedup_paragraph_report", "graph_ppr_df", "curate_epoch_shuffle",
-    // round-11 addition: half-corpus NB fit scoring the full corpus — the
-    // OOV fallback cell on a measured path
-    "text_nb_oov_classify")
+    // round-11 additions: half-corpus NB fit scoring the full corpus (the
+    // OOV fallback cell on a measured path) and the ADC-propose /
+    // exact-rerank refine pattern
+    "text_nb_oov_classify", "ann_ivfpq_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -867,6 +867,16 @@ object PipelineQueries {
       pipeline.Quantization.ivfPqTopKWith(e, e.where(col("vec_id") < 5),
         "vec_id", "embedding", k = 3, nprobe = 8, m = 16, cent, cb)
     }),
+    // IVF-PQ + exact rerank (the faiss "refine" pattern): ADC proposes
+    // k·rerank candidates from the codes, only those rows' raw vectors
+    // are fetched and exactly rescored — quantization error becomes a
+    // recall-only concern at candidate-bounded cost
+    "ann_ivfpq_rerank" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val (cent, cb) = ivfPqIdx(s, d)
+      pipeline.Quantization.ivfPqTopKRerank(e, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, rerank = 4, nprobe = 8, m = 16, cent, cb)
+    }),
     // the persisted-index lifecycle: load the parquet index (centroids /
     // codebooks / codes / meta, built + saved once per corpus) and serve
     // top-k from the STORED codes — the raw embeddings never enter the
@@ -1747,6 +1757,21 @@ object PipelineQueries {
            |  floor(CAST(micros AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS dist,
            |  CAST(rnk AS BIGINT) AS rank
            |FROM r WHERE rnk <= 3""".stripMargin,
+      // ADC candidates (k·rerank = 12 by micros) exactly rescored with
+      // cosine, top-3 by exact score — mirrors ivfPqTopKRerank
+      "ann_ivfpq_rerank" ->
+        s"""WITH $pqBaseCtes,
+           |${ivfpqResCtes(5)},
+           |rcand AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY micros ASC, neighbor_id ASC) AS rnk
+           |  FROM rq_dd) t WHERE rnk <= 12),
+           |rsc AS (SELECT c.query_id, c.neighbor_id,
+           |  round(list_cosine_similarity(q.ve, n.ve), 6) AS cos
+           |  FROM rcand c JOIN v q ON q.vec_id = c.query_id JOIN v n ON n.vec_id = c.neighbor_id),
+           |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM rsc)
+           |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank
+           |FROM rr WHERE rnk <= 3""".stripMargin,
       // the persisted-index serve path is pinned to IDENTICAL results as
       // the direct ivf-pq search (same quantizers, same codes, same ADC
       // arithmetic — only read back from parquet), so the oracle is the
@@ -1806,9 +1831,18 @@ object PipelineQueries {
            |pr2 AS (SELECT query_id, neighbor_id,
            |    row_number() OVER (PARTITION BY query_id ORDER BY micros ASC, neighbor_id ASC) AS rnk FROM rq_dd),
            |ipq AS MATERIALIZED (SELECT query_id, neighbor_id FROM pr2 WHERE rnk <= 3),
+           |rrsc AS (SELECT c.query_id, c.neighbor_id,
+           |    round(list_cosine_similarity(q.ve, n.ve), 6) AS cos
+           |  FROM (SELECT query_id, neighbor_id FROM pr2 WHERE rnk <= 12) c
+           |  JOIN v q ON q.vec_id = c.query_id JOIN v n ON n.vec_id = c.neighbor_id),
+           |ipqr AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+           |  FROM rrsc) t WHERE rnk <= 3),
            |arms AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
            |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ivf
-           |  UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ipq),
+           |  UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ipq
+           |  UNION ALL SELECT 'ivfpq_rerank', query_id, neighbor_id FROM ipqr),
            |hits AS (SELECT a.method, count(*) AS n_found,
            |    sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
            |  FROM arms a LEFT JOIN exact e

@@ -341,6 +341,39 @@ object Quantization {
         col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-PQ search with EXACT rerank — the faiss "refine" production
+    * pattern: the ADC pass proposes `k · rerank` candidates per query
+    * from the compressed codes, then ONLY those candidates' raw vectors
+    * are fetched (a candidate-bounded equi-join against the corpus — at
+    * 100 TB the refine reads k·rerank·|queries| rows, not the corpus)
+    * and rescored with exact cosine; the top k by exact score win. Turns
+    * the quantization error into a recall-only concern: any true
+    * neighbor the ADC ranks within the rerank window is returned in its
+    * EXACT order. Returns (query_id, neighbor_id, cos, rank) — the
+    * [[Similarity.bruteForceTopK]] shape, directly comparable. */
+  def ivfPqTopKRerank(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String,
+                      k: Int, rerank: Int = 4, nprobe: Int = 8, m: Int = 16,
+                      centIn: DataFrame, resCbIn: DataFrame): DataFrame = {
+    require(rerank >= 1, s"need rerank >= 1; got $rerank")
+    val w = org.apache.spark.sql.expressions.Window
+    val cand = ivfPqTopKWith(corpus, queries, idCol, vecCol,
+        k * rerank, nprobe, m, centIn, resCbIn)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val rescored = cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("__qv"), col("__cv")), 6).as("cos"))
+    val rankW = w.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Residual ADC distance dist(x − c, cw) without materializing x − c:
     * x·x − 2x·c + c·c − 2(x·cw − c·cw) + cw·cw — every term a codegen'd
     * native dot product over the raw sub-slices. Term order is pinned;

@@ -354,13 +354,15 @@ object Similarity {
     def arm(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("method"), col("query_id").cast("long"),
         col("neighbor_id").cast("long"))
+    val (cent, cb) = ivfPqIdx.getOrElse(
+      Quantization.ivfPqIndex(corpus, idCol, vecCol, nlist, m, codewords))
     val arms = arm("lsh", lshTopK(corpus, queries, idCol, vecCol, k, planes))
       .unionByName(arm("ivf", ivfTopK(corpus, queries, idCol, vecCol, k, nlist, nprobe)))
-      .unionByName(arm("ivfpq", {
-        val (cent, cb) = ivfPqIdx.getOrElse(
-          Quantization.ivfPqIndex(corpus, idCol, vecCol, nlist, m, codewords))
-        Quantization.ivfPqTopKWith(corpus, queries, idCol, vecCol, k, ivfPqNprobe, m, cent, cb)
-      }))
+      .unionByName(arm("ivfpq",
+        Quantization.ivfPqTopKWith(corpus, queries, idCol, vecCol, k, ivfPqNprobe, m, cent, cb)))
+      .unionByName(arm("ivfpq_rerank",
+        Quantization.ivfPqTopKRerank(corpus, queries, idCol, vecCol,
+          k, 4, ivfPqNprobe, m, cent, cb)))
     val perArm = arms
       .join(exact.withColumn("__hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
       .groupBy("method")

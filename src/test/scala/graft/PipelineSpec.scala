@@ -578,6 +578,46 @@ class PipelineSpec extends SparkSuite {
     assert(n2.values.forall(_ <= 3))
   }
 
+  test("ivf-pq rerank: exact scores, exact order within the candidate window") {
+    val q = vecs.where($"vec_id" < 3)
+    val (cent, cb) = graft.pipeline.Quantization.ivfPqIndex(
+      vecs, "vec_id", "embedding", nlist = 2, m = 2, codewords = 3)
+    val rer = graft.pipeline.Quantization.ivfPqTopKRerank(
+        vecs, q, "vec_id", "embedding", k = 2, rerank = 3, nprobe = 2, m = 2, cent, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rer.nonEmpty)
+    // the reported score is the EXACT cosine (matches brute force for the
+    // same (query, neighbor) pair), and ranks descend by it
+    val exact = graft.pipeline.Similarity.bruteForceTopK(
+        vecs, q, "vec_id", "embedding", k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rer.foreach { case (qid, nid, cos, _) =>
+      assert(exact((qid, nid)) == cos, s"rerank cos diverges from exact for ($qid,$nid)")
+    }
+    rer.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to g.length).toSeq)
+      assert(sorted.map(_._3).reverse.toSeq == sorted.map(_._3).sortBy(identity).toSeq,
+        s"cos not descending with rank: $g")
+    }
+    // no self matches, never exceeds k
+    assert(rer.forall(t => t._1 != t._2))
+    assert(rer.groupBy(_._1).values.forall(_.length <= 2))
+    // rerank recall >= plain ADC recall at the same k (candidate window
+    // can only add the true neighbors ADC misranked within it)
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .count { case (qid, nid) =>
+        exact.contains((qid, nid)) &&
+          exact((qid, nid)) >= exact.filter(_._1._1 == qid).values.toSeq
+            .sorted(Ordering[Double].reverse).take(2).min }
+    val adc = graft.pipeline.Quantization.ivfPqTopKWith(
+      vecs, q, "vec_id", "embedding", k = 2, nprobe = 2, m = 2, cent, cb)
+    val rerDf = graft.pipeline.Quantization.ivfPqTopKRerank(
+      vecs, q, "vec_id", "embedding", k = 2, rerank = 3, nprobe = 2, m = 2, cent, cb)
+    assert(hits(rerDf) >= hits(adc), "rerank lost recall vs plain ADC")
+  }
+
   test("ann index: build/save/load/search equals the direct ivf-pq search") {
     // the persisted-index lifecycle must be RESULT-IDENTICAL to the
     // in-line path: same quantizers, same codes, same ADC arithmetic —
