@@ -89,7 +89,8 @@ object Bench {
     // round-11 additions: half-corpus NB fit scoring the full corpus (the
     // OOV fallback cell on a measured path) and the ADC-propose /
     // exact-rerank refine pattern
-    "text_nb_oov_classify", "ann_ivfpq_rerank")
+    "text_nb_oov_classify", "ann_ivfpq_rerank", "text_bigram_logprob",
+    "ann_contrastive_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

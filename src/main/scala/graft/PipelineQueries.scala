@@ -449,6 +449,16 @@ object PipelineQueries {
         "vec_id", "embedding", "label", k = 3, nprobe = 4)
         .withColumn("rank", col("rank").cast("long"))
     }),
+    // contrastive training-pair mining: per anchor, the nearest
+    // same-label neighbor (positive) + the 3 nearest different-label
+    // neighbors (hard negatives), one IVF-routed scoring pass
+    "ann_contrastive_pairs" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").cast("long").as("cid"), col("embedding").as("centroid"))
+      Similarity.contrastivePairs(e, e.where(col("vec_id") < 50), cents,
+        "vec_id", "embedding", "label", kNeg = 3, nprobe = 4)
+    }),
     // kNN label-vote noise report: per anchor, the majority label among
     // the IVF top-5 neighbors vs the anchor's own (the geometric
     // label-noise signal; ties count-desc then label-asc)
@@ -788,6 +798,10 @@ object PipelineQueries {
     // signal); micro-unit quantization before the per-doc sum
     "text_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(docs(s, d), "doc_id", "text")),
+    // bigram-LM mean log-probability — one order up; context totals
+    // reduce the MODEL, never the corpus stream
+    "text_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(docs(s, d), "doc_id", "text")),
     // Naive Bayes document classifier (the fastText/CCNet quality-filter
     // shape): self-train on the lang label, argmax posterior per document
     "text_nb_classify" -> ((s, d) => {
@@ -1618,6 +1632,19 @@ object PipelineQueries {
            |SELECT doc_id, count(*) AS n_tokens,
            |  round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000.0), 4) AS logprob
            |FROM s GROUP BY doc_id""".stripMargin,
+      // bigram LM: P(w2|w1) = c(w1w2)/c(w1·), micro-ln per model cell,
+      // context totals summed from the model counts
+      "text_bigram_logprob" ->
+        s"""WITH ${toksCte("documents")},
+           |bg AS (SELECT doc_id, unnest(${shinglesExpr(2)}) AS s FROM toks WHERE len(w) >= 2),
+           |m AS (SELECT s, count(*) AS cnt FROM bg GROUP BY s),
+           |ctx AS (SELECT string_split(s, ' ')[1] AS w1, sum(cnt) AS ctx FROM m GROUP BY 1),
+           |mlp AS (SELECT s,
+           |    CAST(floor(ln(CAST(m.cnt AS DOUBLE) / ctx.ctx) * 1000000.0 + 0.5) AS BIGINT) AS lp
+           |  FROM m JOIN ctx ON string_split(m.s, ' ')[1] = ctx.w1)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000.0), 4) AS logprob
+           |FROM bg JOIN mlp USING (s) GROUP BY doc_id""".stripMargin,
       "text_nb_classify" -> nbClassifySql,
       // even-doc fit / full-corpus score: odd docs hit the OOV cell
       "text_nb_oov_classify" -> nbClassifySqlFor("doc_id % 2 = 0"),
@@ -2487,6 +2514,31 @@ object PipelineQueries {
           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM s)
           |SELECT query_id, anchor_label, neighbor_id, neighbor_label, cos, CAST(rnk AS BIGINT) AS rank
           |FROM r WHERE rnk <= 3""".stripMargin,
+      // same candidate CTEs as hard_negatives; positives keep the
+      // same-label rows at rank 1, negatives the different-label top-3
+      "ann_contrastive_pairs" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, CAST(label AS BIGINT) AS lbl FROM embeddings),
+          |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < 16),
+          |asg AS (SELECT vec_id, cid FROM (
+          |  SELECT v.vec_id, c.cid,
+          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+          |  FROM v, cent c) t WHERE rn = 1),
+          |probes AS (SELECT query_id, cid FROM (
+          |  SELECT v.vec_id AS query_id, c.cid,
+          |    row_number() OVER (PARTITION BY v.vec_id ORDER BY list_cosine_similarity(v.ve, c.cv) DESC, c.cid ASC) AS rn
+          |  FROM v, cent c WHERE v.vec_id < 50) t WHERE rn <= 4),
+          |s AS (SELECT p.query_id, qv.lbl AS anchor_label, a.vec_id AS neighbor_id, av.lbl AS neighbor_label,
+          |  round(list_cosine_similarity(qv.ve, av.ve), 6) AS cos
+          |  FROM probes p JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.query_id
+          |  JOIN v qv ON qv.vec_id = p.query_id JOIN v av ON av.vec_id = a.vec_id),
+          |pos AS (SELECT *, 'positive' AS role FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          |  FROM s WHERE anchor_label = neighbor_label) t WHERE rnk <= 1),
+          |neg AS (SELECT *, 'negative' AS role FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+          |  FROM s WHERE anchor_label <> neighbor_label) t WHERE rnk <= 3)
+          |SELECT query_id, anchor_label, neighbor_id, neighbor_label, cos, role, CAST(rnk AS BIGINT) AS rank
+          |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)""".stripMargin,
       "ann_label_noise" ->
         """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, CAST(label AS BIGINT) AS lbl FROM embeddings),
           |cent AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < 16),

@@ -222,6 +222,41 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Contrastive training-pair miner — the triplet/InfoNCE batch feed:
+    * for every anchor, ONE positive (the nearest same-label neighbor)
+    * and `kNeg` hard negatives (the nearest different-label neighbors),
+    * all scored in a single pass over the shared [[ivfScoredPairs]]
+    * core. Both roles rank (cos desc, neighbor_id asc); anchors missing
+    * a same-label candidate in their probed lists emit negatives only
+    * (no synthetic positive — the caller decides whether to widen
+    * nprobe or drop the anchor). Returns (query_id, anchor_label,
+    * neighbor_id, neighbor_label, cos, role, rank) with role ∈
+    * positive/negative.
+    *
+    * Scale: one IVF-routed candidate pass (probed lists only, never all
+    * pairs); the role split is a predicate on columns already aboard,
+    * and both top-k windows key on the anchor — bounded rows each. */
+  def contrastivePairs(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                       idCol: String, vecCol: String, labelCol: String,
+                       kNeg: Int = 3, nprobe: Int = 4): DataFrame = {
+    require(kNeg >= 1, s"need kNeg >= 1; got $kNeg")
+    val c = corpus.select(col(idCol), col(vecCol), col(labelCol).cast("long").as("__lbl"))
+    val q = queries.select(col(idCol), col(vecCol), col(labelCol).cast("long").as("__lbl"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    val scored = ivfScoredPairs(c, q, centroids, idCol, vecCol, nprobe)
+      .select(col("query_id"), col("q___lbl").as("anchor_label"),
+        col("neighbor_id"), col("n___lbl").as("neighbor_label"), col("cos"))
+    val pos = scored.where(col("anchor_label") === col("neighbor_label"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 1)
+      .withColumn("role", lit("positive"))
+    val neg = scored.where(col("anchor_label") =!= col("neighbor_label"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= kNeg)
+      .withColumn("role", lit("negative"))
+    pos.unionByName(neg)
+      .select(col("query_id"), col("anchor_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cos"), col("role"), col("rank").cast("long").as("rank"))
+  }
+
   /** kNN label-vote report — the embedding-space label-noise detector: for
     * every anchor, the majority label among its `k` nearest (IVF-routed)
     * neighbors, compared to the anchor's own label. Anchors whose

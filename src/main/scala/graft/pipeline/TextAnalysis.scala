@@ -321,6 +321,39 @@ object TextAnalysis {
         round(sum("__lp").cast("double") / (count(lit(1)) * 1000000.0), 4).as("logprob"))
   }
 
+  /** Bigram-LM mean log-probability per document — the CCNet-style
+    * perplexity-filter signal one order up from [[unigramLogProb]]:
+    * P(w₂|w₁) = c(w₁w₂) / c(w₁·) over the corpus itself (resubstitution
+    * scoring — every bigram is in-vocabulary, so no smoothing term, same
+    * contract as the unigram scorer). The ln is taken once per model
+    * CELL and quantized to integer micro-units before the per-document
+    * sum, so scores are partition-order exact.
+    *
+    * Scale: bigrams come from the narrow codegen'd shingle kernel at
+    * n=2 (no window, no exchange); the model aggregation keys on the
+    * bigram (map-side combined), the context totals reduce the MODEL
+    * (distinct bigrams), never the corpus stream, and scoring re-joins
+    * the corpus to the model on the bigram key — AQE broadcasts the
+    * model when the vocabulary allows and skew-splits hot bigrams.
+    * Documents with fewer than 2 tokens carry no rows. Returns
+    * (idCol, n_bigrams, logprob). */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = shingleRows(df, idCol, textCol, 2)
+    val model = bg.groupBy("shingle").agg(count(lit(1)).as("__cnt"))
+    val ctx = model
+      .groupBy(split(col("shingle"), " ").getItem(0).as("__w1"))
+      .agg(sum("__cnt").as("__ctx"))
+    val mlp = model
+      .join(ctx, split(col("shingle"), " ").getItem(0) === col("__w1"))
+      .select(col("shingle"),
+        floor(log(col("__cnt").cast("double") / col("__ctx")) * 1000000.0 + 0.5)
+          .cast("long").as("__lp"))
+    bg.join(mlp, Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("__lp").cast("double") / (count(lit(1)) * 1000000.0), 4).as("logprob"))
+  }
+
   /** BM25 retrieval: for every query, the `topK` documents ranked by the
     * Okapi BM25 score over the query's distinct terms, with the RATIONAL
     * idf argument `(N − df + 0.5) / (df + 0.5)` (no ln(), same reasoning as

@@ -248,6 +248,46 @@ class PipelineSpec extends SparkSuite {
     assert(got.forall(t => t._2 != t._4), "same-label pair leaked")
   }
 
+  test("contrastivePairs: brute-force parity for both roles at full probe depth") {
+    import spark.implicits._
+    val corpus = (0 until 30).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.1f, 0.0f, 0.0f) else Array(0.0f, 0.0f, 1.0f, 0.1f)
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 7 + d) % 5) },
+        i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = corpus
+      .select($"vec_id".cast("long").as("cid"), $"embedding".as("centroid"))
+    val got = Similarity.contrastivePairs(corpus, corpus.where($"vec_id" < 5), cents,
+        "vec_id", "embedding", "label", kNeg = 3, nprobe = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5), r.getLong(6))).sortBy(t => (t._1, t._6, t._7))
+    val vecs = corpus.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2))).toSeq
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = vecs.filter(_._1 < 5).flatMap { case (qid, qv, ql) =>
+      val others = vecs.filter(_._1 != qid)
+      val pos = others.filter(_._3 == ql)
+        .map(v => (qid, ql.toLong, v._1, v._3.toLong, cos(qv, v._2), "positive"))
+        .sortBy(t => (-t._5, t._3)).take(1).zipWithIndex
+        .map { case (t, i) => (t._1, t._2, t._3, t._4, t._5, t._6, (i + 1).toLong) }
+      val neg = others.filter(_._3 != ql)
+        .map(v => (qid, ql.toLong, v._1, v._3.toLong, cos(qv, v._2), "negative"))
+        .sortBy(t => (-t._5, t._3)).take(3).zipWithIndex
+        .map { case (t, i) => (t._1, t._2, t._3, t._4, t._5, t._6, (i + 1).toLong) }
+      pos ++ neg
+    }.sortBy(t => (t._1, t._6, t._7))
+    assert(got.toSeq == want, s"contrastive pairs diverge:\n got=$got\nwant=$want")
+    // every anchor has exactly one positive and kNeg negatives here
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.values.forall(g =>
+      g.count(_._6 == "positive") == 1 && g.count(_._6 == "negative") == 3))
+  }
+
   test("knnLabelVote: brute-force parity at full probe depth, mismatch flags planted noise") {
     import spark.implicits._
     // two tight geometric clusters; labels follow the cluster EXCEPT two
@@ -815,6 +855,28 @@ class PipelineSpec extends SparkSuite {
     assert(out(2L)._2 == mean4(lp(6.0 / 8), lp(6.0 / 8), lp(1.0 / 8), lp(1.0 / 8)))
     assert(out(1L)._2 > out(2L)._2) // fluent doc scores higher
     assert(!out.contains(3L))       // empty doc carries no rows
+  }
+
+  test("bigram log-prob: conditional probabilities hand-checked, short docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: "a b", "b a", "a b"
+      (2L, "a b c"),     // bigrams: "a b", "b c"
+      (3L, "solo"),      // < 2 tokens: no bigrams
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // model over all 5 bigrams: c(a b)=3, c(b a)=1, c(b c)=1;
+    // contexts: c(a ·)=3, c(b ·)=2 — P(b|a)=3/3=1, P(a|b)=1/2, P(c|b)=1/2
+    val lp = (p: Double) => math.floor(math.log(p) * 1e6 + 0.5)
+    def mean4(lps: Double*) = BigDecimal(lps.sum / (lps.size * 1e6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 3L)
+    assert(out(1L)._2 == mean4(lp(1.0), lp(0.5), lp(1.0)))
+    assert(out(2L)._1 == 2L)
+    assert(out(2L)._2 == mean4(lp(1.0), lp(0.5)))
+    assert(out(1L)._2 > out(2L)._2) // the repetitive doc scores higher
+    assert(!out.contains(3L) && !out.contains(4L))
   }
 
   test("dupParagraphReport: hand-traced cross-doc ratios; within-doc repeats don't count") {
