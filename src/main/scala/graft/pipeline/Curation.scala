@@ -438,7 +438,21 @@ object Curation {
     // result is checkpointed eagerly so the persists can be released
     // before returning.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val s1 = dedupExactKeepFirst(corpus, idCol, textCol).persist(lvl)
+    // cache the INPUT corpus eagerly before anything consumes it: callers
+    // hand unions-with-transforms over raw parquet, and the exact-dedup
+    // semi-join below references it on BOTH sides — left cold, AQE
+    // compiles the branches concurrently and each re-scans the raw input
+    // (measured: four 15-35 s corpus scans inside one funnel run at
+    // sf0.1, ~45% of the whole query's task time). One eager fill makes
+    // every later branch — both semi-join sides, the raw stage count —
+    // a cache read. Coalesced to the session shuffle parallelism: a
+    // k-way union otherwise caches at k× the partition count and every
+    // downstream narrow stage pays k× the task overhead.
+    val nPart = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val c0 = corpus.coalesce(nPart).persist(lvl)
+    c0.count()
+    val s1 = dedupExactKeepFirst(c0, idCol, textCol).persist(lvl)
+    s1.count()
     // ONE shingle table serves the whole n-gram funnel: the near-dup
     // propose/verify and the rare-containment arm both consume n-shingles
     // of the exact survivors, so the text kernel runs once and the arm
@@ -505,7 +519,7 @@ object Curation {
             val s3 = s2b.join(contaminated, Seq(idCol), "left_anti")
             def stage(name: String, df: DataFrame) =
               df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
-            val head = stage("raw", corpus)
+            val head = stage("raw", c0)
               .unionByName(stage("exact_dedup", s1))
               .unionByName(stage("near_dedup", s2))
             val tail = (if (rareShingleArm) head.unionByName(stage("contain_dedup", s2b)) else head)
@@ -514,7 +528,7 @@ object Curation {
           } finally if (rareShingleArm) s2b.unpersist()
         } finally s2.unpersist()
       }
-    } finally { sh3.unpersist(); s1.unpersist() }
+    } finally { sh3.unpersist(); s1.unpersist(); c0.unpersist() }
   }
 
   /** Multi-benchmark contamination MATRIX — the eval-suite screening
