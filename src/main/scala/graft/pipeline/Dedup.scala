@@ -395,37 +395,42 @@ object Dedup {
     * coverage) per document with at least one token; a fully duplicated
     * document reads coverage 1.0, boilerplate-free text reads 0.0.
     *
-    * Scale: hot grams come from a distinct (doc, gram) hash aggregation
+    * Scale: positional shingles come NARROWLY from the codegen'd kernel
+    * (posexplode of the in-order shingle array — the start index IS the
+    * token position, so the per-doc window sort the old token-table form
+    * paid is gone); hot grams are a distinct (doc, gram) hash aggregation
     * (one row per gram however hot); the cover pass is a shingle-keyed
     * equi-join — never all-pairs — and the position explode fans out at
     * most n rows per hot-gram occurrence. */
   def hotSpanCoverage(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, minDf: Int = 2): DataFrame = {
     require(n >= 2 && minDf >= 2, s"need n >= 2, minDf >= 2; got n=$n minDf=$minDf")
-    val toks = TextAnalysis.tokenRows(df, idCol, textCol)
-      .where(length(col("word")) > 0)
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sh = df
+      .select(col(idCol),
+        posexplode(TextAnalysis.wordShingles(col(textCol), n)).as(Seq("pos", "shingle")))
+      .coalesce(nPart)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val sh = TextAnalysis.shingleRowsWithPos(toks, idCol, n)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        sh.count() // eager cache fill — see ngramJaccardOnShingles
-        val hot = sh.select(col(idCol), col("shingle")).distinct()
-          .groupBy("shingle").agg(count(lit(1)).as("__df"))
-          .where(col("__df") >= minDf).select("shingle")
-        val covered = sh.join(hot, Seq("shingle"), "left_semi")
-          .select(col(idCol),
-            explode(sequence(col("pos"), col("pos") + (n - 1))).as("__cp"))
-          .groupBy(idCol).agg(countDistinct(col("__cp")).as("__cov"))
-        toks.groupBy(idCol).agg(count(lit(1)).as("n_tokens"))
-          .join(covered, Seq(idCol), "left")
-          .select(col(idCol), col("n_tokens"),
-            coalesce(col("__cov"), lit(0L)).as("covered_tokens"),
-            round(coalesce(col("__cov"), lit(0L)).cast("double") /
-              col("n_tokens").cast("double"), 4).as("coverage"))
-          .localCheckpoint(true)
-      } finally sh.unpersist()
-    } finally toks.unpersist()
+      sh.count() // eager cache fill — see ngramJaccardOnShingles
+      val hot = sh.select(col(idCol), col("shingle")).distinct()
+        .groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .where(col("__df") >= minDf).select("shingle")
+      val covered = sh.join(hot, Seq("shingle"), "left_semi")
+        .select(col(idCol),
+          explode(sequence(col("pos"), col("pos") + (n - 1))).as("__cp"))
+        .groupBy(idCol).agg(countDistinct(col("__cp")).as("__cov"))
+      df.select(col(idCol),
+          size(filter(TextAnalysis.words(col(textCol)), w => length(w) > 0))
+            .cast("long").as("n_tokens"))
+        .where(col("n_tokens") > 0)
+        .join(covered, Seq(idCol), "left")
+        .select(col(idCol), col("n_tokens"),
+          coalesce(col("__cov"), lit(0L)).as("covered_tokens"),
+          round(coalesce(col("__cov"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"), 4).as("coverage"))
+        .localCheckpoint(true)
+    } finally sh.unpersist()
   }
 
   /** LSH recall measured, not assumed: run the exact all-pairs Jaccard
