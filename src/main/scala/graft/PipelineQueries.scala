@@ -342,6 +342,12 @@ object PipelineQueries {
             .getField("text")).as("text"))
       Dedup.dupParagraphReport(comp, "cid", "text")
     }),
+    // duplicated-span REMOVAL (the rewrite side of text_hot_spans): hot
+    // 5-gram windows (df >= 2) deleted at token granularity, documents
+    // reassembled from the surviving normalized tokens
+    "curate_remove_spans" -> ((s, d) =>
+      pipeline.Curation.removeHotSpans(dedupCorpus(s, d), "doc_id", "text",
+        n = 5, minDf = 2)),
     // C4-style line cleaning: short lines (< 30 words) and a blacklist
     // phrase dropped, documents reassembled from the survivors
     "curate_clean_lines" -> ((s, d) => {
@@ -2254,6 +2260,28 @@ object PipelineQueries {
            |  round(CAST(coalesce(c.covered, 0) AS DOUBLE) /
            |    CAST(t.n_tokens AS DOUBLE), 4) AS coverage
            |FROM tot t LEFT JOIN cov c ON c.doc_id = t.doc_id""".stripMargin,
+      // mirrors Curation.removeHotSpans: same hot-gram CTEs as
+      // text_hot_spans, then an indexed list_filter rewrite (DuckDB
+      // lambda index is 1-based; covered positions are 0-based)
+      "curate_remove_spans" ->
+        s"""$corpusCte, ${toksCte("corpus")},
+           |sh AS (SELECT doc_id, unnest(range(len(w) - 4)) AS pos, w
+           |  FROM toks WHERE len(w) >= 5),
+           |sh2 AS (SELECT doc_id, pos,
+           |  w[pos+1]||' '||w[pos+2]||' '||w[pos+3]||' '||w[pos+4]||' '||w[pos+5] AS g
+           |  FROM sh),
+           |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+           |  FROM sh2 GROUP BY g) WHERE df >= 2),
+           |cl AS (SELECT doc_id, list(DISTINCT cp) AS cov FROM
+           |  (SELECT doc_id, unnest(range(pos, pos + 5)) AS cp FROM sh2
+           |   WHERE g IN (SELECT g FROM hot)) GROUP BY doc_id),
+           |tot AS (SELECT doc_id, w FROM toks WHERE len(w) >= 1 AND w[1] <> '')
+           |SELECT t.doc_id,
+           |  coalesce(array_to_string(list_filter(t.w,
+           |    (x, i) -> c.cov IS NULL OR NOT list_contains(c.cov, i - 1)), ' '), '') AS clean_text,
+           |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed
+           |FROM tot t LEFT JOIN cl c ON c.doc_id = t.doc_id""".stripMargin,
       // mirrors Clustering.covariance: upper-triangle pair products summed
       // in DECIMAL(30,10), means from the same decimal-carried moments
       "embedding_covariance" ->

@@ -170,6 +170,53 @@ object Curation {
         .otherwise("train"))
   }
 
+  /** Duplicated-span REMOVAL — the text-rewriting side of
+    * [[Dedup.hotSpanCoverage]] (the "remove duplicated substrings"
+    * curation step): every token position covered by some n-gram window
+    * occurring in ≥ `minDf` distinct documents is dropped, and the
+    * survivors are re-joined into `clean_text` (over NORMALIZED tokens —
+    * the same token stream every n-gram operator here sees). Documents
+    * with at least one token emit (idCol, clean_text, n_tokens,
+    * n_removed); a fully boilerplate document reads clean_text = ''.
+    *
+    * Scale: positional shingles ride the narrow kernel (posexplode index
+    * = start token, no window sort); hot grams are one hash aggregation;
+    * the covered-position set is per-document bounded by the document's
+    * own token count (it rides the row like the text itself does), and
+    * the rewrite is a row-local indexed filter — no join after the one
+    * covered-set equi-join. */
+  def removeHotSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 5, minDf: Int = 2): DataFrame = {
+    require(n >= 2 && minDf >= 2, s"need n >= 2, minDf >= 2; got n=$n minDf=$minDf")
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sh = df
+      .select(col(idCol),
+        posexplode(TextAnalysis.wordShingles(col(textCol), n)).as(Seq("pos", "shingle")))
+      .coalesce(nPart)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.count() // eager cache fill — see ngramJaccardOnShingles
+      val hot = sh.select(col(idCol), col("shingle")).distinct()
+        .groupBy("shingle").agg(count(lit(1)).as("__df"))
+        .where(col("__df") >= minDf).select("shingle")
+      val cov = sh.join(hot, Seq("shingle"), "left_semi")
+        .select(col(idCol),
+          explode(sequence(col("pos"), col("pos") + (n - 1))).as("__cp"))
+        .groupBy(idCol).agg(collect_set(col("__cp")).as("__cov"))
+      val none = array().cast("array<int>")
+      df.select(col(idCol), TextAnalysis.words(col(textCol)).as("__w"))
+        .where(size(col("__w")) > 0)
+        .join(cov, Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("__cov"), none).as("__cov"), col("__w"))
+        .select(col(idCol),
+          array_join(filter(col("__w"),
+            (_, i) => !array_contains(col("__cov"), i)), " ").as("clean_text"),
+          size(col("__w")).cast("long").as("n_tokens"),
+          size(col("__cov")).cast("long").as("n_removed"))
+        .localCheckpoint(true)
+    } finally sh.unpersist()
+  }
+
   /** Pattern redaction: emails and long digit runs replaced with typed
     * placeholder tokens (codegen'd regexp passes, linear per row). */
   def redact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

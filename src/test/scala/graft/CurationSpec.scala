@@ -109,6 +109,27 @@ class CurationSpec extends SparkSuite {
     assert(labeled.collect().toSet == again.collect().toSet)
   }
 
+  test("removeHotSpans: hand-traced rewrite, fully-covered doc empties, unique text untouched") {
+    val corpus = Seq(
+      (1L, "one two three four five tail-a stays here now"), // shares the hot 5-gram
+      (2L, "one two three four five tail-b keeps going too"), // shares it too
+      (3L, "totally unique words that repeat in no other document at all"),
+      (4L, "one two three four five"),                        // nothing BUT the hot gram
+      (5L, "tiny doc")                                        // < n tokens, no shingles
+    ).toDF("doc_id", "text")
+    val out = Curation.removeHotSpans(corpus, "doc_id", "text", n = 5, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "tail-a" normalizes to two tokens, so docs 1/2 share TWO hot
+    // 5-grams: "one two three four five" (pos 0) and "two three four
+    // five tail" (pos 1) — covered positions 0..5, six tokens removed
+    assert(out(1L) == (("a stays here now", 10L, 6L)))
+    assert(out(2L) == (("b keeps going too", 10L, 6L)))
+    assert(out(3L)._3 == 0L && out(3L)._1.nonEmpty)
+    assert(out(4L) == (("", 5L, 5L)))
+    assert(out(5L) == (("tiny doc", 2L, 0L)))
+  }
+
   test("redact masks emails and long digit runs, preserves short numbers") {
     val r = Seq("write to a.b+c@mail.example.org or call 12345678900, room 42")
       .toDF("text").select(Curation.redact(col("text"))).head().getString(0)
