@@ -178,12 +178,15 @@ class PipelineSpec extends SparkSuite {
       m = 2, codewords = 8)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
-    assert(rep.keySet == Set("lsh", "ivf", "ivfpq"))
+    assert(rep.keySet == Set("lsh", "ivf", "ivfpq", "ivfpq_rerank"))
     rep.foreach { case (m, (nq, nx, nf, nh, rec)) =>
       assert(nq == 6 && nx == 18, s"$m: $nq/$nx")
       assert(nh <= nf && nh <= nx, s"$m: hits $nh found $nf exact $nx")
       assert(rec >= 0.0 && rec <= 1.0 && math.abs(rec - nh.toDouble / nx) < 1e-4)
     }
+    // exact rescoring over a candidate superset can only help recall
+    assert(rep("ivfpq_rerank")._4 >= rep("ivfpq")._4,
+      s"rerank lost hits: ${rep("ivfpq_rerank")} vs ${rep("ivfpq")}")
   }
 
   test("ivfNprobeSweep: monotone rungs, deepest rung consistent with ivfTopK") {
