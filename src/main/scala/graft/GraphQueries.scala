@@ -415,6 +415,11 @@ object GraphQueries {
     // 2-step window of the shared walk corpus
     "graph_walk_pairs" -> ((s, d) =>
       GraphAnalytics.walkSkipGramPairs(coPurchaseWalks(s, d), window = 2)),
+    // PMI over the skip-gram pairs (the SGNS implicit factorization
+    // target) — integer micro-ln per pair cell over exact counts
+    "graph_walk_pmi" -> ((s, d) =>
+      GraphAnalytics.walkPairPmi(
+        GraphAnalytics.walkSkipGramPairs(coPurchaseWalks(s, d), window = 2))),
     // weight-proportional walks: step choice lands the md5 uniform in the
     // neighbor's slot of the cumulative shared-order-count ladder
     "graph_weighted_walks" -> ((s, d) => {
@@ -673,6 +678,19 @@ object GraphQueries {
        | AND a.step <> b.step AND abs(a.step - b.step) <= 2
        |GROUP BY 1, 2""".stripMargin
 
+  private val walkPmiSql: String =
+    s"""WITH $walkCtes,
+       |p AS (SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+       |  FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+       |   AND a.step <> b.step AND abs(a.step - b.step) <= 2
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT sum(n_pairs) AS n FROM p),
+       |ct AS (SELECT center, sum(n_pairs) AS nc FROM p GROUP BY 1),
+       |xt AS (SELECT context, sum(n_pairs) AS nx FROM p GROUP BY 1)
+       |SELECT p.center, p.context, p.n_pairs,
+       |  CAST(floor(ln(CAST(p.n_pairs AS DOUBLE) * tot.n / (ct.nc * xt.nx)) * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+       |FROM p JOIN ct USING (center) JOIN xt USING (context) CROSS JOIN tot""".stripMargin
+
   /** DuckDB fragment computing an edge's content-hash id (the exact bytes of
     * Hashing.edgeJson) from SQL expressions for the endpoint ids. */
   private def edgeIdSql(variant: String, srcExpr: String, dstExpr: String): String =
@@ -891,6 +909,7 @@ object GraphQueries {
     "graph_kcore_df" -> kCoreSql,
     "graph_random_walks" -> randomWalksSql,
     "graph_walk_pairs" -> walkPairsSql,
+    "graph_walk_pmi" -> walkPmiSql,
     "graph_weighted_walks" -> weightedWalksSql,
     // unique-path closed form: region 0 to itself, nation = its own
     // edge weight, customer = customer-edge + nation-edge weights

@@ -522,6 +522,28 @@ object GraphAnalytics {
     * (walkLen+1)² comparisons per walk before filtering — 10-20× the CPU
     * at DeepWalk-typical walkLen 40-80. Pairs aggregate map-side into
     * (center, context) counts. */
+  /** PMI over a skip-gram pair table ([[walkSkipGramPairs]] output) —
+    * the word2vec-SGNS objective's implicit factorization target
+    * (Levy & Goldberg 2014): pmi(c, x) = ln( n(c,x)·N / (n(c·)·n(·x)) )
+    * in integer micro-ln units, one ln per distinct PAIR cell over an
+    * exact-integer ratio — partition-order free by construction.
+    *
+    * Scale: two marginal aggregations over the (already aggregated,
+    * sparse) pair table plus one 1-row total on a broadcast; the joins
+    * key on center/context — AQE skew-splits hub nodes. Returns
+    * (center, context, n_pairs, pmi_micro). */
+  def walkPairPmi(pairs: DataFrame): DataFrame = {
+    val tot = pairs.agg(sum("n_pairs").as("__N"))
+    val cTot = pairs.groupBy("center").agg(sum("n_pairs").as("__nc"))
+    val xTot = pairs.groupBy("context").agg(sum("n_pairs").as("__nx"))
+    pairs.join(cTot, Seq("center")).join(xTot, Seq("context"))
+      .crossJoin(broadcast(tot))
+      .select(col("center"), col("context"), col("n_pairs"),
+        floor(log(col("n_pairs").cast("double") * col("__N") /
+            (col("__nc") * col("__nx"))) * 1000000.0 + 0.5)
+          .cast("long").as("pmi_micro"))
+  }
+
   def walkSkipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
     require(window >= 1, s"need window >= 1; got $window")
     val offsets = array(((-window to window).filter(_ != 0).map(o => lit(o.toLong))): _*)

@@ -356,6 +356,24 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("walkPairPmi: hand-computed micro-ln PMI over a tiny pair table") {
+    import spark.implicits._
+    // pairs: (a,b)=4, (a,c)=1, (b,a)=3, (c,a)=2 → N=10,
+    // n(a·)=5, n(b·)=3, n(c·)=2, n(·a)=5, n(·b)=4, n(·c)=1
+    val pairs = Seq(
+      (1L, 2L, 4L), (1L, 3L, 1L), (2L, 1L, 3L), (3L, 1L, 2L))
+      .toDF("center", "context", "n_pairs")
+    val out = graft.analytics.GraphAnalytics.walkPairPmi(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    def pmi(n: Long, nc: Long, nx: Long) =
+      math.floor(math.log(n.toDouble * 10 / (nc * nx)) * 1e6 + 0.5).toLong
+    assert(out == Map(
+      (1L, 2L) -> pmi(4, 5, 4), (1L, 3L) -> pmi(1, 5, 1),
+      (2L, 1L) -> pmi(3, 3, 5), (3L, 1L) -> pmi(2, 2, 5)), s"got $out")
+    // the exclusive (a,c)/(c,·) cell carries the largest association
+    assert(out((1L, 3L)) == out.values.max)
+  }
+
   test("walkSkipGramPairs: hand-traced window pairs over a fixed corpus") {
     import spark.implicits._
     // one walk 10->11->12, one walk 20->21 (already-materialized corpus —
