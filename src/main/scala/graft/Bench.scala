@@ -90,7 +90,8 @@ object Bench {
     // OOV fallback cell on a measured path) and the ADC-propose /
     // exact-rerank refine pattern
     "text_nb_oov_classify", "ann_ivfpq_rerank", "text_bigram_logprob",
-    "ann_contrastive_pairs", "curate_remove_spans", "graph_walk_pmi")
+    "ann_contrastive_pairs", "curate_remove_spans", "graph_walk_pmi",
+    "ann_ivfpq_forget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -916,6 +916,17 @@ object PipelineQueries {
         "vec_id", "embedding", k = 3, planes = 4, nlist = 16, nprobe = 4,
         m = 16, codewords = 256, ivfPqNprobe = 8, ivfPqIdx = Some(ivfPqIdx(s, d)))
     }),
+    // right-to-forget over the persisted index: ids 40-43 removed (one
+    // anti-join on the stored codes, quantizers frozen), then served —
+    // results must equal an index whose corpus never held those vectors
+    "ann_ivfpq_forget" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val idx = pipeline.AnnIndex.load(s, savedAnnIndex(s, d))
+      import s.implicits._
+      val gone = pipeline.AnnIndex.remove(idx, Seq(40L, 41L, 42L, 43L).toDF("vec_id"))
+      pipeline.AnnIndex.search(gone, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, nprobe = 8)
+    }),
     // corpus rebalancing: sqrt-temperature quotas per detected language
     "curate_temperature_sample" -> ((s, d) => {
       val withLang = docs(s, d).select(col("doc_id"),
@@ -1786,6 +1797,19 @@ object PipelineQueries {
            |${ivfpqResCtes(5)},
            |r AS (SELECT query_id, neighbor_id, micros,
            |    row_number() OVER (PARTITION BY query_id ORDER BY micros ASC, neighbor_id ASC) AS rnk FROM rq_dd)
+           |SELECT query_id, neighbor_id,
+           |  floor(CAST(micros AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS dist,
+           |  CAST(rnk AS BIGINT) AS rank
+           |FROM r WHERE rnk <= 3""".stripMargin,
+      // the serve replay minus the forgotten ids' candidate rows — code
+      // deletion is row-drop on the code table, so filtering rq_dd by
+      // neighbor replays it exactly
+      "ann_ivfpq_forget" ->
+        s"""WITH $pqBaseCtes,
+           |${ivfpqResCtes(5)},
+           |kept AS (SELECT * FROM rq_dd WHERE neighbor_id NOT IN (40, 41, 42, 43)),
+           |r AS (SELECT query_id, neighbor_id, micros,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY micros ASC, neighbor_id ASC) AS rnk FROM kept)
            |SELECT query_id, neighbor_id,
            |  floor(CAST(micros AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS dist,
            |  CAST(rnk AS BIGINT) AS rank

@@ -95,6 +95,20 @@ object AnnIndex {
           index.centroids, index.codebooks)
         .withColumnRenamed(idCol, "id")))
 
+  /** Delete vectors from the index — the GDPR/right-to-forget and
+    * corpus-refresh path that completes the lifecycle next to [[append]]:
+    * the stored codes for `ids` (a 1-column frame of vector ids) are
+    * dropped with one anti-join on the code table; quantizers are
+    * untouched (same frozen-quantizer trade as append — centroids and
+    * codebooks reflect the training-time distribution until a rebuild).
+    * Serving the result is exactly serving an index whose corpus never
+    * contained those vectors, because scoring touches only code rows.
+    * No tombstones: the id is physically absent after the next [[save]]. */
+  def remove(index: IvfPq, ids: DataFrame): IvfPq = {
+    val del = ids.select(col(ids.columns.head).cast("long").as("id"))
+    index.copy(codes = index.codes.join(del, Seq("id"), "left_anti"))
+  }
+
   /** [[append]] against a SAVED index: encode `batch` with the stored
     * quantizers and APPEND the codes to the index's parquet code table —
     * the `foreachBatch` hook for streaming embedding ingest (each

@@ -695,6 +695,28 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("ann index remove: deleted ids vanish from serving, survivors score unchanged") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val q = vecs.where($"vec_id" < 3)
+    val idx = graft.pipeline.AnnIndex.buildIvfPq(
+      vecs, "vec_id", "embedding", nlist = 2, m = 2, codewords = 3)
+    val victims = Seq(6L, 9L).toDF("vec_id")
+    val pruned = graft.pipeline.AnnIndex.remove(idx, victims)
+    // the codes are physically gone, not masked
+    assert(pruned.codes.where(col("id").isin(6L, 9L)).count() == 0)
+    val served = graft.pipeline.AnnIndex.search(
+      pruned, q, "vec_id", "embedding", k = 100, nprobe = 2)
+    assert(served.where(col("neighbor_id").isin(6L, 9L)).count() == 0,
+      "removed vector served")
+    // surviving neighbors keep the EXACT scores of the unpruned index:
+    // removal must not perturb anyone else's ADC distance
+    val before = rows(graft.pipeline.AnnIndex.search(
+        idx, q, "vec_id", "embedding", k = 100, nprobe = 2))
+      .filterNot(t => t._2 == 6L || t._2 == 9L)
+    assert(rows(served) == before, s"survivor scores moved:\n${rows(served)}\nvs $before")
+  }
+
   test("ann index append: frozen-quantizer ingest equals encoding the union corpus") {
     // deterministic 24-vector corpus; ids < 16 are the "ingested" base
     // (covers every quantizer seed id: coarse [0, 2), codebook [2, 5)),
