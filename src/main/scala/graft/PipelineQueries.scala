@@ -1056,6 +1056,11 @@ object PipelineQueries {
     "embedding_pca_project" -> ((s, d) =>
       pipeline.Clustering.pcaProject(embeddings(s, d), "vec_id", "embedding",
         p = 2, iters = 3)),
+    // PCA whitening: the projection divided by sqrt(Rayleigh lambda) per
+    // component — unit-variance decorrelated coordinates
+    "embedding_whiten" -> ((s, d) =>
+      pipeline.Clustering.pcaWhiten(embeddings(s, d), "vec_id", "embedding",
+        p = 2, iters = 3)),
   )
 
   val oracles: Map[String, String] = {
@@ -2376,6 +2381,53 @@ object PipelineQueries {
            |SELECT vec_id, component,
            |  CASE WHEN round(s, 6) = 0 THEN 0.0 ELSE round(s, 6) END AS coord
            |FROM proj""".stripMargin
+      },
+      // the pca_project replay with each component's Rayleigh lambda
+      // (against its extraction-time deflated matrix, matching
+      // Clustering.pcaComponents) dividing the raw projection
+      "embedding_whiten" -> {
+        def mul(mat: String, src: String, dst: String) =
+          s"""w$dst AS MATERIALIZED (SELECT f.i AS d, CAST(sum(CAST(f.cov * x.v AS DECIMAL(30,10))) AS DOUBLE) AS v
+             |  FROM $mat f JOIN $src x ON x.d = f.j GROUP BY f.i),
+             |$dst AS MATERIALIZED (SELECT d, v / NULLIF((SELECT max(abs(v)) FROM w$dst), 0) AS v FROM w$dst)""".stripMargin
+        def norm(src: String, dst: String) =
+          s"""n$dst AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(v * v AS DECIMAL(30,10))) AS DOUBLE)) AS nv FROM $src),
+             |$dst AS MATERIALIZED (SELECT d, CASE WHEN round(v / nv, 6) = 0 THEN 0.0
+             |  ELSE round(v / nv, 6) END AS loading FROM $src, n$dst)""".stripMargin
+        s"""WITH $covCtes,
+           |fm AS MATERIALIZED (SELECT i, j, cov FROM covq
+           |  UNION ALL SELECT j, i, cov FROM covq WHERE i <> j),
+           |v0 AS (SELECT DISTINCT i AS d, 1.0 AS v FROM fm),
+           |${mul("fm", "v0", "v1")},
+           |${mul("fm", "v1", "v2")},
+           |${mul("fm", "v2", "v3")},
+           |${norm("v3", "l1")},
+           |lam AS MATERIALIZED (SELECT CAST(sum(CAST(f.cov * a.loading * b.loading AS DECIMAL(30,10))) AS DOUBLE) AS lam
+           |  FROM fm f JOIN l1 a ON a.d = f.i JOIN l1 b ON b.d = f.j),
+           |fm2 AS MATERIALIZED (SELECT f.i, f.j, f.cov - lam.lam * a.loading * b.loading AS cov
+           |  FROM fm f JOIN l1 a ON a.d = f.i JOIN l1 b ON b.d = f.j, lam),
+           |u0 AS (SELECT DISTINCT i AS d, 1.0 AS v FROM fm2),
+           |${mul("fm2", "u0", "u1")},
+           |${mul("fm2", "u1", "u2")},
+           |${mul("fm2", "u2", "u3")},
+           |${norm("u3", "l2")},
+           |lam2 AS MATERIALIZED (SELECT CAST(sum(CAST(f.cov * a.loading * b.loading AS DECIMAL(30,10))) AS DOUBLE) AS lam
+           |  FROM fm2 f JOIN l2 a ON a.d = f.i JOIN l2 b ON b.d = f.j),
+           |lams AS (SELECT CAST(0 AS BIGINT) AS component, lam FROM lam
+           |  UNION ALL SELECT 1, lam FROM lam2),
+           |comps AS (SELECT CAST(0 AS BIGINT) AS component, d, loading FROM l1
+           |  UNION ALL SELECT 1, d, loading FROM l2),
+           |vid AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           |px AS (SELECT vec_id, CAST(unnest(range(len(ve))) AS BIGINT) AS d, unnest(ve) AS x FROM vid),
+           |proj AS (SELECT px.vec_id, c.component,
+           |    CAST(sum(CAST((px.x - m.mean) * c.loading AS DECIMAL(30,10))) AS DOUBLE) AS s
+           |  FROM px JOIN m ON m.d = px.d JOIN comps c ON c.d = px.d
+           |  GROUP BY 1, 2)
+           |SELECT p.vec_id, p.component,
+           |  CASE WHEN l.lam <= 0 THEN NULL
+           |       WHEN round(p.s / sqrt(l.lam), 6) = 0 THEN 0.0
+           |       ELSE round(p.s / sqrt(l.lam), 6) END AS white
+           |FROM proj p JOIN lams l USING (component)""".stripMargin
       },
       // mirrors Curation.semanticDecontaminate(planes=8, minCos=0.3): the
       // embedding_lsh_pairs bucket formula, corpus % 50 != 0 vs eval slice

@@ -295,25 +295,36 @@ object Clustering {
     * folds row-locally ([[graft.functions.CenteredProjection]], exact
     * decimal sums) instead of re-keying the corpus by (row id, component).
     * At 100 TB both passes are scans; nothing is keyed by corpus rows. */
-  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
-      p: Int = 2, iters: Int = 3): DataFrame = {
-    require(p >= 1, s"need p >= 1; got $p")
+  /** Deflation loop shared by [[pcaProject]] and [[pcaWhiten]]: the top-p
+    * unit loadings plus each component's Rayleigh quotient λ_k = vᵀΣ_k v
+    * against the matrix it was extracted from (the decimal-summed double
+    * the deflation step already used — the oracle replays it verbatim). */
+  private def pcaComponents(df: DataFrame, vecCol: String,
+      p: Int, iters: Int): Seq[(DataFrame, DataFrame)] = {
     var cur = symmetricCov(df, vecCol)
-    val comps = (0 until p).map { k =>
+    (0 until p).map { k =>
       val lk = normalizedLoadings(powerIterate(cur, iters)).localCheckpoint(true)
+      val vi = broadcast(lk.select(col("d").as("i"), col("loading").as("__vi")))
+      val vj = broadcast(lk.select(col("d").as("j"), col("loading").as("__vj")))
+      val lam = cur.join(vi, Seq("i")).join(vj, Seq("j"))
+        .agg(sum((col("cov") * col("__vi") * col("__vj")).cast("decimal(30,10)")).as("__s"))
+        .select(col("__s").cast("double").as("__lam"))
+        .localCheckpoint(true)
       if (k < p - 1) {
-        val vi = broadcast(lk.select(col("d").as("i"), col("loading").as("__vi")))
-        val vj = broadcast(lk.select(col("d").as("j"), col("loading").as("__vj")))
-        val lam = cur.join(vi, Seq("i")).join(vj, Seq("j"))
-          .agg(sum((col("cov") * col("__vi") * col("__vj")).cast("decimal(30,10)")).as("__s"))
-          .select(col("__s").cast("double").as("__lam"))
         cur = cur.join(vi, Seq("i")).join(vj, Seq("j")).crossJoin(broadcast(lam))
           .select(col("i"), col("j"),
             (col("cov") - col("__lam") * col("__vi") * col("__vj")).as("cov"))
           .localCheckpoint(true)
       }
-      lk.withColumn("component", lit(k.toLong))
+      (lk.withColumn("component", lit(k.toLong)),
+        lam.withColumn("component", lit(k.toLong)))
     }
+  }
+
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+      p: Int = 2, iters: Int = 3): DataFrame = {
+    require(p >= 1, s"need p >= 1; got $p")
+    val comps = pcaComponents(df, vecCol, p, iters).map(_._1)
     // round 10: the projection folds ROW-LOCALLY — means and per-component
     // loading arrays ride ONE broadcast row each, and CenteredProjection
     // reproduces the exact decimal quantization + sum of the old
@@ -336,6 +347,45 @@ object Clustering {
         .centeredProjection(col("__v"), col("__means"), col("__loads"))).as("e"))
       .select(col(idCol), col("e.component").as("component"),
         when(coord === 0.0, lit(0.0)).otherwise(coord).as("coord"))
+  }
+
+  /** PCA WHITENING — [[pcaProject]]'s coordinates rescaled to unit
+    * variance per component: white_k = s_k / √λ_k, λ_k the component's
+    * Rayleigh quotient against its extraction-time (deflated) covariance
+    * — the decorrelated, isotropized embedding transform (ZCA-style up
+    * to rotation) feeding similarity pipelines that assume comparable
+    * scales per direction. The raw (unrounded) projection divides before
+    * the single 6-dp quantization, and a non-positive λ (degenerate
+    * direction) yields NULL rather than an infinity. Same corpus-side
+    * plan as pcaProject: scan → row-local fold → explode(p); λ rides a
+    * broadcast p-row table. Returns (idCol, component, white). */
+  def pcaWhiten(df: DataFrame, idCol: String, vecCol: String,
+      p: Int = 2, iters: Int = 3): DataFrame = {
+    require(p >= 1, s"need p >= 1; got $p")
+    val cl = pcaComponents(df, vecCol, p, iters)
+    val comps = cl.map(_._1)
+    val lams = broadcast(cl.map(_._2).reduce(_ unionByName _)
+      .select(col("component"), col("__lam")))
+    val meansArr = broadcast(dimMeans(df, vecCol)
+      .agg(array_sort(collect_list(struct(col("d"), col("mean")))).as("__ms"))
+      .select(transform(col("__ms"), x => x.getField("mean")).as("__means")))
+    val loadArr = broadcast(comps.reduce(_ unionByName _)
+      .groupBy("component")
+      .agg(array_sort(collect_list(struct(col("d"), col("loading")))).as("__ls"))
+      .select(col("component"),
+        transform(col("__ls"), x => x.getField("loading")).as("__l"))
+      .agg(array_sort(collect_list(struct(col("component"), col("__l"))))
+        .as("__loads")))
+    val white = round(col("__s").cast("double") / sqrt(col("__lam")), 6)
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(meansArr).crossJoin(loadArr)
+      .select(col(idCol), explode(graft.functions.CenteredProjection
+        .centeredProjection(col("__v"), col("__means"), col("__loads"))).as("e"))
+      .select(col(idCol), col("e.component").as("component"), col("e.s").as("__s"))
+      .join(lams, Seq("component"))
+      .select(col(idCol), col("component"),
+        when(col("__lam") <= 0.0, lit(null).cast("double"))
+          .otherwise(when(white === 0.0, lit(0.0)).otherwise(white)).as("white"))
   }
 
   /** The k centroids as ONE collected row (cid-ascending array<struct<cid,

@@ -1354,6 +1354,30 @@ class PipelineSpec extends SparkSuite {
     assert(math.abs(c0.zip(c1).map { case (a, b) => a * b }.sum) < 1e-2)
   }
 
+  test("pcaWhiten: per-component unit variance on anisotropic axes") {
+    import spark.implicits._
+    // same fixture as the pcaProject spec: x-variance 2 (population, /4),
+    // y-variance 0.5 — whitening must equalize them to 1
+    val vecs = Seq(
+      (1L, Array(-2.0f, 0.0f)), (2L, Array(0.0f, -1.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = pipeline.Clustering.pcaWhiten(vecs, "vec_id", "embedding", p = 2, iters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 8)
+    def popVar(xs: Seq[Double]) = xs.map(x => x * x).sum / xs.size
+    val c0 = Seq(1L, 2L, 3L, 4L).map(i => out((i, 0L)))
+    val c1 = Seq(1L, 2L, 3L, 4L).map(i => out((i, 1L)))
+    // covariance here is the SAMPLE covariance (n-1), so whitened
+    // population variance is (n-1)/n = 3/4 on both axes — the point is
+    // they are EQUAL after whitening though raw variances differ 4×
+    assert(math.abs(popVar(c0) - popVar(c1)) < 1e-3,
+      s"whitened variances differ: ${popVar(c0)} vs ${popVar(c1)}")
+    assert(popVar(c0) > 0.5 && popVar(c0) < 1.1)
+    // the dominant-axis point lands at ±2/sqrt(lambda0), not at ±2
+    assert(math.abs(out((1L, 0L))) < 2.0)
+  }
+
   test("oovReport: rate against the corpus's own top-V vocab, zero-token docs pass") {
     import spark.implicits._
     val docs = Seq(
