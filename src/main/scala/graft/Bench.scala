@@ -91,7 +91,7 @@ object Bench {
     // exact-rerank refine pattern
     "text_nb_oov_classify", "ann_ivfpq_rerank", "text_bigram_logprob",
     "ann_contrastive_pairs", "curate_remove_spans", "graph_walk_pmi",
-    "ann_ivfpq_forget", "embedding_whiten")
+    "ann_ivfpq_forget", "embedding_whiten", "events_label_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -547,6 +547,16 @@ object GraphQueries {
             col("event_type"), col("value")))
         .select(col("window_start").cast("long").as("w_start"),
           col("event_type"), col("cnt"), col("sum_value"))),
+    // event-type distribution DRIFT between consecutive hourly windows:
+    // integer micro-unit shares, L1 distance — the serving-pipeline
+    // health monitor (a data regression shifts the mix)
+    "events_label_drift" -> ((s, d) =>
+      graft.streaming.EventStreams.labelDrift(
+          t(s, d, "events").select(
+            timestamp_seconds(expr("ts DIV 1000000000")).as("ts"),
+            col("event_type")))
+        .select(col("window_start").cast("long").as("w_start"),
+          col("n_events"), col("drift_micro"))),
     // conversion funnel click→view→purchase with STRICT first-occurrence
     // chaining: per user, the first click, the first view after it, the
     // first purchase after that — three conditional-min aggregations all
@@ -998,6 +1008,23 @@ object GraphQueries {
       """SELECT event_type, epoch_ns(ts) // 300000000000 AS bucket, count(*) AS cnt,
         |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type, bucket""".stripMargin,
+    // hourly micro-unit shares, full-joined to the predecessor window's
+    // shares per type, L1-summed; first/gap-successor windows drop
+    "events_label_drift" ->
+      """WITH e AS (SELECT event_type, ((epoch_ns(ts) // 1000000000) // 3600) * 3600 AS w FROM events),
+        |per AS (SELECT w, event_type AS t, count(*) AS c FROM e GROUP BY 1, 2),
+        |tot AS (SELECT w, sum(c) AS n FROM per GROUP BY 1),
+        |sh AS (SELECT per.w, per.t, (per.c * 1000000) // tot.n AS s, tot.n AS n
+        |  FROM per JOIN tot USING (w)),
+        |pv AS (SELECT w + 3600 AS w, t, s AS sp FROM sh),
+        |j AS (SELECT coalesce(sh.w, pv.w) AS w, coalesce(sh.s, 0) AS s,
+        |    coalesce(pv.sp, 0) AS sp, sh.n AS n
+        |  FROM sh FULL JOIN pv ON sh.w = pv.w AND sh.t = pv.t),
+        |d AS (SELECT w, max(n) AS n, sum(abs(s - sp)) AS drift FROM j GROUP BY w)
+        |SELECT CAST(d.w AS BIGINT) AS w_start, CAST(d.n AS BIGINT) AS n_events,
+        |  CAST(d.drift AS BIGINT) AS drift_micro
+        |FROM d JOIN (SELECT DISTINCT w + 3600 AS w FROM tot) p ON p.w = d.w
+        |WHERE d.n IS NOT NULL""".stripMargin,
     // sliding windows: an event at second t belongs to starts
     // {floor(t/300)*300 - 300*i : i in 0..1} (Spark window() epoch-aligned
     // membership, s <= t < s + 600)

@@ -37,6 +37,58 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Distribution-DRIFT monitor over event-time windows — the serving-
+    * pipeline health signal (a data or model regression shows up as the
+    * label/type mix shifting between windows): per `windowLen` tumbling
+    * window, each event_type's share in integer micro-units
+    * (floor(cnt·10⁶ / total) — exact integer floor division, identical
+    * in every engine), then the L1 distance between CONSECUTIVE windows
+    * Σ_type |share_w − share_prev|. A type absent from a window
+    * contributes its other-window share whole. Windows with no
+    * predecessor window (the first, or one after a gap) emit no row —
+    * drift is defined against the immediately preceding aligned window
+    * only. Returns (window_start, n_events, drift_micro).
+    *
+    * Scale: one windowed count aggregation (map-side combined; window
+    * count is time-bounded, types bounded), then all work is on the
+    * (window × type) frame — corpus never re-enters. Runs identically
+    * in batch; the streaming form needs the full previous window closed,
+    * i.e. watermark-delayed append mode downstream of [[windowedCounts]].
+    */
+  def labelDrift(events: DataFrame, typeCol: String = "event_type",
+                 windowLen: String = "60 minutes"): DataFrame = {
+    val per = events
+      .groupBy(window(col("ts"), windowLen).as("w"), col(typeCol).as("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("w.start").as("window_start"), col("__t"), col("__c"))
+    val tot = per.groupBy("window_start").agg(sum("__c").as("__n"))
+    val shares = per.join(tot, Seq("window_start"))
+      .select(col("window_start"), col("__t"),
+        expr("(__c * 1000000L) DIV __n").as("__s"), col("__n"))
+    // tumbling windows are epoch-aligned, so start + windowLen lands
+    // exactly on the successor window's start — the adjacency join key
+    val prev = shares.select(
+      (col("window_start") + expr(s"INTERVAL '$windowLen'")).as("window_start"),
+      col("__t"), col("__s").as("__sp"))
+    shares.join(prev, Seq("window_start", "__t"), "full")
+      .where(col("window_start").isNotNull)
+      .select(col("window_start"), col("__t"),
+        coalesce(col("__s"), lit(0L)).as("__s"),
+        coalesce(col("__sp"), lit(0L)).as("__sp"),
+        col("__n"))
+      .groupBy("window_start")
+      .agg(max(col("__n")).as("__n"),
+        sum(abs(col("__s") - col("__sp"))).as("drift_micro"))
+      // a window whose predecessor emitted nothing has max(__n) only when
+      // it has own events; drop windows that exist ONLY as a shifted prev
+      // (their __n is null) AND first windows (no prev rows at all)
+      .where(col("__n").isNotNull)
+      .join(tot.select((col("window_start") + expr(s"INTERVAL '$windowLen'"))
+        .as("window_start")), Seq("window_start"), "left_semi")
+      .select(col("window_start"), col("__n").cast("long").as("n_events"),
+        col("drift_micro").cast("long").as("drift_micro"))
+  }
+
   /** SLIDING-window counts: `windowLen` windows advancing every `slide`,
     * per event_type, same watermark discipline as [[windowedCounts]] —
     * each event lands in windowLen/slide overlapping windows (the

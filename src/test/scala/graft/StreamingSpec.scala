@@ -32,6 +32,26 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("labelDrift: hand-computed L1 between hourly mixes; first/gap windows emit nothing") {
+    import spark.implicits._
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 0: a,a,b (shares 666666/333333); hour 1: a,b,b (333333/666666);
+    // hour 2: only c (1000000); hour 4 (after a GAP): a — no row
+    val events = Seq(
+      (ts(0, 1), "a"), (ts(0, 2), "a"), (ts(0, 3), "b"),
+      (ts(1, 1), "a"), (ts(1, 2), "b"), (ts(1, 3), "b"),
+      (ts(2, 30), "c"),
+      (ts(4, 0), "a")).toDF("ts", "event_type")
+    val out = EventStreams.labelDrift(events, windowLen = "60 minutes")
+      .collect().map(r => r.getTimestamp(0).toString -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // hour 1 vs 0: |333333-666666| + |666666-333333| = 666666
+    // hour 2 vs 1: c appears (1000000) + a,b vanish (333333+666666)
+    assert(out == Map(
+      "2024-01-01 01:00:00.0" -> ((3L, 666666L)),
+      "2024-01-01 02:00:00.0" -> ((1L, 1999999L))), s"got $out")
+  }
+
   test("sliding windows: streaming equals batch, every event in 2 windows") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
