@@ -710,16 +710,23 @@ object Dedup {
     * materialized eagerly, then the persist is released). */
   def duplicatedWindowStats(df: DataFrame, idCol: String, textCol: String,
                             n: Int = 8): DataFrame = {
+    // hash at the source (the containment-family trade): the df count and
+    // the shared-gram semi-join exchange fixed-width longs instead of
+    // n-word strings, 2⁻⁶⁴ collision tolerance; cached at the session
+    // shuffle parallelism so a unioned input doesn't tax every stage
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val win = TextAnalysis.shingleRows(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("__h"))
+      .coalesce(nPart)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       win.count() // eager cache fill — see ngramJaccardOnShingles
-      val shared = win.groupBy("shingle")
+      val shared = win.groupBy("__h")
         .agg(countDistinct(col(idCol)).as("__docs"))
         .where(col("__docs") > 1)
-        .select("shingle")
+        .select("__h")
       val total = win.groupBy(idCol).agg(count(lit(1)).as("__nw"))
-      val dup = win.join(shared, Seq("shingle"), "left_semi")
+      val dup = win.join(shared, Seq("__h"), "left_semi")
         .groupBy(idCol).agg(count(lit(1)).as("__dup"))
       df.select(col(idCol))
         .join(total, Seq(idCol), "left")

@@ -479,25 +479,23 @@ object TextAnalysis {
     * n + window − 1 words have no complete window and yield no rows
     * (callers wanting whole-tiny-doc coverage union [[fingerprints]]).
     *
-    * Scale: positioned gram hashes ride the one window shuffle keyed by
-    * document id (the same shape every shingle consumer pays); the
-    * per-window min is a `least` over `window` lead() columns — no
-    * per-document arrays, no second shuffle; the distinct is a map-side
-    * combinable hash aggregation. Returns (idCol, fp). */
+    * Scale: the ENTIRE selection folds ROW-LOCALLY over the kernel's
+    * in-order gram array — hash, slide, min, and per-doc dedup are array
+    * transforms inside one narrow projection (the DuckDB oracle's exact
+    * shape), so the round-10 form's two per-document window sorts AND
+    * its corpus-wide distinct exchange are all gone: (idCol, fp) rows
+    * are already unique because the dedup happened inside the row.
+    * The plan is scan → project → explode. Returns (idCol, fp). */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
                             n: Int = 4, window: Int = 4): DataFrame = {
     require(n >= 1 && window >= 1, s"need n, window >= 1; got n=$n window=$window")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol).orderBy("pos")
-    val grams = shingleRowsWithPos(tokenRows(df, idCol, textCol), idCol, n)
-      .select(col(idCol), col("pos"), md5(col("shingle")).as("h"))
-    // window minima: least over the next `window` gram hashes; rows whose
-    // trailing lead falls off the gram stream are incomplete windows
-    val sel = grams
-      .select(col(idCol) +: col("h").as("h0") +:
-        (1 until window).map(k => lead("h", k).over(w).as(s"h$k")): _*)
-      .where(col(s"h${window - 1}").isNotNull)
-      .select(col(idCol), least((0 until window).map(k => col(s"h$k")): _*).as("fp"))
-    sel.distinct()
+    val hs = transform(wordShingles(col(textCol), n), g => md5(g))
+    df.select(col(idCol), hs.as("__hs"))
+      .where(size(col("__hs")) >= window)
+      .select(col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("__hs")) - window),
+          i => array_min(slice(col("__hs"), i + 1, lit(window)))))).as("fp"))
   }
 
   /** Multinomial Naive Bayes model with add-one smoothing — the
