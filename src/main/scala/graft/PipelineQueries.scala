@@ -53,6 +53,7 @@ object PipelineQueries {
     * invocations from accumulating temp dirs and streaming sinks). */
   val memoBackedQueries: Set[String] = Set(
     "curate_dup_clusters_df", "curate_cluster_histogram",
+    "curate_leakage_split",
     "curate_export_manifest", "curate_funnel",
     // the shared walk-corpus memo: each entry timed cold pays the full
     // walk build (same convention as the funnel family above)
@@ -704,6 +705,19 @@ object PipelineQueries {
     "curate_split" -> ((s, d) =>
       pipeline.Curation.splitLabel(docs(s, d), "doc_id")
         .select("doc_id", "split")),
+    // leakage-safe split: every near-dup cluster (the shared memoized cc
+    // labels) lands whole in one split; docs in no dup pair hash their own
+    // id, i.e. reduce to exactly the curate_split rule
+    "curate_leakage_split" -> ((s, d) =>
+      pipeline.Curation.leakageSafeSplitFromLabels(
+          dedupCorpus(s, d), "doc_id", neardupLabels(s, d))
+        .select("doc_id", "split")),
+    // DSIR importance resampling: non-English documents ranked by how much
+    // more likely their hashed unigram+bigram features are under the
+    // English target LM than under the raw (non-English) LM; top 150 kept
+    "curate_dsir" -> ((s, d) =>
+      pipeline.Curation.dsirSelect(docs(s, d), "doc_id", "text",
+        col("lang") === "en", k = 150)),
     // curation: pattern redaction
     "curate_redact" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -1705,6 +1719,34 @@ object PipelineQueries {
           |  FROM documents)
           |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM u
           |ORDER BY ln(u) / n_chars DESC, doc_id ASC LIMIT 200""".stripMargin,
+      // DSIR replay: same hashed unigram+bigram buckets (4 md5 hex chars
+      // mod 256), same per-cell micro-ln quantization BEFORE the per-doc sum
+      "curate_dsir" ->
+        s"""WITH ${toksCte("documents")},
+           |feats AS (
+           |  SELECT doc_id, f FROM (SELECT doc_id, unnest(w) AS f FROM toks) u WHERE f <> ''
+           |  UNION ALL
+           |  SELECT doc_id, unnest(${shinglesExpr(2)}) AS f FROM toks WHERE len(w) >= 2),
+           |fb AS (SELECT t.doc_id, (d.lang = 'en') AS tgt,
+           |    CAST(concat('0x', substr(md5('dsir|' || f), 1, 4)) AS BIGINT) % 256 AS b
+           |  FROM feats t JOIN documents d ON d.doc_id = t.doc_id),
+           |cnt AS (SELECT tgt, b, count(*) AS c FROM fb GROUP BY 1, 2),
+           |tot AS (SELECT
+           |    coalesce(sum(CASE WHEN tgt THEN c END), 0) AS ttot,
+           |    coalesce(sum(CASE WHEN NOT tgt THEN c END), 0) AS stot FROM cnt),
+           |base AS (SELECT unnest(range(256)) AS b),
+           |model AS (SELECT base.b,
+           |    CAST(floor(ln((coalesce(t.c, 0) + 1.0) / (tot.ttot + 256)) * 1000000.0 + 0.5) AS BIGINT)
+           |  - CAST(floor(ln((coalesce(s.c, 0) + 1.0) / (tot.stot + 256)) * 1000000.0 + 0.5) AS BIGINT) AS dw
+           |  FROM base CROSS JOIN tot
+           |  LEFT JOIN (SELECT b, c FROM cnt WHERE tgt) t ON t.b = base.b
+           |  LEFT JOIN (SELECT b, c FROM cnt WHERE NOT tgt) s ON s.b = base.b),
+           |sc AS (SELECT fb.doc_id, sum(m.dw) AS w
+           |  FROM fb JOIN model m USING (b) WHERE NOT fb.tgt GROUP BY 1)
+           |SELECT r.doc_id, CAST(coalesce(sc.w, 0) AS BIGINT) AS weight_micro
+           |FROM (SELECT doc_id FROM documents WHERE lang <> 'en') r
+           |LEFT JOIN sc USING (doc_id)
+           |ORDER BY weight_micro DESC, doc_id ASC LIMIT 150""".stripMargin,
       "text_tfidf" ->
         s"""WITH ${toksCte("documents")},
            |tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
@@ -2728,6 +2770,24 @@ object PipelineQueries {
           |  WHEN substr(md5('split|'||doc_id), 1, 2) < '1a' THEN 'val'
           |  ELSE 'train' END AS split
           |FROM documents""".stripMargin,
+      // same recursive min-reachable labeling as curate_dup_clusters_df,
+      // split rule applied to the cluster root (own id for singletons)
+      "curate_leakage_split" ->
+        s"""${ngramInterCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |prs AS (SELECT a, b
+           |  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 4) >= 0.5),
+           |und AS (SELECT a, b FROM prs UNION SELECT b, a FROM prs),
+           |reach AS (SELECT a, b FROM und
+           |  UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+           |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+           |alldocs AS (SELECT c.doc_id, coalesce(l.cluster, c.doc_id) AS root
+           |  FROM corpus c LEFT JOIN lbl l ON l.doc_id = c.doc_id)
+           |SELECT doc_id, CASE
+           |  WHEN substr(md5('split|'||root), 1, 2) < '0d' THEN 'test'
+           |  WHEN substr(md5('split|'||root), 1, 2) < '1a' THEN 'val'
+           |  ELSE 'train' END AS split
+           |FROM alldocs""".stripMargin,
       "curate_redact" ->
         """SELECT doc_id,
           |regexp_replace(regexp_replace(text || ' contact bob@example.com id 1234567890',

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.graphx.{Edge, Graph => XGraph}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for training-data pipelines: survivor
@@ -168,6 +168,102 @@ object Curation {
       when(b < lit(f"$testOf256%02x"), "test")
         .when(b < lit(f"${testOf256 + valOf256}%02x"), "val")
         .otherwise("train"))
+  }
+
+  /** Leakage-safe train/val/test split: every document in the same
+    * duplicate cluster lands in the same split, so a near-duplicate of a
+    * training document can never leak into val/test (the contamination
+    * mode a plain per-id hash split — [[splitLabel]] — cannot prevent:
+    * planted copies hash independently and straddle the boundary).
+    * `pairs` is any verified duplicate-pair frame (a, b: long) — exact,
+    * MinHash-verified, semantic; the split key is the cluster's minimum
+    * member id from DataFrame-native connected components, and documents
+    * in no pair key on their own id, so they get EXACTLY the
+    * [[splitLabel]] assignment (same seed, same buckets — the two splits
+    * agree everywhere except where agreement would leak).
+    *
+    * Scale: cc runs over the duplicate-pair graph (sparse — bounded by
+    * the dedup propose/verify output, not the corpus); the label frame is
+    * one row per clustered doc, typically ≪ corpus, so AQE broadcasts the
+    * join-back; the hash rule is a row-local projection. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       testOf256: Int = 13, valOf256: Int = 13,
+                       seed: String = "split"): DataFrame =
+    leakageSafeSplitFromLabels(df, idCol, ConnectedComponents.labels(pairs),
+      testOf256, valOf256, seed)
+
+  /** [[leakageSafeSplit]] over an already-computed cluster-label frame
+    * (id, cluster) — the form pipelines use when cc labels are shared with
+    * other dedup consumers (cluster reports, keep-first dedup). */
+  def leakageSafeSplitFromLabels(df: DataFrame, idCol: String, labels: DataFrame,
+                                 testOf256: Int = 13, valOf256: Int = 13,
+                                 seed: String = "split"): DataFrame = {
+    val lbl = labels
+      .select(col("id").as("__lid"), col("cluster").as("__cluster"))
+    val root = coalesce(col("__cluster"), col(idCol).cast("long"))
+    val b = substring(md5(concat(lit(seed + "|"), root.cast("string"))), 1, 2)
+    df.join(lbl, df(idCol).cast("long") === col("__lid"), "left")
+      .withColumn("split",
+        when(b < lit(f"$testOf256%02x"), "test")
+          .when(b < lit(f"${testOf256 + valOf256}%02x"), "val")
+          .otherwise("train"))
+      .drop("__lid", "__cluster")
+  }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every RAW document by how
+    * much more likely its hashed n-gram features are under a TARGET
+    * distribution than under the raw distribution, and keep the top `k`.
+    * Features are unigrams plus word bigrams (the paper's choice),
+    * md5-hashed into `buckets` cells; both bucket LMs are add-1 smoothed
+    * multinomials, and the importance weight of a document is
+    * Σ_feat [ln p_target(bucket) − ln p_raw(bucket)].
+    *
+    * Determinism: one ln per model CELL per side, each quantized to
+    * integer micro-ln units BEFORE the difference and the per-document
+    * sum — exact long arithmetic end-to-end, partition-order free, and
+    * the md5 bucket hash replays bit-identically in any engine.
+    *
+    * Scale: the feature stream is one narrow explode per document (fused
+    * shingle kernel, no window); the only corpus-keyed shuffles are the
+    * (tgt, bucket) count (map-side combined into ≤ 2·buckets groups) and
+    * the per-document weight sum; the model is a `buckets`-row broadcast;
+    * top-k is TakeOrdered (per-partition heaps), never a full sort.
+    * Returns the selected (idCol, weight_micro), highest weight first,
+    * doc-id tiebreak; zero-feature raw documents carry weight 0. */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, k: Int, buckets: Int = 256,
+                 seed: String = "dsir"): DataFrame = {
+    require(k > 0, s"need k > 0; got $k")
+    require(buckets >= 2 && buckets <= 65536,
+      s"need 2 <= buckets <= 65536 (bucket = 4 md5 hex chars mod buckets); got $buckets")
+    val fb = df.select(col(idCol), isTarget.as("__tgt"),
+        explode(concat(
+          array_remove(TextAnalysis.words(col(textCol)), ""),
+          TextAnalysis.wordShingles(col(textCol), 2))).as("__f"))
+      .select(col(idCol), col("__tgt"),
+        (conv(substring(md5(concat(lit(seed + "|"), col("__f"))), 1, 4), 16, 10)
+          .cast("long") % buckets).as("__b"))
+    val cnt = fb.groupBy("__tgt", "__b").agg(count(lit(1)).as("__c"))
+    val tot = cnt.agg(
+      coalesce(sum(when(col("__tgt"), col("__c"))), lit(0L)).as("__ttot"),
+      coalesce(sum(when(!col("__tgt"), col("__c"))), lit(0L)).as("__stot"))
+    val model = df.sparkSession.range(buckets).select(col("id").as("__b"))
+      .join(cnt.where(col("__tgt")).select(col("__b"), col("__c").as("__tc")), Seq("__b"), "left")
+      .join(cnt.where(!col("__tgt")).select(col("__b"), col("__c").as("__sc")), Seq("__b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__b"),
+        (floor(log((coalesce(col("__tc"), lit(0L)) + lit(1)).cast("double") /
+            (col("__ttot") + lit(buckets))) * 1000000.0 + 0.5).cast("long") -
+         floor(log((coalesce(col("__sc"), lit(0L)) + lit(1)).cast("double") /
+            (col("__stot") + lit(buckets))) * 1000000.0 + 0.5).cast("long")).as("__dw"))
+    val scored = fb.where(!col("__tgt")).join(broadcast(model), Seq("__b"))
+      .groupBy(idCol).agg(sum("__dw").as("weight_micro"))
+    df.where(!isTarget).select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("weight_micro"), lit(0L)).as("weight_micro"))
+      .orderBy(desc("weight_micro"), col(idCol).asc)
+      .limit(k)
   }
 
   /** Duplicated-span REMOVAL — the text-rewriting side of

@@ -109,6 +109,53 @@ class CurationSpec extends SparkSuite {
     assert(labeled.collect().toSet == again.collect().toSet)
   }
 
+  test("leakageSafeSplit: clusters land whole, singletons match splitLabel exactly") {
+    val big = spark.range(2000).select(col("id").as("doc_id"))
+    // a transitive chain 10~11~12 (no 10~12 pair) plus a disjoint pair —
+    // cc must pull the whole chain into one split, not just direct pairs
+    val pairs = Seq((10L, 11L), (11L, 12L), (500L, 1500L)).toDF("a", "b")
+    val out = Curation.leakageSafeSplit(big, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 2000)
+    assert(Set(out(10L), out(11L), out(12L)).size == 1, "chain straddles splits")
+    assert(out(500L) == out(1500L), "pair straddles splits")
+    // every unpaired doc gets EXACTLY the splitLabel assignment
+    val plain = Curation.splitLabel(big, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Set(10L, 11L, 12L, 500L, 1500L)
+    big.collect().map(_.getLong(0)).filterNot(clustered).foreach { id =>
+      assert(out(id) == plain(id), s"singleton $id diverged from splitLabel")
+    }
+    // and the cluster's shared split is the ROOT member's splitLabel value
+    assert(out(10L) == plain(10L))
+    assert(out(500L) == plain(500L))
+  }
+
+  test("dsirSelect ranks target-like raw docs first; zero-token raw docs carry weight 0") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta", true),   // target docs: alpha/beta/gamma world
+      (2L, "beta gamma alpha beta gamma", true),
+      (3L, "alpha beta gamma", false),              // raw, pure target vocabulary
+      (4L, "alpha beta zzz qqq", false),            // raw, mixed
+      (5L, "zzz qqq www yyy zzz qqq", false),       // raw, disjoint vocabulary
+      (6L, "", false)                               // raw, no tokens
+    ).toDF("doc_id", "text", "tgt")
+    val out = Curation.dsirSelect(corpus, "doc_id", "text", col("tgt"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // only raw docs are ranked, all four present (k > raw count)
+    assert(out.map(_._1).toSet == Set(3L, 4L, 5L, 6L))
+    val w = out.toMap
+    // resemblance order: pure-target > mixed > disjoint vocabulary
+    assert(w(3L) > w(4L), s"pure-target doc not above mixed: $w")
+    assert(w(4L) > w(5L), s"mixed doc not above disjoint: $w")
+    assert(w(6L) == 0L, s"zero-token doc weight not 0: $w")
+    // returned highest-first with doc-id tiebreak, and k caps the output
+    assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted(Ordering[Long].reverse))
+    val top2 = Curation.dsirSelect(corpus, "doc_id", "text", col("tgt"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == out.map(_._1).take(2).toSeq)
+  }
+
   test("removeHotSpans: hand-traced rewrite, fully-covered doc empties, unique text untouched") {
     val corpus = Seq(
       (1L, "one two three four five tail-a stays here now"), // shares the hot 5-gram
