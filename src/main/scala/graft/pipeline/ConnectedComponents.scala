@@ -46,8 +46,21 @@ object ConnectedComponents {
     val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = und.select(col("u").as("id")).distinct()
-        .select(col("id"), col("id").as("label"))
+      // Seed with the closed-neighborhood minimum instead of the identity:
+      // the groupBy costs exactly what the identity init's distinct() cost
+      // (same shuffle over the symmetrized edges), but it IS round one's
+      // propagation — a star (the shape exact/near-dup clustering
+      // produces) is already at its fixpoint here and pays only the one
+      // confirming round. Correctness is unchanged for any seed that is
+      // monotone (≤ id) and bounded below by the component minimum: labels
+      // only decrease under the round operator, and at any fixpoint every
+      // edge forces label equality across it while a non-minimum node can
+      // never hold its own id (its smaller neighbor's label is ≤ that
+      // neighbor's id < it), so the limit is the component minimum —
+      // pinned by the existing random-graph fuzz spec.
+      var labels = und.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("label"))
+        .select(col("u").as("id"), col("label"))
         .localCheckpoint(true)
       var converged = false
       var iter = 0

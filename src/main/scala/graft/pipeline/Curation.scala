@@ -637,10 +637,13 @@ object Curation {
           // cluster. Shingles come from the funnel-shared cached table,
           // narrowed to near-dup survivors — no second text scan
           val s2b = if (!rareShingleArm) s2 else {
+            // inputPersisted: the semi-join narrows the funnel-shared
+            // CACHED distinct shingle table — no second materialization
             val cDrop = ConnectedComponents.labels(
                 Dedup.containmentOnShingles(
                   sh3.join(s2.select(col(idCol).as("doc")), Seq("doc"), "left_semi"),
-                  rareMaxDf, minContain, inputDistinct = true).select("a", "b"))
+                  rareMaxDf, minContain, inputDistinct = true,
+                  inputPersisted = true).select("a", "b"))
               .where(col("id") =!= col("cluster"))
               .select(col("id").as("__cdrop_id"))
             val armed = s2.join(cDrop, s2(idCol).cast("long") === col("__cdrop_id"),

@@ -597,7 +597,8 @@ object Dedup {
   def containmentOnShingles(shingles: DataFrame, maxDf: Int = 8,
                             minContain: Double = 0.9,
                             inputDistinct: Boolean = false,
-                            eager: Boolean = true): DataFrame = {
+                            eager: Boolean = true,
+                            inputPersisted: Boolean = false): DataFrame = {
     require(maxDf >= 2, s"need maxDf >= 2; got $maxDf")
     // hash at the source: every downstream exchange (df counts, the rare
     // candidate self-join, the per-doc set aggregation) moves and compares
@@ -606,13 +607,23 @@ object Dedup {
     val raw = shingles.select(col("doc"), xxhash64(col("shingle")).as("__h"))
     // cache at the session's shuffle parallelism: a narrow shingle kernel
     // over a unioned input otherwise persists at 2× the partition count,
-    // and every downstream scan of the cache pays 2× the task overhead
+    // and every downstream scan of the cache pays 2× the task overhead.
+    // inputPersisted = the caller vouches `shingles` is already a cached
+    // distinct table (e.g. the funnel's shared shingle cache, narrowed by
+    // a broadcast semi-join): re-materializing a second copy here would
+    // pay a barrier job and duplicate cache for rows one narrow re-scan
+    // of the caller's cache reproduces — the two consumers below each
+    // just re-read it.
     val nPart = shingles.sparkSession.sessionState.conf.numShufflePartitions
-    val sh = (if (inputDistinct) raw else raw.dropDuplicates("doc", "__h"))
-      .coalesce(nPart)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh =
+      if (inputPersisted) { require(inputDistinct,
+        "inputPersisted callers must also promise inputDistinct"); raw }
+      else (if (inputDistinct) raw else raw.dropDuplicates("doc", "__h"))
+        .coalesce(nPart)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      sh.count() // eager cache fill — see ngramJaccardOnShingles
+      if (!inputPersisted)
+        sh.count() // eager cache fill — see ngramJaccardOnShingles
       // candidate pairs in ONE corpus shuffle: group docs per shingle
       // (collect_set is df-bounded — the where clause keeps only arrays
       // of 2..maxDf docs, so no group outgrows maxDf longs) and unfold
@@ -658,7 +669,7 @@ object Dedup {
       // eager=false keeps the live plan inspectable (plan-shape tests);
       // the default checkpoint cuts lineage above the persisted shingles
       if (eager) out.localCheckpoint(true) else out
-    } finally sh.unpersist()
+    } finally if (!inputPersisted) sh.unpersist()
   }
 
   /** SimHash near-duplicate pairs: the `bits`-bit signature is split into
