@@ -407,6 +407,19 @@ object GraphQueries {
         .select("a", "b")
       GraphAnalytics.kCore(pairs, k = 3)
     }),
+    // Adamic–Adar link prediction over the same thresholded co-purchase
+    // graph: top-50 NON-adjacent pairs by Σ 1/ln(deg) over common
+    // neighbors, integer micro-units per vertex cell
+    "graph_adamic_adar" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w"))
+        .where(col("w") >= 2)
+        .select("a", "b")
+      GraphAnalytics.adamicAdar(pairs, topK = 50)
+    }),
     // DeepWalk-style sequence sampling: one deterministic 4-step walk per
     // node of the symmetrized co-purchase graph (md5-uniform step choice
     // over the dst-ordered adjacency — bit-reproducible across engines)
@@ -557,6 +570,18 @@ object GraphQueries {
             col("event_type")))
         .select(col("window_start").cast("long").as("w_start"),
           col("n_events"), col("drift_micro"))),
+    // weekly retention cohorts: users bucketed by first-seen week,
+    // distinct-user counts per (cohort, week offset)
+    "events_retention" -> ((s, d) =>
+      graft.streaming.EventStreams.retentionCohorts(
+        t(s, d, "events").select(col("user_id"),
+          timestamp_seconds(expr("ts DIV 1000000000")).as("ts")))),
+    // hourly per-type rate anomalies vs the trailing-24h window on a dense
+    // zero-filled hour grid — exact integer cross-multiplied thresholds
+    "events_rate_anomaly" -> ((s, d) =>
+      graft.streaming.EventStreams.rateAnomalies(
+        t(s, d, "events").select(col("event_type"),
+          timestamp_seconds(expr("ts DIV 1000000000")).as("ts")))),
     // conversion funnel click→view→purchase with STRICT first-occurrence
     // chaining: per user, the first click, the first view after it, the
     // first purchase after that — three conditional-min aggregations all
@@ -917,6 +942,24 @@ object GraphQueries {
         |UNION ALL SELECT 'customer:'||c_custkey, CAST(n_regionkey AS BIGINT), CAST(2 AS BIGINT) FROM customer JOIN nation ON c_nationkey = n_nationkey
         |UNION ALL SELECT 'supplier:'||s_suppkey, CAST(n_regionkey AS BIGINT), CAST(2 AS BIGINT) FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "graph_kcore_df" -> kCoreSql,
+    "graph_adamic_adar" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT a, b FROM (
+        |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
+        |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+        |  WHERE w >= 2),
+        |sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |zw AS (SELECT a AS z, CAST(floor(1000000.0 / ln(count(*)) + 0.5) AS BIGINT) AS w
+        |  FROM sym GROUP BY a HAVING count(*) BETWEEN 2 AND 1000),
+        |adj AS MATERIALIZED (SELECT s.a AS z, s.b AS n, zw.w FROM sym s JOIN zw ON zw.z = s.a),
+        |sc AS (SELECT x.n AS u, y.n AS v, count(*) AS n_common, sum(x.w) AS aa
+        |  FROM adj x JOIN adj y ON x.z = y.z AND x.n < y.n GROUP BY 1, 2)
+        |SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+        |  CAST(n_common AS BIGINT) AS n_common, CAST(aa AS BIGINT) AS aa_micro
+        |FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = sc.u AND e.b = sc.v)
+        |ORDER BY aa_micro DESC, u ASC, v ASC LIMIT 50""".stripMargin,
     "graph_random_walks" -> randomWalksSql,
     "graph_walk_pairs" -> walkPairsSql,
     "graph_walk_pmi" -> walkPmiSql,
@@ -1025,6 +1068,30 @@ object GraphQueries {
         |  CAST(d.drift AS BIGINT) AS drift_micro
         |FROM d JOIN (SELECT DISTINCT w + 3600 AS w FROM tot) p ON p.w = d.w
         |WHERE d.n IS NOT NULL""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id AS u, (epoch_ns(ts) // 1000000000) // 604800 AS w FROM events),
+        |c AS (SELECT u, min(w) AS cw FROM e GROUP BY 1)
+        |SELECT CAST(c.cw AS BIGINT) AS cohort_week, CAST(e.w - c.cw AS BIGINT) AS offset_weeks,
+        |  count(*) AS n_users
+        |FROM e JOIN c USING (u) GROUP BY 1, 2""".stripMargin,
+    // same dense grid + trailing frame + integer cross-multiplication as
+    // rateAnomalies; partial trailing windows are excluded by nw = 24
+    "events_rate_anomaly" ->
+      """WITH cnt AS (SELECT event_type AS t, (epoch_ns(ts) // 1000000000) // 3600 AS h, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM cnt),
+        |grid AS (SELECT t, unnest(range(b.h0, b.h1 + 1)) AS h
+        |  FROM (SELECT DISTINCT t FROM cnt) tt CROSS JOIN b),
+        |dense AS (SELECT g.t, g.h, coalesce(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN cnt c ON c.t = g.t AND c.h = g.h),
+        |win AS (SELECT t, h, c,
+        |  coalesce(sum(c) OVER (PARTITION BY t ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS tsum,
+        |  count(*) OVER (PARTITION BY t ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS nw
+        |  FROM dense)
+        |SELECT t AS event_type, CAST(h * 3600 AS BIGINT) AS hour_start, CAST(c AS BIGINT) AS cnt,
+        |  CAST(tsum AS BIGINT) AS trail_sum,
+        |  CASE WHEN c * 24 > tsum * 2 THEN 'spike' ELSE 'drop' END AS flag
+        |FROM win WHERE nw = 24 AND (c * 24 > tsum * 2 OR c * 24 * 2 < tsum)""".stripMargin,
     // sliding windows: an event at second t belongs to starts
     // {floor(t/300)*300 - 300*i : i in 0..1} (Spark window() epoch-aligned
     // membership, s <= t < s + 600)

@@ -557,6 +557,62 @@ object GraphAnalytics {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Adamic–Adar link prediction over an undirected pair graph (a, b):
+    * for every NON-adjacent pair (u, v) with at least one common neighbor,
+    * score Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z) — common neighbors count, rare
+    * ones count more. The top `topK` scored pairs are the predicted links
+    * (graph completion / recommendation candidates over the co-occurrence
+    * graph).
+    *
+    * Determinism: one ln per VERTEX cell, quantized to integer micro-units
+    * (floor(10⁶/ln d + 0.5)) before the per-pair sum — exact long
+    * arithmetic, partition-order free; ties break by (u, v).
+    *
+    * Scale: the wedge join's fan-out is Σ_z deg(z)², so megahub centers
+    * are excluded by `maxDegree` BEFORE pairs form (standard practice —
+    * a hub's 1/ln(deg) contribution is near-noise anyway, and the cap
+    * makes the bound structural: ≤ maxDegree·|E| wedge rows). Isolated
+    * deg-1 vertices can never be common neighbors and are dropped with
+    * the same filter. The final top-k is TakeOrdered (per-partition
+    * heaps), never a full sort. Returns (u, v, n_common, aa_micro). */
+  def adamicAdar(pairs: DataFrame, topK: Int, maxDegree: Int = 1000): DataFrame = {
+    require(topK > 0, s"need topK > 0; got $topK")
+    require(maxDegree >= 2, s"need maxDegree >= 2; got $maxDegree")
+    val e0 = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+    val canon = e0.where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sym = canon.unionByName(canon.select(col("b").as("a"), col("a").as("b")))
+      val zw = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("__deg"))
+        .where(col("__deg") >= 2 && col("__deg") <= maxDegree)
+        .select(col("z"),
+          floor(lit(1000000.0) / log(col("__deg").cast("double")) + 0.5)
+            .cast("long").as("__w"))
+      // adjacency rows of capped-degree centers feed BOTH wedge sides —
+      // persist once, the self-join otherwise recomputes the deg join per
+      // side (identical sibling subtrees, same trap as the verify sets)
+      val adj = sym.select(col("a").as("z"), col("b").as("n"))
+        .join(zw, Seq("z"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        adj.count() // eager fill: both wedge sides are concurrent cold consumers
+        val scored = adj.select(col("z"), col("n").as("u"), col("__w"))
+          .join(adj.select(col("z"), col("n").as("v")), Seq("z"))
+          .where(col("u") < col("v"))
+          .groupBy("u", "v")
+          .agg(count(lit(1)).as("n_common"), sum("__w").as("aa_micro"))
+        scored
+          .join(canon, scored("u") === canon("a") && scored("v") === canon("b"),
+            "left_anti")
+          .orderBy(desc("aa_micro"), col("u").asc, col("v").asc)
+          .limit(topK)
+          .localCheckpoint(true)
+      } finally adj.unpersist()
+    } finally canon.unpersist()
+  }
+
   def kCore(pairs: DataFrame, k: Int, maxIters: Int = 100): DataFrame = {
     require(k >= 1, s"need k >= 1; got $k")
     val e0 = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))

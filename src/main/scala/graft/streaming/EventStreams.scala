@@ -89,6 +89,76 @@ object EventStreams {
         col("drift_micro").cast("long").as("drift_micro"))
   }
 
+  /** Weekly retention cohorts — the product-analytics staple: cohort a
+    * user by the week of their FIRST event, then count distinct users
+    * active at each week offset from their cohort. Returns (cohort_week,
+    * offset_weeks, n_users) with week = floor(epoch-seconds /
+    * bucketSeconds) — exact integer bucketing, engine-portable.
+    *
+    * Scale: both corpus-sized aggregations key on the user (the per-user
+    * (user, week) dedup and the first-week min — map-side combined,
+    * co-partitioned so the join back reuses the exchange); the final
+    * aggregate runs on the already user-deduped frame, grouped by the
+    * bounded (cohort, offset) pair. countDistinct never appears: the
+    * dedup IS the distinct, so the count is a plain sum. */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+                       bucketSeconds: Long = 604800): DataFrame = {
+    require(bucketSeconds > 0, s"need bucketSeconds > 0; got $bucketSeconds")
+    val uw = events
+      .select(col(userCol).as("__u"),
+        expr(s"CAST(ts AS LONG) DIV $bucketSeconds").as("__w"))
+      .dropDuplicates("__u", "__w")
+    val cohort = uw.groupBy("__u").agg(min("__w").as("__cw"))
+    uw.join(cohort, Seq("__u"))
+      .groupBy(col("__cw").as("cohort_week"),
+        (col("__w") - col("__cw")).as("offset_weeks"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Hourly event-rate anomalies per type — the pipeline-health monitor
+    * for ingest volume (the rate analogue of [[labelDrift]]'s mix shift):
+    * counts land on a DENSE per-type hour grid (missing hours count 0, so
+    * a total outage is a flaggable row, not an absent one), and each hour
+    * is compared against its trailing `trailHours` window with EXACT
+    * integer cross-multiplication — `spike` when cnt > 2× the trailing
+    * mean (trailHours·cnt > 2·trail_sum), `drop` when cnt < half of it
+    * (2·trailHours·cnt < trail_sum). Hours without a full trailing window
+    * stay unflagged (no verdict from a partial baseline). Returns the
+    * flagged rows (event_type, hour_start, cnt, trail_sum, flag).
+    *
+    * Scale: the only corpus-sized work is the (type, hour) count
+    * aggregation (map-side combined); the dense grid is |types| ×
+    * |hours| — bounded by label cardinality times the time range, never
+    * by event volume — so the per-type ordered window runs on the small
+    * grid frame, and the global hour bounds ride a broadcast 1-row
+    * aggregate. */
+  def rateAnomalies(events: DataFrame, typeCol: String = "event_type",
+                    trailHours: Int = 24): DataFrame = {
+    require(trailHours >= 1, s"need trailHours >= 1; got $trailHours")
+    val cnt = events
+      .select(col(typeCol).as("__t"), expr("CAST(ts AS LONG) DIV 3600").as("__h"))
+      .groupBy("__t", "__h").agg(count(lit(1)).as("__c"))
+    val bounds = cnt.agg(min("__h").as("__h0"), max("__h").as("__h1"))
+    val grid = cnt.select("__t").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("__t"), explode(sequence(col("__h0"), col("__h1"))).as("__h"))
+    val dense = grid.join(cnt, Seq("__t", "__h"), "left")
+      .select(col("__t"), col("__h"), coalesce(col("__c"), lit(0L)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__t").orderBy("__h").rowsBetween(-trailHours, -1)
+    dense
+      .select(col("__t"), col("__h"), col("__c"),
+        coalesce(sum("__c").over(w), lit(0L)).as("__ts"),
+        count(lit(1)).over(w).as("__nw"))
+      .where(col("__nw") === trailHours &&
+        (col("__c") * trailHours > col("__ts") * 2 ||
+         col("__c") * trailHours * 2 < col("__ts")))
+      .select(col("__t").as("event_type"), (col("__h") * 3600).as("hour_start"),
+        col("__c").as("cnt"), col("__ts").as("trail_sum"),
+        when(col("__c") * trailHours > col("__ts") * 2, "spike")
+          .otherwise("drop").as("flag"))
+  }
+
   /** SLIDING-window counts: `windowLen` windows advancing every `slide`,
     * per event_type, same watermark discipline as [[windowedCounts]] —
     * each event lands in windowLen/slide overlapping windows (the

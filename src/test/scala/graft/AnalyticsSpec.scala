@@ -418,6 +418,32 @@ class AnalyticsSpec extends SparkSuite {
     assert(viaStore == Map("k:1" -> 2L, "k:2" -> 2L, "k:3" -> 2L), s"got $viaStore")
   }
 
+  test("adamicAdar: hand-computed micro scores, adjacency excluded, degree cap") {
+    import spark.implicits._
+    // square 1-3-2-4-1 plus diagonal 3-4 plus tendril 4-5:
+    // degrees: 1→2, 2→2, 3→3, 4→4, 5→1
+    val pairs = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val out = GraphAnalytics.adamicAdar(pairs, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // micro(1/ln 3) = 910239, micro(1/ln 4) = 721348
+    // (1,2): common {3,4} → 910239 + 721348; (x,5): common {4} → 721348;
+    // (3,4) has common {1,2} but IS an edge → excluded; deg-1 vertex 5 is
+    // never a center
+    assert(out == Map(
+      (1L, 2L) -> ((2L, 1631587L)),
+      (1L, 5L) -> ((1L, 721348L)),
+      (2L, 5L) -> ((1L, 721348L)),
+      (3L, 5L) -> ((1L, 721348L))), s"got $out")
+    // capping degree at 3 removes vertex 4 as a center: only (1,2) via 3
+    val capped = GraphAnalytics.adamicAdar(pairs, topK = 10, maxDegree = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(capped == Map((1L, 2L) -> ((1L, 910239L))), s"got $capped")
+    // topK truncates in (score desc, u, v) order
+    val top1 = GraphAnalytics.adamicAdar(pairs, topK = 1).collect()
+    assert(top1.length == 1 && top1(0).getLong(0) == 1L && top1(0).getLong(1) == 2L)
+  }
+
   test("weighted shortest paths: min-plus beats hop count, composes with weightedEdges") {
     import spark.implicits._
     // direct 1->2 costs 10; the 2-hop detour 1->3->2 costs 2 — a BFS

@@ -52,6 +52,44 @@ class StreamingSpec extends SparkSuite {
       "2024-01-01 02:00:00.0" -> ((1L, 1999999L))), s"got $out")
   }
 
+  test("retentionCohorts: hand-computed weekly cohort matrix") {
+    import spark.implicits._
+    // bucketSeconds = 100 so "weeks" are 100-second buckets; two events in
+    // one (user, week) must count once
+    val ev = Seq(
+      (1L, 5L), (1L, 10L), (1L, 150L), (1L, 360L),  // u1: weeks 0,0,1,3
+      (2L, 50L),                                     // u2: week 0
+      (3L, 120L), (3L, 330L)                         // u3: weeks 1,3
+    ).toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+    val out = EventStreams.retentionCohorts(ev, bucketSeconds = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L,  // u1, u2 in their cohort week
+      (0L, 1L) -> 1L,  // u1 back in week 1
+      (0L, 3L) -> 1L,  // u1 back in week 3
+      (1L, 0L) -> 1L,  // u3 cohort week 1
+      (1L, 2L) -> 1L), // u3 back two weeks after its cohort
+      s"got $out")
+  }
+
+  test("rateAnomalies: spike/drop thresholds, zero-filled hours, partial windows excluded") {
+    import spark.implicits._
+    // type a hourly counts: h0=3, h1=3, h2=10, h3=0 (zero-filled), h4=6;
+    // trailHours=2 → h0/h1 have partial trails (unflagged), h2 spikes
+    // (10·2 > 2·6), h3 drops (0 < 13/4), h4 is inside both bands
+    val secs = Seq.fill(3)(10L) ++ Seq.fill(3)(3610L) ++
+      Seq.fill(10)(7210L) ++ Seq.fill(6)(14410L)
+    val ev = secs.toDF("sec")
+      .select(lit("a").as("event_type"), timestamp_seconds(col("sec")).as("ts"))
+    val out = EventStreams.rateAnomalies(ev, trailHours = 2)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getString(0), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out == Map(
+      7200L -> (("a", 10L, 6L, "spike")),
+      10800L -> (("a", 0L, 13L, "drop"))), s"got $out")
+  }
+
   test("sliding windows: streaming equals batch, every event in 2 windows") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
