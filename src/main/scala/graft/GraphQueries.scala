@@ -407,6 +407,11 @@ object GraphQueries {
         .select("a", "b")
       GraphAnalytics.kCore(pairs, k = 3)
     }),
+    // HITS hubs/authorities (2 exact-integer iterations, unnormalized
+    // fixed-count form) over the directed analytics subgraph
+    "graph_hits" -> ((s, d) =>
+      GraphAnalytics.hitsDF(analyticsSubgraph(graph(s, d)), analyticsToLong,
+        numIter = 2)),
     // Adamic–Adar link prediction over the same thresholded co-purchase
     // graph: top-50 NON-adjacent pairs by Σ 1/ln(deg) over common
     // neighbors, integer micro-units per vertex cell
@@ -995,6 +1000,24 @@ object GraphQueries {
     // the DataFrame power iteration matches GraphX static PageRank
     // semantics exactly, so both answer to the same closed-form oracle
     "graph_pagerank_df" -> pageRankSql,
+    // unrolled 2-iteration integer HITS over the same member→nation→region
+    // edges the pagerank oracle walks
+    "graph_hits" ->
+      """WITH e AS (
+        |  SELECT 'customer:'||c_custkey AS src, 'nation:'||c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'nation:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'region:'||n_regionkey FROM nation),
+        |h1 AS (SELECT src, count(*) AS h FROM e GROUP BY src),
+        |a1 AS (SELECT dst, sum(h1.h) AS a FROM e JOIN h1 ON h1.src = e.src GROUP BY dst),
+        |h2 AS (SELECT e.src, sum(a1.a) AS h FROM e JOIN a1 ON a1.dst = e.dst GROUP BY e.src),
+        |a2 AS (SELECT e.dst, sum(h2.h) AS a FROM e JOIN h2 ON h2.src = e.src GROUP BY e.dst),
+        |ids AS (SELECT 'region:'||r_regionkey AS id FROM region
+        |  UNION ALL SELECT 'nation:'||n_nationkey FROM nation
+        |  UNION ALL SELECT 'supplier:'||s_suppkey FROM supplier
+        |  UNION ALL SELECT 'customer:'||c_custkey FROM customer)
+        |SELECT ids.id, CAST(coalesce(h2.h, 0) AS BIGINT) AS hub,
+        |  CAST(coalesce(a2.a, 0) AS BIGINT) AS auth
+        |FROM ids LEFT JOIN h2 ON h2.src = ids.id LEFT JOIN a2 ON a2.dst = ids.id""".stripMargin,
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,

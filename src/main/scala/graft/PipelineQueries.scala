@@ -970,6 +970,12 @@ object PipelineQueries {
     "embedding_outliers" -> ((s, d) =>
       pipeline.Clustering.centroidOutliers(embeddings(s, d), "vec_id", "embedding",
         k = SemK, iters = SemIters, topN = 20)),
+    // per-cluster prototypes: the 10 vectors CLOSEST to their fitted
+    // k-means centroid per cluster (the selection half of a D4-style
+    // pipeline; dual of embedding_outliers)
+    "curate_prototypes" -> ((s, d) =>
+      pipeline.Clustering.clusterPrototypes(embeddings(s, d), "vec_id", "embedding",
+        k = SemK, iters = SemIters, perCluster = 10)),
     // corpus length profile: 50-word histogram buckets, all-integer
     "corpus_histogram" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -2058,6 +2064,19 @@ object PipelineQueries {
            |best AS (SELECT vec_id, cid, round(d, 6) AS dist2 FROM sc WHERE rn = 1)
            |SELECT vec_id, cid, dist2 FROM best
            |ORDER BY dist2 DESC, vec_id ASC LIMIT 20""".stripMargin,
+      // same fitted centroids + distance as embedding_outliers, ranked
+      // ASC per cluster instead of DESC globally
+      "curate_prototypes" ->
+        s"""WITH ${kmeansCtes(k = SemK, iters = SemIters)},
+           |sc AS (SELECT v.vec_id, c.cid, ${kmeansDist("c")} AS d,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${kmeansDist("c")} ASC, c.cid ASC) AS rn
+           |  FROM v, cents$SemIters c),
+           |best AS (SELECT vec_id, cid, round(d, 6) AS dist2 FROM sc WHERE rn = 1),
+           |r AS (SELECT vec_id, cid, dist2,
+           |    row_number() OVER (PARTITION BY cid ORDER BY dist2 ASC, vec_id ASC) AS rank
+           |  FROM best)
+           |SELECT vec_id, cid, CAST(rank AS BIGINT) AS rank, dist2
+           |FROM r WHERE rank <= 10""".stripMargin,
       "corpus_histogram" ->
         s"""WITH t AS (SELECT doc_id,
            |    CAST(CASE WHEN len($normSql) = 0 THEN 0

@@ -557,6 +557,48 @@ object GraphAnalytics {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** HITS hubs & authorities (Kleinberg) over the directed edge set,
+    * UNNORMALIZED fixed-iteration form: a₀ ≡ 1, then per round
+    * h(u) = Σ_{u→v} a(v) and a(v) = Σ_{u→v} h(u). Classic HITS rescales
+    * each vector per round, but rescaling is a positive scalar — rankings
+    * and score RATIOS after a fixed iteration count are identical — so
+    * the iterate carries exact LONG path-counts instead: partition-order
+    * free, engine-portable, no decimal-division scale rules to replay.
+    * (The magnitude grows like (max component eigenvalue)^iters — callers
+    * wanting [0,1] scores divide by the max once at the end.)
+    *
+    * Scale: each half-round is one equi-join of the edge table with the
+    * (vid, score) frame plus one map-side-combinable aggregation keyed by
+    * the vertex — the [[pageRankDF]] loop shape; scores never ride wider
+    * than (long, long). Vertices with no out-edges (resp. in-edges)
+    * report hub (resp. auth) 0. Returns (id, hub, auth). */
+  def hitsDF(g: GraphStore, toLong: Column => Column, numIter: Int = 2): DataFrame = {
+    require(numIter >= 1, s"need numIter >= 1; got $numIter")
+    val verts = g.vertices.select(toLong(col("id")).as("vid"), col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = g.edges
+      .select(toLong(col("src")).as("src"), toLong(col("dst")).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // round 1 folds a₀ ≡ 1 into a plain degree count
+      var h = edges.groupBy(col("src").as("vid"))
+        .agg(count(lit(1)).as("h")).localCheckpoint(true)
+      var a = edges.join(h.select(col("vid").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("vid")).agg(sum("h").as("a")).localCheckpoint(true)
+      for (_ <- 2 to numIter) {
+        h = edges.join(a.select(col("vid").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src").as("vid")).agg(sum("a").as("h")).localCheckpoint(true)
+        a = edges.join(h.select(col("vid").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst").as("vid")).agg(sum("h").as("a")).localCheckpoint(true)
+      }
+      verts
+        .join(h, Seq("vid"), "left")
+        .join(a, Seq("vid"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("hub"),
+          coalesce(col("a"), lit(0L)).as("auth"))
+    } finally { verts.unpersist(); edges.unpersist() }
+  }
+
   /** Adamic–Adar link prediction over an undirected pair graph (a, b):
     * for every NON-adjacent pair (u, v) with at least one common neighbor,
     * score Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z) — common neighbors count, rare

@@ -108,6 +108,52 @@ object Clustering {
       .limit(topN)
   }
 
+  /** Per-cluster PROTOTYPES — the dual of [[centroidOutliers]] and the
+    * selection half of a D4-style pipeline: the `perCluster` vectors
+    * CLOSEST to their own fitted k-means centroid, per cluster. Prototype
+    * rows are the cluster-balanced "most representative" subset used to
+    * seed curricula, few-shot pools, and human review queues. Returns
+    * (idCol, cid, rank, dist2), rank 1 = closest, dist2 rounded to 6
+    * decimals BEFORE ranking so the boundary is deterministic; ties break
+    * by id.
+    *
+    * Scale: scoring is the same zero-exchange row-local argmin as
+    * [[assignTo]]. The per-cluster top-m is TWO-PHASE — a first window
+    * over (cid, input-partition) prunes each shard to its local top-m
+    * (group count = k × partitions, all bounded), and only the ≤
+    * k·m·partitions survivors meet the global per-cid window — because a
+    * single window keyed by k cluster ids would funnel corpus/k rows
+    * through one task each (the content-keyed-window trap, at any corpus
+    * size). The local prune is correctness-neutral under ANY partitioning:
+    * a global top-m row beats every competitor in its own shard too, and
+    * the global phase re-ranks survivors with the same strict
+    * (dist2, id) order. */
+  def clusterPrototypes(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int, perCluster: Int): DataFrame = {
+    require(perCluster > 0, s"need perCluster > 0; got $perCluster")
+    val corpus = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters)
+    val scored = corpus.crossJoin(broadcast(centroidArray(cents)))
+      .select(col("__id"),
+        graft.functions.VectorFunctions
+          .nearestCentroidL2(col("__v"), col("__cents")).as("__s"))
+      .where(col("__s").isNotNull)
+      .select(col("__id").as(idCol), col("__s.cid").as("cid"),
+        round(col("__s.d"), 6).as("dist2"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"), col("__shard"))
+      .orderBy(col("dist2").asc, col(idCol).asc)
+    val pruned = scored.withColumn("__shard", spark_partition_id())
+      .withColumn("__r", row_number().over(wLocal))
+      .where(col("__r") <= perCluster)
+      .drop("__r", "__shard")
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(col("dist2").asc, col(idCol).asc)
+    pruned.withColumn("rank", row_number().over(wGlobal).cast("long"))
+      .where(col("rank") <= perCluster)
+      .select(col(idCol), col("cid"), col("rank"), col("dist2"))
+  }
+
   /** Per-dimension corpus statistics over an embedding column — the
     * embedding-QA report that surfaces collapsed dimensions (zero
     * variance), scale drift between ingest batches, and clipped values:

@@ -418,6 +418,25 @@ class AnalyticsSpec extends SparkSuite {
     assert(viaStore == Map("k:1" -> 2L, "k:2" -> 2L, "k:3" -> 2L), s"got $viaStore")
   }
 
+  test("hitsDF: hand-computed integer hub/auth iterates on a directed chain") {
+    // 1→3, 2→3, 3→4: after round 1 h = outdeg, a(3) = 2, a(4) = 1;
+    // after round 2 h(1) = h(2) = a(3) = 2, h(3) = a(4) = 1, a(3) = 4
+    val b = new GraphBatch
+    Seq("1", "2", "3", "4").foreach(n => b.createNode(s"h:$n", PropValue.typed("N", Some(n))))
+    Seq(("1", "3"), ("2", "3"), ("3", "4"))
+      .foreach { case (s, d) => b.createEdge(s"h:$s", s"h:$d", PropValue("E")) }
+    val g = b.toStore(spark)
+    def run(n: Int) = GraphAnalytics.hitsDF(g,
+        id => split(id, ":").getItem(1).cast("long"), numIter = n)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(run(2) == Map(
+      "h:1" -> ((2L, 0L)), "h:2" -> ((2L, 0L)),
+      "h:3" -> ((1L, 4L)), "h:4" -> ((0L, 1L))), s"got ${run(2)}")
+    assert(run(1) == Map(
+      "h:1" -> ((1L, 0L)), "h:2" -> ((1L, 0L)),
+      "h:3" -> ((1L, 2L)), "h:4" -> ((0L, 1L))), s"got ${run(1)}")
+  }
+
   test("adamicAdar: hand-computed micro scores, adjacency excluded, degree cap") {
     import spark.implicits._
     // square 1-3-2-4-1 plus diagonal 3-4 plus tendril 4-5:

@@ -586,6 +586,34 @@ class PipelineSpec extends SparkSuite {
     assert(d.sameElements(d.sortBy(-_)) && d.forall(_ >= 0.0))
   }
 
+  test("clusterPrototypes: closest-per-cluster, partitioning-invariant two-phase top-m") {
+    import spark.implicits._
+    // two well-separated line clusters; distances to each fitted centroid
+    // are hand-rankable: the prototype of each cluster is its inner point
+    val pts = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(2.0f, 0.0f)),
+      (11L, Seq(100.0f, 0.0f)), (12L, Seq(101.0f, 0.0f)), (13L, Seq(104.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Clustering.clusterPrototypes(df, "vec_id", "embedding",
+        k = 2, iters = 2, perCluster = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._2, t._3))
+    val base = run(pts)
+    // every cluster contributes exactly perCluster rows, rank 1..m, dist asc
+    assert(base.length == 4)
+    base.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq == Seq(1L, 2L))
+      assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted)
+    }
+    // cluster means: (1,0) and (101.666..,0): rank-1 prototypes are 2 and 12
+    val rank1 = base.filter(_._3 == 1L).map(_._1).toSet
+    assert(rank1 == Set(2L, 12L), s"got $rank1")
+    // the local-prune phase must be invariant to input partitioning
+    assert(run(pts.repartition(7)).toSeq == base.toSeq)
+    assert(run(pts.coalesce(1)).toSeq == base.toSeq)
+  }
+
   test("ivf-pq residual search: ranked, deterministic, monotone in nprobe") {
     // Residual encoding (round 10) intentionally departs from raw-PQ ADC
     // — the codebooks quantize residuals to the FITTED coarse centroids —

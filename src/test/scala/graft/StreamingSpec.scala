@@ -52,6 +52,40 @@ class StreamingSpec extends SparkSuite {
       "2024-01-01 02:00:00.0" -> ((1L, 1999999L))), s"got $out")
   }
 
+  test("watermark drops late rows in append mode; open windows stay unemitted") {
+    import spark.implicits._
+    def ev(id: Long, hm: String) = (id,
+      java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00"), 1L, "click", 1.0, "")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-late-spec").toString
+    // batch 1: three events in window [10:00, 10:05) plus one at 10:30 that
+    // advances the watermark to 10:20 once the batch commits
+    Seq(ev(1, "10:00"), ev(2, "10:02"), ev(3, "10:04"), ev(4, "10:30"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    val q = EventStreams.windowedCounts(EventStreams.readStream(spark, dir))
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("late_wc").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE row for the already-passed 10:00 window (ts 10:02 <
+      // watermark 10:20 → dropped pre-aggregation) and a fresh on-time row
+      Seq(ev(5, "10:02"), ev(6, "10:31"))
+        .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("late_wc").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+    // the finalized 10:00 window counts 3 — the late replay is NOT in it —
+    // and the 10:30 window is still open (watermark 10:21 < 10:35), so
+    // append mode has emitted nothing for it yet
+    assert(streamed == Map("2024-01-01 10:00:00.0" -> 3L), s"got $streamed")
+    // the same data in BATCH counts the late row: the gap is exactly the
+    // watermark's bounded-state trade, not a lost-data bug
+    val batch = EventStreams.windowedCounts(spark.read.parquet(dir)).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+    assert(batch("2024-01-01 10:00:00.0") == 4L, s"got $batch")
+  }
+
   test("retentionCohorts: hand-computed weekly cohort matrix") {
     import spark.implicits._
     // bucketSeconds = 100 so "weeks" are 100-second buckets; two events in
