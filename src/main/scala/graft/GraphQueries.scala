@@ -575,6 +575,12 @@ object GraphQueries {
             col("event_type")))
         .select(col("window_start").cast("long").as("w_start"),
           col("n_events"), col("drift_micro"))),
+    // per-user behavioral sequences: first-20 event-type prefix string in
+    // (ts, event_id) order + full event count — the sequence-model feed
+    "events_user_sequences" -> ((s, d) =>
+      graft.streaming.EventStreams.userSequences(
+        t(s, d, "events").select(col("user_id"), col("ts").as("tns"),
+          col("event_id"), col("event_type")))),
     // weekly retention cohorts: users bucketed by first-seen week,
     // distinct-user counts per (cohort, week offset)
     "events_retention" -> ((s, d) =>
@@ -1091,6 +1097,16 @@ object GraphQueries {
         |  CAST(d.drift AS BIGINT) AS drift_micro
         |FROM d JOIN (SELECT DISTINCT w + 3600 AS w FROM tot) p ON p.w = d.w
         |WHERE d.n IS NOT NULL""".stripMargin,
+    "events_user_sequences" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, event_type FROM events),
+        |r AS (SELECT user_id, event_type, tns, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY tns, event_id) AS rn
+        |  FROM e),
+        |seq AS (SELECT user_id, string_agg(event_type, ' ' ORDER BY tns, event_id) AS seq_prefix
+        |  FROM r WHERE rn <= 20 GROUP BY user_id),
+        |c AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY 1)
+        |SELECT c.user_id, c.n_events, s.seq_prefix
+        |FROM c JOIN seq s USING (user_id)""".stripMargin,
     "events_retention" ->
       """WITH e AS (SELECT DISTINCT user_id AS u, (epoch_ns(ts) // 1000000000) // 604800 AS w FROM events),
         |c AS (SELECT u, min(w) AS cw FROM e GROUP BY 1)

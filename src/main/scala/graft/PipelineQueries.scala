@@ -976,6 +976,15 @@ object PipelineQueries {
     "curate_prototypes" -> ((s, d) =>
       pipeline.Clustering.clusterPrototypes(embeddings(s, d), "vec_id", "embedding",
         k = SemK, iters = SemIters, perCluster = 10)),
+    // collocation mining: top-20 adjacent word pairs by PMI (micro-ln)
+    // among bigrams with count >= 5 — multi-word-expression detection
+    "text_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(docs(s, d), "doc_id", "text",
+        minCount = 5, topK = 20)),
+    // per-source unigram entropy (exact micro-ln cell sums) — the corpus
+    // diversity diagnostic
+    "corpus_entropy" -> ((s, d) =>
+      TextAnalysis.sourceEntropy(docs(s, d), "source", "text")),
     // corpus length profile: 50-word histogram buckets, all-integer
     "corpus_histogram" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -2077,6 +2086,36 @@ object PipelineQueries {
            |  FROM best)
            |SELECT vec_id, cid, CAST(rank AS BIGINT) AS rank, dist2
            |FROM r WHERE rank <= 10""".stripMargin,
+      // bigram-marginal PMI — the same expression shape as the walk-PMI
+      // oracle, fed by the bigram tally instead of walk pairs
+      "text_collocations" ->
+        s"""WITH ${toksCte("documents")},
+           |bg AS (SELECT unnest(${shinglesExpr(2)}) AS s FROM toks WHERE len(w) >= 2),
+           |cnt AS (SELECT string_split(s, ' ')[1] AS center, string_split(s, ' ')[2] AS context,
+           |    count(*) AS n
+           |  FROM bg GROUP BY s),
+           |tot AS (SELECT sum(n) AS nn FROM cnt),
+           |ct AS (SELECT center, sum(n) AS nc FROM cnt GROUP BY 1),
+           |xt AS (SELECT context, sum(n) AS nx FROM cnt GROUP BY 1),
+           |p AS (SELECT c.center, c.context, c.n,
+           |    CAST(floor(ln(CAST(c.n AS DOUBLE) * tot.nn / (ct.nc * xt.nx)) * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+           |  FROM cnt c JOIN ct USING (center) JOIN xt USING (context) CROSS JOIN tot)
+           |SELECT center, context, CAST(n AS BIGINT) AS n_pairs, pmi_micro
+           |FROM p WHERE n >= 5
+           |ORDER BY pmi_micro DESC, center ASC, context ASC LIMIT 20""".stripMargin,
+      "corpus_entropy" ->
+        s"""WITH ${toksCte("documents")},
+           |tk AS (SELECT d.source, t.f
+           |  FROM (SELECT doc_id, unnest(w) AS f FROM toks) t
+           |  JOIN documents d USING (doc_id) WHERE f <> ''),
+           |cnt AS (SELECT source, f, count(*) AS c FROM tk GROUP BY 1, 2),
+           |tot AS (SELECT source, sum(c) AS tt, count(*) AS n_types FROM cnt GROUP BY 1),
+           |e AS (SELECT c.source, t.tt, t.n_types,
+           |    c.c * CAST(floor(ln(CAST(c.c AS DOUBLE) / t.tt) * 1000000.0 + 0.5) AS BIGINT) AS e
+           |  FROM cnt c JOIN tot t USING (source))
+           |SELECT source, CAST(tt AS BIGINT) AS n_tokens, CAST(n_types AS BIGINT) AS n_types,
+           |  CAST(sum(e) AS BIGINT) AS ent_sum_micro
+           |FROM e GROUP BY source, tt, n_types""".stripMargin,
       "corpus_histogram" ->
         s"""WITH t AS (SELECT doc_id,
            |    CAST(CASE WHEN len($normSql) = 0 THEN 0

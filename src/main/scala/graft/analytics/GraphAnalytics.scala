@@ -531,8 +531,16 @@ object GraphAnalytics {
     * Scale: two marginal aggregations over the (already aggregated,
     * sparse) pair table plus one 1-row total on a broadcast; the joins
     * key on center/context — AQE skew-splits hub nodes. Returns
-    * (center, context, n_pairs, pmi_micro). */
-  def walkPairPmi(pairs: DataFrame): DataFrame = {
+    * (center, context, n_pairs, pmi_micro).
+    *
+    * The math is co-occurrence-generic — [[pairPmi]] is the same function
+    * under its domain-neutral name (text collocations feed word bigram
+    * tallies through it; center/context types flow through untouched). */
+  def walkPairPmi(pairs: DataFrame): DataFrame = pairPmi(pairs)
+
+  /** See [[walkPairPmi]] — PMI over any (center, context, n_pairs)
+    * co-occurrence tally. */
+  def pairPmi(pairs: DataFrame): DataFrame = {
     val tot = pairs.agg(sum("n_pairs").as("__N"))
     val cTot = pairs.groupBy("center").agg(sum("n_pairs").as("__nc"))
     val xTot = pairs.groupBy("context").agg(sum("n_pairs").as("__nx"))

@@ -354,6 +354,60 @@ object TextAnalysis {
         round(sum("__lp").cast("double") / (count(lit(1)) * 1000000.0), 4).as("logprob"))
   }
 
+  /** Collocation mining: the `topK` adjacent word pairs by PMI among
+    * bigrams occurring at least `minCount` times — the multi-word-
+    * expression detector (corpus vocabulary QA, tokenizer-merge
+    * candidates). PMI uses the bigram table's own marginals (n(w ·),
+    * n(· w) — the SGNS-style formulation [[graft.analytics.GraphAnalytics.pairPmi]]
+    * computes), with marginals over the FULL bigram table so the
+    * minCount gate prunes output, not probabilities.
+    *
+    * Scale: bigrams ride the narrow n=2 shingle kernel; the only
+    * corpus-keyed shuffle is the bigram count (map-side combined into the
+    * distinct-bigram model); PMI then runs on the model-sized tally and
+    * selection is TakeOrdered. Returns (center, context, n_pairs,
+    * pmi_micro), PMI descending, (center, context) tiebreak. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5, topK: Int = 20): DataFrame = {
+    require(topK > 0 && minCount >= 1,
+      s"need topK > 0, minCount >= 1; got $topK, $minCount")
+    val counts = shingleRows(df, idCol, textCol, 2)
+      .groupBy("shingle").agg(count(lit(1)).as("n_pairs"))
+      .select(split(col("shingle"), " ").getItem(0).as("center"),
+        split(col("shingle"), " ").getItem(1).as("context"), col("n_pairs"))
+    graft.analytics.GraphAnalytics.pairPmi(counts)
+      .where(col("n_pairs") >= minCount)
+      .orderBy(desc("pmi_micro"), col("center").asc, col("context").asc)
+      .limit(topK)
+  }
+
+  /** Per-source unigram entropy report — the corpus-diversity diagnostic
+    * (a source whose token distribution collapses reads near-zero
+    * entropy; a healthy natural-language source sits near the corpus
+    * norm). Returns (source, n_tokens, n_types, ent_sum_micro) where
+    * ent_sum_micro = Σ_w c_w · floor(ln(c_w/T)·10⁶ + 0.5) — one ln per
+    * (source, word) MODEL cell quantized before the exact long sum, so
+    * the report is partition-order free; entropy in nats is
+    * −ent_sum_micro / (n_tokens·10⁶), a division callers apply last.
+    *
+    * Scale: one (source, word)-keyed count (map-side combined); totals
+    * reduce the model, never the token stream; the final sum groups by
+    * source alone over model-sized rows. */
+  def sourceEntropy(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val cnt = df
+      .select(col(srcCol).as("source"), explode(words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("source", "word").agg(count(lit(1)).as("__c"))
+    val tot = cnt.groupBy("source")
+      .agg(sum("__c").as("__T"), count(lit(1)).as("n_types"))
+    cnt.join(tot, Seq("source"))
+      .select(col("source"), col("__T"), col("n_types"),
+        (col("__c") * floor(log(col("__c").cast("double") / col("__T")) *
+          1000000.0 + 0.5).cast("long")).as("__e"))
+      .groupBy(col("source"), col("__T").as("n_tokens"), col("n_types"))
+      .agg(sum("__e").as("ent_sum_micro"))
+  }
+
   /** BM25 retrieval: for every query, the `topK` documents ranked by the
     * Okapi BM25 score over the query's distinct terms, with the RATIONAL
     * idf argument `(N − df + 0.5) / (df + 0.5)` (no ln(), same reasoning as

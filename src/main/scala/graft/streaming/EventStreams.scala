@@ -89,6 +89,44 @@ object EventStreams {
         col("drift_micro").cast("long").as("drift_micro"))
   }
 
+  /** Per-user behavioral sequences — the sequence-model training feed:
+    * each user's event-type stream in (tns, event_id) order, truncated to
+    * its first `maxLen` events and joined into one space-separated prefix
+    * string, plus the user's FULL event count. Input needs (user_id, tns:
+    * long, event_id, event_type); (tns, event_id) is a strict total order
+    * (ids are unique), so the sequence is deterministic under any
+    * partitioning. Returns (user_id, n_events, seq_prefix).
+    *
+    * Scale: the earliest-maxLen prune is TWO-PHASE — a window over
+    * (user, input-partition) cuts each shard to its local first-maxLen,
+    * then the global per-user window ranks only the ≤ maxLen·partitions
+    * survivors — so no single task ever materializes a power user's whole
+    * history, and the final collect_list holds at most maxLen rows per
+    * key BY CONSTRUCTION (bounded aggregation state, the collect_list
+    * trap's antidote). The n_events count is a separate map-side-combined
+    * aggregation on the same user key, so the join back reuses the
+    * exchange. */
+  def userSequences(events: DataFrame, maxLen: Int = 20): DataFrame = {
+    require(maxLen > 0, s"need maxLen > 0; got $maxLen")
+    val base = events.select(col("user_id"), col("tns"), col("event_id"),
+      col("event_type"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("__shard"))
+      .orderBy(col("tns").asc, col("event_id").asc)
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tns").asc, col("event_id").asc)
+    val first = base.withColumn("__shard", spark_partition_id())
+      .withColumn("__r", row_number().over(wLocal)).where(col("__r") <= maxLen)
+      .withColumn("__r2", row_number().over(wGlobal)).where(col("__r2") <= maxLen)
+    val seqs = first.groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("tns"), col("event_id"),
+          col("event_type").as("et")))),
+        x => x.getField("et")), " ").as("seq_prefix"))
+    base.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .join(seqs, Seq("user_id"))
+  }
+
   /** Weekly retention cohorts — the product-analytics staple: cohort a
     * user by the week of their FIRST event, then count distinct users
     * active at each week offset from their cohort. Returns (cohort_week,

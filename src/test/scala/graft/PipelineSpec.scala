@@ -891,6 +891,37 @@ class PipelineSpec extends SparkSuite {
     asym.foreach { p => assert(report(p)._2 >= 0.9 && report(p)._1 < 0.5) }
   }
 
+  test("collocations: hand-computed bigram-marginal PMI, minCount gates output not marginals") {
+    import spark.implicits._
+    // bigram tallies: "a b" x3, "b a" x1, "c d" x2 → N = 6
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a b a"), (4L, "c d"), (5L, "c d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "doc_id", "text", minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+    // pmi(a,b) = ln(3·6/(3·3)) = ln 2 → 693147; pmi(c,d) = ln(2·6/(2·2)) = ln 3
+    // → 1098612; "b a" (count 1) is gated out but still feeds the marginals
+    assert(out.toSeq == Seq(
+      ("c", "d") -> ((2L, 1098612L)),
+      ("a", "b") -> ((3L, 693147L))), s"got ${out.toSeq}")
+    val top1 = TextAnalysis.collocations(docs, "doc_id", "text", minCount = 2, topK = 1)
+      .collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "c")
+  }
+
+  test("sourceEntropy: exact micro-ln cell sums per source, uniform source reads 0") {
+    import spark.implicits._
+    val docs = Seq(
+      ("X", "a a b"),        // a: 2/3, b: 1/3
+      ("Y", "c c"), ("Y", "c c")  // c: 4/4 → ln 1 = 0
+    ).toDF("source", "text")
+    val out = TextAnalysis.sourceEntropy(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // X: 2·floor(ln(2/3)·1e6+.5) + 1·floor(ln(1/3)·1e6+.5) = 2·(−405465) + (−1098612)
+    assert(out == Map(
+      "X" -> ((3L, 2L, -1909542L)),
+      "Y" -> ((4L, 1L, 0L))), s"got $out")
+  }
+
   test("unigram log-prob: common-token docs outscore rare-token docs, hand check") {
     import spark.implicits._
     val docs = Seq(

@@ -107,6 +107,25 @@ class StreamingSpec extends SparkSuite {
       s"got $out")
   }
 
+  test("userSequences: ordered prefix, full count, partitioning-invariant two-phase prune") {
+    import spark.implicits._
+    // u1: 30 events cycling a/b/c (tns descending insertion order to prove
+    // the sort), u2: 2 events with equal tns (event_id breaks the tie)
+    val rows = (0 until 30).map(i =>
+        (1L, 1000L - i, 100L - i, Seq("a", "b", "c")(i % 3))) ++
+      Seq((2L, 500L, 7L, "y"), (2L, 500L, 6L, "x"))
+    val ev = rows.toDF("user_id", "tns", "event_id", "event_type")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.userSequences(df, maxLen = 3).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val out = run(ev)
+    // u1's earliest three by tns are insertion indices 29, 28, 27 →
+    // types c, b, a (i%3 for 29/28/27); u2 orders by event_id on the tie
+    assert(out == Map(1L -> ((30L, "c b a")), 2L -> ((2L, "x y"))), s"got $out")
+    assert(run(ev.repartition(7)) == out)
+    assert(run(ev.coalesce(1)) == out)
+  }
+
   test("rateAnomalies: spike/drop thresholds, zero-filled hours, partial windows excluded") {
     import spark.implicits._
     // type a hourly counts: h0=3, h1=3, h2=10, h3=0 (zero-filled), h4=6;
