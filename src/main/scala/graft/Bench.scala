@@ -91,7 +91,15 @@ object Bench {
     // exact-rerank refine pattern
     "text_nb_oov_classify", "ann_ivfpq_rerank", "text_bigram_logprob",
     "ann_contrastive_pairs", "curate_remove_spans", "graph_walk_pmi",
-    "ann_ivfpq_forget", "embedding_whiten", "events_label_drift")
+    "ann_ivfpq_forget", "embedding_whiten", "events_label_drift",
+    // round-11 second wave: leakage-safe split (shares the near-dup memo,
+    // cold-timed), DSIR importance resampling, link prediction, HITS,
+    // cluster prototypes, retention/anomaly/sequence event analytics,
+    // collocation PMI, per-source entropy
+    "curate_leakage_split", "curate_dsir", "graph_adamic_adar",
+    "graph_hits", "curate_prototypes", "events_retention",
+    "events_rate_anomaly", "events_user_sequences", "text_collocations",
+    "corpus_entropy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -701,6 +701,19 @@ object PipelineQueries {
       pipeline.Curation.exportPartitioned(labeled, tmp, Seq("split", "lang_guess"))
         .localCheckpoint(true)
     })),
+    // JSONL sink + source round-trip: write the corpus as JSON Lines,
+    // read it back under the original schema, aggregate the read-back —
+    // counts/sums prove the values survived the text format (the
+    // export_manifest discipline for the LLM interchange format)
+    "io_jsonl_roundtrip" -> ((s, d) => {
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft-jsonl-$dirKey-${System.getProperty("user.name", "u")}-${ProcessHandle.current.pid}").toString
+      pipeline.Curation.jsonlRoundTrip(docs(s, d), tmp)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
     // curation: deterministic train/val/test split labels
     "curate_split" -> ((s, d) =>
       pipeline.Curation.splitLabel(docs(s, d), "doc_id")
@@ -2822,6 +2835,11 @@ object PipelineQueries {
            |FROM g WHERE n > 1 AND n <= 256""".stripMargin,
       "curate_sample" ->
         "SELECT doc_id FROM documents WHERE substr(md5('s|'||doc_id), 1, 2) < '29'",
+      // aggregate over the raw table: equality proves the JSONL write +
+      // schema-bound read-back preserved every row and value
+      "io_jsonl_roundtrip" ->
+        """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+          |FROM documents GROUP BY lang""".stripMargin,
       "curate_split" ->
         """SELECT doc_id, CASE
           |  WHEN substr(md5('split|'||doc_id), 1, 2) < '0d' THEN 'test'

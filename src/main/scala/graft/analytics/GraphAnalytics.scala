@@ -625,7 +625,8 @@ object GraphAnalytics {
     * deg-1 vertices can never be common neighbors and are dropped with
     * the same filter. The final top-k is TakeOrdered (per-partition
     * heaps), never a full sort. Returns (u, v, n_common, aa_micro). */
-  def adamicAdar(pairs: DataFrame, topK: Int, maxDegree: Int = 1000): DataFrame = {
+  def adamicAdar(pairs: DataFrame, topK: Int, maxDegree: Int = 1000,
+                 eager: Boolean = true): DataFrame = {
     require(topK > 0, s"need topK > 0; got $topK")
     require(maxDegree >= 2, s"need maxDegree >= 2; got $maxDegree")
     val e0 = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
@@ -653,12 +654,14 @@ object GraphAnalytics {
           .where(col("u") < col("v"))
           .groupBy("u", "v")
           .agg(count(lit(1)).as("n_common"), sum("__w").as("aa_micro"))
-        scored
+        val out = scored
           .join(canon, scored("u") === canon("a") && scored("v") === canon("b"),
             "left_anti")
           .orderBy(desc("aa_micro"), col("u").asc, col("v").asc)
           .limit(topK)
-          .localCheckpoint(true)
+        // eager=false keeps the live plan inspectable (plan-shape tests);
+        // the default checkpoint cuts lineage above the persisted frames
+        if (eager) out.localCheckpoint(true) else out
       } finally adj.unpersist()
     } finally canon.unpersist()
   }

@@ -543,6 +543,19 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** JSONL corpus sink + source — the interchange format LLM data
+    * pipelines speak at their boundaries: write the frame as JSON Lines,
+    * read the directory BACK under the original schema, and return the
+    * read-back frame (callers aggregate it to prove the values survived
+    * the text round-trip, the [[exportPartitioned]] discipline). Reading
+    * with an explicit schema keeps the source single-pass at any corpus
+    * size: schema inference would pay a full extra scan of every JSONL
+    * file before the first real read. */
+  def jsonlRoundTrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").json(path)
+    df.sparkSession.read.schema(df.schema).json(path)
+  }
+
   /** End-to-end curation funnel report: the chained production pipeline
     * raw → exact-dedup → near-dedup → [rare-shingle containment-dedup] →
     * decontaminate, with one row of surviving-document counts per stage.

@@ -463,6 +463,33 @@ class AnalyticsSpec extends SparkSuite {
     assert(top1.length == 1 && top1(0).getLong(0) == 1L && top1(0).getLong(1) == 2L)
   }
 
+  test("adamicAdar: randomized graphs vs a driver brute-force reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 4
+      val edges = (for {
+        u <- 1L to n.toLong; v <- (u + 1) to n.toLong
+        if rnd.nextDouble() < 0.25
+      } yield (u, v)).toSeq
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val micro = (d: Int) => math.floor(1e6 / math.log(d.toDouble) + 0.5).toLong
+      val expected = (for {
+        u <- adj.keys; v <- adj.keys if u < v
+        if !adj(u).contains(v)
+        common = adj(u).intersect(adj(v)).filter(z => adj(z).size >= 2)
+        if common.nonEmpty
+      } yield (u, v) -> ((common.size.toLong, common.toSeq.map(z => micro(adj(z).size)).sum)))
+        .toMap
+      val got = GraphAnalytics.adamicAdar(edges.toDF("a", "b"), topK = 10000)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == expected, s"trial $trial (n=$n, ${edges.size} edges): " +
+        s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    }
+  }
+
   test("weighted shortest paths: min-plus beats hop count, composes with weightedEdges") {
     import spark.implicits._
     // direct 1->2 costs 10; the 2-hop detour 1->3->2 costs 2 — a BFS

@@ -699,4 +699,59 @@ class PlanQualitySpec extends SparkSuite {
     assert("partial_min".r.findAllIn(plan).nonEmpty,
       s"argmax is not a partial-aggregating min(struct):\n$plan")
   }
+
+  test("DSIR: bucket model joins broadcast, selection is TakeOrdered, no corpus cartesian") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d", true), (2L, "a b x", false), (3L, "x y z", false))
+      .toDF("doc_id", "text", "tgt")
+    val df = graft.pipeline.Curation.dsirSelect(docs, "doc_id", "text", col("tgt"), k = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // global top-k must be per-partition heaps + a k-row driver merge
+    // (pre-adaptive plan: AQE hides a driver-served root TakeOrdered)
+    assert(df.queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"),
+      s"DSIR selection is a full sort, not TakeOrdered:\n$plan")
+    // the 256-row model rides a broadcast into the feature stream
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket model not broadcast into the scoring join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in DSIR plan:\n$plan")
+  }
+
+  test("adamic-adar: wedge join stays equi-keyed, selection is TakeOrdered") {
+    import spark.implicits._
+    val pairs = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val df = graft.analytics.GraphAnalytics.adamicAdar(pairs, topK = 3, eager = false)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in adamic-adar plan:\n$plan")
+    // AQE serves a root TakeOrdered driver-side and omits it from the
+    // result stage's printed tree — assert on the pre-adaptive plan
+    val spark0 = df.queryExecution.sparkPlan.toString
+    assert(spark0.contains("TakeOrderedAndProject"),
+      s"adamic-adar selection is a full sort:\n$spark0")
+  }
+
+  test("per-key top-m paths keep the two-phase shard prune in the plan") {
+    import spark.implicits._
+    // clusterPrototypes and userSequences both promise that no single
+    // window keyed by a low-cardinality column (cid / user_id) sees the
+    // whole corpus: the local (key, __shard) prune must survive in the
+    // executed plan — if someone simplifies it away, __shard disappears.
+    val vecs = (1L to 20L).map(i => (i, Seq(i.toFloat, 0.0f))).toDF("vec_id", "embedding")
+    val proto = graft.pipeline.Clustering.clusterPrototypes(
+      vecs, "vec_id", "embedding", k = 2, iters = 1, perCluster = 2)
+    proto.collect()
+    val protoPlan = proto.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(protoPlan.contains("__shard"),
+      s"prototype top-m lost its local shard prune:\n$protoPlan")
+    val ev = (1L to 30L).map(i => (1L, i, i, "a")).toDF("user_id", "tns", "event_id", "event_type")
+    val seqs = graft.streaming.EventStreams.userSequences(ev, maxLen = 3)
+    seqs.collect()
+    val seqPlan = seqs.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(seqPlan.contains("__shard"),
+      s"user-sequence prefix lost its local shard prune:\n$seqPlan")
+    // the bounded prefix is assembled by collect_list AFTER the prune
+    assert(seqPlan.contains("collect_list"), s"no bounded prefix aggregation:\n$seqPlan")
+  }
 }

@@ -183,6 +183,76 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("wave2")) {
+      // round-11 second-wave operators at 1x vs 10x. Document/embedding
+      // ops run the driver queries against the replicated dir; event ops
+      // replicate users with offset ids (independent copies — cohort and
+      // sequence volume scale linearly by design); adamic-adar runs over
+      // disjoint co-purchase graph copies like the walks arm.
+      val qs2 = graft.PipelineQueries.queries
+      val wave2Docs = Seq("curate_dsir", "curate_prototypes",
+        "text_collocations", "corpus_entropy", "curate_leakage_split")
+      // warm codegen/JIT on the 1x plans once so the 1x numbers measure
+      // the operator, not first-query compilation
+      for (name <- wave2Docs) {
+        graft.PipelineQueries.clearMemos(spark, base)
+        qs2(name)(spark, base).count()
+      }
+      for ((dir, tag) <- Seq((base, "1x"), (big, "10x"))) {
+        for (name <- wave2Docs) {
+          graft.PipelineQueries.clearMemos(spark, dir)
+          time(s"${name}_$tag") { qs2(name)(spark, dir).count() }
+        }
+      }
+      // raw parquet lands as TIMESTAMP_NTZ (the canonical boundary the
+      // driver queries get from TpchGraph.table is bypassed here) — cast
+      // to the session-zone timestamp the operators' LONG cast accepts
+      val ev = spark.read.parquet(s"$base/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      def evCopies(n: Int) = (0 until n).map(c =>
+        ev.select((col("event_id") + lit(c.toLong * 1000000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(c.toLong * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props")))
+        .reduce(_ unionByName _)
+      for ((n, tag) <- Seq((1, "1x"), (10, "10x"))) {
+        val e = evCopies(n).persist(); e.count()
+        time(s"events_retention_$tag") {
+          graft.streaming.EventStreams.retentionCohorts(
+            e.select(col("user_id"), col("ts"))).count()
+        }
+        time(s"events_rate_anomaly_$tag") {
+          graft.streaming.EventStreams.rateAnomalies(
+            e.select(col("event_type"), col("ts"))).count()
+        }
+        time(s"events_user_sequences_$tag") {
+          // second-resolution order key; event_id breaks intra-second ties
+          graft.streaming.EventStreams.userSequences(
+            e.select(col("user_id"), expr("CAST(ts AS LONG)").as("tns"),
+              col("event_id"), col("event_type"))).count()
+        }
+        e.unpersist()
+      }
+      val li2 = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val cp = li2.join(li2.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w"))
+        .where(col("w") >= 2)
+        .select("a", "b").persist()
+      cp.count()
+      def cpCopies(n: Int) = (0 until n).map(c =>
+        cp.select((col("a") + lit(c.toLong * 10000000L)).as("a"),
+          (col("b") + lit(c.toLong * 10000000L)).as("b")))
+        .reduce(_ unionByName _)
+      for ((n, tag) <- Seq((1, "1x"), (10, "10x"))) {
+        time(s"graph_adamic_adar_$tag") {
+          graft.analytics.GraphAnalytics.adamicAdar(cpCopies(n), topK = 50).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     val qs = graft.PipelineQueries.queries
     for ((dir, tag) <- Seq((base, "1x"), (big, "10x"))) {
       for (name <- Seq("dedup_paragraphs", "curate_neardup_corpus",
