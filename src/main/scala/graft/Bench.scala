@@ -99,7 +99,8 @@ object Bench {
     "curate_leakage_split", "curate_dsir", "graph_adamic_adar",
     "graph_hits", "curate_prototypes", "events_retention",
     "events_rate_anomaly", "events_user_sequences", "text_collocations",
-    "corpus_entropy")
+    "corpus_entropy", "io_jsonl_roundtrip", "io_orc_roundtrip",
+    "stream_label_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -30,6 +30,9 @@ object PipelineQueries {
   private val exportManifestCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
+  private val streamDriftCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   // the near-dup cluster labels over the planted-dup corpus are the
   // shared input of curate_dup_clusters_df and curate_cluster_histogram —
   // memoized per (session, dir) like the graph build, so the LSH propose +
@@ -714,6 +717,34 @@ object PipelineQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
+    // ORC sink + source round-trip: the second leg of the format matrix
+    // (columnar interchange), same aggregate-equality discipline keyed by
+    // source instead of lang
+    "io_orc_roundtrip" -> ((s, d) => {
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft-orc-$dirKey-${System.getProperty("user.name", "u")}-${ProcessHandle.current.pid}").toString
+      pipeline.Curation.formatRoundTrip(docs(s, d), tmp, "orc")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
+    // streaming label drift: per-window counts as a watermarked APPEND
+    // aggregation through the real streaming engine (closed windows emit
+    // once), drift reported over the emitted frame; memoized like the
+    // other stream fixtures
+    "stream_label_drift" -> ((s, d) => streamDriftCache.computeIfAbsent((s, d), { _ =>
+      val ev = TpchGraph.table(s, d, "events").select(col("event_id"),
+        timestamp_seconds(expr("ts DIV 1000000000")).as("ts"),
+        col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"), lit("").as("props"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sdrift").toString
+      ev.write.mode("overwrite").parquet(tmp)
+      graft.streaming.EventStreams.streamingLabelDrift(s, tmp)
+        .select(col("window_start").cast("long").as("w_start"),
+          col("n_events"), col("drift_micro"))
+        .localCheckpoint(true)
+    })),
     // curation: deterministic train/val/test split labels
     "curate_split" -> ((s, d) =>
       pipeline.Curation.splitLabel(docs(s, d), "doc_id")
@@ -2840,6 +2871,30 @@ object PipelineQueries {
       "io_jsonl_roundtrip" ->
         """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
           |FROM documents GROUP BY lang""".stripMargin,
+      "io_orc_roundtrip" ->
+        """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+          |FROM documents GROUP BY source""".stripMargin,
+      // the batch drift replay restricted to WATERMARK-CLOSED windows:
+      // append mode emits a window once the watermark (max event time −
+      // 10 min) passes its end, so the emitted set is exactly
+      // end <= max_ts − 600 s — deterministic from the data
+      "stream_label_drift" ->
+        """WITH e AS (SELECT event_type, ((epoch_ns(ts) // 1000000000) // 3600) * 3600 AS w FROM events),
+          |per AS (SELECT w, event_type AS t, count(*) AS c FROM e GROUP BY 1, 2),
+          |tot AS (SELECT w, sum(c) AS n FROM per GROUP BY 1),
+          |sh AS (SELECT per.w, per.t, (per.c * 1000000) // tot.n AS s, tot.n AS n
+          |  FROM per JOIN tot USING (w)),
+          |pv AS (SELECT w + 3600 AS w, t, s AS sp FROM sh),
+          |j AS (SELECT coalesce(sh.w, pv.w) AS w, coalesce(sh.s, 0) AS s,
+          |    coalesce(pv.sp, 0) AS sp, sh.n AS n
+          |  FROM sh FULL JOIN pv ON sh.w = pv.w AND sh.t = pv.t),
+          |d AS (SELECT w, max(n) AS n, sum(abs(s - sp)) AS drift FROM j GROUP BY w),
+          |mx AS (SELECT max(epoch_ns(ts) // 1000000000) AS m FROM events)
+          |SELECT CAST(d.w AS BIGINT) AS w_start, CAST(d.n AS BIGINT) AS n_events,
+          |  CAST(d.drift AS BIGINT) AS drift_micro
+          |FROM d JOIN (SELECT DISTINCT w + 3600 AS w FROM tot) p ON p.w = d.w
+          |CROSS JOIN mx
+          |WHERE d.n IS NOT NULL AND d.w + 3600 <= mx.m - 600""".stripMargin,
       "curate_split" ->
         """SELECT doc_id, CASE
           |  WHEN substr(md5('split|'||doc_id), 1, 2) < '0d' THEN 'test'

@@ -551,9 +551,15 @@ object Curation {
     * with an explicit schema keeps the source single-pass at any corpus
     * size: schema inference would pay a full extra scan of every JSONL
     * file before the first real read. */
-  def jsonlRoundTrip(df: DataFrame, path: String): DataFrame = {
-    df.write.mode("overwrite").json(path)
-    df.sparkSession.read.schema(df.schema).json(path)
+  def jsonlRoundTrip(df: DataFrame, path: String): DataFrame =
+    formatRoundTrip(df, path, "json")
+
+  /** [[jsonlRoundTrip]] generalized over Spark's file formats — the
+    * sink/source matrix probe (orc, json, parquet, csv share the one
+    * write-then-schema-bound-read discipline). */
+  def formatRoundTrip(df: DataFrame, path: String, format: String): DataFrame = {
+    df.write.mode("overwrite").format(format).save(path)
+    df.sparkSession.read.schema(df.schema).format(format).load(path)
   }
 
   /** End-to-end curation funnel report: the chained production pipeline

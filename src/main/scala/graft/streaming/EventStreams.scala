@@ -56,11 +56,19 @@ object EventStreams {
     * i.e. watermark-delayed append mode downstream of [[windowedCounts]].
     */
   def labelDrift(events: DataFrame, typeCol: String = "event_type",
-                 windowLen: String = "60 minutes"): DataFrame = {
-    val per = events
+                 windowLen: String = "60 minutes"): DataFrame =
+    driftFromCounts(events
       .groupBy(window(col("ts"), windowLen).as("w"), col(typeCol).as("__t"))
       .agg(count(lit(1)).as("__c"))
-      .select(col("w.start").as("window_start"), col("__t"), col("__c"))
+      .select(col("w.start").as("window_start"), col("__t"), col("__c")),
+      windowLen)
+
+  /** The drift half of [[labelDrift]] over an already-computed per-window
+    * count frame (window_start, __t, __c) — the seam the STREAMING form
+    * plugs into: the count half runs as a watermarked append-mode
+    * streaming aggregation, and this bounded-frame report runs batch over
+    * whatever windows the watermark has closed. */
+  def driftFromCounts(per: DataFrame, windowLen: String): DataFrame = {
     val tot = per.groupBy("window_start").agg(sum("__c").as("__n"))
     val shares = per.join(tot, Seq("window_start"))
       .select(col("window_start"), col("__t"),
@@ -87,6 +95,37 @@ object EventStreams {
         .as("window_start")), Seq("window_start"), "left_semi")
       .select(col("window_start"), col("__n").cast("long").as("n_events"),
         col("drift_micro").cast("long").as("drift_micro"))
+  }
+
+  /** [[labelDrift]] through the REAL streaming engine: the per-window
+    * type counts run as a watermarked APPEND-mode streaming aggregation
+    * (readStream → window+count → memory sink), so a window's counts
+    * emit exactly once, when the watermark passes its end — the
+    * finalized-window discipline the batch scaladoc promises — and
+    * [[driftFromCounts]] then reports drift over the closed windows.
+    * Windows still open at end-of-stream (end > max event time −
+    * `watermark`) have emitted nothing and carry no drift row; their
+    * rows arrive when later data closes them. State per key is one open
+    * window's running count — watermark-bounded, the streaming-agg
+    * contract. */
+  def streamingLabelDrift(spark: SparkSession, srcDir: String,
+                          typeCol: String = "event_type",
+                          windowLen: String = "60 minutes",
+                          watermark: String = "10 minutes"): DataFrame = {
+    val name = s"label_drift_${System.nanoTime()}"
+    val q = readStream(spark, srcDir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col(typeCol).as("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("w.start").as("window_start"), col("__t"), col("__c"))
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    // snapshot the (bounded, window × type) emitted frame out of the
+    // memory-sink view: driftFromCounts self-joins its input, and a join
+    // of two references to one MemoryPlan view fails attribute dedup
+    driftFromCounts(spark.table(name).localCheckpoint(true), windowLen)
   }
 
   /** Per-user behavioral sequences — the sequence-model training feed:

@@ -52,6 +52,38 @@ class StreamingSpec extends SparkSuite {
       "2024-01-01 02:00:00.0" -> ((1L, 1999999L))), s"got $out")
   }
 
+  test("streamingLabelDrift: only watermark-closed windows report; closing the tail matches batch") {
+    import spark.implicits._
+    def ev(id: Long, hm: String, t: String) = (id,
+      java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00"), 1L, t, 1.0, "")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val base = Seq(
+      ev(1, "00:01", "a"), ev(2, "00:02", "a"), ev(3, "00:03", "b"),
+      ev(4, "01:01", "a"), ev(5, "01:02", "b"), ev(6, "01:03", "b"))
+    // tail OPEN: last event at 02:05 → watermark 01:55 → only hour 0 is
+    // closed, and hour 0 has no predecessor → the stream reports NOTHING,
+    // while batch would already claim the hour-1 drift row
+    val open = java.nio.file.Files.createTempDirectory("graft-sdrift-open").toString
+    (base :+ ev(7, "02:05", "c")).toDF(cols: _*).coalesce(1)
+      .write.mode("append").parquet(open)
+    assert(EventStreams.streamingLabelDrift(spark, open).collect().isEmpty,
+      "drift reported from a window the watermark has not closed")
+    // tail CLOSED: one more event at 04:00 pushes the watermark to 03:50,
+    // closing hours 0-2 — the stream now reports exactly the batch rows
+    val closed = java.nio.file.Files.createTempDirectory("graft-sdrift-closed").toString
+    (base ++ Seq(ev(7, "02:05", "c"), ev(8, "04:00", "a"))).toDF(cols: _*)
+      .coalesce(1).write.mode("append").parquet(closed)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getTimestamp(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    val streamed = rows(EventStreams.streamingLabelDrift(spark, closed))
+    val batch = rows(EventStreams.labelDrift(
+      spark.read.parquet(closed).select(col("ts"), col("event_type"))))
+    // batch's only extra candidate would be the still-open 04:00 window,
+    // which the gap rule drops on both sides — the sets must be equal
+    assert(streamed == batch && streamed.keySet ==
+      Set("2024-01-01 01:00:00.0", "2024-01-01 02:00:00.0"), s"got $streamed vs $batch")
+  }
+
   test("watermark drops late rows in append mode; open windows stay unemitted") {
     import spark.implicits._
     def ev(id: Long, hm: String) = (id,
