@@ -717,6 +717,17 @@ object PipelineQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
+    // budget-constrained selection: per language, the best documents by
+    // quality until 3000 words — the mix-building step between scoring
+    // and shard export (two-phase exact greedy, no corpus-wide
+    // low-cardinality window)
+    "curate_token_budget" -> ((s, d) => {
+      val q = TextAnalysis.qualityTable(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("quality"))
+        .join(docs(s, d).select("doc_id", "lang"), Seq("doc_id"))
+      pipeline.Curation.tokenBudgetSelect(q, "doc_id", "n_words", "quality",
+        "lang", budget = 3000)
+    }),
     // ORC sink + source round-trip: the second leg of the format matrix
     // (columnar interchange), same aggregate-equality discipline keyed by
     // source instead of lang
@@ -2874,6 +2885,17 @@ object PipelineQueries {
       "io_orc_roundtrip" ->
         """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
           |FROM documents GROUP BY source""".stripMargin,
+      // the NAIVE greedy replay — one window per language ordered by
+      // (quality desc, id); the Spark side's two-phase bucket plan must
+      // select the identical document set
+      "curate_token_budget" ->
+        s"""WITH tq AS ($textQualitySql),
+           |t AS (SELECT tq.doc_id, d.lang, tq.n_words AS tk, tq.quality AS q
+           |  FROM tq JOIN documents d USING (doc_id)),
+           |r AS (SELECT *, sum(tk) OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC
+           |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+           |SELECT lang, doc_id, CAST(tk AS BIGINT) AS n_words
+           |FROM r WHERE cum <= 3000""".stripMargin,
       // the batch drift replay restricted to WATERMARK-CLOSED windows:
       // append mode emits a window once the watermark (max event time −
       // 10 min) passes its end, so the emitted set is exactly

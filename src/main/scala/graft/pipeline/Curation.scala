@@ -543,6 +543,65 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Budget-constrained data selection — the mix-building primitive: per
+    * `groupCol` group, documents are taken greedily in (scoreCol desc,
+    * idCol asc) order while the running `tokensCol` total stays within
+    * `budget` (prefix semantics: the total is monotone, so membership is
+    * `cumulative ≤ budget`). The "give me the best N-million tokens per
+    * language" step between quality scoring and shard export.
+    *
+    * Scale: the naive form is one window keyed by the (low-cardinality)
+    * group — corpus/|groups| rows through single tasks. This is
+    * TWO-PHASE instead: documents bucket by the quantized score
+    * (floor(score·10⁴), monotone in score, ~10⁴ buckets per group), a
+    * prefix sum over the tiny (group × bucket) frame finds each group's
+    * boundary bucket exactly, buckets strictly inside the budget keep
+    * every document via a semi-join (no ordering needed — membership is
+    * bucket-level), and only the boundary bucket's documents — ties at
+    * one 10⁻⁴ score step — meet a per-group ordered window for the exact
+    * greedy cut. Equivalent to the naive greedy BY CONSTRUCTION: the
+    * bucket is monotone in the score, so bucket-descending order refines
+    * to the same (score, id) total order the window replays inside the
+    * boundary. Returns the kept (groupCol, idCol, tokensCol). */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, tokensCol: String,
+                        scoreCol: String, groupCol: String, budget: Long,
+                        eager: Boolean = true): DataFrame = {
+    require(budget > 0, s"need budget > 0; got $budget")
+    val base = df.select(col(groupCol).as("__g"), col(idCol),
+        col(tokensCol).cast("long").as("__tk"), col(scoreCol).cast("double").as("__sc"))
+      .withColumn("__qb", floor(col("__sc") * 10000.0).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      base.count() // eager: the bucket aggregate and both join-backs share it
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("__g").orderBy(col("__qb").desc)
+      // the boundary finder has TWO consumers (whole filter + boundary
+      // filter) — checkpoint the tiny (group × bucket) frame once, or the
+      // prefix-sum subtree plans and runs twice
+      val cum = base.groupBy("__g", "__qb").agg(sum("__tk").as("__bt"))
+        .withColumn("__before", coalesce(sum("__bt").over(
+          wB.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .localCheckpoint(true)
+      val keptWhole = base.join(
+        cum.where(col("__before") + col("__bt") <= budget).select("__g", "__qb"),
+        Seq("__g", "__qb"), "left_semi")
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy("__g").orderBy(col("__sc").desc, col(idCol).asc)
+      val keptBoundary = base.join(
+          cum.where(col("__before") < budget && col("__before") + col("__bt") > budget)
+            .select(col("__g"), col("__qb"), col("__before")),
+          Seq("__g", "__qb"))
+        .withColumn("__cum", sum("__tk").over(wD))
+        .where(col("__before") + col("__cum") <= budget)
+        .select(col("__g"), col(idCol), col("__tk"), col("__sc"), col("__qb"))
+      val out = keptWhole.unionByName(keptBoundary)
+        .select(col("__g").as(groupCol), col(idCol), col("__tk").as(tokensCol))
+      // eager=false keeps the live plan inspectable (plan-shape tests)
+      if (eager) out.localCheckpoint(true) else out
+    } finally if (eager) base.unpersist()
+  }
+
   /** JSONL corpus sink + source — the interchange format LLM data
     * pipelines speak at their boundaries: write the frame as JSON Lines,
     * read the directory BACK under the original schema, and return the

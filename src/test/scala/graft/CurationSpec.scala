@@ -156,6 +156,26 @@ class CurationSpec extends SparkSuite {
     assert(top2 == out.map(_._1).take(2).toSeq)
   }
 
+  test("tokenBudgetSelect: exact greedy cut, ties by id, boundary bucket ordered by exact score") {
+    val rows = Seq(
+      // group X: greedy order 1 (0.9), 2 (0.8, id beats 3), 3 (0.8)
+      ("X", 1L, 10L, 0.9), ("X", 2L, 10L, 0.8), ("X", 3L, 5L, 0.8),
+      // group Y: two docs in the SAME 1e-4 bucket with different exact
+      // scores — the boundary window must order 5 (0.80004) before 6 (0.8)
+      ("Y", 5L, 10L, 0.80004), ("Y", 6L, 10L, 0.8)
+    ).toDF("grp", "doc_id", "tk", "sc")
+    def run(budget: Long) = Curation.tokenBudgetSelect(rows, "doc_id", "tk", "sc", "grp", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // X at 22: 1 (cum 10) + 2 (cum 20); 3 would reach 25. Y at 22: 5+6 = 20
+    assert(run(22L) == Set(("X", 1L), ("X", 2L), ("Y", 5L), ("Y", 6L)), s"got ${run(22L)}")
+    // at 10 only the first doc per group fits — in Y that must be 5, not 6
+    assert(run(10L) == Set(("X", 1L), ("Y", 5L)), s"got ${run(10L)}")
+    // everything fits at 100
+    assert(run(100L).size == 5)
+    // a budget smaller than the best document keeps nothing
+    assert(run(4L) == Set.empty, s"got ${run(4L)}")
+  }
+
   test("removeHotSpans: hand-traced rewrite, fully-covered doc empties, unique text untouched") {
     val corpus = Seq(
       (1L, "one two three four five tail-a stays here now"), // shares the hot 5-gram

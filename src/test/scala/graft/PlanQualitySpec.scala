@@ -732,6 +732,25 @@ class PlanQualitySpec extends SparkSuite {
       s"adamic-adar selection is a full sort:\n$spark0")
   }
 
+  test("token-budget selection: whole buckets ride a semi-join; corpus rows meet at most the boundary window") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => ("g" + (i % 2), i, 10L, (i % 7) / 10.0))
+      .toDF("grp", "doc_id", "tk", "sc")
+    val df = graft.pipeline.Curation.tokenBudgetSelect(rows, "doc_id", "tk", "sc",
+      "grp", 60L, eager = false)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // whole-bucket membership is a semi-join, not an ordered scan
+    assert(plan.contains("LeftSemi"), s"whole-bucket keep lost its semi-join:\n$plan")
+    // exactly ONE Window operator reaches corpus rows: the boundary-bucket
+    // cut (the bucket prefix sum lives behind its own checkpoint on the
+    // tiny (group × bucket) frame) — a corpus-wide group-keyed greedy
+    // would put every document through an ordered window here
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows == 1, s"expected 1 window (the boundary cut), got $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in budget plan:\n$plan")
+  }
+
   test("per-key top-m paths keep the two-phase shard prune in the plan") {
     import spark.implicits._
     // clusterPrototypes and userSequences both promise that no single
