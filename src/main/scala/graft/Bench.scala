@@ -100,7 +100,7 @@ object Bench {
     "graph_hits", "curate_prototypes", "events_retention",
     "events_rate_anomaly", "events_user_sequences", "text_collocations",
     "corpus_entropy", "io_jsonl_roundtrip", "io_orc_roundtrip",
-    "stream_label_drift", "curate_token_budget")
+    "stream_label_drift", "curate_token_budget", "io_csv_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -740,6 +740,17 @@ object PipelineQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
     }),
+    // CSV leg of the format matrix (delimited text with header): same
+    // write-then-schema-bound-read discipline, keyed by (lang, source)
+    "io_csv_roundtrip" -> ((s, d) => {
+      val dirKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft-csv-$dirKey-${System.getProperty("user.name", "u")}-${ProcessHandle.current.pid}").toString
+      pipeline.Curation.formatRoundTrip(docs(s, d), tmp, "csv")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+    }),
     // streaming label drift: per-window counts as a watermarked APPEND
     // aggregation through the real streaming engine (closed windows emit
     // once), drift reported over the emitted frame; memoized like the
@@ -2885,6 +2896,9 @@ object PipelineQueries {
       "io_orc_roundtrip" ->
         """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
           |FROM documents GROUP BY source""".stripMargin,
+      "io_csv_roundtrip" ->
+        """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+          |FROM documents GROUP BY lang, source""".stripMargin,
       // the NAIVE greedy replay — one window per language ordered by
       // (quality desc, id); the Spark side's two-phase bucket plan must
       // select the identical document set
