@@ -176,6 +176,32 @@ class CurationSpec extends SparkSuite {
     assert(run(4L) == Set.empty, s"got ${run(4L)}")
   }
 
+  test("tokenBudgetSelect: randomized corpora vs a driver greedy reference") {
+    val rnd = new scala.util.Random(1111)
+    for (trial <- 1 to 3) {
+      val rows = (1L to (60 + trial * 30)).map { i =>
+        ("g" + rnd.nextInt(3), i, 1L + rnd.nextInt(20),
+          // 4-dp scores with deliberate ties, like the quality scorer emits
+          rnd.nextInt(40) / 40.0)
+      }
+      val budget = 40L + rnd.nextInt(150)
+      // .toSeq: flatMap over a Map yielding pairs would rebuild a Map and
+      // silently dedup by group key
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, docs) =>
+        var cum = 0L
+        docs.sortBy(t => (-t._4, t._2)).flatMap { t =>
+          cum += t._3
+          if (cum <= budget) Some((g, t._2)) else None
+        }
+      }.toSet
+      val got = Curation.tokenBudgetSelect(
+          rows.toDF("grp", "doc_id", "tk", "sc"), "doc_id", "tk", "sc", "grp", budget)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expected, s"trial $trial budget $budget: " +
+        s"missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("removeHotSpans: hand-traced rewrite, fully-covered doc empties, unique text untouched") {
     val corpus = Seq(
       (1L, "one two three four five tail-a stays here now"), // shares the hot 5-gram

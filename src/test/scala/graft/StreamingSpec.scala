@@ -158,6 +158,42 @@ class StreamingSpec extends SparkSuite {
     assert(run(ev.coalesce(1)) == out)
   }
 
+  test("rateAnomalies: randomized event streams vs a driver simulator") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2222)
+    for (trial <- 1 to 2) {
+      val types = Seq("a", "b")
+      // sparse bursty stream: some hours empty, some hot
+      val secs = for {
+        t <- types; h <- 0 until 40 if rnd.nextDouble() < 0.7
+        n = if (rnd.nextDouble() < 0.15) 8 + rnd.nextInt(8) else rnd.nextInt(4)
+        i <- 0 until n
+      } yield (t, h * 3600L + i)
+      val trail = 6
+      // driver sim: dense per-type grid over the GLOBAL hour bounds
+      val byType = secs.groupBy(_._1).map { case (t, es) =>
+        t -> es.groupBy(_._2 / 3600).map { case (h, xs) => h -> xs.size.toLong }
+      }
+      val hours = secs.map(_._2 / 3600)
+      val (h0, h1) = (hours.min, hours.max)
+      val expected = (for {
+        t <- byType.keys; h <- (h0 + trail) to h1
+        c = byType(t).getOrElse(h, 0L)
+        ts = ((h - trail) until h).map(byType(t).getOrElse(_, 0L)).sum
+        if c * trail > ts * 2 || c * trail * 2 < ts
+      } yield (t, h * 3600L) -> ((c, ts,
+        if (c * trail > ts * 2) "spike" else "drop"))).toMap
+      val got = EventStreams.rateAnomalies(
+          secs.toDF("event_type", "sec")
+            .select(col("event_type"), timestamp_seconds(col("sec")).as("ts")),
+          trailHours = trail)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(got == expected, s"trial $trial: " +
+        s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    }
+  }
+
   test("rateAnomalies: spike/drop thresholds, zero-filled hours, partial windows excluded") {
     import spark.implicits._
     // type a hourly counts: h0=3, h1=3, h2=10, h3=0 (zero-filled), h4=6;
