@@ -100,7 +100,11 @@ object Bench {
     "graph_hits", "curate_prototypes", "events_retention",
     "events_rate_anomaly", "events_user_sequences", "text_collocations",
     "corpus_entropy", "io_jsonl_roundtrip", "io_orc_roundtrip",
-    "stream_label_drift", "curate_token_budget", "io_csv_roundtrip")
+    "stream_label_drift", "curate_token_budget", "io_csv_roundtrip",
+    // round-12 additions: the IVF-PQ encode pass as its own entry (so
+    // ann_ivfpq_topk can bench the served path without hiding build cost)
+    // and best-fit-decreasing sequence packing
+    "ann_ivfpq_encode", "curate_pack_bfd")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -178,9 +182,16 @@ object Bench {
       // entry gets a second run and the min strips one-off contention.
       // A failed first run is NOT retried: deterministic analysis errors
       // would just fail again, and the sentinel must survive to the JSON.
+      // streaming-memo entries (PipelineQueries.streamMemoQueries) are
+      // timed SINGLE-SHOT with the memo busted first: a second run would
+      // hit the memo (a map lookup — r11 archived 0.015 s for a
+      // multi-second watermarked stream), and busting per-run would time
+      // fixture churn twice. One cold run measures the real pipeline.
+      val isStream = PipelineQueries.streamMemoQueries(name)
+      if (isStream) PipelineQueries.clearStreamMemos(spark, sfDir)
       val first = once()
       val best =
-        if (first < 0) -1.0
+        if (first < 0 || isStream) first
         else (first +: Seq.fill(runs - 1)(if (first < 300.0) once() else first))
           .filter(_ >= 0).min
       name -> best
@@ -194,7 +205,8 @@ object Bench {
     val total = buildSec + results.map(_._2).filter(_ >= 0).sum
     // memo_cold names the entries timed with their shared per-session
     // memo cleared before every run (cold pipeline cost, not cache hits)
-    val cold = measured.filter(PipelineQueries.memoBackedQueries)
+    val cold = measured.filter(n => PipelineQueries.memoBackedQueries(n)
+        || PipelineQueries.streamMemoQueries(n))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =

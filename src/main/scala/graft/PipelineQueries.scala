@@ -63,14 +63,38 @@ object PipelineQueries {
     "graph_random_walks", "graph_walk_pairs")
 
   /** Drop the per-(session, dir) memos behind [[memoBackedQueries]]. The
-    * streaming memos (events_stream_dedup / stream_sig_dedup) are NOT
-    * cleared: each cold run writes a fresh fixture directory and starts a
-    * real stream, so busting them from the bench would benchmark temp-file
-    * churn, and they are not bench headline entries. */
+    * streaming memos live behind [[streamMemoQueries]]/[[clearStreamMemos]]
+    * instead: the bench busts them ONCE per entry and times that single
+    * cold run (re-running would alternate real-stream and memo-lookup
+    * timings, and the min would report the lookup). */
   def clearMemos(s: SparkSession, d: String): Unit = {
     neardupLabelsCache.remove((s, d))
     exportManifestCache.remove((s, d))
     GraphQueries.clearWalkMemo(s, d)
+  }
+
+  /** Headline entries whose result is a memoized REAL streaming run
+    * (fixture write + watermarked stream + checkpointed result). Each is
+    * timed SINGLE-SHOT with its memo cleared first: without the bust the
+    * recorded min was a ConcurrentHashMap lookup (~0.02 s for multi-second
+    * pipelines — archived through r11), making regressions on these paths
+    * invisible; busting before EVERY run would instead benchmark temp-file
+    * churn twice. One cold run per bench measures the pipeline once. */
+  val streamMemoQueries: Set[String] = Set(
+    "events_stream_dedup", "stream_sig_dedup", "stream_asset_features",
+    "stream_nb_classify", "stream_label_drift", "stream_graph_ingest")
+
+  /** Drop the per-(session, dir) streaming memos (see
+    * [[streamMemoQueries]]). Verify never calls this — correctness is
+    * temperature-independent and keeping the memo stops repeated harness
+    * invocations from accumulating temp dirs and streaming sinks. */
+  def clearStreamMemos(s: SparkSession, d: String): Unit = {
+    streamDedupCache.remove((s, d))
+    streamSigDedupCache.remove((s, d))
+    streamAssetCache.remove((s, d))
+    streamNbCache.remove((s, d))
+    streamDriftCache.remove((s, d))
+    GraphQueries.clearIngestMemo(s, d)
   }
 
   // Trained IVF-PQ index per (session, dir) — the production lifecycle
@@ -90,15 +114,29 @@ object PipelineQueries {
   // serving path alone: load the parquet index, search the stored codes,
   // never touch the raw embeddings. NOT memo-busted by the bench, same
   // rationale as ivfPqIdx.
+  // Encoded corpus codes per (session, dir) — the index's PERSISTED
+  // representation, encoded ONCE beside the trained quantizers (the same
+  // build-once lifecycle as ivfPqIdx; NOT memo-busted by the bench).
+  // ann_ivfpq_topk serves from these stored codes, so its bench number is
+  // per-query cost; the encode pass itself is benched by its own entry
+  // (ann_ivfpq_encode), which bypasses this memo by construction.
+  private val ivfPqCodesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def ivfPqCodes(s: SparkSession, d: String): DataFrame =
+    ivfPqCodesCache.computeIfAbsent((s, d), { _ =>
+      val (cent, cb) = ivfPqIdx(s, d)
+      pipeline.Quantization
+        .ivfPqEncode(embeddings(s, d), "vec_id", "embedding", 16, cent, cb)
+        .localCheckpoint(true)
+    })
+
   private val annIndexPathCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   private def savedAnnIndex(s: SparkSession, d: String): String =
     annIndexPathCache.computeIfAbsent((s, d), { _ =>
       val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
       val (cent, cb) = ivfPqIdx(s, d)
-      val codes = pipeline.Quantization
-        .ivfPqEncode(embeddings(s, d), "vec_id", "embedding", 16, cent, cb)
-        .withColumnRenamed("vec_id", "id")
+      val codes = ivfPqCodes(s, d).withColumnRenamed("vec_id", "id")
       pipeline.AnnIndex.save(pipeline.AnnIndex.IvfPq(cent, cb, codes, 16), dir)
       dir
     })
@@ -871,6 +909,16 @@ object PipelineQueries {
           TextAnalysis.wordCount(col("text")).cast("long").as("n_words"),
           (col("doc_id") % 8).as("shard")),
         "doc_id", "n_words", "shard", budget = 512L)),
+    // whole-document best-fit-decreasing packing over the same inputs as
+    // curate_pack (512-token bins, doc_id mod 8 shards) — documents are
+    // never chopped; fill quality vs the chop baseline is measured in
+    // SCALE.md
+    "curate_pack_bfd" -> ((s, d) =>
+      pipeline.Curation.packBinsBfd(
+        docs(s, d).select(col("doc_id"),
+          TextAnalysis.wordCount(col("text")).cast("long").as("n_words"),
+          (col("doc_id") % 8).as("shard")),
+        "doc_id", "n_words", "shard", budget = 512L)),
     // symmetric per-vector int8 quantization of the embedding column —
     // long-form (vec_id, pos, code, scale) rows: every column scalar, so
     // the driver harness can sort/hash them (the packed-array variant
@@ -960,12 +1008,26 @@ object PipelineQueries {
       pipeline.Quantization.pqTopK(e, e.where(col("vec_id") < 5),
         "vec_id", "embedding", k = 3, m = 4, codewords = 16)
     }),
-    // IVF-PQ: inverted-list routing + ADC scoring over the codes only
+    // IVF-PQ: inverted-list routing + ADC scoring over the STORED codes —
+    // the per-query serving cost of the build-once index lifecycle (the
+    // r11 entry re-encoded the whole corpus per call, so its bench number
+    // measured one-time index build and inflated with every code-size
+    // increase; the encode pass now has its own entry below)
     "ann_ivfpq_topk" -> ((s, d) => {
       val e = embeddings(s, d)
       val (cent, cb) = ivfPqIdx(s, d)
-      pipeline.Quantization.ivfPqTopKWith(e, e.where(col("vec_id") < 5),
+      pipeline.Quantization.ivfPqSearchCodes(ivfPqCodes(s, d),
+        e.where(col("vec_id") < 5),
         "vec_id", "embedding", k = 3, nprobe = 8, m = 16, cent, cb)
+    }),
+    // the one-time encode pass in the open: corpus → (vec_id, lcid, sub,
+    // code) against the trained quantizers — benched on its own so the
+    // index-build cost stays visible without riding any query entry
+    // (bypasses the codes memo by construction: it IS the cold pass)
+    "ann_ivfpq_encode" -> ((s, d) => {
+      val (cent, cb) = ivfPqIdx(s, d)
+      pipeline.Quantization.ivfPqEncode(embeddings(s, d), "vec_id", "embedding",
+        16, cent, cb)
     }),
     // IVF-PQ + exact rerank (the faiss "refine" pattern): ADC proposes
     // k·rerank candidates from the codes, only those rows' raw vectors
@@ -1728,6 +1790,49 @@ object PipelineQueries {
            |  FROM t)
            |SELECT doc_id, shard, CAST(strt // 512 AS BIGINT) AS chunk,
            |  CAST(strt % 512 AS BIGINT) AS offset FROM c""".stripMargin,
+      // BFD replayed as a recursive CTE: one recursion step per placement
+      // rank (all shards advance in lockstep), state = the open-bin list
+      // {'rem','b'} (field order makes list_sort order by (rem, b), so
+      // [1] of the fits-filtered sort IS the best-fit choice with ties to
+      // the smaller bin id — exactly the TreeSet.minAfter rule)
+      "curate_pack_bfd" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id,
+           |    CAST(CASE WHEN len($normSql) = 0 THEN 0
+           |      ELSE len(string_split($normSql, ' ')) END AS BIGINT) AS n_words,
+           |    doc_id % 8 AS shard
+           |  FROM documents),
+           |items AS (SELECT shard, doc_id, n_words,
+           |    row_number() OVER (PARTITION BY shard ORDER BY n_words DESC, doc_id) AS rn
+           |  FROM t),
+           |pack AS (
+           |  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+           |    CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS off,
+           |    CAST([] AS STRUCT(rem BIGINT, b BIGINT)[]) AS bins,
+           |    CAST(0 AS BIGINT) AS nbins
+           |  FROM (SELECT DISTINCT shard FROM t)
+           |  UNION ALL
+           |  SELECT p.shard, CAST(i.rn AS BIGINT), i.doc_id,
+           |    coalesce(list_sort(list_filter(p.bins, x -> x.rem >= i.n_words))[1].b,
+           |      p.nbins) AS bin,
+           |    CAST(coalesce(512 - list_sort(list_filter(p.bins, x -> x.rem >= i.n_words))[1].rem,
+           |      0) AS BIGINT) AS off,
+           |    CASE WHEN list_sort(list_filter(p.bins, x -> x.rem >= i.n_words))[1].b IS NULL
+           |      THEN CASE WHEN 512 - i.n_words > 0
+           |        THEN list_append(p.bins, {'rem': 512 - i.n_words, 'b': p.nbins})
+           |        ELSE p.bins END
+           |      ELSE CASE WHEN list_sort(list_filter(p.bins, x -> x.rem >= i.n_words))[1].rem - i.n_words > 0
+           |        THEN list_append(
+           |          list_filter(p.bins, x -> x.b <> list_sort(list_filter(p.bins, y -> y.rem >= i.n_words))[1].b),
+           |          {'rem': list_sort(list_filter(p.bins, x -> x.rem >= i.n_words))[1].rem - i.n_words,
+           |           'b': list_sort(list_filter(p.bins, x -> x.rem >= i.n_words))[1].b})
+           |        ELSE list_filter(p.bins, x -> x.b <> list_sort(list_filter(p.bins, y -> y.rem >= i.n_words))[1].b)
+           |        END
+           |      END AS bins,
+           |    CASE WHEN list_sort(list_filter(p.bins, x -> x.rem >= i.n_words))[1].b IS NULL
+           |      THEN p.nbins + 1 ELSE p.nbins END AS nbins
+           |  FROM pack p JOIN items i ON i.shard = p.shard AND i.rn = p.rn + 1)
+           |SELECT doc_id, shard, bin, off AS offset
+           |FROM pack WHERE doc_id IS NOT NULL""".stripMargin,
       "embedding_quantize" ->
         """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
           |vu AS (SELECT vec_id, unnest(ve) AS val, unnest(range(0, len(ve))) AS pos FROM v),
@@ -1929,6 +2034,13 @@ object PipelineQueries {
            |  floor(CAST(micros AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS dist,
            |  CAST(rnk AS BIGINT) AS rank
            |FROM r WHERE rnk <= 3""".stripMargin,
+      // the encode pass replayed verbatim: rq_enc IS the stored-code
+      // representation every serve-path query above searches
+      "ann_ivfpq_encode" ->
+        s"""WITH $pqBaseCtes,
+           |${ivfpqResCtes(5)}
+           |SELECT vec_id, lcid, CAST(s AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code
+           |FROM rq_enc""".stripMargin,
       // the serve replay minus the forgotten ids' candidate rows — code
       // deletion is row-drop on the code table, so filtering rq_dd by
       // neighbor replays it exactly

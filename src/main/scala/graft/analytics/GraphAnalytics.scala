@@ -573,7 +573,10 @@ object GraphAnalytics {
     * the iterate carries exact LONG path-counts instead: partition-order
     * free, engine-portable, no decimal-division scale rules to replay.
     * (The magnitude grows like (max component eigenvalue)^iters — callers
-    * wanting [0,1] scores divide by the max once at the end.)
+    * wanting [0,1] scores divide by the max once at the end. Growth past
+    * Long range FAILS LOUDLY: sums are overflow-checked via try_sum and
+    * any overflow raises ArithmeticException naming the round — wrapped
+    * rankings can never be returned.)
     *
     * Scale: each half-round is one equi-join of the edge table with the
     * (vid, score) frame plus one map-side-combinable aggregation keyed by
@@ -588,16 +591,32 @@ object GraphAnalytics {
       .select(toLong(col("src")).as("src"), toLong(col("dst")).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // Overflow guard: iterates grow like λ_max^numIter, and a plain
+      // sum(Long) would WRAP silently and return wrong rankings. try_sum
+      // yields NULL on Long overflow instead; scores entering the sum are
+      // never null (inner join on checkpointed non-null iterates), so a
+      // null result IS an overflow — checked on each (vertex-sized,
+      // already-checkpointed) iterate and surfaced as an error naming the
+      // round, never as wrapped scores. Cost: one limit-1 scan of a
+      // v-row cached frame per half-round.
+      def guarded(scores: DataFrame, c: String, round: Int): DataFrame = {
+        val out = scores.localCheckpoint(true)
+        if (out.where(col(c).isNull).limit(1).count() > 0)
+          throw new ArithmeticException(
+            s"hitsDF: Long overflow in '$c' at iteration $round (scores " +
+            s"grow ~ λ_max^numIter); lower numIter=$numIter or rescale")
+        out
+      }
       // round 1 folds a₀ ≡ 1 into a plain degree count
       var h = edges.groupBy(col("src").as("vid"))
         .agg(count(lit(1)).as("h")).localCheckpoint(true)
-      var a = edges.join(h.select(col("vid").as("src"), col("h")), Seq("src"))
-        .groupBy(col("dst").as("vid")).agg(sum("h").as("a")).localCheckpoint(true)
-      for (_ <- 2 to numIter) {
-        h = edges.join(a.select(col("vid").as("dst"), col("a")), Seq("dst"))
-          .groupBy(col("src").as("vid")).agg(sum("a").as("h")).localCheckpoint(true)
-        a = edges.join(h.select(col("vid").as("src"), col("h")), Seq("src"))
-          .groupBy(col("dst").as("vid")).agg(sum("h").as("a")).localCheckpoint(true)
+      var a = guarded(edges.join(h.select(col("vid").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("vid")).agg(try_sum(col("h")).as("a")), "a", 1)
+      for (i <- 2 to numIter) {
+        h = guarded(edges.join(a.select(col("vid").as("dst"), col("a")), Seq("dst"))
+          .groupBy(col("src").as("vid")).agg(try_sum(col("a")).as("h")), "h", i)
+        a = guarded(edges.join(h.select(col("vid").as("src"), col("h")), Seq("src"))
+          .groupBy(col("dst").as("vid")).agg(try_sum(col("h")).as("a")), "a", i)
       }
       verts
         .join(h, Seq("vid"), "left")

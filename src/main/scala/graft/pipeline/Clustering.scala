@@ -346,16 +346,22 @@ object Clustering {
     * against the matrix it was extracted from (the decimal-summed double
     * the deflation step already used — the oracle replays it verbatim). */
   private def pcaComponents(df: DataFrame, vecCol: String,
-      p: Int, iters: Int): Seq[(DataFrame, DataFrame)] = {
+      p: Int, iters: Int, needLambda: Boolean = true): Seq[(DataFrame, DataFrame)] = {
     var cur = symmetricCov(df, vecCol)
     (0 until p).map { k =>
       val lk = normalizedLoadings(powerIterate(cur, iters)).localCheckpoint(true)
       val vi = broadcast(lk.select(col("d").as("i"), col("loading").as("__vi")))
       val vj = broadcast(lk.select(col("d").as("j"), col("loading").as("__vj")))
-      val lam = cur.join(vi, Seq("i")).join(vj, Seq("j"))
+      val lamLazy = cur.join(vi, Seq("i")).join(vj, Seq("j"))
         .agg(sum((col("cov") * col("__vi") * col("__vj")).cast("decimal(30,10)")).as("__s"))
         .select(col("__s").cast("double").as("__lam"))
-        .localCheckpoint(true)
+      // λ is eagerly materialized only where it's consumed: deflation
+      // (k < p-1) reads it in the next covariance update, and whitening
+      // callers (needLambda) read every λ including the last. pcaProject
+      // passes needLambda=false, so its final component's λ frame stays
+      // lazy and discarding it costs zero scheduled jobs.
+      val lam = if (k < p - 1 || needLambda) lamLazy.localCheckpoint(true)
+                else lamLazy
       if (k < p - 1) {
         cur = cur.join(vi, Seq("i")).join(vj, Seq("j")).crossJoin(broadcast(lam))
           .select(col("i"), col("j"),
@@ -370,7 +376,7 @@ object Clustering {
   def pcaProject(df: DataFrame, idCol: String, vecCol: String,
       p: Int = 2, iters: Int = 3): DataFrame = {
     require(p >= 1, s"need p >= 1; got $p")
-    val comps = pcaComponents(df, vecCol, p, iters).map(_._1)
+    val comps = pcaComponents(df, vecCol, p, iters, needLambda = false).map(_._1)
     // round 10: the projection folds ROW-LOCALLY — means and per-component
     // loading arrays ride ONE broadcast row each, and CenteredProjection
     // reproduces the exact decimal quantization + sum of the old

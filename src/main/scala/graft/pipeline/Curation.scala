@@ -300,7 +300,13 @@ object Curation {
           explode(sequence(col("pos"), col("pos") + (n - 1))).as("__cp"))
         .groupBy(idCol).agg(collect_set(col("__cp")).as("__cov"))
       val none = array().cast("array<int>")
-      df.select(col(idCol), TextAnalysis.words(col(textCol)).as("__w"))
+      // words('') is [""] (size 1): filter empty tokens BEFORE the size
+      // guard so an all-separator document is excluded like the oracle
+      // excludes it (hotSpanCoverage applies the same length>0 filter).
+      // Positions are unaffected: words() yields "" ONLY as the sole
+      // element of the all-separator case, never mid-array.
+      df.select(col(idCol),
+          filter(TextAnalysis.words(col(textCol)), w => length(w) > 0).as("__w"))
         .where(size(col("__w")) > 0)
         .join(cov, Seq(idCol), "left")
         .select(col(idCol), coalesce(col("__cov"), none).as("__cov"), col("__w"))
@@ -495,6 +501,63 @@ object Curation {
         expr(s"__start % ${budget}L").as("offset"))
   }
 
+  /** Best-fit-decreasing WHOLE-DOCUMENT bin packing — the higher-quality
+    * sibling of [[packSequences]]: documents are never split across
+    * sequence boundaries (no mid-document truncation, no cross-document
+    * attention inside a chunk); instead each document is placed whole into
+    * the fullest bin of capacity `budget` that still fits it, documents
+    * considered largest-first (classic BFD — within 11/9·OPT+1 bins).
+    * `decreasing = false` keeps id (arrival) order instead — the
+    * streaming-append baseline the fill-ratio comparison measures BFD
+    * against. A document longer than `budget` occupies a bin of its own
+    * at offset 0 (flagged by offset + n_tokens > budget downstream).
+    *
+    * Scale design: like [[packSequences]], packing is inherently
+    * sequential, so the corpus is sharded first and each shard packs
+    * independently — one `flatMapGroups` pass whose per-group state is a
+    * TreeSet of (remaining, bin) keyed for the best-fit ceiling lookup
+    * (O(n log n) per shard). Shard size is the memory contract: pick
+    * nShards so a shard's (id, n) pairs fit an executor — 100 TB packs
+    * as thousands of parallel chains, bin ids unique per (shard, bin).
+    * Deterministic: total order (n desc, id) and ceiling ties to the
+    * smallest bin id; the DuckDB oracle replays the exact placement loop
+    * as a recursive CTE. Returns (idCol, shard, bin, offset). */
+  def packBinsBfd(df: DataFrame, idCol: String, tokensCol: String,
+                  shardCol: String, budget: Long,
+                  decreasing: Boolean = true): DataFrame = {
+    require(budget > 0, s"need budget > 0; got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(shardCol).cast("long").as("_1"),
+        col(idCol).cast("long").as("_2"),
+        col(tokensCol).cast("long").as("_3"))
+      .as[(Long, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroups { (shard: Long, it: Iterator[(Long, Long, Long)]) =>
+        val items = it.map(t => (t._2, t._3)).toArray
+        val ordered =
+          if (decreasing) items.sortBy { case (id, n) => (-n, id) }
+          else items.sortBy(_._1)
+        // (remaining, binId): minAfter((n, MinValue)) = the fullest bin
+        // that still fits n, ties to the smallest bin id
+        val bins = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+        var nBins = 0L
+        ordered.iterator.map { case (id, n) =>
+          bins.minAfter((n, Long.MinValue)) match {
+            case Some(k @ (rem, b)) =>
+              bins.remove(k)
+              if (rem - n > 0) bins.add((rem - n, b))
+              (id, shard, b, budget - rem)
+            case None =>
+              val b = nBins; nBins += 1
+              if (budget - n > 0) bins.add((budget - n, b))
+              (id, shard, b, 0L)
+          }
+        }
+      }
+      .toDF(idCol, "shard", "bin", "offset")
+  }
+
   /** Benchmark decontamination: corpus documents that share NO word n-gram
     * with the benchmark/eval set (the standard guard against train-test
     * leakage in LLM training pipelines — documents containing any
@@ -617,8 +680,24 @@ object Curation {
     * sink/source matrix probe (orc, json, parquet, csv share the one
     * write-then-schema-bound-read discipline). */
   def formatRoundTrip(df: DataFrame, path: String, format: String): DataFrame = {
-    df.write.mode("overwrite").format(format).save(path)
-    df.sparkSession.read.schema(df.schema).format(format).load(path)
+    // Delimited text needs explicit fidelity options the defaults lack:
+    // a header row (so the files are self-describing), quote-escaping
+    // with multiLine=true on read (embedded quotes AND newlines in text
+    // round-trip — default multiLine=false would split mid-record), and
+    // a nullValue sentinel distinct from '' (default maps both NULL and
+    // empty string to the same token, coercing '' → null on read-back).
+    // Scale caveat, deliberate: multiLine CSV is parsed one FILE per
+    // task (records may span line boundaries, so files aren't split) —
+    // parallelism comes from the file count the writer already controls,
+    // which is the partition count of `df`. Self-describing formats
+    // (json/orc/parquet) round-trip faithfully with defaults.
+    val csvOpts: Map[String, String] =
+      if (format == "csv") Map("header" -> "true", "escape" -> "\"",
+        "nullValue" -> "\\N", "multiLine" -> "true")
+      else Map.empty
+    df.write.mode("overwrite").options(csvOpts).format(format).save(path)
+    df.sparkSession.read.schema(df.schema).options(csvOpts).format(format)
+      .load(path)
   }
 
   /** End-to-end curation funnel report: the chained production pipeline

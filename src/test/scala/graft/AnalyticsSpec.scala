@@ -437,6 +437,26 @@ class AnalyticsSpec extends SparkSuite {
       "h:3" -> ((1L, 2L)), "h:4" -> ((0L, 1L))), s"got ${run(1)}")
   }
 
+  test("hitsDF: dense graph at high numIter fails loudly instead of wrapping") {
+    // complete digraph on 32 vertices (self-loops excluded): iterates grow
+    // ~31^(2·numIter), crossing Long.MaxValue (~9.2e18, i.e. 31^13.8)
+    // before numIter=8 — an unguarded sum would wrap silently and return
+    // garbage rankings. The guard must raise ArithmeticException.
+    val b = new GraphBatch
+    val n = 32
+    (1 to n).foreach(i => b.createNode(s"d:$i", PropValue.typed("N", Some(i.toString))))
+    for (i <- 1 to n; j <- 1 to n if i != j)
+      b.createEdge(s"d:$i", s"d:$j", PropValue("E"))
+    val g = b.toStore(spark)
+    def run(iters: Int) = GraphAnalytics.hitsDF(g,
+      id => split(id, ":").getItem(1).cast("long"), numIter = iters)
+    // a safe depth still returns exact symmetric scores
+    val shallow = run(2).collect().map(r => (r.getLong(1), r.getLong(2))).distinct
+    assert(shallow.length == 1 && shallow(0)._1 > 0L, s"got ${shallow.toSeq}")
+    val ex = intercept[ArithmeticException] { run(8).collect() }
+    assert(ex.getMessage.contains("overflow"), s"got ${ex.getMessage}")
+  }
+
   test("adamicAdar: hand-computed micro scores, adjacency excluded, degree cap") {
     import spark.implicits._
     // square 1-3-2-4-1 plus diagonal 3-4 plus tendril 4-5:

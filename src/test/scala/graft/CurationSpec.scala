@@ -294,6 +294,72 @@ class CurationSpec extends SparkSuite {
     assert(packed.values.forall { case (_, _, off) => off >= 0 && off < 512 })
   }
 
+  test("packBinsBfd: hand-computed placements, oversize isolation, fill beats arrival order") {
+    val rows = Seq(
+      // shard 0, decreasing order: 400, 300, 200, 100, 90
+      // BFD: 400→bin0(rem112), 300→bin1(rem212), 200→bin1(rem12),
+      //      100→bin0(rem12), 90 fits neither (12,12) → bin2
+      (1L, 300L, 0L), (2L, 400L, 0L), (3L, 100L, 0L), (4L, 200L, 0L),
+      (5L, 90L, 0L),
+      // shard 1: an oversize doc gets a bin of its own at offset 0
+      (10L, 600L, 1L), (11L, 512L, 1L), (12L, 1L, 1L)
+    ).toDF("doc_id", "n_words", "shard")
+    val got = Curation.packBinsBfd(rows, "doc_id", "n_words", "shard", budget = 512L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(2L) == ((0L, 0L, 0L)), s"got $got")
+    assert(got(1L) == ((0L, 1L, 0L)), s"got $got")
+    assert(got(4L) == ((0L, 1L, 300L)), s"got $got")
+    assert(got(3L) == ((0L, 0L, 400L)), s"got $got")
+    assert(got(5L) == ((0L, 2L, 0L)), s"got $got")
+    // shard 1 decreasing: 600 (oversize, alone), 512 (exact fill), 1
+    assert(got(10L) == ((1L, 0L, 0L)), s"got $got")
+    assert(got(11L) == ((1L, 1L, 0L)), s"got $got")
+    assert(got(12L) == ((1L, 2L, 0L)), s"got $got")
+    // every document is placed exactly once, deterministically
+    assert(got.size == 8)
+    assert(Curation.packBinsBfd(rows, "doc_id", "n_words", "shard", 512L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap == got)
+
+    // randomized: no bin over budget (oversize docs alone excepted), and
+    // BFD never uses more bins than arrival-order best-fit
+    val rnd = new scala.util.Random(77)
+    val big = (1L to 400L).map(i =>
+      (i, 1L + rnd.nextInt(500).toLong, i % 4)).toDF("doc_id", "n_words", "shard")
+    def binLoads(df: org.apache.spark.sql.DataFrame) = df
+      .join(big.select(col("doc_id"), col("n_words")), Seq("doc_id"))
+      .groupBy("shard", "bin").agg(sum("n_words").as("load"), count(lit(1)).as("n"))
+    val bfd = Curation.packBinsBfd(big, "doc_id", "n_words", "shard", 512L)
+    val arrival = Curation.packBinsBfd(big, "doc_id", "n_words", "shard", 512L,
+      decreasing = false)
+    val over = binLoads(bfd).where(col("load") > 512L && col("n") > 1L).count()
+    assert(over == 0L, s"$over multi-doc bins over budget")
+    val nBfd = bfd.select("shard", "bin").distinct().count()
+    val nArr = arrival.select("shard", "bin").distinct().count()
+    assert(nBfd <= nArr, s"BFD used $nBfd bins vs arrival $nArr")
+  }
+
+  test("formatRoundTrip csv: header, empty string vs null, embedded newline and quote survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvfid").toString
+    val rows = Seq(
+      (1L, "plain text", Option("en")),
+      (2L, "", Option("de")),                     // empty string, NOT null
+      (3L, "line one\nline two", Option("fr")),   // embedded newline
+      (4L, "she said \"hi\", twice", None)        // quote + delimiter; null lang
+    ).toDF("id", "text", "lang")
+    val back = Curation.formatRoundTrip(rows, dir, "csv")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(back(1L) == (("plain text", Some("en"))), s"got $back")
+    assert(back(2L) == (("", Some("de"))), s"empty string coerced: ${back(2L)}")
+    assert(back(3L) == (("line one\nline two", Some("fr"))), s"got ${back(3L)}")
+    assert(back(4L) == (("she said \"hi\", twice", None)), s"got ${back(4L)}")
+    // the header row is really written (self-describing files)
+    val firstLine = scala.io.Source.fromFile(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv")).head)
+      .getLines().next()
+    assert(firstLine == "id,text,lang", s"got header '$firstLine'")
+  }
+
   test("bloomAgg/mightContain: no false negatives, low false-positive rate") {
     import graft.functions.BloomFunctions
     val build = spark.range(1000).select(concat(lit("in-"), col("id")).as("s"))
