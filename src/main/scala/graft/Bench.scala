@@ -104,7 +104,9 @@ object Bench {
     // round-12 additions: the IVF-PQ encode pass as its own entry (so
     // ann_ivfpq_topk can bench the served path without hiding build cost)
     // and best-fit-decreasing sequence packing
-    "ann_ivfpq_encode", "curate_pack_bfd")
+    "ann_ivfpq_encode", "curate_pack_bfd",
+    // DeepWalk-production walk depth (len 40, window 5) in the gate
+    "graph_walk_pairs_long")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -255,6 +255,36 @@ object GraphQueries {
         .unionByName(g.edges.select(lit("edge").as("kind"), col("edge_id").as("id")))
         .unionByName(g.props.select(lit("prop").as("kind"), col("hash").as("id")))
     }),
+    // §2.7 GraphML EXPORT round-trip (the reference's own import test
+    // shape, test_import_graphml.rs:8-41, driven backwards): a typed
+    // graph is exported with toGraphML, re-imported with an id-preserving
+    // mapper, and the re-imported store is queried THROUGH THE ENGINE
+    // (V.All / E.All); any asymmetry vs the original store surfaces as
+    // missing_*/extra_* rows the oracle does not have
+    "graphml_export_roundtrip" -> ((s, d) => {
+      val b = new graft.store.GraphBatch
+      b.createNode("a", PropValue.typed("City", Some("Berlin")))
+      b.createNode("b", PropValue.typed("City", Some("Paris")))
+      b.createNode("c", PropValue.typed("Person", Some("Ada")))
+      b.createEdge("a", "b", PropValue.typed("Road", Some("A2")))
+      b.createEdge("c", "a", PropValue.typed("Lives", Some("home")))
+      val g1 = b.toStore(s)
+      val xml = graft.io.GraphExport.toGraphML(g1)
+      val g2 = graft.io.GraphML.importString(xml,
+        nodeKeyMapper = (id, seen) => seen.getOrElseUpdate(id, id)).batch.toStore(s)
+      val zc = new ZoeCompiler(g2)
+      val v2 = zc.run(VertexQuery.all).vertices.select(col("id"))
+      val e2 = zc.run(EdgeQuery.all).edges.select(col("id"))
+      val v1 = g1.vertices.select(col("id"))
+      val e1 = g1.edges.select(col("edge_id").as("id"))
+      v2.select(lit("vertex").as("kind"), col("id"))
+        .unionByName(e2.select(lit("edge").as("kind"), col("id")))
+        .unionByName(g2.props.select(lit("prop").as("kind"), col("hash").as("id")))
+        .unionByName(v1.except(v2).select(lit("missing_vertex").as("kind"), col("id")))
+        .unionByName(v2.except(v1).select(lit("extra_vertex").as("kind"), col("id")))
+        .unionByName(e1.except(e2).select(lit("missing_edge").as("kind"), col("id")))
+        .unionByName(e2.except(e1).select(lit("extra_edge").as("kind"), col("id")))
+    }),
     // §1.3 SchemaConstraint enforcement (declared-never-enforced in the
     // reference; enforced here): one satisfied Required, one failing
     // Required, one failing Prohibited with a data-dependent match count
@@ -440,6 +470,23 @@ object GraphQueries {
     // 2-step window of the shared walk corpus
     "graph_walk_pairs" -> ((s, d) =>
       GraphAnalytics.walkSkipGramPairs(coPurchaseWalks(s, d), window = 2)),
+    // the DeepWalk-PRODUCTION depth in the driver gate: 40-step walks,
+    // ±5 skip-gram window (the short entry above keeps the cheap smoke
+    // shape; this one pins the length the pair join must stay linear at)
+    "graph_walk_pairs_long" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w"))
+        .where(col("w") >= 2)
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      GraphAnalytics.walkSkipGramPairs(
+        GraphAnalytics.randomWalks(sym, walkLen = 40)
+          .select(col("walk_id").cast("long"), col("step"), col("node").cast("long")),
+        window = 5)
+    }),
     // PMI over the skip-gram pairs (the SGNS implicit factorization
     // target) — integer micro-ln per pair cell over exact counts
     "graph_walk_pmi" -> ((s, d) =>
@@ -667,14 +714,14 @@ object GraphQueries {
 
   // unrolled 4-step replay of the deterministic walk: same co-purchase
   // pairs CTE as kCoreSql, same md5-uniform rank choice as the Spark side
-  private val walkCtes: String = {
-    val hops = (1 to 4).map { i =>
+  private def walkCtesN(walkLen: Int): String = {
+    val hops = (1 to walkLen).map { i =>
       s"""w$i AS MATERIALIZED (SELECT w.walk_id, a.dst AS node FROM w${i - 1} w
          |  JOIN degs dg ON dg.src = w.node
          |  JOIN adj a ON a.src = w.node
          |   AND a.rn = CAST(concat('0x', substr(md5('walk|'||CAST(w.walk_id AS VARCHAR)||'|$i'), 1, 12)) AS BIGINT) % dg.deg + 1)""".stripMargin
     }.mkString(",\n")
-    val walks = (0 to 4).map(i =>
+    val walks = (0 to walkLen).map(i =>
       s"SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST($i AS BIGINT) AS step, CAST(node AS BIGINT) AS node FROM w$i")
       .mkString("\n  UNION ALL ")
     s"""e AS MATERIALIZED (
@@ -690,9 +737,20 @@ object GraphQueries {
        |$hops,
        |walks AS MATERIALIZED ($walks)""".stripMargin
   }
+  private val walkCtes: String = walkCtesN(4)
 
   private val randomWalksSql: String =
     s"WITH $walkCtes\nSELECT walk_id, step, node FROM walks"
+
+  // DeepWalk-production depth (walkLen 40, window 5) replayed with the
+  // same hop chain unrolled 40 deep — the driver-gate twin of the
+  // ScaleProbe len-40 arm
+  private val walkPairsLongSql: String =
+    s"""WITH ${walkCtesN(40)}
+       |SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+       |FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+       | AND a.step <> b.step AND abs(a.step - b.step) <= 5
+       |GROUP BY 1, 2""".stripMargin
 
   // weighted variant: same replay with the cumulative-weight ladder (lo/hi
   // slots per neighbor) instead of the uniform rank choice
@@ -895,6 +953,25 @@ object GraphQueries {
         |UNION ALL SELECT 'prop', upper(sha256('{"Thing":"three"}'))
         |UNION ALL SELECT 'prop', upper(sha256('{"Thing":"two"}'))
         |UNION ALL SELECT 'prop', upper(sha256('{"SchemaType":"Thing"}'))""".stripMargin,
+    // export → reimport is EXACT for typed graphs: the oracle lists the
+    // original store's full content (ids + content hashes) and NO
+    // missing_*/extra_* rows — any asymmetry the engine reports after the
+    // round trip breaks the row/hash match
+    "graphml_export_roundtrip" ->
+      """SELECT 'vertex' AS kind, 'a' AS id
+        |UNION ALL SELECT 'vertex', 'b'
+        |UNION ALL SELECT 'vertex', 'c'
+        |UNION ALL SELECT 'edge', upper(sha256('{"properties":"'||upper(sha256('{"Road":"A2"}'))||'","n1":"a","n2":"b"}'))
+        |UNION ALL SELECT 'edge', upper(sha256('{"properties":"'||upper(sha256('{"Lives":"home"}'))||'","n1":"c","n2":"a"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"City":"Berlin"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"City":"Paris"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"Person":"Ada"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"Road":"A2"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"Lives":"home"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"SchemaType":"City"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"SchemaType":"Person"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"SchemaType":"Road"}'))
+        |UNION ALL SELECT 'prop', upper(sha256('{"SchemaType":"Lives"}'))""".stripMargin,
     "graphml_import" ->
       """SELECT 'vertex' AS kind, 'n1' AS id
         |UNION ALL SELECT 'vertex', 'n2'
@@ -980,6 +1057,7 @@ object GraphQueries {
         |ORDER BY aa_micro DESC, u ASC, v ASC LIMIT 50""".stripMargin,
     "graph_random_walks" -> randomWalksSql,
     "graph_walk_pairs" -> walkPairsSql,
+    "graph_walk_pairs_long" -> walkPairsLongSql,
     "graph_walk_pmi" -> walkPmiSql,
     "graph_weighted_walks" -> weightedWalksSql,
     // unique-path closed form: region 0 to itself, nation = its own
