@@ -43,9 +43,17 @@ object ConnectedComponents {
     * of the node's connected component. */
   def labels(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val e = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
-    val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // materialize the CANONICAL edge list first (round 12): callers may
+      // hand a live propose/verify chain, and the symmetrizing union
+      // below references it twice — on a cold lazy cache both union
+      // branches would compute the whole upstream chain (measured +4 s on
+      // the funnel arm). One eager fill makes the union two cache scans,
+      // lets callers skip their own pre-cc checkpoints entirely, and
+      // caches half the rows the old symmetrized persist held.
+      e.count()
+      val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       // Seed with the closed-neighborhood minimum instead of the identity:
       // the groupBy costs exactly what the identity init's distinct() cost
       // (same shuffle over the symmetrized edges), but it IS round one's
@@ -75,22 +83,35 @@ object ConnectedComponents {
           .join(nbrMin, Seq("id"), "left")
           .select(col("id"), col("__old"),
             least(col("__old"), coalesce(col("__nmin"), col("__old"))).as("label"))
-        // pointer jump: every label is itself a node id with a row in
-        // prop (labels start as ids and min() only selects existing
-        // ids), so this inner join is total
-        val jump = prop.select(col("id").as("__jid"), col("label").as("__jlabel"))
-        val next = prop.join(jump, prop("label") === jump("__jid"))
-          .select(prop("id"), col("__old"), col("__jlabel").as("label"))
           .localCheckpoint(false) // lazy: the changed-count materializes it
-        val changed = next
+        // convergence is checked on the PROPAGATION result, before the
+        // pointer jump: "no label changed under closed-neighborhood min"
+        // IS the fixpoint condition (the jump is purely an accelerator —
+        // label(label) = label whenever propagation is stationary, since
+        // every held label is a component-minimum id that points to
+        // itself). Star/clique graphs — the shape dedup clustering
+        // produces, already at the fixpoint in the seed — now confirm in
+        // one jump-free round; deep graphs pay the jump as a second job
+        // only in the rounds that actually move.
+        val changed = prop
           .agg(coalesce(sum(when(col("label") =!= col("__old"), 1L)
             .otherwise(0L)), lit(0L)))
           .first().getLong(0)
-        labels = next.select("id", "label")
         converged = changed == 0L
+        labels =
+          if (converged) prop.select("id", "label")
+          else {
+            // pointer jump: every label is itself a node id with a row in
+            // prop (labels start as ids and min() only selects existing
+            // ids), so this inner join is total
+            val jump = prop.select(col("id").as("__jid"), col("label").as("__jlabel"))
+            prop.join(jump, prop("label") === jump("__jid"))
+              .select(prop("id"), col("__jlabel").as("label"))
+              .localCheckpoint(true)
+          }
       }
       require(converged, s"connected components did not converge in $maxIters rounds")
       labels.select(col("id"), col("label").as("cluster"))
-    } finally und.unpersist()
+    } finally e.unpersist()
   }
 }

@@ -753,16 +753,18 @@ object Curation {
     c0.count()
     val s1 = dedupExactKeepFirst(c0, idCol, textCol).persist(lvl)
     s1.count()
-    // ONE shingle table serves the whole n-gram funnel: the near-dup
-    // propose/verify and the rare-containment arm both consume n-shingles
-    // of the exact survivors, so the text kernel runs once and the arm
-    // narrows the CACHED rows to near-dup survivors with a semi-join
-    // instead of re-scanning text. Distinct-per-doc rows are equivalent
-    // for BOTH consumers: minhash mins are set-functions and the verify
-    // sets dedupe internally anyway. Lazy persist is safe here — the
-    // stages consume it sequentially, never as concurrent cold branches.
-    val sh3 = TextAnalysis.shingleRowsDistinct(s1, idCol, textCol, n)
-      .withColumnRenamed(idCol, "doc").persist(lvl)
+    // ONE row-local per-doc signature+set projection serves BOTH verify
+    // stages (round 12): the near-dup propose/verify reads signatures and
+    // Jaccard sets from it, and the rare-containment arm's verify reads
+    // the SAME __set arrays (identical per doc) — the exploded-shingle
+    // doc-keyed shuffle and the arm's candidate-bounded set aggregation
+    // are both gone. Built only when something consumes it (internal
+    // labels or the arm); its fill is a narrow scan of the cached s1.
+    val perDoc =
+      if (dupLabels.isEmpty || rareShingleArm)
+        Dedup.perDocSigsAndSetLocal(s1, idCol, textCol, n, k).persist(lvl)
+      else null
+    if (perDoc != null) perDoc.count() // eager: verify reads it on 2 sides
     try {
       {
         // the near-dup stage (r7-measured 9 s of the funnel's ~15 at sf0.1)
@@ -772,9 +774,14 @@ object Curation {
         // among survivors and never owns a component minimum), which lets a
         // session that also runs the dup-cluster queries share ONE
         // LSH+verify+cc pass via the caller's memo
+        // the verified pair list rides LAZILY into cc: labels() persists
+        // the symmetrized edges and its seed aggregation is their single
+        // first consumer, so the propose/verify chain runs exactly once
+        // during that fill — a checkpoint here would be one extra job
+        // re-scanning what the cc cache is about to hold anyway
         val labels = dupLabels.getOrElse {
           ConnectedComponents.labels(
-            Dedup.ngramJaccardOnShingles(sh3, "doc", k, minSim)
+            Dedup.verifyJaccard(perDoc, Dedup.bandedCandidates(perDoc, k), minSim)
               .select("a", "b"))
         }
         val drop = labels
@@ -794,13 +801,24 @@ object Curation {
           // cluster. Shingles come from the funnel-shared cached table,
           // narrowed to near-dup survivors — no second text scan
           val s2b = if (!rareShingleArm) s2 else {
-            // inputPersisted: the semi-join narrows the funnel-shared
-            // CACHED distinct shingle table — no second materialization
+            // FUSED arm (round 12): propose rare-df pairs from the shared
+            // shingle cache narrowed to near-dup survivors (one shuffle),
+            // then verify against the ALREADY-BUILT perDoc sets — the
+            // arm's former per-call set aggregation and both its
+            // checkpoints are gone. The whole propose→verify chain is
+            // single-consumer (candidates feed only the verify, verified
+            // pairs feed only cc) and rides lazily into cc's edge
+            // persist, which materializes it exactly once.
+            val candRare = Dedup.rarePairsOnHashed(
+              s2.select(col(idCol).as("doc"),
+                  explode(graft.functions.TextFunctions
+                    .shinglesDistinctNative(col(textCol), n)).as("shingle"))
+                .select(col("doc"), xxhash64(col("shingle")).as("__h")),
+              rareMaxDf)
             val cDrop = ConnectedComponents.labels(
-                Dedup.containmentOnShingles(
-                  sh3.join(s2.select(col(idCol).as("doc")), Seq("doc"), "left_semi"),
-                  rareMaxDf, minContain, inputDistinct = true,
-                  inputPersisted = true).select("a", "b"))
+                Dedup.verifyContainment(perDoc.select(col("doc"), col("__set")),
+                    candRare, minContain)
+                  .select("a", "b"))
               .where(col("id") =!= col("cluster"))
               .select(col("id").as("__cdrop_id"))
             val armed = s2.join(cDrop, s2(idCol).cast("long") === col("__cdrop_id"),
@@ -831,7 +849,10 @@ object Curation {
           } finally if (rareShingleArm) s2b.unpersist()
         } finally s2.unpersist()
       }
-    } finally { sh3.unpersist(); s1.unpersist(); c0.unpersist() }
+    } finally {
+      if (perDoc != null) perDoc.unpersist()
+      s1.unpersist(); c0.unpersist()
+    }
   }
 
   /** Multi-benchmark contamination MATRIX — the eval-suite screening

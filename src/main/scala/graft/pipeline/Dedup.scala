@@ -174,9 +174,26 @@ object Dedup {
     * corpora leave nothing in the session CacheManager (asserted by
     * PipelineSpec's leak test). */
   def ngramJaccardViaMinhash(df: DataFrame, idCol: String, textCol: String,
-                             n: Int = 3, k: Int = 4, minSim: Double = 0.5): DataFrame =
-    ngramJaccardOnShingles(
-      TextAnalysis.shingleRows(df, idCol, textCol, n), idCol, k, minSim)
+                             n: Int = 3, k: Int = 4, minSim: Double = 0.5): DataFrame = {
+    // round 12: signatures and verify sets are computed ROW-LOCALLY
+    // ([[perDocSigsAndSetLocal]]) — the exploded-shingle doc-keyed
+    // shuffle the aggregation form paid is gone; the persist caches the
+    // small (doc, sigs, set) frame that every propose/verify consumer
+    // reads
+    // coalesce to the session shuffle parallelism before caching: callers
+    // hand k-way unions whose narrow projection would otherwise cache at
+    // k× the partition count and tax every propose/verify consumer with
+    // k× task overhead (the round-10 union-cache trap — measured as the
+    // whole row-local saving given back)
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val perDoc = perDocSigsAndSetLocal(df, idCol, textCol, n, k)
+      .coalesce(nPart)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      perDoc.count() // eager: verify reads it on 3 sides (see below)
+      verifyJaccard(perDoc, bandedCandidates(perDoc, k), minSim).localCheckpoint(true)
+    } finally perDoc.unpersist()
+  }
 
   /** [[ngramJaccardViaMinhash]] over a PRE-BUILT (idCol, shingle) table —
     * the seam for pipelines that tokenize/shingle once and reuse the table
@@ -206,7 +223,7 @@ object Dedup {
     * (three doc-keyed exchanges → one). Input rows need not be distinct.
     * Output: (doc, h0..h{k-1}, __set) with __set capped like
     * [[shingleSets]] (same bottom-k-by-hash estimate semantics). */
-  private def perDocSigsAndSet(shRaw: DataFrame, k: Int): DataFrame = {
+  private[pipeline] def perDocSigsAndSet(shRaw: DataFrame, k: Int): DataFrame = {
     val sigs = (0 until k).map(i => min(bandHash(i, col("shingle"))).as(s"h$i"))
     // collect_set dedupes DURING partial aggregation (map-side hash set),
     // so reduce-side buffers arrive pre-deduped; the previous
@@ -220,9 +237,35 @@ object Dedup {
       .withColumn("__set", capShingleSet(col("__hs"))).drop("__hs")
   }
 
+  /** [[perDocSigsAndSet]] computed ROW-LOCALLY — ZERO exchanges: a
+    * document's shingles all come from its own text, so the per-band
+    * minhash (array_min over one md5 pass) and the capped verify set
+    * (sorted distinct xxhash64s) are projections of the row's own
+    * fused-distinct shingle array; the doc-keyed shuffle of the whole
+    * exploded shingle stream that the aggregation form pays — the largest
+    * exchange of every LSH propose — simply does not exist. Bit-identical
+    * output (same band-hash slices, same set contents/cap/order; docs
+    * with no shingle are absent either way). At 100 TB this turns the
+    * propose stage's corpus cost into one narrow scan. */
+  private[pipeline] def perDocSigsAndSetLocal(df: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int): DataFrame = {
+    val shArr = graft.functions.TextFunctions.shinglesDistinctNative(col(textCol), n)
+    val sigs = (0 until k).map(i =>
+      array_min(transform(col("__md5s"), m => substring(m, 8 * i + 1, 8))).as(s"h$i"))
+    val set = slice(array_sort(array_distinct(
+        transform(col("__sh"), s => xxhash64(s)))),
+      1, MaxVerifyShinglesPerDoc).as("__set")
+    df.select(col(idCol).as("doc"), shArr.as("__sh"))
+      .where(size(col("__sh")) > 0)
+      // one md5 per shingle, sliced per band — same 4×-less-hashing
+      // economy as bandHash, materialized once for the k transforms
+      .withColumn("__md5s", transform(col("__sh"), s => md5(s)))
+      .select(col("doc") +: (sigs :+ set): _*)
+  }
+
   /** Candidate pairs from a [[perDocSigsAndSet]] frame: k (band, sig)
     * buckets exploded per doc, bucket equi-join, a < b. Never all-pairs. */
-  private def bandedCandidates(perDoc: DataFrame, k: Int): DataFrame = {
+  private[pipeline] def bandedCandidates(perDoc: DataFrame, k: Int): DataFrame = {
     val banded = perDoc.select(col("doc"),
       explode(array((0 until k).map(i => struct(lit(i).as("band"), col(s"h$i").as("sig"))): _*))
         .as("b"))
@@ -246,8 +289,10 @@ object Dedup {
   def similarityReport(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, k: Int = 4, minSim: Double = 0.5,
                        minContain: Double = 0.9): DataFrame = {
-    val perDoc = perDocSigsAndSet(
-        TextAnalysis.shingleRows(df, idCol, textCol, n).withColumnRenamed(idCol, "doc"), k)
+    // row-local signatures+sets, union-coalesced — see ngramJaccardViaMinhash
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val perDoc = perDocSigsAndSetLocal(df, idCol, textCol, n, k)
+      .coalesce(nPart)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       perDoc.count() // eager cache fill — see ngramJaccardOnShingles
@@ -522,7 +567,7 @@ object Dedup {
 
   /** `sets` = a (doc, __set) frame — [[shingleSets]] over a shingle table,
     * or the [[perDocSigsAndSet]] frame the minhash propose already built. */
-  private def verifyJaccard(sets: DataFrame, cand: DataFrame, minSim: Double): DataFrame =
+  private[pipeline] def verifyJaccard(sets: DataFrame, cand: DataFrame, minSim: Double): DataFrame =
     verifyOverlap(sets, cand,
       (i, na, nb) => i.cast("double") / (na + nb - i).cast("double"),
       "jaccard", minSim)
@@ -531,7 +576,7 @@ object Dedup {
     * measure: 1.0 whenever one document's shingle set is a subset of the
     * other's (verbatim quotes, documents extended with boilerplate),
     * cases plain Jaccard under-scores by the size imbalance. */
-  private def verifyContainment(sets: DataFrame, cand: DataFrame, minContain: Double): DataFrame =
+  private[pipeline] def verifyContainment(sets: DataFrame, cand: DataFrame, minContain: Double): DataFrame =
     verifyOverlap(sets, cand,
       (i, na, nb) => i.cast("double") / least(na, nb).cast("double"),
       "containment", minContain)
@@ -546,8 +591,10 @@ object Dedup {
     * with candidates from a df-bounded shared-shingle join. */
   def containmentViaMinhash(df: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, k: Int = 4, minContain: Double = 0.9): DataFrame = {
-    val perDoc = perDocSigsAndSet(
-        TextAnalysis.shingleRows(df, idCol, textCol, n).withColumnRenamed(idCol, "doc"), k)
+    // row-local signatures+sets, union-coalesced — see ngramJaccardViaMinhash
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val perDoc = perDocSigsAndSetLocal(df, idCol, textCol, n, k)
+      .coalesce(nPart)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       perDoc.count() // eager cache fill — see ngramJaccardOnShingles
@@ -588,6 +635,23 @@ object Dedup {
         .withColumnRenamed(idCol, "doc"),
       maxDf, minContain, inputDistinct = true)
 
+  /** DF-bounded rare-shingle candidate pairs over a hashed `(doc, __h)`
+    * table, in ONE corpus shuffle: group docs per shingle (collect_set is
+    * df-bounded — the where clause keeps only arrays of 2..maxDf docs, so
+    * no group outgrows maxDf longs) and unfold each sorted doc list into
+    * its a<b pairs with a narrow transform, deduped across shingles. The
+    * pre-r11 form — a df-count aggregation, a rare semi-join, and a
+    * self-join — paid THREE corpus-wide passes for the same pair list. */
+  private[pipeline] def rarePairsOnHashed(sh: DataFrame, maxDf: Int): DataFrame =
+    sh.groupBy("__h")
+      .agg(sort_array(collect_set(col("doc"))).as("__ds"))
+      .where(size(col("__ds")) >= 2 && size(col("__ds")) <= maxDf)
+      .select(explode(flatten(transform(col("__ds"), (a, i) =>
+        transform(slice(col("__ds"), i + lit(2), size(col("__ds")) - i - 1),
+          b => struct(a.as("a"), b.as("b")))))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .distinct()
+
   /** [[containmentViaRareShingles]]' core over a PRECOMPUTED `(doc,
     * shingle)` table — callers that already hold a shingle table skip the
     * tokenize+explode pass. Rows need not be distinct per (doc, shingle)
@@ -622,23 +686,15 @@ object Dedup {
         .coalesce(nPart)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (!inputPersisted)
-        sh.count() // eager cache fill — see ngramJaccardOnShingles
-      // candidate pairs in ONE corpus shuffle: group docs per shingle
-      // (collect_set is df-bounded — the where clause keeps only arrays
-      // of 2..maxDf docs, so no group outgrows maxDf longs) and unfold
-      // each sorted doc list into its a<b pairs with a narrow transform.
-      // The previous form — a df-count aggregation, a rare semi-join, and
-      // a self-join — paid THREE corpus-wide passes over the shingle
-      // cache for the same pair list.
-      val candLive = sh.groupBy("__h")
-        .agg(sort_array(collect_set(col("doc"))).as("__ds"))
-        .where(size(col("__ds")) >= 2 && size(col("__ds")) <= maxDf)
-        .select(explode(flatten(transform(col("__ds"), (a, i) =>
-          transform(slice(col("__ds"), i + lit(2), size(col("__ds")) - i - 1),
-            b => struct(a.as("a"), b.as("b")))))).as("__p"))
-        .select(col("__p.a").as("a"), col("__p.b").as("b"))
-        .distinct()
+      // eager fill only when the cold cache would face CONCURRENT
+      // consumers: with eager=true the candidate checkpoint below is the
+      // sole first consumer (one blocking job that fills the cache as it
+      // scans), so a separate count() pass would re-scan for nothing;
+      // with eager=false everything executes as one job whose branches
+      // race the cold cache (the round-10 recompute trap) — fill first.
+      if (!inputPersisted && !eager)
+        sh.count()
+      val candLive = rarePairsOnHashed(sh, maxDf)
       // the candidate list has TWO consumers (the verify join and the
       // set-bounding semi-join below). A lazy persist does NOT protect it:
       // AQE compiles independent query stages concurrently, and both
