@@ -629,11 +629,34 @@ object Dedup {
     * shingle-intersection aggregation, bounded by candidates. */
   def containmentViaRareShingles(df: DataFrame, idCol: String, textCol: String,
                                  n: Int = 3, maxDf: Int = 8,
-                                 minContain: Double = 0.9): DataFrame =
-    containmentOnShingles(
-      TextAnalysis.shingleRowsDistinct(df, idCol, textCol, n)
-        .withColumnRenamed(idCol, "doc"),
-      maxDf, minContain, inputDistinct = true)
+                                 minContain: Double = 0.9): DataFrame = {
+    // round 12: the per-doc hashed shingle array is ROW-LOCAL (one narrow
+    // corpus scan, cached), so the ONLY corpus-wide exchange left is the
+    // df-bounded rare-pair groupBy over the exploded hashes; verify sets
+    // are slices of the cached arrays — the former semi-join +
+    // per-doc collect_set aggregation is gone. Same capped-set semantics
+    // as capShingleSet (sorted ascending, MaxVerifyShinglesPerDoc cap).
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val perDoc = df
+      .select(col(idCol).as("doc"),
+        array_sort(array_distinct(transform(
+          graft.functions.TextFunctions.shinglesDistinctNative(col(textCol), n),
+          s => xxhash64(s)))).as("__hs"))
+      .where(size(col("__hs")) > 0)
+      .coalesce(nPart)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the rare-pair checkpoint below is the cache's sole first consumer
+      // (one blocking job fills it as it scans); the verify join re-reads
+      // the warm cache for its two set sides
+      val cand = rarePairsOnHashed(
+          perDoc.select(col("doc"), explode(col("__hs")).as("__h")), maxDf)
+        .localCheckpoint(true)
+      val sets = perDoc.select(col("doc"),
+        slice(col("__hs"), 1, MaxVerifyShinglesPerDoc).as("__set"))
+      verifyContainment(sets, cand, minContain).localCheckpoint(true)
+    } finally perDoc.unpersist()
+  }
 
   /** DF-bounded rare-shingle candidate pairs over a hashed `(doc, __h)`
     * table, in ONE corpus shuffle: group docs per shingle (collect_set is
