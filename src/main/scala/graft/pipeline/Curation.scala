@@ -753,16 +753,20 @@ object Curation {
     c0.count()
     val s1 = dedupExactKeepFirst(c0, idCol, textCol).persist(lvl)
     s1.count()
-    // ONE row-local per-doc signature+set projection serves BOTH verify
-    // stages (round 12): the near-dup propose/verify reads signatures and
-    // Jaccard sets from it, and the rare-containment arm's verify reads
-    // the SAME __set arrays (identical per doc) — the exploded-shingle
-    // doc-keyed shuffle and the arm's candidate-bounded set aggregation
-    // are both gone. Built only when something consumes it (internal
-    // labels or the arm); its fill is a narrow scan of the cached s1.
+    // ONE per-doc signature+set frame serves BOTH verify stages (round
+    // 12): the near-dup propose/verify reads signatures and Jaccard sets
+    // from it, and the rare-containment arm's verify reads the SAME
+    // __set arrays (identical per doc) — the arm's former
+    // candidate-bounded set aggregation is gone. Built with the
+    // codegen'd aggregation form (measured faster than a row-local
+    // higher-order-function projection — see ngramJaccardViaMinhash) and
+    // only when something consumes it (internal labels or the arm); its
+    // fill is one scan of the cached s1.
     val perDoc =
       if (dupLabels.isEmpty || rareShingleArm)
-        Dedup.perDocSigsAndSetLocal(s1, idCol, textCol, n, k).persist(lvl)
+        Dedup.perDocSigsAndSet(
+          TextAnalysis.shingleRowsDistinct(s1, idCol, textCol, n)
+            .withColumnRenamed(idCol, "doc"), k).persist(lvl)
       else null
     if (perDoc != null) perDoc.count() // eager: verify reads it on 2 sides
     try {

@@ -174,26 +174,19 @@ object Dedup {
     * corpora leave nothing in the session CacheManager (asserted by
     * PipelineSpec's leak test). */
   def ngramJaccardViaMinhash(df: DataFrame, idCol: String, textCol: String,
-                             n: Int = 3, k: Int = 4, minSim: Double = 0.5): DataFrame = {
-    // round 12: signatures and verify sets are computed ROW-LOCALLY
-    // ([[perDocSigsAndSetLocal]]) — the exploded-shingle doc-keyed
-    // shuffle the aggregation form paid is gone; the persist caches the
-    // small (doc, sigs, set) frame that every propose/verify consumer
-    // reads
-    // coalesce to the session shuffle parallelism before caching: callers
-    // hand k-way unions whose narrow projection would otherwise cache at
-    // k× the partition count and tax every propose/verify consumer with
-    // k× task overhead (the round-10 union-cache trap — measured as the
-    // whole row-local saving given back)
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val perDoc = perDocSigsAndSetLocal(df, idCol, textCol, n, k)
-      .coalesce(nPart)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      perDoc.count() // eager: verify reads it on 3 sides (see below)
-      verifyJaccard(perDoc, bandedCandidates(perDoc, k), minSim).localCheckpoint(true)
-    } finally perDoc.unpersist()
-  }
+                             n: Int = 3, k: Int = 4, minSim: Double = 0.5): DataFrame =
+    // the signature frame comes from the AGGREGATION form, not a row-local
+    // projection: a same-JVM A/B (warm reps, sf0.1 planted-dup corpus)
+    // measured the codegen'd explode+hashAggregate at 1.6-1.7 s vs
+    // 2.6-3.3 s for the interpreted higher-order-function projection —
+    // and the aggregation's exchange is NOT the exploded shingle stream:
+    // explode preserves row locality, so map-side partial aggregation
+    // collapses each doc's shingles to (sigs, set) partials before the
+    // doc-keyed shuffle moves anything. Whole-stage codegen on the hash
+    // path wins; the zero-exchange form only pays off when the frame is
+    // SHARED across stages (see Curation.curationFunnel's fusion).
+    ngramJaccardOnShingles(
+      TextAnalysis.shingleRows(df, idCol, textCol, n), idCol, k, minSim)
 
   /** [[ngramJaccardViaMinhash]] over a PRE-BUILT (idCol, shingle) table —
     * the seam for pipelines that tokenize/shingle once and reuse the table
@@ -237,32 +230,6 @@ object Dedup {
       .withColumn("__set", capShingleSet(col("__hs"))).drop("__hs")
   }
 
-  /** [[perDocSigsAndSet]] computed ROW-LOCALLY — ZERO exchanges: a
-    * document's shingles all come from its own text, so the per-band
-    * minhash (array_min over one md5 pass) and the capped verify set
-    * (sorted distinct xxhash64s) are projections of the row's own
-    * fused-distinct shingle array; the doc-keyed shuffle of the whole
-    * exploded shingle stream that the aggregation form pays — the largest
-    * exchange of every LSH propose — simply does not exist. Bit-identical
-    * output (same band-hash slices, same set contents/cap/order; docs
-    * with no shingle are absent either way). At 100 TB this turns the
-    * propose stage's corpus cost into one narrow scan. */
-  private[pipeline] def perDocSigsAndSetLocal(df: DataFrame, idCol: String,
-      textCol: String, n: Int, k: Int): DataFrame = {
-    val shArr = graft.functions.TextFunctions.shinglesDistinctNative(col(textCol), n)
-    val sigs = (0 until k).map(i =>
-      array_min(transform(col("__md5s"), m => substring(m, 8 * i + 1, 8))).as(s"h$i"))
-    val set = slice(array_sort(array_distinct(
-        transform(col("__sh"), s => xxhash64(s)))),
-      1, MaxVerifyShinglesPerDoc).as("__set")
-    df.select(col(idCol).as("doc"), shArr.as("__sh"))
-      .where(size(col("__sh")) > 0)
-      // one md5 per shingle, sliced per band — same 4×-less-hashing
-      // economy as bandHash, materialized once for the k transforms
-      .withColumn("__md5s", transform(col("__sh"), s => md5(s)))
-      .select(col("doc") +: (sigs :+ set): _*)
-  }
-
   /** Candidate pairs from a [[perDocSigsAndSet]] frame: k (band, sig)
     * buckets exploded per doc, bucket equi-join, a < b. Never all-pairs. */
   private[pipeline] def bandedCandidates(perDoc: DataFrame, k: Int): DataFrame = {
@@ -289,10 +256,10 @@ object Dedup {
   def similarityReport(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, k: Int = 4, minSim: Double = 0.5,
                        minContain: Double = 0.9): DataFrame = {
-    // row-local signatures+sets, union-coalesced — see ngramJaccardViaMinhash
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val perDoc = perDocSigsAndSetLocal(df, idCol, textCol, n, k)
-      .coalesce(nPart)
+    // aggregation-form signatures+sets — measured faster than the
+    // row-local projection (see ngramJaccardViaMinhash)
+    val perDoc = perDocSigsAndSet(
+        TextAnalysis.shingleRows(df, idCol, textCol, n).withColumnRenamed(idCol, "doc"), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       perDoc.count() // eager cache fill — see ngramJaccardOnShingles
@@ -591,10 +558,10 @@ object Dedup {
     * with candidates from a df-bounded shared-shingle join. */
   def containmentViaMinhash(df: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, k: Int = 4, minContain: Double = 0.9): DataFrame = {
-    // row-local signatures+sets, union-coalesced — see ngramJaccardViaMinhash
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val perDoc = perDocSigsAndSetLocal(df, idCol, textCol, n, k)
-      .coalesce(nPart)
+    // aggregation-form signatures+sets — measured faster than the
+    // row-local projection (see ngramJaccardViaMinhash)
+    val perDoc = perDocSigsAndSet(
+        TextAnalysis.shingleRows(df, idCol, textCol, n).withColumnRenamed(idCol, "doc"), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       perDoc.count() // eager cache fill — see ngramJaccardOnShingles

@@ -51,6 +51,61 @@ object ScaleProbe {
       println(f"MARKER $name rows=$rows time=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
 
+    val big100 = "target/scaleprobe/sf100x"
+    if (args.headOption.contains("build100")) {
+      // 100 INDEPENDENT copies (per-copy word prefix, like the 10x build):
+      // pair/cluster volume scales linearly by construction, so any
+      // super-linear probe time is the ENGINE's, not the workload's
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val embs = spark.read.parquet(s"$base/embeddings.parquet")
+      val docsN = (0 until 100).map { c =>
+        docs.select(
+          (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(lit(s"c${c}x"), w))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+      docsN.repartition(64).write.mode("overwrite").parquet(s"$big100/documents.parquet")
+      val embsN = (0 until 100).map { c =>
+        embs.select((col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      embsN.repartition(32).write.mode("overwrite").parquet(s"$big100/embeddings.parquet")
+      println(s"MARKER built docs=${spark.read.parquet(s"$big100/documents.parquet").count()}" +
+        s" embs=${spark.read.parquet(s"$big100/embeddings.parquet").count()}")
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("wave100")) {
+      // VERDICT r11 item 4: 100x arms for the three flagship claims. Runs
+      // 1x first (codegen warm), then 10x AND 100x so the 10->100 decade
+      // factor is measured in the same JVM as the 1->10 one.
+      val qs = graft.PipelineQueries.queries
+      for (name <- Seq("curate_neardup_corpus", "curate_funnel_rare")) {
+        graft.PipelineQueries.clearMemos(spark, base)
+        qs(name)(spark, base).count() // warm
+        for ((dir, tag) <- Seq((base, "1x"), (big, "10x"), (big100, "100x"))) {
+          graft.PipelineQueries.clearMemos(spark, dir)
+          time(s"${name}_$tag") { qs(name)(spark, dir).count() }
+        }
+      }
+      for ((dir, tag) <- Seq((base, "1x"), (big, "10x"), (big100, "100x"))) {
+        val e = TpchGraph.table(spark, dir, "embeddings")
+        val idxDir = s"target/scaleprobe/annidx100_$tag"
+        graft.pipeline.AnnIndex.save(
+          graft.pipeline.AnnIndex.buildIvfPq(e, "vec_id", "embedding",
+            nlist = 16, m = 4, codewords = 16), idxDir)
+        val loaded = graft.pipeline.AnnIndex.load(spark, idxDir)
+        graft.pipeline.AnnIndex.search(loaded, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nprobe = 4).count() // warm
+        time(s"ann_serve_$tag") {
+          graft.pipeline.AnnIndex.search(loaded, e.where(col("vec_id") < 5),
+            "vec_id", "embedding", k = 3, nprobe = 4).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("serve")) {
       // persisted-index serving arm: build+save is the untimed one-time
       // cost; the timed path is load + search over the stored codes (the
