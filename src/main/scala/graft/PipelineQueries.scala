@@ -633,15 +633,16 @@ object PipelineQueries {
     // the chained production pipeline as one report: raw → exact-dedup →
     // near-dedup → decontaminate, one surviving-count row per stage
     "curate_funnel" -> ((s, d) =>
-      // labels come from the funnel's own fused pass over its cached
-      // exact-survivor shingles (round 12): the shared memo's label build
-      // re-scanned the raw corpus union from parquet OUTSIDE the funnel's
-      // input cache, so the cold-timed entry paid the corpus scan twice
-      // and shingled the raw multiset instead of the smaller distinct
-      // survivor table. Raw-corpus labels are drop-equivalent on exact
-      // survivors (curationFunnel's scaladoc), so the result is unchanged
+      // shares the memoized LSH+verify+cc labels with the dup-cluster
+      // queries (raw-corpus labels are drop-equivalent on exact survivors
+      // — see curationFunnel's scaladoc); memo-backed, so the bench busts
+      // it and times the cold pipeline. Round 12 briefly switched this to
+      // the funnel's internal fused label build; the quiet bench measured
+      // the memo path 1.3 s faster for the cold entry (4.5 vs 5.8 s at
+      // sf0.1), so measurement keeps the memo form.
       pipeline.Curation.curationFunnel(dedupCorpus(s, d),
-        docs(s, d).where(col("doc_id") % 10 === 0), "doc_id", "text")),
+        docs(s, d).where(col("doc_id") % 10 === 0), "doc_id", "text",
+        dupLabels = Some(neardupLabels(s, d)))),
     // funnel variant with the rare-shingle containment RECALL ARM on:
     // the corpus additionally plants engulfed-prefix docs (+4M = 8-token
     // prefix of every 5th doc — containment 1.0, Jaccard ~0, invisible to

