@@ -106,7 +106,10 @@ object Bench {
     // and best-fit-decreasing sequence packing
     "ann_ivfpq_encode", "curate_pack_bfd",
     // DeepWalk-production walk depth (len 40, window 5) in the gate
-    "graph_walk_pairs_long")
+    "graph_walk_pairs_long",
+    // tokenizer fertility per slice + distinct-bigram diversity (the
+    // synthetic-data mode-collapse screen)
+    "text_fertility", "text_distinct_ngrams")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

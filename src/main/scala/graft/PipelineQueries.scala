@@ -1198,6 +1198,17 @@ object PipelineQueries {
     // corpus naturalness: least-squares Zipf fit over the top-200 terms
     "text_zipf" -> ((s, d) =>
       pipeline.TextAnalysis.zipfFit(docs(s, d), "doc_id", "text", topV = 200)),
+    // tokenizer-QA: learned-BPE fertility (tokens per word) and chars per
+    // token, per (lang, source) slice — the screen that catches slices
+    // whose script the merges never saw before they burn token budget
+    "text_fertility" -> ((s, d) =>
+      pipeline.Tokenizer.fertilityReport(docs(s, d), "doc_id", "text",
+        Seq("lang", "source"), rounds = BpeRounds)),
+    // synthetic-data QA: distinct-bigram diversity per source (the
+    // distinct-n / mode-collapse screen)
+    "text_distinct_ngrams" -> ((s, d) =>
+      pipeline.TextAnalysis.distinctNgramReport(docs(s, d), "source", "text",
+        n = 2)),
     // exact-percentile length gate via the token-count histogram: keep the
     // [5%, 95%] word-count band
     "curate_length_filter" -> ((s, d) =>
@@ -2754,6 +2765,45 @@ object PipelineQueries {
            |  round((sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0), 6) AS slope,
            |  round(sy / n - (sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0) * (sx / n), 6) AS intercept
            |FROM m""".stripMargin,
+      // mirrors Tokenizer.fertilityReport: t0/t{R} token counts per doc,
+      // normalized char length, zero-word docs excluded, slice ratios as
+      // integer micro-units of the slice sums (same DIV arithmetic)
+      "text_fertility" ->
+        s"""WITH ${bpeCtes(BpeRounds)},
+           |wc AS (SELECT doc_id,
+           |  len(list_filter(string_split(trim(t), ' '), x -> x <> '')) AS nw,
+           |  length(trim(t)) AS nc FROM t0),
+           |mc AS (SELECT doc_id,
+           |  len(list_filter(string_split(trim(t), ' '), x -> x <> '')) AS nt
+           |  FROM t$BpeRounds),
+           |j AS (SELECT d.lang, d.source, wc.nw, wc.nc, mc.nt
+           |  FROM documents d
+           |  JOIN wc ON wc.doc_id = d.doc_id
+           |  JOIN mc ON mc.doc_id = d.doc_id
+           |  WHERE wc.nw > 0)
+           |SELECT lang, source,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(nw) AS BIGINT) AS n_words,
+           |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+           |  CAST(sum(nc) AS BIGINT) AS n_chars,
+           |  CAST((1000000 * sum(nt)) // sum(nw) AS BIGINT) AS fertility_micro,
+           |  CAST((1000000 * sum(nc)) // sum(nt) AS BIGINT) AS chars_per_token_micro
+           |FROM j GROUP BY 1, 2""".stripMargin,
+      // mirrors TextAnalysis.distinctNgramReport(n=2): (source, gram)
+      // partial counts, then the slice rollup with the same integer
+      // micro-unit division
+      "text_distinct_ngrams" ->
+        s"""WITH ${toksCte("documents")},
+           |g AS (SELECT doc_id, unnest(${shinglesExpr(2)}) AS gram
+           |  FROM toks WHERE len(w) >= 2),
+           |j AS (SELECT d.source, g.gram FROM g
+           |  JOIN documents d ON d.doc_id = g.doc_id),
+           |c AS (SELECT source, gram, count(*) AS cnt FROM j GROUP BY 1, 2)
+           |SELECT source,
+           |  CAST(count(*) AS BIGINT) AS n_distinct,
+           |  CAST(sum(cnt) AS BIGINT) AS n_total,
+           |  CAST((1000000 * count(*)) // sum(cnt) AS BIGINT) AS distinct_ratio_micro
+           |FROM c GROUP BY 1""".stripMargin,
       // mirrors Curation.mixReport over (lang, source)
       "curate_mix_report" ->
         s"""WITH g AS (SELECT lang, source, count(*) AS n_docs,

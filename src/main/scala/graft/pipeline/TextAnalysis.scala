@@ -162,6 +162,29 @@ object TextAnalysis {
   def tokenRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), posexplode(words(col(textCol))).as(Seq("pos", "word")))
 
+  /** Distinct-n DIVERSITY per corpus slice — the mode-collapse screen for
+    * synthetic / model-generated training data (the distinct-1/distinct-2
+    * family): what fraction of a slice's n-gram OCCURRENCES are distinct
+    * n-grams. A generator that loops on boilerplate drives the ratio
+    * toward zero long before perplexity notices; a slice of genuinely
+    * diverse prose sits near one for n ≥ 2.
+    *
+    * Scale: two-level aggregation — (slice, gram) partial counts first
+    * (map-side combinable; the gram key fans the shuffle out, so no hub
+    * slice concentrates on one task the way a slice-keyed countDistinct
+    * would), then a slice-keyed rollup of the already-collapsed gram
+    * rows. Ratios are integer micro-units of exact long sums — the
+    * oracle replays the identical arithmetic. Returns
+    * (groupCol, n_distinct, n_total, distinct_ratio_micro). */
+  def distinctNgramReport(df: DataFrame, groupCol: String, textCol: String,
+                          n: Int): DataFrame =
+    df.select(col(groupCol), explode(wordShingles(col(textCol), n)).as("__g"))
+      .groupBy(col(groupCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_distinct"), sum("__c").as("n_total"))
+      .select(col(groupCol), col("n_distinct"), col("n_total"),
+        expr("(1000000 * n_distinct) DIV n_total").as("distinct_ratio_micro"))
+
   /** Long-form word n-gram shingles (id, shingle) — a NARROW plan: one
     * Generate explodes the fused codegen'd shingle kernel
     * ([[wordShingles]]). No exchange, no sort, no regex — the round-10

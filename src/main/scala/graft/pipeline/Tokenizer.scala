@@ -108,4 +108,49 @@ object Tokenizer {
         .localCheckpoint(true)
     } finally texts.unpersist()
   }
+
+  /** Tokenizer FERTILITY report per corpus slice — the tokenizer-QA
+    * metric a training pipeline watches per (lang, source): how many
+    * learned-BPE tokens a whitespace word costs on that slice
+    * (fertility) and how many characters each token carries. A
+    * high-fertility slice (script the merges never saw, noisy source)
+    * silently burns training budget — the sequence holds fewer words at
+    * the same token cost — so the report is the standard screen before
+    * fixing per-source mixing weights.
+    *
+    * Exactness: per-doc counts are exact longs; slice ratios are
+    * integer micro-units from the slice SUMS (1e6·Σtokens DIV Σwords),
+    * so the result is partition-order free and the DuckDB oracle
+    * replays the identical integer division. Docs whose normalized text
+    * is empty (zero words) are excluded — they have no fertility.
+    *
+    * Scale: one BPE learn (shared machinery — production trainers pass
+    * a corpus sample), then ONE map-side-combinable aggregation keyed by
+    * the slice columns; no per-token shuffle (token counts collapse
+    * per-doc in the narrow projection). */
+  def fertilityReport(df: DataFrame, idCol: String, textCol: String,
+                      groupCols: Seq[String], rounds: Int): DataFrame = {
+    val (_, texts) = learn(df, idCol, textCol, rounds)
+    try {
+      def nTokens(c: org.apache.spark.sql.Column) =
+        size(filter(split(trim(c), " "), t => t =!= lit("")))
+      val norm = TextAnalysis.normalized(col(textCol))
+      val perDoc = df
+        .select(col(idCol) +: (groupCols.map(col) :+
+          nTokens(norm).cast("long").as("__nw") :+
+          length(norm).cast("long").as("__nc")): _*)
+        .where(col("__nw") > 0)
+        .join(texts.select(col(idCol),
+          nTokens(col("__t")).cast("long").as("__nt")), Seq(idCol))
+      perDoc.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_docs"),
+          sum("__nw").as("n_words"), sum("__nt").as("n_tokens"),
+          sum("__nc").as("n_chars"))
+        .select((groupCols.map(col) :+ col("n_docs") :+ col("n_words") :+
+          col("n_tokens") :+ col("n_chars") :+
+          expr("(1000000 * n_tokens) DIV n_words").as("fertility_micro") :+
+          expr("(1000000 * n_chars) DIV n_tokens").as("chars_per_token_micro")): _*)
+        .localCheckpoint(true)
+    } finally texts.unpersist()
+  }
 }

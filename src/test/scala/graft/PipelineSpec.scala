@@ -847,6 +847,42 @@ class PipelineSpec extends SparkSuite {
     assert(counts(2L) == ((4L, 2L)))
   }
 
+  test("fertilityReport: hand-computed slice sums, zero-word docs excluded") {
+    import graft.pipeline.Tokenizer
+    val corpus = Seq(
+      (1L, "en", "web", "a b a b c"),  // 5 words, 9 chars; merges to 1 token
+      (2L, "en", "web", "a b c d"),    // 4 words, 7 chars; merges to 2 tokens
+      (3L, "fr", "book", "x y"),       // 2 words, 3 chars; no rule fires -> 2
+      (4L, "fr", "book", "..."))       // normalizes to empty -> excluded
+      .toDF("doc_id", "lang", "source", "text")
+    val r = Tokenizer.fertilityReport(corpus, "doc_id", "text",
+        Seq("lang", "source"), rounds = 3)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+          x.getLong(6), x.getLong(7)))).toMap
+    // merges over the WHOLE fixture (same chain as the bpeMerges spec):
+    // r0 (a,b), r1 (a@@b,c), r2 (a@@b,a@@b@@c) — doc1 collapses to one
+    // token, doc2 to two, doc3's pair never wins a round
+    assert(r(("en", "web")) ==
+      ((2L, 9L, 3L, 16L, 3000000L / 9L, 16000000L / 3L)))
+    assert(r(("fr", "book")) == ((1L, 2L, 2L, 3L, 1000000L, 1500000L)))
+  }
+
+  test("distinctNgramReport: bigram totals vs distinct, micro ratio") {
+    val corpus = Seq(
+      ("webA", "a b a b a b"), // bigrams a.b, b.a, a.b, b.a, a.b
+      ("webA", "a b c"),       // a.b, b.c -> webA: 7 total, 3 distinct
+      ("webB", "p q r"),       // p.q, q.r -> 2 total, 2 distinct
+      ("webB", "z"))           // single word: no bigram rows
+      .toDF("source", "text")
+    val r = TextAnalysis.distinctNgramReport(corpus, "source", "text", n = 2)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("webA") == ((3L, 7L, 3000000L / 7L)))
+    assert(r("webB") == ((2L, 2L, 1000000L)))
+    assert(r.size == 2)
+  }
+
   test("lshRecallReport: verified-subset arm, recall arithmetic") {
     val corpus = Seq(
       (10L, "the quick brown fox jumps over the lazy dog tonight"),
