@@ -163,14 +163,28 @@ object Bench {
     // lands in the "failed" array of the output line.
     val results = measured.map { name =>
       val fn = SparkEntry.queries(name)
-      // memo-backed entries (PipelineQueries.memoBackedQueries) share a
-      // per-session result cache: without busting it, the second run — and
-      // any run after another sharer — times a ConcurrentHashMap lookup
-      // instead of the pipeline. Clear the memo before every timed run so
-      // the reported number is the cold pipeline cost.
+      // One-time inputs an entry deliberately does NOT measure — streaming
+      // source fixtures + the NB serving model, and curate_funnel's shared
+      // label memo — are staged OUTSIDE the timed region (round 13): the
+      // r12 single-shot stream numbers co-moved with temp-IO contention
+      // because each included its fixture write, and curate_funnel's time
+      // depended on run order leaving the label memo warm.
+      PipelineQueries.preStage(name, spark, sfDir)
+      // memo-backed entries (PipelineQueries.memoBackedQueries, and the
+      // streaming entries' result memos) share a per-session result cache:
+      // without busting it, the second run — and any run after another
+      // sharer — times a ConcurrentHashMap lookup instead of the pipeline.
+      // Clear the memo before every timed run so the reported number is
+      // the cold pipeline cost. With fixtures staged, stream entries
+      // re-run like every other entry — the bust no longer re-pays
+      // fixture churn, so the min strips one-off contention stalls
+      // (ADVICE r12: a single-shot stall used to land in the archived
+      // JSON unchallenged).
       def once(): Double = {
         if (PipelineQueries.memoBackedQueries(name))
           PipelineQueries.clearMemos(spark, sfDir)
+        if (PipelineQueries.streamMemoQueries(name))
+          PipelineQueries.clearStreamMemos(spark, sfDir)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -187,16 +201,9 @@ object Bench {
       // entry gets a second run and the min strips one-off contention.
       // A failed first run is NOT retried: deterministic analysis errors
       // would just fail again, and the sentinel must survive to the JSON.
-      // streaming-memo entries (PipelineQueries.streamMemoQueries) are
-      // timed SINGLE-SHOT with the memo busted first: a second run would
-      // hit the memo (a map lookup — r11 archived 0.015 s for a
-      // multi-second watermarked stream), and busting per-run would time
-      // fixture churn twice. One cold run measures the real pipeline.
-      val isStream = PipelineQueries.streamMemoQueries(name)
-      if (isStream) PipelineQueries.clearStreamMemos(spark, sfDir)
       val first = once()
       val best =
-        if (first < 0 || isStream) first
+        if (first < 0) first
         else (first +: Seq.fill(runs - 1)(if (first < 300.0) once() else first))
           .filter(_ >= 0).min
       name -> best

@@ -436,8 +436,18 @@ object GraphAnalytics {
     * on the len-40 bench arm). Dead ends park: the left joins pass a
     * stuck walk through with its path unchanged, and posexplode emits
     * only the steps it actually took (same truncation semantics as the
-    * former inner-join form). Returns (walk_id, step, node): the
-    * long-form sequence corpus, step 0 = the start node. */
+    * former inner-join form) — and at every checkpoint barrier the
+    * finished walks are SPLIT OUT of the hop frame (a parked walk's path
+    * never changes again, so it only needs to rejoin at the final
+    * posexplode): on a sink-heavy graph the live frame shrinks
+    * geometrically instead of dragging every finished row through dozens
+    * of joins (round 13; 81.9 → 76.2 s at len 40 on a 40%-sink 1M-node
+    * graph at sf0.1-scale — modest there because per-hop cost is
+    * plan/scheduling-bound at 600k walks, but the row-volume term this
+    * removes is the one that grows 100× with the graph). The split costs
+    * nothing extra — it filters the barrier's already-materialized
+    * checkpoint. Returns (walk_id, step, node): the long-form sequence
+    * corpus, step 0 = the start node. */
   def randomWalks(edges: DataFrame, walkLen: Int, seed: String = "walk",
                   eager: Boolean = true): DataFrame = {
     require(walkLen >= 1, s"need walkLen >= 1; got $walkLen")
@@ -447,21 +457,22 @@ object GraphAnalytics {
       .withColumn("rn", row_number().over(Window.partitionBy("src").orderBy("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // eager=false keeps the whole hop chain as one live plan (plan
-      // inspection, embedding in a larger lazy pipeline)
-      def settle(df: DataFrame, s: Int): DataFrame =
-        if (eager && (s % WalkCheckpointEvery == 0 || s == walkLen))
-          df.localCheckpoint(true)
-        else df
       val degs = adj.groupBy("src").agg(max("rn").as("deg"))
       var cur = e.select(col("src").as("walk_id")).distinct()
         .select(col("walk_id"), col("walk_id").as("node"),
           array(col("walk_id")).as("__path"))
+      // parked = finished-walk frames split out at checkpoint barriers;
+      // each is a narrow filter over an already-materialized checkpoint,
+      // so re-reading it at assembly replays no hop joins
+      var parked = List.empty[DataFrame]
       for (s <- 1 to walkLen) {
         val pick = conv(substring(md5(concat_ws("|", lit(seed),
             col("walk_id").cast("string"), lit(s.toString))), 1, 12), 16, 10)
           .cast("long") % col("deg") + 1
-        cur = settle(cur
+        // __dead ⟺ no adjacency row matched ⟺ the node has no out-edges
+        // (deg NULL → __rn NULL → no (node, rn) match; deg non-NULL →
+        // pick ∈ [1, deg] always matches) — stable once true
+        val hopped = cur
           .join(degs.withColumnRenamed("src", "node"), Seq("node"), "left")
           .select(col("walk_id"), col("node"), col("__path"),
             when(col("deg").isNotNull, pick).as("__rn"))
@@ -470,9 +481,21 @@ object GraphAnalytics {
           .select(col("walk_id"),
             coalesce(col("dst"), col("node")).as("node"),
             when(col("dst").isNotNull, concat(col("__path"), array(col("dst"))))
-              .otherwise(col("__path")).as("__path")), s)
+              .otherwise(col("__path")).as("__path"),
+            col("dst").isNull.as("__dead"))
+        // eager=false keeps the whole hop chain as one live plan (plan
+        // inspection, embedding in a larger lazy pipeline) — no split
+        // there: an un-checkpointed parked filter would replay its hops
+        if (eager && (s % WalkCheckpointEvery == 0 || s == walkLen)) {
+          val settled = hopped.localCheckpoint(true)
+          parked = settled.where(col("__dead"))
+            .select("walk_id", "node", "__path") :: parked
+          cur = settled.where(!col("__dead"))
+            .select("walk_id", "node", "__path")
+        } else cur = hopped.select("walk_id", "node", "__path")
       }
-      cur.select(col("walk_id"), posexplode(col("__path")))
+      parked.foldLeft(cur)(_ unionByName _)
+        .select(col("walk_id"), posexplode(col("__path")))
         .select(col("walk_id"), col("pos").cast("long").as("step"),
           col("col").as("node"))
     } finally adj.unpersist()
@@ -505,15 +528,15 @@ object GraphAnalytics {
       .withColumn("lo", col("hi") - col("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // same path-carrying state + checkpoint cadence as [[randomWalks]]
-      def settle(df: DataFrame, s: Int): DataFrame =
-        if (eager && (s % WalkCheckpointEvery == 0 || s == walkLen))
-          df.localCheckpoint(true)
-        else df
+      // same path-carrying state, checkpoint cadence AND parked-walk
+      // split as [[randomWalks]] (tot NULL → no ladder interval matches →
+      // dst NULL ⟺ dead; tot non-NULL → exactly one interval contains
+      // the pick, so dst is always set for live walks)
       val degs = adj.groupBy("src").agg(max("hi").as("tot"))
       var cur = e.select(col("src").as("walk_id")).distinct()
         .select(col("walk_id"), col("walk_id").as("node"),
           array(col("walk_id")).as("__path"))
+      var parked = List.empty[DataFrame]
       for (s <- 1 to walkLen) {
         val pick = conv(substring(md5(concat_ws("|", lit(seed),
             col("walk_id").cast("string"), lit(s.toString))), 1, 12), 16, 10)
@@ -523,15 +546,24 @@ object GraphAnalytics {
           .select(col("walk_id"), col("node"), col("__path"),
             when(col("tot").isNotNull, pick).as("__pick"))
         val a = adj.select(col("src").as("__n"), col("lo"), col("hi"), col("dst"))
-        cur = settle(hop
+        val hopped = hop
           .join(a, hop("node") === a("__n") &&
             col("__pick") >= col("lo") && col("__pick") < col("hi"), "left")
           .select(col("walk_id"),
             coalesce(col("dst"), col("node")).as("node"),
             when(col("dst").isNotNull, concat(col("__path"), array(col("dst"))))
-              .otherwise(col("__path")).as("__path")), s)
+              .otherwise(col("__path")).as("__path"),
+            col("dst").isNull.as("__dead"))
+        if (eager && (s % WalkCheckpointEvery == 0 || s == walkLen)) {
+          val settled = hopped.localCheckpoint(true)
+          parked = settled.where(col("__dead"))
+            .select("walk_id", "node", "__path") :: parked
+          cur = settled.where(!col("__dead"))
+            .select("walk_id", "node", "__path")
+        } else cur = hopped.select("walk_id", "node", "__path")
       }
-      cur.select(col("walk_id"), posexplode(col("__path")))
+      parked.foldLeft(cur)(_ unionByName _)
+        .select(col("walk_id"), posexplode(col("__path")))
         .select(col("walk_id"), col("pos").cast("long").as("step"),
           col("col").as("node"))
     } finally adj.unpersist()

@@ -815,14 +815,28 @@ object Curation {
             // persist, which materializes it exactly once.
             // (doc, __h) comes from EXPLODING the cached perDoc __set
             // arrays of the survivors — no third text scan / shingle
-            // kernel / hash pass. For a doc over the verify cap the
-            // proposal sees its bottom-8192-by-hash subset, the same
-            // deterministic sketch degradation the verify stage already
-            // documents (chunked corpora sit far below the cap).
+            // kernel / hash pass for any doc UNDER the verify cap (the
+            // overwhelming majority; chunked corpora sit far below it).
+            // Docs OVER the cap re-derive their FULL distinct hash
+            // stream from the cached survivor text (round 13, ADVICE
+            // r12): proposing from the bottom-8192 sketch silently lost
+            // containment recall and undercounted shingle DF at exactly
+            // the un-chunked mega-doc scale the cap guards — the
+            // standalone containmentViaRareShingles always proposed over
+            // all hashes, and the fused arm now matches it. The
+            // re-shingle is semi-join-bounded to the capped docs, so its
+            // cost is zero when no doc hits the cap.
+            val surv = perDoc
+              .join(s2.select(col(idCol).as("doc")), Seq("doc"), "left_semi")
+            val fromSets = surv.where(!col("__capped"))
+              .select(col("doc"), explode(col("__set")).as("__h"))
+            val cappedIds = surv.where(col("__capped")).select(col("doc"))
+            val fromText = TextAnalysis.shingleRowsDistinct(
+                s2.join(cappedIds, s2(idCol) === cappedIds("doc"), "left_semi"),
+                idCol, textCol, n)
+              .select(col(idCol).as("doc"), xxhash64(col("shingle")).as("__h"))
             val candRare = Dedup.rarePairsOnHashed(
-              perDoc.join(s2.select(col(idCol).as("doc")), Seq("doc"), "left_semi")
-                .select(col("doc"), explode(col("__set")).as("__h")),
-              rareMaxDf)
+              fromSets.unionByName(fromText), rareMaxDf)
             val cDrop = ConnectedComponents.labels(
                 Dedup.verifyContainment(perDoc.select(col("doc"), col("__set")),
                     candRare, minContain)

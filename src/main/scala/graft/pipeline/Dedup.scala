@@ -214,8 +214,12 @@ object Dedup {
     * dropDuplicates(doc, shingle) shuffle and the second per-doc
     * aggregation the old propose/verify pipeline paid are both gone
     * (three doc-keyed exchanges → one). Input rows need not be distinct.
-    * Output: (doc, h0..h{k-1}, __set) with __set capped like
-    * [[shingleSets]] (same bottom-k-by-hash estimate semantics). */
+    * Output: (doc, h0..h{k-1}, __set, __capped) with __set capped like
+    * [[shingleSets]] (same bottom-k-by-hash estimate semantics);
+    * __capped marks docs whose distinct-shingle count exceeded the cap —
+    * consumers that need the FULL hash stream (e.g. the fused funnel's
+    * rare-shingle proposer, round 13) re-derive it for exactly those
+    * docs instead of silently proposing from a truncated sketch. */
   private[pipeline] def perDocSigsAndSet(shRaw: DataFrame, k: Int): DataFrame = {
     val sigs = (0 until k).map(i => min(bandHash(i, col("shingle"))).as(s"h$i"))
     // collect_set dedupes DURING partial aggregation (map-side hash set),
@@ -227,7 +231,9 @@ object Dedup {
     // strings — see [[shingleSets]] for the payload/intersection rationale.
     val collected = collect_set(xxhash64(col("shingle"))).as("__hs")
     shRaw.groupBy("doc").agg(sigs.head, (sigs.tail :+ collected): _*)
-      .withColumn("__set", capShingleSet(col("__hs"))).drop("__hs")
+      .withColumn("__set", capShingleSet(col("__hs")))
+      .withColumn("__capped", size(col("__hs")) > lit(MaxVerifyShinglesPerDoc))
+      .drop("__hs")
   }
 
   /** Candidate pairs from a [[perDocSigsAndSet]] frame: k (band, sig)

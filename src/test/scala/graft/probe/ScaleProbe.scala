@@ -106,6 +106,71 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("walks100")) {
+      // VERDICT r12 item 1: the walk family's 100x arms (the round-12
+      // rewrite's behavior at 100x was extrapolated, not measured). Same
+      // disjoint-copy construction as the walks arm: walk count and pair
+      // volume scale linearly by design, so any super-linear time is the
+      // engine's. Runs the two gate shapes — graph_random_walks (len 4)
+      // and graph_walk_pairs_long (len 40 + window-5 pairs, composed like
+      // the driver entry, walk build included).
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w"))
+        .where(col("w") >= 2)
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      sym.count()
+      def copies(nc: Int) = (0 until nc).map(c =>
+        sym.select((col("src") + lit(c.toLong * 10000000L)).as("src"),
+          (col("dst") + lit(c.toLong * 10000000L)).as("dst")))
+        .reduce(_ unionByName _)
+      // warm codegen on the 1x plans once
+      graft.analytics.GraphAnalytics.randomWalks(copies(1), walkLen = 4).count()
+      for ((nc, tag) <- Seq((1, "1x"), (10, "10x"), (100, "100x"))) {
+        val e = copies(nc).persist(); e.count()
+        time(s"graph_random_walks_$tag") {
+          graft.analytics.GraphAnalytics.randomWalks(e, walkLen = 4).count()
+        }
+        time(s"graph_walk_pairs_long_$tag") {
+          graft.analytics.GraphAnalytics.walkSkipGramPairs(
+            graft.analytics.GraphAnalytics.randomWalks(e, walkLen = 40),
+            window = 5).count()
+        }
+        e.unpersist()
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("parked")) {
+      // VERDICT r12 item 2 measurement: len-40 walks over a SINK-HEAVY
+      // synthetic graph (40% of nodes have no out-edges, dst uniform over
+      // all nodes, so ~40% of live walks die per hop — nearly every walk
+      // is finished within a few hops). Pins the cost of carrying parked
+      // walks through the remaining hop joins; run before/after the
+      // parked-walk split to record the delta.
+      val n = 1000000L
+      val liveN = n * 6 / 10
+      val e = spark.range(liveN).select(col("id").as("src"))
+        .withColumn("j", explode(array(lit(1), lit(2))))
+        .select(col("src"),
+          (conv(substring(md5(concat_ws("|", lit("pk"),
+              col("src").cast("string"), col("j").cast("string"))), 1, 12), 16, 10)
+            .cast("long") % n).as("dst"))
+        .persist()
+      e.count()
+      graft.analytics.GraphAnalytics.randomWalks(e, walkLen = 4).count() // warm
+      time("walks_sinkheavy_len40") {
+        graft.analytics.GraphAnalytics.randomWalks(e, walkLen = 40).count()
+      }
+      e.unpersist()
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("serve")) {
       // persisted-index serving arm: build+save is the untimed one-time
       // cost; the timed path is load + search over the stored codes (the
