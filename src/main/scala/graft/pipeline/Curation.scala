@@ -695,9 +695,29 @@ object Curation {
       if (format == "csv") Map("header" -> "true", "escape" -> "\"",
         "nullValue" -> "\\N", "multiLine" -> "true")
       else Map.empty
-    df.write.mode("overwrite").options(csvOpts).format(format).save(path)
-    df.sparkSession.read.schema(df.schema).options(csvOpts).format(format)
-      .load(path)
+    if (format != "csv") {
+      df.write.mode("overwrite").options(csvOpts).format(format).save(path)
+      df.sparkSession.read.schema(df.schema).options(csvOpts).format(format)
+        .load(path)
+    } else {
+      // A STRING equal to the \N sentinel would be written unquoted and
+      // read back as NULL (ADVICE r12) — no Spark CSV option distinguishes
+      // the two, so string columns are backslash-escaped on write ('\' →
+      // '\\') and unescaped after read: a literal \N lands in the file as
+      // \\N ≠ sentinel, the sentinel is only ever produced by real NULLs,
+      // and every other string is unchanged after the round trip. The
+      // escape is a narrow codegen'd projection on both sides — no
+      // exchange, no extra pass.
+      val strCols = df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
+      val enc = strCols.foldLeft(df)((d, c) =>
+        d.withColumn(c, regexp_replace(col(c), "\\\\", "\\\\\\\\")))
+      enc.write.mode("overwrite").options(csvOpts).format(format).save(path)
+      val back = df.sparkSession.read.schema(df.schema).options(csvOpts)
+        .format(format).load(path)
+      strCols.foldLeft(back)((d, c) =>
+        d.withColumn(c, regexp_replace(col(c), "\\\\\\\\", "\\\\")))
+    }
   }
 
   /** End-to-end curation funnel report: the chained production pipeline
@@ -826,17 +846,8 @@ object Curation {
             // all hashes, and the fused arm now matches it. The
             // re-shingle is semi-join-bounded to the capped docs, so its
             // cost is zero when no doc hits the cap.
-            val surv = perDoc
-              .join(s2.select(col(idCol).as("doc")), Seq("doc"), "left_semi")
-            val fromSets = surv.where(!col("__capped"))
-              .select(col("doc"), explode(col("__set")).as("__h"))
-            val cappedIds = surv.where(col("__capped")).select(col("doc"))
-            val fromText = TextAnalysis.shingleRowsDistinct(
-                s2.join(cappedIds, s2(idCol) === cappedIds("doc"), "left_semi"),
-                idCol, textCol, n)
-              .select(col(idCol).as("doc"), xxhash64(col("shingle")).as("__h"))
             val candRare = Dedup.rarePairsOnHashed(
-              fromSets.unionByName(fromText), rareMaxDf)
+              rareProposalHashes(perDoc, s2, idCol, textCol, n), rareMaxDf)
             val cDrop = ConnectedComponents.labels(
                 Dedup.verifyContainment(perDoc.select(col("doc"), col("__set")),
                     candRare, minContain)
@@ -875,6 +886,33 @@ object Curation {
       if (perDoc != null) perDoc.unpersist()
       s1.unpersist(); c0.unpersist()
     }
+  }
+
+  /** The fused funnel arm's COMPLETE rare-shingle proposal stream
+    * (doc, __h): exploded capped `__set` arrays for docs under the
+    * verify cap (their capped set IS their full distinct hash set — no
+    * re-scan), plus the full re-derived hash stream for docs OVER the
+    * cap (semi-join-bounded re-shingle of the cached survivor text).
+    * The union equals the full distinct (doc, hash) stream of the
+    * survivors exactly — so DF counts and pair proposals match the
+    * standalone [[Dedup.containmentViaRareShingles]] path (round 13,
+    * ADVICE r12: the capped sketch silently lost engulfed-pair recall
+    * for mega-docs). `survivors` must carry `idCol` + `textCol`;
+    * `perDoc` is a [[Dedup.perDocSigsAndSet]] frame over the same or a
+    * superset corpus. */
+  private[pipeline] def rareProposalHashes(perDoc: DataFrame, survivors: DataFrame,
+                                           idCol: String, textCol: String,
+                                           n: Int): DataFrame = {
+    val surv = perDoc
+      .join(survivors.select(col(idCol).as("doc")), Seq("doc"), "left_semi")
+    val fromSets = surv.where(!col("__capped"))
+      .select(col("doc"), explode(col("__set")).as("__h"))
+    val cappedIds = surv.where(col("__capped")).select(col("doc"))
+    val fromText = TextAnalysis.shingleRowsDistinct(
+        survivors.join(cappedIds, survivors(idCol) === cappedIds("doc"), "left_semi"),
+        idCol, textCol, n)
+      .select(col(idCol).as("doc"), xxhash64(col("shingle")).as("__h"))
+    fromSets.unionByName(fromText)
   }
 
   /** Multi-benchmark contamination MATRIX — the eval-suite screening

@@ -183,7 +183,22 @@ object TextAnalysis {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_distinct"), sum("__c").as("n_total"))
       .select(col(groupCol), col("n_distinct"), col("n_total"),
-        expr("(1000000 * n_distinct) DIV n_total").as("distinct_ratio_micro"))
+        microRatio("n_distinct", "n_total", "distinctNgramReport")
+          .as("distinct_ratio_micro"))
+
+  /** 1e6-scaled integer ratio of two exact long sums with a LOUD overflow
+    * guard (ADVICE r12): `1000000 * num` runs through try_multiply, and a
+    * NULL result — Long overflow, reachable once a slice passes ~9.2e12
+    * units at the 100 TB design point — raises an error naming the report
+    * instead of silently wrapping (the hitsDF try_sum discipline). DIV
+    * keeps the arithmetic integer-exact and engine-portable; the DuckDB
+    * oracles need no twin guard because DuckDB errors on int64 overflow
+    * by default. */
+  private[pipeline] def microRatio(num: String, den: String, what: String)
+      : org.apache.spark.sql.Column =
+    expr(s"coalesce(try_multiply(CAST(1000000 AS BIGINT), $num), " +
+      s"raise_error('$what: 1000000*$num overflowed BIGINT — slice too large " +
+      s"for micro-unit Long arithmetic')) DIV $den")
 
   /** Long-form word n-gram shingles (id, shingle) — a NARROW plan: one
     * Generate explodes the fused codegen'd shingle kernel

@@ -148,8 +148,10 @@ object Tokenizer {
           sum("__nc").as("n_chars"))
         .select((groupCols.map(col) :+ col("n_docs") :+ col("n_words") :+
           col("n_tokens") :+ col("n_chars") :+
-          expr("(1000000 * n_tokens) DIV n_words").as("fertility_micro") :+
-          expr("(1000000 * n_chars) DIV n_tokens").as("chars_per_token_micro")): _*)
+          TextAnalysis.microRatio("n_tokens", "n_words", "fertilityReport")
+            .as("fertility_micro") :+
+          TextAnalysis.microRatio("n_chars", "n_tokens", "fertilityReport")
+            .as("chars_per_token_micro")): _*)
         .localCheckpoint(true)
     } finally texts.unpersist()
   }

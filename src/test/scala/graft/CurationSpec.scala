@@ -344,7 +344,9 @@ class CurationSpec extends SparkSuite {
       (1L, "plain text", Option("en")),
       (2L, "", Option("de")),                     // empty string, NOT null
       (3L, "line one\nline two", Option("fr")),   // embedded newline
-      (4L, "she said \"hi\", twice", None)        // quote + delimiter; null lang
+      (4L, "she said \"hi\", twice", None),       // quote + delimiter; null lang
+      (5L, "\\N", Option("pl")),                  // LITERAL \N — not a null (r13)
+      (6L, "a\\path\\with \\N inside", Option("cz")) // backslashes elsewhere
     ).toDF("id", "text", "lang")
     val back = Curation.formatRoundTrip(rows, dir, "csv")
       .collect().map(r => r.getLong(0) ->
@@ -353,6 +355,9 @@ class CurationSpec extends SparkSuite {
     assert(back(2L) == (("", Some("de"))), s"empty string coerced: ${back(2L)}")
     assert(back(3L) == (("line one\nline two", Some("fr"))), s"got ${back(3L)}")
     assert(back(4L) == (("she said \"hi\", twice", None)), s"got ${back(4L)}")
+    assert(back(5L) == (("\\N", Some("pl"))),
+      s"literal \\N corrupted to null: ${back(5L)}")
+    assert(back(6L) == (("a\\path\\with \\N inside", Some("cz"))), s"got ${back(6L)}")
     // the header row is really written (self-describing files)
     val firstLine = scala.io.Source.fromFile(
       new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv")).head)
