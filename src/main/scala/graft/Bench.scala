@@ -109,7 +109,9 @@ object Bench {
     "graph_walk_pairs_long",
     // tokenizer fertility per slice + distinct-bigram diversity (the
     // synthetic-data mode-collapse screen)
-    "text_fertility", "text_distinct_ngrams")
+    "text_fertility", "text_distinct_ngrams",
+    // round-13: deterministic SGNS negative sampling over the walk pairs
+    "graph_walk_negatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

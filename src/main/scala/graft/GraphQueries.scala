@@ -509,6 +509,12 @@ object GraphQueries {
     "graph_walk_pmi" -> ((s, d) =>
       GraphAnalytics.walkPairPmi(
         GraphAnalytics.walkSkipGramPairs(coPurchaseWalks(s, d), window = 2))),
+    // deterministic SGNS negatives: k=3 noise nodes per skip-gram pair
+    // from the unigram^0.75 context distribution (md5 uniform landed in
+    // the integer milli-weight ladder — bit-replayable in the oracle)
+    "graph_walk_negatives" -> ((s, d) =>
+      GraphAnalytics.sgnsNegatives(
+        GraphAnalytics.walkSkipGramPairs(coPurchaseWalks(s, d), window = 2), k = 3)),
     // weight-proportional walks: step choice lands the md5 uniform in the
     // neighbor's slot of the cumulative shared-order-count ladder
     "graph_weighted_walks" -> ((s, d) => {
@@ -806,6 +812,29 @@ object GraphQueries {
        | AND a.step <> b.step AND abs(a.step - b.step) <= 2
        |GROUP BY 1, 2""".stripMargin
 
+  // SGNS negatives replay: same short-walk pair CTE, the unigram^0.75
+  // noise ladder in integer milli-units (sqrt-only arithmetic — every op
+  // IEEE correctly-rounded, so the floor quantization is bit-identical
+  // across engines), md5 picks landed by interval containment
+  private val walkNegativesSql: String =
+    s"""WITH $walkCtes,
+       |p AS (SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+       |  FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+       |   AND a.step <> b.step AND abs(a.step - b.step) <= 2
+       |  GROUP BY 1, 2),
+       |xt AS (SELECT context, sum(n_pairs) AS nx FROM p GROUP BY 1),
+       |wt AS (SELECT context, CAST(floor(sqrt(sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(nx AS DOUBLE))) * 1000.0 + 0.5) AS BIGINT) AS w FROM xt),
+       |lad AS (SELECT context AS neg_node,
+       |  sum(w) OVER (ORDER BY context) - w AS lo,
+       |  sum(w) OVER (ORDER BY context) AS hi FROM wt),
+       |tot AS (SELECT sum(w) AS t FROM wt),
+       |ranks AS (SELECT unnest(generate_series(1, 3)) AS neg_rank),
+       |picks AS (SELECT p.center, p.context, r.neg_rank,
+       |    CAST(concat('0x', substr(md5('neg|'||CAST(p.center AS VARCHAR)||'|'||CAST(p.context AS VARCHAR)||'|'||CAST(r.neg_rank AS VARCHAR)), 1, 12)) AS BIGINT) % tot.t AS pick
+       |  FROM p CROSS JOIN ranks r CROSS JOIN tot)
+       |SELECT pk.center, pk.context, CAST(pk.neg_rank AS BIGINT) AS neg_rank, l.neg_node
+       |FROM picks pk JOIN lad l ON pk.pick >= l.lo AND pk.pick < l.hi""".stripMargin
+
   private val walkPmiSql: String =
     s"""WITH $walkCtes,
        |p AS (SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
@@ -1076,6 +1105,7 @@ object GraphQueries {
     "graph_walk_pairs" -> walkPairsSql,
     "graph_walk_pairs_long" -> walkPairsLongSql,
     "graph_walk_pmi" -> walkPmiSql,
+    "graph_walk_negatives" -> walkNegativesSql,
     "graph_weighted_walks" -> weightedWalksSql,
     // unique-path closed form: region 0 to itself, nation = its own
     // edge weight, customer = customer-edge + nation-edge weights

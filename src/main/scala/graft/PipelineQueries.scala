@@ -146,7 +146,7 @@ object PipelineQueries {
     "curate_export_manifest",
     // the shared walk-corpus memo: each entry timed cold pays the full
     // walk build (same convention as the funnel family above)
-    "graph_random_walks", "graph_walk_pairs")
+    "graph_random_walks", "graph_walk_pairs", "graph_walk_negatives")
 
   /** Drop the per-(session, dir) memos behind [[memoBackedQueries]]. The
     * streaming memos live behind [[streamMemoQueries]]/[[clearStreamMemos]]
@@ -984,8 +984,9 @@ object PipelineQueries {
         "doc_id", "n_words", "shard", budget = 512L)),
     // whole-document best-fit-decreasing packing over the same inputs as
     // curate_pack (512-token bins, doc_id mod 8 shards) — documents are
-    // never chopped; fill quality vs the chop baseline is measured in
-    // SCALE.md
+    // never chopped; fill quality vs arrival-order and the chop baseline
+    // is measured in SCALE.md "BFD fill-ratio table" (sf0.1: 99.38% vs
+    // 98.27% vs the 99.76% chop ceiling; ScaleProbe bfd reproduces it)
     "curate_pack_bfd" -> ((s, d) =>
       pipeline.Curation.packBinsBfd(
         docs(s, d).select(col("doc_id"),

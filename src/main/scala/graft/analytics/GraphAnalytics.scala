@@ -611,6 +611,72 @@ object GraphAnalytics {
           .cast("long").as("pmi_micro"))
   }
 
+  /** Deterministic SGNS negative-sampling table over a skip-gram pair
+    * tally ([[walkSkipGramPairs]] output) — the third artifact a
+    * DeepWalk/word2vec training feed needs after pairs and PMI: for every
+    * (center, context) pair, `k` noise nodes drawn from the unigram^0.75
+    * distribution (the word2vec noise exponent) over the CONTEXT
+    * marginal, deterministically — the engine-portable md5 uniform the
+    * walk/sampling operators use, landed in a cumulative integer-weight
+    * ladder (the [[weightedRandomWalks]] slot idea, corpus-global instead
+    * of per-source).
+    *
+    * Portability of the 0.75 power: nx^0.75 is computed ONLY through
+    * IEEE-754 correctly-rounded operations — sqrt(sqrt(nx)·sqrt(nx)·
+    * sqrt(nx)) with fixed association, never libm pow (whose last-ulp
+    * behavior differs across runtimes) — then quantized to integer
+    * milli-units, so two engines build bit-identical ladders from the
+    * same counts and an oracle replays slot membership exactly.
+    *
+    * Scale: the noise table is one marginal aggregation of the (already
+    * aggregated, sparse) pair table; its ladder prefix sum is TWO-PHASE —
+    * a parallel running-sum window keyed by `context DIV 1024` plus a
+    * buckets-only offset window (vocabulary/1024 rows) — never a
+    * vocabulary-wide single-partition window. Slot lookup reuses
+    * [[graft.pipeline.TemporalJoins.rangeJoinBinned]]: picks equi-join
+    * ladder intervals on a bin key (an interval spans ≤ one context's
+    * weight ≪ binWidth·4096, so the guard never fires) — no nested-loop
+    * range probe. The one collect is the 1-row ladder total (the modulus
+    * and bin width). Returns (center, context, neg_rank, neg_node) — k
+    * rows per input pair; a draw may equal center or context (pure noise
+    * — downstream losses mask those terms, and deterministic redraw loops
+    * would not be engine-replayable). */
+  def sgnsNegatives(pairs: DataFrame, k: Int, seed: String = "neg"): DataFrame = {
+    require(k >= 1, s"need k >= 1; got $k")
+    // vocabulary-sized, consumed by the total AND the ladder: checkpoint
+    // once instead of re-aggregating the pair table per consumer
+    val wt = pairs.groupBy("context").agg(sum("n_pairs").as("__nx"))
+      .select(col("context"),
+        floor(sqrt(sqrt(col("__nx")) * sqrt(col("__nx")) * sqrt(col("__nx")))
+          * lit(1000.0) + lit(0.5)).cast("long").as("__w"))
+      .localCheckpoint(true)
+    val totRow = wt.agg(sum("__w")).first()
+    require(!totRow.isNullAt(0), "sgnsNegatives: empty pair table")
+    val tot = totRow.getLong(0)
+    val bk = wt.withColumn("__bk", expr("context DIV 1024"))
+    val within = bk.withColumn("__cum",
+      sum("__w").over(Window.partitionBy("__bk").orderBy("context")))
+    val off = bk.groupBy("__bk").agg(sum("__w").as("__bw"))
+      .withColumn("__off", sum("__bw").over(Window.orderBy("__bk")) - col("__bw"))
+    // inclusive integer intervals [lo, hi-1] ⟺ [lo, hi) — picks and
+    // bounds are integers, so BETWEEN semantics match half-open slots
+    val ladder = within.join(off.select("__bk", "__off"), Seq("__bk"))
+      .select(col("context").as("neg_node"),
+        (col("__off") + col("__cum") - col("__w")).as("__lo"),
+        (col("__off") + col("__cum") - lit(1L)).as("__hi"))
+    val picks = pairs.select(col("center"), col("context"),
+        explode(sequence(lit(1), lit(k))).as("neg_rank"))
+      .withColumn("__pick",
+        conv(substring(md5(concat_ws("|", lit(seed),
+          col("center").cast("string"), col("context").cast("string"),
+          col("neg_rank").cast("string"))), 1, 12), 16, 10)
+          .cast("long") % lit(tot))
+    graft.pipeline.TemporalJoins.rangeJoinBinned(picks, ladder,
+        "__pick", "__lo", "__hi", binWidth = tot / 1024 + 1)
+      .select(col("center"), col("context"),
+        col("neg_rank").cast("long").as("neg_rank"), col("neg_node"))
+  }
+
   def walkSkipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
     require(window >= 1, s"need window >= 1; got $window")
     val offsets = array(((-window to window).filter(_ != 0).map(o => lit(o.toLong))): _*)

@@ -394,6 +394,49 @@ class AnalyticsSpec extends SparkSuite {
     assert(got2 == want ++ Map((10L, 12L) -> 1L, (12L, 10L) -> 1L), s"got $got2")
   }
 
+  test("sgnsNegatives: exact replay of the unigram^0.75 ladder draw") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L, 4L), (1L, 3L, 1L), (2L, 1L, 3L), (3L, 1L, 2L), (2L, 3L, 7L))
+      .toDF("center", "context", "n_pairs")
+    val got = graft.analytics.GraphAnalytics.sgnsNegatives(pairs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    // driver-side simulation: same md5-48bit uniform, same sqrt-only
+    // milli-quantized x^0.75 weights, same context-ascending ladder
+    def u48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+    }
+    val nx = Seq(2L -> 4L, 3L -> (1L + 7L), 1L -> (3L + 2L)).toMap // context marginals
+    def w(n: Long) = {
+      val s = math.sqrt(n.toDouble)
+      math.floor(math.sqrt(s * s * s) * 1000.0 + 0.5).toLong
+    }
+    val ladder = nx.toSeq.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, hi), (ctx, n)) => (ctx, hi, hi + w(n)) }
+      .drop(1) // (neg_node, lo, hi)
+    val tot = ladder.last._3
+    val want = (for {
+      (c, x, _) <- Seq((1L, 2L, 4L), (1L, 3L, 1L), (2L, 1L, 3L), (3L, 1L, 2L), (2L, 3L, 7L))
+      j <- 1 to 3
+    } yield {
+      val pick = u48(s"neg|$c|$x|$j") % tot
+      val slot = ladder.find(l => pick >= l._2 && pick < l._3).get._1
+      (c, x, j.toLong) -> slot
+    }).toMap
+    assert(got == want, s"got $got\nwant $want")
+    // ^0.75 sublinearity really took effect: weights are not proportional
+    // to counts (w(8)/w(4) < 2) but heavier contexts still weigh more
+    assert(w(8L) < 2 * w(4L) && w(8L) > w(4L))
+    // single-context noise table: every draw must land on that context
+    val one = graft.analytics.GraphAnalytics.sgnsNegatives(
+        Seq((5L, 9L, 2L)).toDF("center", "context", "n_pairs"), k = 4)
+      .collect()
+    assert(one.length == 4 && one.forall(_.getLong(3) == 9L))
+  }
+
   test("k-core: cascading peel strips the tendril, keeps the clique") {
     import spark.implicits._
     // K4 on {1,2,3,4} plus a path 4-5-6: peeling k=2 must CASCADE — 6

@@ -106,6 +106,32 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("bfd")) {
+      // VERDICT r12 item 4: the promised BFD fill-ratio table — mean fill
+      // % and bins used for BFD vs arrival-order (same whole-doc packer,
+      // id order) vs the chop baseline (packSequences), sf0.1 inputs
+      // identical to the bench entries (512-token bins, doc_id % 8).
+      val docs = TpchGraph.table(spark, base, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.wordCount(col("text")).cast("long").as("n_words"),
+          (col("doc_id") % 8).as("shard"))
+        .persist()
+      val totalTokens = docs.agg(sum("n_words")).first().getLong(0)
+      def report(tag: String, packed: DataFrame, binCol: String): Unit = {
+        val bins = packed.select(col("shard"), col(binCol)).distinct().count()
+        val fillPct = 100.0 * totalTokens / (bins * 512.0)
+        println(f"MARKER bfd_$tag bins=$bins fill=$fillPct%.2f total_tokens=$totalTokens")
+      }
+      report("chop", graft.pipeline.Curation.packSequences(
+        docs, "doc_id", "n_words", "shard", budget = 512L), "chunk")
+      report("arrival", graft.pipeline.Curation.packBinsBfd(
+        docs, "doc_id", "n_words", "shard", budget = 512L, decreasing = false), "bin")
+      report("bfd", graft.pipeline.Curation.packBinsBfd(
+        docs, "doc_id", "n_words", "shard", budget = 512L), "bin")
+      docs.unpersist()
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("walks100")) {
       // VERDICT r12 item 1: the walk family's 100x arms (the round-12
       // rewrite's behavior at 100x was extrapolated, not measured). Same
