@@ -13,10 +13,17 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // config-sensitivity knobs (round 13): the r10 float bug was
+    // parallelism-dependent and the dual 16/32-CPU gate guards that axis;
+    // these two expose the remaining plan-shape axes of the same class —
+    // the full oracle gate also runs with AQE off and with shuffle
+    // parallelism far below the core count, and results must not move
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
