@@ -111,7 +111,8 @@ object Bench {
     // synthetic-data mode-collapse screen)
     "text_fertility", "text_distinct_ngrams",
     // round-13: deterministic SGNS negative sampling over the walk pairs
-    "graph_walk_negatives")
+    // + word2vec frequent-node subsampling of the walk corpus
+    "graph_walk_negatives", "graph_walk_subsample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -515,6 +515,10 @@ object GraphQueries {
     "graph_walk_negatives" -> ((s, d) =>
       GraphAnalytics.sgnsNegatives(
         GraphAnalytics.walkSkipGramPairs(coPurchaseWalks(s, d), window = 2), k = 3)),
+    // word2vec frequent-node subsampling of the walk corpus (t = 1e-3):
+    // hub occurrences thinned toward sqrt, steps compacted per walk
+    "graph_walk_subsample" -> ((s, d) =>
+      GraphAnalytics.subsampleFrequent(coPurchaseWalks(s, d), tMicro = 1000)),
     // weight-proportional walks: step choice lands the md5 uniform in the
     // neighbor's slot of the cumulative shared-order-count ladder
     "graph_weighted_walks" -> ((s, d) => {
@@ -835,6 +839,23 @@ object GraphQueries {
        |SELECT pk.center, pk.context, CAST(pk.neg_rank AS BIGINT) AS neg_rank, l.neg_node
        |FROM picks pk JOIN lad l ON pk.pick >= l.lo AND pk.pick < l.hi""".stripMargin
 
+  // word2vec subsampling replay: keep an occurrence when its md5-48-bit
+  // uniform lands under floor(sqrt((t·N)/(1e6·n))·2^48) — the same
+  // pinned-association correctly-rounded chain the Spark side computes —
+  // then compact steps per walk
+  private val walkSubsampleSql: String =
+    s"""WITH $walkCtes,
+       |f AS (SELECT node, count(*) AS nf FROM walks GROUP BY 1),
+       |tt AS (SELECT count(*) AS ntot FROM walks),
+       |kept AS (SELECT w.walk_id, w.step, w.node FROM walks w
+       |  JOIN f USING (node) CROSS JOIN tt
+       |  WHERE CAST(concat('0x', substr(md5('sub|'||CAST(w.walk_id AS VARCHAR)||'|'||CAST(w.step AS VARCHAR)), 1, 12)) AS BIGINT)
+       |    < floor(sqrt((1000.0 * ntot) / (1000000.0 * nf)) * 281474976710656.0))
+       |SELECT walk_id,
+       |  CAST(row_number() OVER (PARTITION BY walk_id ORDER BY step) - 1 AS BIGINT) AS step,
+       |  node
+       |FROM kept""".stripMargin
+
   private val walkPmiSql: String =
     s"""WITH $walkCtes,
        |p AS (SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
@@ -1106,6 +1127,7 @@ object GraphQueries {
     "graph_walk_pairs_long" -> walkPairsLongSql,
     "graph_walk_pmi" -> walkPmiSql,
     "graph_walk_negatives" -> walkNegativesSql,
+    "graph_walk_subsample" -> walkSubsampleSql,
     "graph_weighted_walks" -> weightedWalksSql,
     // unique-path closed form: region 0 to itself, nation = its own
     // edge weight, customer = customer-edge + nation-edge weights

@@ -146,7 +146,8 @@ object PipelineQueries {
     "curate_export_manifest",
     // the shared walk-corpus memo: each entry timed cold pays the full
     // walk build (same convention as the funnel family above)
-    "graph_random_walks", "graph_walk_pairs", "graph_walk_negatives")
+    "graph_random_walks", "graph_walk_pairs", "graph_walk_negatives",
+    "graph_walk_subsample")
 
   /** Drop the per-(session, dir) memos behind [[memoBackedQueries]]. The
     * streaming memos live behind [[streamMemoQueries]]/[[clearStreamMemos]]

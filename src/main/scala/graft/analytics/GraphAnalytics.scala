@@ -677,6 +677,48 @@ object GraphAnalytics {
         col("neg_rank").cast("long").as("neg_rank"), col("neg_node"))
   }
 
+  /** Deterministic frequent-node subsampling of a walk corpus — the
+    * word2vec pre-pass that completes the DeepWalk training feed
+    * (sequences → subsample → pairs → PMI → negatives): each node
+    * OCCURRENCE survives with probability min(1, sqrt(t / f(node)))
+    * where f is the node's corpus frequency and `tMicro` is the classic
+    * word2vec threshold t in micro-units (word2vec's -sample flag;
+    * hubs get thinned toward sqrt, rare nodes pass untouched), then each
+    * walk's surviving steps are COMPACTED (word2vec drops-then-joins, so
+    * skip-gram windows span the removed positions).
+    *
+    * Deterministic and engine-portable like every sampler here: the
+    * occurrence's md5-48-bit uniform is compared against
+    * floor(sqrt((tMicro·N)/(1e6·n))·2^48) — division, multiply and sqrt
+    * are IEEE correctly-rounded with pinned association, so both engines
+    * compute the identical keep threshold, and the oracle replays every
+    * keep/drop decision.
+    *
+    * Scale: one map-side-combinable node-frequency aggregation + a
+    * broadcast 1-row total; the keep test is a narrow projection; the
+    * step compaction is a per-walk window (walk-length bounded, the
+    * adjacency-ranking class). Returns (walk_id, step, node) with dense
+    * renumbered steps. */
+  def subsampleFrequent(walks: DataFrame, tMicro: Long,
+                        seed: String = "sub"): DataFrame = {
+    require(tMicro >= 1, s"need tMicro >= 1; got $tMicro")
+    val freq = walks.groupBy("node").agg(count(lit(1)).as("__nf"))
+    val tot = walks.agg(count(lit(1)).as("__ntot"))
+    val thresh = // floor(sqrt((t·N)/(1e6·n)) · 2^48); ≥ 2^48 ⟺ always keep
+      floor(sqrt((lit(tMicro.toDouble) * col("__ntot")) / (lit(1000000.0) * col("__nf")))
+        * lit(281474976710656.0))
+    val kept = walks
+      .join(freq, Seq("node"))
+      .crossJoin(broadcast(tot))
+      .where(conv(substring(md5(concat_ws("|", lit(seed),
+          col("walk_id").cast("string"), col("step").cast("string"))), 1, 12), 16, 10)
+        .cast("long") < thresh)
+    kept.select(col("walk_id"), col("step"), col("node"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("walk_id").orderBy("step")))
+      .select(col("walk_id"), (col("__rn") - 1).cast("long").as("step"), col("node"))
+  }
+
   def walkSkipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
     require(window >= 1, s"need window >= 1; got $window")
     val offsets = array(((-window to window).filter(_ != 0).map(o => lit(o.toLong))): _*)

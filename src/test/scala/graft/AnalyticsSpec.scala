@@ -437,6 +437,45 @@ class AnalyticsSpec extends SparkSuite {
     assert(one.length == 4 && one.forall(_.getLong(3) == 9L))
   }
 
+  test("subsampleFrequent: exact replay, hubs thinned, rare nodes untouched") {
+    import spark.implicits._
+    // corpus: node 1 occupies 16 of 24 occurrences (a hub), node 2 has 6,
+    // nodes 3..4 one each (rare — below any threshold, must all survive)
+    val rows = (0L until 8L).flatMap { w =>
+      Seq((w, 0L, 1L), (w, 1L, 1L)) ++
+        (if (w < 6) Seq((w, 2L, 2L)) else Seq((w, 2L, 3L + (w % 2))))
+    }
+    val walks = rows.toDF("walk_id", "step", "node")
+    val tMicro = 100000L // t = 0.1: hub keep-p = sqrt(0.1/(16/24)) ≈ 0.39
+    val got = graft.analytics.GraphAnalytics.subsampleFrequent(walks, tMicro)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // driver-side replay: identical md5 uniform, identical CR chain
+    def u48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+    }
+    val n = rows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val bigN = rows.size.toLong
+    def thresh(node: Long): Double =
+      math.floor(math.sqrt((tMicro.toDouble * bigN) / (1000000.0 * n(node)))
+        * 281474976710656.0)
+    val keptRaw = rows.filter { case (w, s, nd) => u48(s"sub|$w|$s") < thresh(nd) }
+    val want = keptRaw.groupBy(_._1).toSeq.flatMap { case (w, rs) =>
+      rs.sortBy(_._2).zipWithIndex.map { case ((_, _, nd), i) => (w, i.toLong, nd) }
+    }.sorted
+    assert(got == want, s"got $got\nwant $want")
+    // rare nodes (f < t) all survive; the hub really was thinned
+    val keptNodes = got.map(_._3)
+    assert(keptNodes.count(_ == 3L) == 1 && keptNodes.count(_ == 4L) == 1)
+    assert(keptNodes.count(_ == 1L) < 16, "hub not thinned")
+    assert(keptNodes.count(_ == 1L) > 0, "hub wiped out — threshold degenerate")
+    // steps are dense 0..k-1 per walk after compaction
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted == (0L until g.size).toSeq)
+    }
+  }
+
   test("k-core: cascading peel strips the tendril, keeps the clique") {
     import spark.implicits._
     // K4 on {1,2,3,4} plus a path 4-5-6: peeling k=2 must CASCADE — 6
