@@ -627,6 +627,20 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in weighted walk plan:\n$plan")
   }
 
+  test("sgnsNegatives: slot lookup is a binned equi-join, never nested loop") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 4L), (2L, 3L, 7L), (3L, 1L, 2L))
+      .toDF("center", "context", "n_pairs")
+    val out = graft.analytics.GraphAnalytics.sgnsNegatives(pairs, k = 2)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the pick→ladder containment must ride the __bin equi key — a plain
+    // range predicate would compile to a nested loop over the vocabulary
+    assert(!plan.contains("CartesianProduct"), s"cartesian in negatives plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in negatives plan:\n$plan")
+    assert(plan.contains("__bin"), s"binned slot key missing from plan:\n$plan")
+  }
+
   test("containment verify sets are candidate-bounded: set agg input rides a doc-keyed semi-join") {
     import spark.implicits._
     // docs 1/2 share a rare shingle (candidates); 3..6 have singleton
