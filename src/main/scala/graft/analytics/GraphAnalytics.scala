@@ -650,9 +650,10 @@ object GraphAnalytics {
         floor(sqrt(sqrt(col("__nx")) * sqrt(col("__nx")) * sqrt(col("__nx")))
           * lit(1000.0) + lit(0.5)).cast("long").as("__w"))
       .localCheckpoint(true)
-    val totRow = wt.agg(sum("__w")).first()
+    val totRow = wt.agg(sum("__w"), max("__w"), count(lit(1))).first()
     require(!totRow.isNullAt(0), "sgnsNegatives: empty pair table")
     val tot = totRow.getLong(0)
+    val (wMax, nCtx) = (totRow.getLong(1), totRow.getLong(2))
     val bk = wt.withColumn("__bk", expr("context DIV 1024"))
     val within = bk.withColumn("__cum",
       sum("__w").over(Window.partitionBy("__bk").orderBy("context")))
@@ -671,8 +672,15 @@ object GraphAnalytics {
           col("center").cast("string"), col("context").cast("string"),
           col("neg_rank").cast("string"))), 1, 12), 16, 10)
           .cast("long") % lit(tot))
+    // binWidth tracks the MEAN interval (≈8 ladder slots per bin), not a
+    // fixed bin count: tot/1024 made per-bin density — picks × slots per
+    // bin — grow with scale and the within-bin filter quadratic (measured
+    // 1.35/8.1/121 s at 1×/10×/100× before; linear after). The w_max/4000
+    // clamp keeps the widest hub interval under rangeJoinBinned's
+    // 4096-bin replication guard whatever the skew.
+    val binW = math.max(8L * tot / math.max(1L, nCtx), wMax / 4000L + 1L)
     graft.pipeline.TemporalJoins.rangeJoinBinned(picks, ladder,
-        "__pick", "__lo", "__hi", binWidth = tot / 1024 + 1)
+        "__pick", "__lo", "__hi", binWidth = binW)
       .select(col("center"), col("context"),
         col("neg_rank").cast("long").as("neg_rank"), col("neg_node"))
   }

@@ -158,7 +158,9 @@ object ScaleProbe {
       // warm codegen on the 1x plans once
       graft.analytics.GraphAnalytics.randomWalks(copies(1), walkLen = 4).count()
       for ((nc, tag) <- Seq((1, "1x"), (10, "10x"), (100, "100x"))) {
-        val e = copies(nc).persist(); e.count()
+        // coalesce: see the neg100 arm — k-way-union partition fan-out is
+        // a harness artifact, not the operator's input shape
+        val e = copies(nc).coalesce(64).persist(); e.count()
         time(s"graph_random_walks_$tag") {
           graft.analytics.GraphAnalytics.randomWalks(e, walkLen = 4).count()
         }
@@ -169,6 +171,45 @@ object ScaleProbe {
         }
         e.unpersist()
       }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("neg100")) {
+      // round-13: the SGNS negatives operator in isolation at 1x/10x/100x
+      // — disjoint offset copies of the sf0.1 walk-pair table, so pair
+      // volume AND vocabulary (ladder size, bucket count) scale 100x.
+      // Exercises the new machinery end-to-end: context marginal, the
+      // two-phase prefix-sum ladder, and the binned slot join.
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val cp = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w"))
+        .where(col("w") >= 2)
+      val sym = cp.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(cp.select(col("b").as("src"), col("a").as("dst")))
+      val pairs1 = graft.analytics.GraphAnalytics.walkSkipGramPairs(
+        graft.analytics.GraphAnalytics.randomWalks(sym, walkLen = 4), window = 2)
+        .persist()
+      pairs1.count()
+      def pCopies(n: Int) = (0 until n).map(c =>
+        pairs1.select((col("center") + lit(c.toLong * 10000000L)).as("center"),
+          (col("context") + lit(c.toLong * 10000000L)).as("context"), col("n_pairs")))
+        .reduce(_ unionByName _)
+      graft.analytics.GraphAnalytics.sgnsNegatives(pCopies(1), k = 3).count() // warm
+      for ((n, tag) <- Seq((1, "1x"), (10, "10x"), (100, "100x"))) {
+        // coalesce: a k-way test union otherwise persists at k*64
+        // partitions and every map stage pays k*64 task overheads — a
+        // harness artifact; a real 100x pair table arrives at the
+        // session's shuffle parallelism
+        val p = pCopies(n).coalesce(64).persist(); p.count()
+        time(s"sgns_negatives_$tag") {
+          graft.analytics.GraphAnalytics.sgnsNegatives(p, k = 3).count()
+        }
+        p.unpersist()
+      }
+      pairs1.unpersist()
       spark.stop(); return
     }
 
