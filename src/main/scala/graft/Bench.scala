@@ -112,7 +112,9 @@ object Bench {
     "text_fertility", "text_distinct_ngrams",
     // round-13: deterministic SGNS negative sampling over the walk pairs
     // + word2vec frequent-node subsampling of the walk corpus
-    "graph_walk_negatives", "graph_walk_subsample")
+    "graph_walk_negatives", "graph_walk_subsample",
+    // true second-order node2vec walks (the p/q-biased family member)
+    "graph_node2vec_walks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -519,6 +519,21 @@ object GraphQueries {
     // hub occurrences thinned toward sqrt, steps compacted per walk
     "graph_walk_subsample" -> ((s, d) =>
       GraphAnalytics.subsampleFrequent(coPurchaseWalks(s, d), tMicro = 1000)),
+    // true second-order node2vec (p=4, q=0.5 → retMilli 250, outMilli
+    // 2000): step bias depends on the PREVIOUS node — return discouraged,
+    // venture-out favored; all-integer ladder, bit-replayable
+    "graph_node2vec_walks" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w"))
+        .where(col("w") >= 2)
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      GraphAnalytics.node2vecWalks(sym, walkLen = 4, retMilli = 250, outMilli = 2000)
+        .select(col("walk_id").cast("long"), col("step"), col("node").cast("long"))
+    }),
     // weight-proportional walks: step choice lands the md5 uniform in the
     // neighbor's slot of the cumulative shared-order-count ladder
     "graph_weighted_walks" -> ((s, d) => {
@@ -856,6 +871,50 @@ object GraphQueries {
        |  node
        |FROM kept""".stripMargin
 
+  // second-order node2vec replay: each unrolled hop builds the
+  // degree-expanded candidate set, weights it by the (prev, dst) CASE
+  // (return 250 / stay-local 1000 / venture-out 2000 — all integer), and
+  // lands the walk's md5 uniform in the per-walk cumulative ladder
+  private val node2vecSql: String = {
+    def hop(i: Int): String = {
+      val wCase =
+        if (i == 1) "1000"
+        else s"""CASE WHEN a.dst = t.prev THEN 250
+                 |       WHEN m.src IS NOT NULL THEN 1000
+                 |       ELSE 2000 END""".stripMargin
+      val membJoin =
+        if (i == 1) "" else "\n  LEFT JOIN sym m ON m.src = t.prev AND m.dst = a.dst"
+      val pick = s"CAST(concat('0x', substr(md5('n2v|'||CAST(walk_id AS VARCHAR)||'|$i'), 1, 12)) AS BIGINT)"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT t.walk_id, t.cur, a.dst, $wCase AS w
+         |  FROM m${i - 1} t
+         |  JOIN sym a ON a.src = t.cur$membJoin),
+         |s$i AS MATERIALIZED (
+         |  SELECT walk_id, cur, dst,
+         |    sum(w) OVER (PARTITION BY walk_id ORDER BY dst) AS hi,
+         |    sum(w) OVER (PARTITION BY walk_id ORDER BY dst) - w AS lo,
+         |    sum(w) OVER (PARTITION BY walk_id) AS tot
+         |  FROM c$i),
+         |m$i AS MATERIALIZED (
+         |  SELECT walk_id, cur AS prev, dst AS cur FROM s$i
+         |  WHERE $pick % tot >= lo AND $pick % tot < hi)""".stripMargin
+    }
+    val hops = (1 to 4).map(hop).mkString(",\n")
+    val out = (0 to 4).map(i =>
+      s"SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST($i AS BIGINT) AS step, CAST(cur AS BIGINT) AS node FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
+       |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+       |  WHERE w >= 2),
+       |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
+       |m0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS prev, src AS cur FROM sym),
+       |$hops
+       |$out""".stripMargin
+  }
+
   private val walkPmiSql: String =
     s"""WITH $walkCtes,
        |p AS (SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
@@ -1128,6 +1187,7 @@ object GraphQueries {
     "graph_walk_pmi" -> walkPmiSql,
     "graph_walk_negatives" -> walkNegativesSql,
     "graph_walk_subsample" -> walkSubsampleSql,
+    "graph_node2vec_walks" -> node2vecSql,
     "graph_weighted_walks" -> weightedWalksSql,
     // unique-path closed form: region 0 to itself, nation = its own
     // edge weight, customer = customer-edge + nation-edge weights

@@ -611,6 +611,89 @@ object GraphAnalytics {
           .cast("long").as("pmi_micro"))
   }
 
+  /** SECOND-ORDER biased random walks — true node2vec (Grover &
+    * Leskovec 2016), completing the walk family: [[randomWalks]] is the
+    * uniform case and [[weightedRandomWalks]] the static-bias case; here
+    * the step distribution depends on the PREVIOUS node. A candidate
+    * next-hop dst from cur is weighted α = 1/p if dst == prev (return),
+    * 1 if dst is adjacent to prev (BFS-ish stay-local), 1/q otherwise
+    * (DFS-ish venture-out); the first step is uniform (no prev). Weights
+    * are caller-quantized INTEGER milli-units (`retMilli` ≈ 1000/p,
+    * `outMilli` ≈ 1000/q), so the per-step cumulative ladder, the md5
+    * uniform and the slot test are all exact integer arithmetic — no
+    * float anywhere, bit-identical in any engine.
+    *
+    * Scale: second-order bias inherently examines EVERY neighbor of cur
+    * each step (the weight depends on (prev, dst)), so each hop builds a
+    * degree-expanded candidate frame: one equi-join into the adjacency,
+    * one (prev, dst) membership left-join against the edge set, and a
+    * walk-keyed window pair (running + total weight — degree-bounded
+    * partitions, the adjacency-ranking class), then collapses back to
+    * one row per walk. That Σ deg(cur) per-hop cost is the algorithm's —
+    * reference node2vec implementations pay O(Σ deg²) alias-table
+    * precomputation instead; the on-the-fly form needs no per-edge-pair
+    * state and streams at corpus scale. Dead ends park exactly like
+    * [[randomWalks]] (checkpoint-barrier split, eager only). Same
+    * truncation semantics and output shape: (walk_id, step, node). */
+  def node2vecWalks(edges: DataFrame, walkLen: Int,
+                    retMilli: Long = 1000, outMilli: Long = 1000,
+                    seed: String = "n2v", eager: Boolean = true): DataFrame = {
+    require(walkLen >= 1, s"need walkLen >= 1; got $walkLen")
+    require(retMilli >= 1 && outMilli >= 1,
+      s"need positive milli-weights; got retMilli=$retMilli outMilli=$outMilli")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cur = e.select(col("src").as("walk_id")).distinct()
+        .select(col("walk_id"), col("walk_id").as("prev"),
+          col("walk_id").as("node"), array(col("walk_id")).as("__path"))
+      var parked = List.empty[DataFrame]
+      for (s <- 1 to walkLen) {
+        val cand = cur
+          .join(e.select(col("src").as("node"), col("dst")), Seq("node"), "left")
+        // (prev → dst) membership = the d(prev, dst) = 1 test
+        val memb = e.select(col("src").as("prev"), col("dst"), lit(1).as("__adj"))
+        val weighted = cand
+          .join(memb, Seq("prev", "dst"), "left")
+          .withColumn("__w",
+            when(col("dst").isNull, lit(null).cast("long"))
+              .when(lit(s) === 1, lit(1000L)) // first step: uniform
+              .when(col("dst") === col("prev"), lit(retMilli))
+              .when(col("__adj").isNotNull, lit(1000L))
+              .otherwise(lit(outMilli)))
+        val wWalk = Window.partitionBy("walk_id")
+        val cum = sum("__w").over(wWalk.orderBy("dst"))
+        val tot = sum("__w").over(wWalk)
+        val pick = conv(substring(md5(concat_ws("|", lit(seed),
+            col("walk_id").cast("string"), lit(s.toString))), 1, 12), 16, 10)
+          .cast("long") % tot
+        // exactly one candidate row survives per live walk (integer
+        // slots partition [0, tot)); dead walks keep their null-dst row
+        val hopped = weighted
+          .withColumn("__hit",
+            col("dst").isNull || (pick >= cum - col("__w") && pick < cum))
+          .where(col("__hit"))
+          .select(col("walk_id"), col("node").as("prev"),
+            coalesce(col("dst"), col("node")).as("node"),
+            when(col("dst").isNotNull, concat(col("__path"), array(col("dst"))))
+              .otherwise(col("__path")).as("__path"),
+            col("dst").isNull.as("__dead"))
+        if (eager && (s % WalkCheckpointEvery == 0 || s == walkLen)) {
+          val settled = hopped.localCheckpoint(true)
+          parked = settled.where(col("__dead"))
+            .select("walk_id", "prev", "node", "__path") :: parked
+          cur = settled.where(!col("__dead"))
+            .select("walk_id", "prev", "node", "__path")
+        } else cur = hopped.select("walk_id", "prev", "node", "__path")
+      }
+      parked.foldLeft(cur)(_ unionByName _)
+        .select(col("walk_id"), posexplode(col("__path")))
+        .select(col("walk_id"), col("pos").cast("long").as("step"),
+          col("col").as("node"))
+    } finally e.unpersist()
+  }
+
   /** Deterministic SGNS negative-sampling table over a skip-gram pair
     * tally ([[walkSkipGramPairs]] output) — the third artifact a
     * DeepWalk/word2vec training feed needs after pairs and PMI: for every

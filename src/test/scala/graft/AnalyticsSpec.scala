@@ -476,6 +476,61 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("node2vecWalks: exact second-order replay incl. dead end, p/q bias real") {
+    import spark.implicits._
+    // triangle 0-1-2 (symmetrized) + spur 1→9 (dead end) + pendant 2↔3:
+    // from 1, candidates {0, 2, 9, 3?}: return vs stay-local vs venture
+    val edgeSeq = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 0L), (0L, 2L),
+      (1L, 9L), (2L, 3L), (3L, 2L))
+    val edges = edgeSeq.toDF("src", "dst")
+    val (retM, outM) = (250L, 4000L)
+    val got = graft.analytics.GraphAnalytics
+      .node2vecWalks(edges, walkLen = 3, retMilli = retM, outMilli = outM)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // driver-side simulation of the exact integer ladder
+    def u48(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+    }
+    val adj = edgeSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val eset = edgeSeq.toSet
+    val want = adj.keySet.toSeq.sorted.flatMap { w0 =>
+      var prev = w0; var cur = w0; var alive = true
+      (0 to 3).flatMap { step =>
+        if (step == 0) Seq((w0, 0L, w0))
+        else if (!alive) Seq.empty
+        else adj.get(cur) match {
+          case None => alive = false; Seq.empty
+          case Some(ns) =>
+            val ws = ns.map { d =>
+              if (step == 1) 1000L
+              else if (d == prev) retM
+              else if (eset.contains((prev, d))) 1000L
+              else outM
+            }
+            val tot = ws.sum
+            val pick = u48(s"n2v|$w0|$step") % tot
+            var acc = 0L
+            val idx = ws.indexWhere { w => acc += w; pick < acc }
+            prev = cur; cur = ns(idx)
+            Seq((w0, step.toLong, cur))
+        }
+      }
+    }.sorted
+    assert(got == want, s"got $got\nwant $want")
+    // the bias knobs really steer: with return made overwhelming and
+    // venture forbidden-ish, step 2 must return to the start node
+    val gotRet = graft.analytics.GraphAnalytics
+      .node2vecWalks(edges, walkLen = 2, retMilli = 100000000L, outMilli = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (w, rs) => w -> rs.sortBy(_._2).map(_._3).toSeq }
+    gotRet.foreach { case (w, path) =>
+      if (path.size == 3 && adj(path(1)).contains(w))
+        assert(path(2) == w, s"walk $w did not return under huge retMilli: $path")
+    }
+  }
+
   test("k-core: cascading peel strips the tendril, keeps the clique") {
     import spark.implicits._
     // K4 on {1,2,3,4} plus a path 4-5-6: peeling k=2 must CASCADE — 6

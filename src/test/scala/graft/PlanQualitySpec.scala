@@ -641,6 +641,21 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("__bin"), s"binned slot key missing from plan:\n$plan")
   }
 
+  test("node2vecWalks: candidate and membership joins stay equi-keyed") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 0L), (0L, 2L))
+      .toDF("src", "dst")
+    val out = graft.analytics.GraphAnalytics.node2vecWalks(edges, walkLen = 2,
+      retMilli = 250, outMilli = 2000, eager = false)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the degree-expanded candidate build must ride the cur equi-key and
+    // the (prev, dst) membership test its own equi-pair — a residual-only
+    // form would nested-loop every walk against the whole edge set
+    assert(!plan.contains("CartesianProduct"), s"cartesian in node2vec plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in node2vec plan:\n$plan")
+  }
+
   test("containment verify sets are candidate-bounded: set agg input rides a doc-keyed semi-join") {
     import spark.implicits._
     // docs 1/2 share a rare shingle (candidates); 3..6 have singleton
