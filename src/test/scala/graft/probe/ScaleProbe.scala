@@ -213,6 +213,38 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("n2v100")) {
+      // round-13: second-order node2vec at 1x/10x/100x over disjoint
+      // co-purchase copies — the per-hop degree-expanded candidate frame
+      // is the scale-relevant shape (it carries Σ deg(cur) rows, not one
+      // row per walk like the first-order walks)
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val cp = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w")).where(col("w") >= 2)
+      val sym = cp.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(cp.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      sym.count()
+      def copies(nc: Int) = (0 until nc).map(c =>
+        sym.select((col("src") + lit(c.toLong * 10000000L)).as("src"),
+          (col("dst") + lit(c.toLong * 10000000L)).as("dst")))
+        .reduce(_ unionByName _)
+      graft.analytics.GraphAnalytics.node2vecWalks(copies(1), walkLen = 4,
+        retMilli = 250, outMilli = 2000).count() // warm
+      for ((nc, tag) <- Seq((1, "1x"), (10, "10x"), (100, "100x"))) {
+        val e = copies(nc).coalesce(64).persist(); e.count()
+        time(s"graph_node2vec_walks_$tag") {
+          graft.analytics.GraphAnalytics.node2vecWalks(e, walkLen = 4,
+            retMilli = 250, outMilli = 2000).count()
+        }
+        e.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("parked")) {
       // VERDICT r12 item 2 measurement: len-40 walks over a SINK-HEAVY
       // synthetic graph (40% of nodes have no out-edges, dst uniform over
