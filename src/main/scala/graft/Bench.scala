@@ -114,7 +114,10 @@ object Bench {
     // + word2vec frequent-node subsampling of the walk corpus
     "graph_walk_negatives", "graph_walk_subsample",
     // true second-order node2vec walks (the p/q-biased family member)
-    "graph_node2vec_walks")
+    "graph_node2vec_walks",
+    // Gopher-style within-document repetition rules (dup lines, top
+    // over the composite paragraph corpus (line-level rules)
+    "text_dup_lines")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1281,6 +1281,18 @@ object PipelineQueries {
     "text_distinct_ngrams" -> ((s, d) =>
       pipeline.TextAnalysis.distinctNgramReport(docs(s, d), "source", "text",
         n = 2)),
+    // Gopher-style LINE-level repetition rules over the composite
+    // paragraph corpus (same cid % 40 fixture as dedup_paragraphs — the
+    // planted exact copies land in the same composite, so duplicate
+    // lines really occur); the n-gram-level rules are text_repetition
+    "text_dup_lines" -> ((s, d) => {
+      val comp = dedupCorpus(s, d)
+        .groupBy((col("doc_id") % 40).as("cid"))
+        .agg(concat_ws("\n",
+          array_sort(collect_list(struct(col("doc_id"), col("text"))))
+            .getField("text")).as("text"))
+      pipeline.TextAnalysis.dupLineReport(comp, "cid", "text")
+    }),
     // exact-percentile length gate via the token-count histogram: keep the
     // [5%, 95%] word-count band
     "curate_length_filter" -> ((s, d) =>
@@ -2876,6 +2888,19 @@ object PipelineQueries {
            |  CAST(sum(cnt) AS BIGINT) AS n_total,
            |  CAST((1000000 * count(*)) // sum(cnt) AS BIGINT) AS distinct_ratio_micro
            |FROM c GROUP BY 1""".stripMargin,
+      // LINE-level repetition rules over the composite corpus: duplicate
+      // lines by exact content, micro ratios via the same // division
+      "text_dup_lines" ->
+        s"""$corpusCte,
+           |comp AS (SELECT doc_id % 40 AS cid,
+           |    string_agg(text, chr(10) ORDER BY doc_id) AS text
+           |  FROM corpus GROUP BY 1),
+           |lns AS (SELECT cid, unnest(string_split(text, chr(10))) AS l FROM comp),
+           |nl AS (SELECT cid, l, count(*) AS c FROM lns WHERE trim(l) <> '' GROUP BY 1, 2)
+           |SELECT cid, CAST(sum(c) AS BIGINT) AS n_lines,
+           |  CAST((1000000 * sum(c - 1)) // sum(c) AS BIGINT) AS dup_line_frac_micro,
+           |  CAST((1000000 * sum(len(l) * (c - 1))) // sum(len(l) * c) AS BIGINT) AS dup_line_char_frac_micro
+           |FROM nl GROUP BY 1""".stripMargin,
       // mirrors Curation.mixReport over (lang, source)
       "curate_mix_report" ->
         s"""WITH g AS (SELECT lang, source, count(*) AS n_docs,

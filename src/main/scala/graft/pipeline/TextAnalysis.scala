@@ -186,6 +186,38 @@ object TextAnalysis {
         microRatio("n_distinct", "n_total", "distinctNgramReport")
           .as("distinct_ratio_micro"))
 
+  /** Gopher-style LINE-level repetition rules (Rae et al. 2021, §A1.1)
+    * — the structural complement of [[repetitionSignals]] (which covers
+    * the word/n-gram-level rules): per document, the fraction of
+    * duplicate LINES (occurrences beyond each line's first, by exact
+    * content) and the fraction of line characters sitting inside those
+    * duplicate occurrences. High values flag boilerplate navigation,
+    * templated spam, and copy-pasted blocks that n-gram rules dilute on
+    * long documents. Ratios are [[microRatio]] integer micro-units of
+    * exact counts — overflow fails loudly, the oracle replays the
+    * identical arithmetic. Documents with no non-empty line are
+    * excluded (no line statistics exist for them).
+    *
+    * Scale: one (doc, line) aggregation then a doc rollup — both
+    * map-side combinable, the first fanned out by line content so no
+    * hub document concentrates a task. Returns (idCol, n_lines,
+    * dup_line_frac_micro, dup_line_char_frac_micro). */
+  def dupLineReport(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "\n")).as("__l"))
+      .where(trim(col("__l")) =!= "")
+      .groupBy(col(idCol), col("__l"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum("__c").as("n_lines"),
+        sum(col("__c") - 1).as("__dups"),
+        sum(length(col("__l")) * col("__c")).as("__lchars"),
+        sum(length(col("__l")) * (col("__c") - 1)).as("__dchars"))
+      .select(col(idCol), col("n_lines"),
+        microRatio("__dups", "n_lines", "dupLineReport")
+          .as("dup_line_frac_micro"),
+        microRatio("__dchars", "__lchars", "dupLineReport")
+          .as("dup_line_char_frac_micro"))
+
   /** 1e6-scaled integer ratio of two exact long sums with a LOUD overflow
     * guard (ADVICE r12): `1000000 * num` runs through try_multiply, and a
     * NULL result — Long overflow, reachable once a slice passes ~9.2e12

@@ -6,6 +6,31 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 class PipelineSpec extends SparkSuite {
   import spark.implicits._
 
+  test("dupLineReport: hand-computed line-duplication fractions") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      // 4 lines, "nav bar" twice (5 chars ×2), one blank line ignored
+      (1L, "nav bar\nreal content here\n\nnav bar\nfooter"),
+      (2L, "all\nlines\ndistinct"),
+      (3L, "x\nx\nx\nx"), // one distinct line, 3 duplicate occurrences
+      (4L, " \n\t\n")     // nothing but blank lines → excluded
+    ).toDF("id", "text")
+    val got = pipeline.TextAnalysis.dupLineReport(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: 4 non-empty lines (the blank drops), 1 dup occurrence
+    // ("nav bar"); chars: dup 7, total 7*2 + 17 + 6 = 37
+    assert(got(1L) == ((4L, 1000000L / 4, 7000000L / 37)), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 0L, 0L)))
+    assert(got(3L) == ((4L, 3000000L / 4, 3000000L / 4)))
+    assert(!got.contains(4L), "blank-only doc must be excluded")
+    // and the composite-fixture shape really produces duplicate lines
+    val comp = df.where(col("id") <= 2)
+      .unionByName(Seq((5L, "nav bar\nreal content here\n\nnav bar\nfooter"))
+        .toDF("id", "text"))
+    assert(pipeline.TextAnalysis.dupLineReport(comp, "id", "text").count() == 3)
+  }
+
   lazy val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
     (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
