@@ -196,7 +196,9 @@ object TextAnalysis {
     * long documents. Ratios are [[microRatio]] integer micro-units of
     * exact counts — overflow fails loudly, the oracle replays the
     * identical arithmetic. Documents with no non-empty line are
-    * excluded (no line statistics exist for them).
+    * excluded (no line statistics exist for them); "empty" means
+    * zero-length after space-trimming — the SQL trim both engines
+    * share is space-only, so a tabs-only line counts as content.
     *
     * Scale: one (doc, line) aggregation then a doc rollup — both
     * map-side combinable, the first fanned out by line content so no

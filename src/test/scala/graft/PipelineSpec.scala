@@ -13,7 +13,9 @@ class PipelineSpec extends SparkSuite {
       (1L, "nav bar\nreal content here\n\nnav bar\nfooter"),
       (2L, "all\nlines\ndistinct"),
       (3L, "x\nx\nx\nx"), // one distinct line, 3 duplicate occurrences
-      (4L, " \n\t\n")     // nothing but blank lines → excluded
+      (4L, " \n  \n")     // only space-blank lines → excluded (trim is
+                          // space-only in both engines — a tabs-only
+                          // line would count as content)
     ).toDF("id", "text")
     val got = pipeline.TextAnalysis.dupLineReport(df, "id", "text")
       .collect().map(r => r.getLong(0) ->
