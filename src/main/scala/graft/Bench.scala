@@ -117,7 +117,11 @@ object Bench {
     "graph_node2vec_walks",
     // Gopher-style within-document repetition rules (dup lines, top
     // over the composite paragraph corpus (line-level rules)
-    "text_dup_lines")
+    "text_dup_lines",
+    // round-13 second wave: community-quality (modularity over the LPA
+    // partition), degree assortativity of the co-purchase graph, and
+    // hybrid BM25+vector retrieval via reciprocal-rank fusion
+    "graph_modularity", "graph_assortativity", "ann_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

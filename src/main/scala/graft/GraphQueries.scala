@@ -534,6 +534,31 @@ object GraphQueries {
       GraphAnalytics.node2vecWalks(sym, walkLen = 4, retMilli = 250, outMilli = 2000)
         .select(col("walk_id").cast("long"), col("step"), col("node").cast("long"))
     }),
+    // community QUALITY metric over the LPA partition: per-community
+    // Newman modularity contribution Q_c = E_c/M - (D_c/M)^2 on the same
+    // symmetrized analytics edges LPA iterated over — exact-integer core
+    // (decimal(38,0) products), one double division per community
+    "graph_modularity" -> ((s, d) => {
+      val g = analyticsSubgraph(graph(s, d))
+      val labels = GraphAnalytics.labelPropagationDF(g, analyticsToLong,
+          rounds = 3, symEdges = Some(symEdges(s, d)))
+        .select(analyticsToLong(col("id")).as("vid"), col("label"))
+      GraphAnalytics.modularityByCommunity(labels, symEdges(s, d))
+    }),
+    // degree assortativity of the thresholded co-purchase graph: do hubs
+    // co-purchase with hubs? Pearson r between endpoint degrees over the
+    // directed-symmetric edge list — guarded-Long sums, one IEEE division
+    "graph_assortativity" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w"))
+        .where(col("w") >= 2)
+      val sym = pairs.select(col("a"), col("b"))
+        .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      GraphAnalytics.assortativity(sym)
+    }),
     // weight-proportional walks: step choice lands the md5 uniform in the
     // neighbor's slot of the cumulative shared-order-count ladder
     "graph_weighted_walks" -> ((s, d) => {
@@ -964,7 +989,7 @@ object GraphQueries {
   // mirrors GraphAnalytics.labelPropagationDF(rounds=3) over the analytics
   // subgraph: symmetrized edges, per-round most-frequent-neighbor label
   // with (count desc, label asc) tie-break, isolated vertices keep theirs
-  private val lpaSql = {
+  private val lpaCtes = {
     def round(r: Int) =
       s"""m$r AS (SELECT e.b AS vid, l.lbl, count(*) AS c
          |  FROM ed e JOIN l$r l ON l.vid = e.a GROUP BY 1, 2),
@@ -972,7 +997,7 @@ object GraphQueries {
          |  row_number() OVER (PARTITION BY vid ORDER BY c DESC, lbl ASC) AS rn FROM m$r),
          |l${r + 1} AS (SELECT l.vid, coalesce(w.lbl, l.lbl) AS lbl
          |  FROM l$r l LEFT JOIN w$r w ON w.vid = l.vid AND w.rn = 1)""".stripMargin
-    s"""WITH nodes AS (
+    s"""nodes AS (
        |  SELECT CAST(r_regionkey AS BIGINT) AS vid, 'region:'||r_regionkey AS id FROM region
        |  UNION ALL SELECT n_nationkey + 100, 'nation:'||n_nationkey FROM nation
        |  UNION ALL SELECT s_suppkey + 10000, 'supplier:'||s_suppkey FROM supplier
@@ -986,13 +1011,58 @@ object GraphQueries {
        |l0 AS (SELECT vid, vid AS lbl FROM nodes),
        |${round(0)},
        |${round(1)},
-       |${round(2)}
+       |${round(2)}""".stripMargin
+  }
+  private val lpaSql =
+    s"""WITH $lpaCtes
        |SELECT n.id, CAST(l3.lbl AS BIGINT) AS label
        |FROM l3 JOIN nodes n ON n.vid = l3.vid""".stripMargin
-  }
+
+  // modularity over the SAME lpa partition and edge table: per community,
+  // Q_c = (E_c*M - D_c^2)/M^2 in exact integers (HUGEINT here, decimal(38,0)
+  // on the Spark side) with one double division per community
+  private val modularitySql =
+    s"""WITH $lpaCtes,
+       |deg AS (SELECT a AS vid, count(*) AS dg FROM ed GROUP BY a),
+       |lab AS (SELECT vid, lbl AS label FROM l3),
+       |perc AS (SELECT label, count(*) AS n_nodes, sum(coalesce(dg, 0)) AS degree_sum
+       |  FROM lab LEFT JOIN deg USING (vid) GROUP BY label),
+       |intr AS (SELECT la.label, count(*) AS internal_directed
+       |  FROM ed JOIN lab la ON la.vid = ed.a JOIN lab lb ON lb.vid = ed.b
+       |  WHERE la.label = lb.label GROUP BY la.label),
+       |mm AS (SELECT count(*) AS m FROM ed)
+       |SELECT CAST(label AS BIGINT) AS label, CAST(n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(degree_sum AS BIGINT) AS degree_sum,
+       |  CAST(coalesce(internal_directed, 0) AS BIGINT) AS internal_directed,
+       |  round(CAST(coalesce(internal_directed, 0) * m - degree_sum * degree_sum AS DOUBLE)
+       |    / CAST(m * m AS DOUBLE), 6) AS q_contrib
+       |FROM perc LEFT JOIN intr USING (label), mm""".stripMargin
+
+  // degree assortativity of the thresholded co-purchase graph: Pearson r
+  // between the endpoint degrees over the directed-symmetric edge list —
+  // exact integer sums (HUGEINT / guarded Longs), one double division
+  private val assortativitySql =
+    """WITH e AS MATERIALIZED (
+      |  SELECT a, b FROM (
+      |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
+      |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+      |  WHERE w >= 2),
+      |sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      |deg AS (SELECT a AS v, count(*) AS dg FROM sym GROUP BY a),
+      |sc AS (SELECT da.dg AS j, db.dg AS k FROM sym s
+      |  JOIN deg da ON da.v = s.a JOIN deg db ON db.v = s.b),
+      |ag AS (SELECT count(*) AS m, sum(j * k) AS sjk, sum(j) AS sj, sum(j * j) AS sj2 FROM sc)
+      |SELECT CAST(m AS BIGINT) AS m_directed, CAST(sjk AS BIGINT) AS sum_jk,
+      |  CAST(sj AS BIGINT) AS sum_j, CAST(sj2 AS BIGINT) AS sum_j2,
+      |  round(CAST(m * sjk - sj * sj AS DOUBLE) / CAST(m * sj2 - sj * sj AS DOUBLE), 6)
+      |    AS assortativity
+      |FROM ag""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "graph_lpa_df" -> lpaSql,
+    "graph_modularity" -> modularitySql,
+    "graph_assortativity" -> assortativitySql,
     "zoe_e_all" ->
       s"""SELECT $custInNation AS id FROM customer
          |UNION ALL SELECT $suppInNation FROM supplier

@@ -326,6 +326,12 @@ object PipelineQueries {
   private val Bm25B = 0.75
   private val Bm25TopK = 10
 
+  // ann_hybrid_rrf parameters: each arm contributes its top-RrfArmK list,
+  // fusion keeps the top-RrfTopK by summed 1000000 DIV (RrfC + rank)
+  private val RrfC = 60
+  private val RrfArmK = 10
+  private val RrfTopK = 5
+
   // dedup_semantic parameters (k-means clusters bound the candidate pairs;
   // clusters beyond SemMaxCluster members sub-split deterministically so
   // no single (cid) join key is ever quadratic past the cap)
@@ -1051,6 +1057,26 @@ object PipelineQueries {
           concat_ws(" ", slice(TextAnalysis.words(col("text")), 1, 8)).as("qtext"))
       TextAnalysis.bm25TopK(dd, q, "doc_id", "text", "query_id", "qtext",
         topK = Bm25TopK, k1 = Bm25K1, b = Bm25B)
+    }),
+    // HYBRID retrieval: reciprocal-rank fusion of the BM25 lexical arm and
+    // the brute-force-cosine vector arm over the shared query set (doc ids
+    // divisible by 101 that also have an embedding) — integer micro-unit
+    // contributions, so the fusion is bit-replayable from the arm ranks
+    "ann_hybrid_rrf" -> ((s, d) => {
+      val dd = docs(s, d)
+      val e = embeddings(s, d)
+      val q = dd.where(col("doc_id") % 101 === 0)
+        .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextAnalysis.words(col("text")), 1, 8)).as("qtext"))
+      val lex = TextAnalysis.bm25TopK(dd, q, "doc_id", "text", "query_id", "qtext",
+          topK = RrfArmK, k1 = Bm25K1, b = Bm25B)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val vq = e.join(q.select(col("query_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      val vec = Similarity.bruteForceTopK(e, vq, "vec_id", "embedding", k = RrfArmK)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("rank"))
+      Similarity.rrfFuse(Seq(lex, vec), c = RrfC, topK = RrfTopK)
     }),
     // exact-substring dedup signal: per document, how many of its 8-word
     // windows appear verbatim in some other document
@@ -2076,6 +2102,57 @@ object PipelineQueries {
            |  floor(CAST(micros AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS score,
            |  CAST(rnk AS BIGINT) AS rank
            |FROM r WHERE rnk <= $Bm25TopK""".stripMargin
+      },
+      "ann_hybrid_rrf" -> {
+        val k1 = s"$Bm25K1"
+        val k1p1 = s"${Bm25K1 + 1.0}"
+        val b = s"$Bm25B"
+        val oneMinusB = s"${1.0 - Bm25B}"
+        s"""WITH ${toksCte("documents")},
+           |tok AS (SELECT doc_id, unnest(w) AS word FROM toks),
+           |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok WHERE word <> '' GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM tok WHERE word <> '' GROUP BY 1),
+           |dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok WHERE word <> '' GROUP BY 1),
+           |g AS (SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+           |             (SELECT count(*) FROM tok WHERE word <> '') AS tt),
+           |q AS (SELECT doc_id AS query_id,
+           |    array_to_string(list_slice(string_split($normSql, ' '), 1, 8), ' ') AS qtext
+           |  FROM documents
+           |  WHERE doc_id % 101 = 0 AND doc_id IN (SELECT vec_id FROM embeddings)),
+           |qt AS (SELECT DISTINCT query_id, word FROM
+           |    (SELECT query_id, unnest(string_split(qtext, ' ')) AS word FROM q)
+           |  WHERE word <> ''),
+           |sc AS (SELECT qt.query_id, tf.doc_id,
+           |    CAST(floor((g.n - dfq.df + 0.5) / (dfq.df + 0.5) *
+           |      ((tf.tf * $k1p1) / (tf.tf + $k1 * ($oneMinusB + ($b * dl.dl) / (CAST(g.tt AS DOUBLE) / CAST(g.n AS DOUBLE)))))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS micro
+           |  FROM tf JOIN qt USING (word) JOIN dfq USING (word)
+           |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN g),
+           |su AS (SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS micros FROM sc GROUP BY 1, 2),
+           |lexarm AS (SELECT query_id, doc_id, rnk FROM (
+           |    SELECT query_id, doc_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY micros DESC, doc_id ASC) AS rnk
+           |    FROM su) t WHERE rnk <= $RrfArmK),
+           |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+           |vq AS (SELECT vec_id AS query_id, ve AS qv FROM v
+           |  WHERE vec_id IN (SELECT query_id FROM q)),
+           |vs AS (SELECT query_id, e.vec_id AS doc_id,
+           |    round(list_cosine_similarity(qv, e.ve), 6) AS cos
+           |  FROM vq, v e WHERE e.vec_id <> query_id),
+           |varm AS (SELECT query_id, doc_id, rnk FROM (
+           |    SELECT query_id, doc_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rnk
+           |    FROM vs) t WHERE rnk <= $RrfArmK),
+           |uni AS (SELECT query_id, doc_id, CAST(1000000 // ($RrfC + rnk) AS BIGINT) AS rrf
+           |  FROM (SELECT * FROM lexarm UNION ALL SELECT * FROM varm) arms),
+           |fus AS (SELECT query_id, doc_id, count(*) AS n_arms, sum(rrf) AS rrf_micro
+           |  FROM uni GROUP BY 1, 2),
+           |fr AS (SELECT query_id, doc_id, n_arms, rrf_micro,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC) AS rnk2
+           |  FROM fus)
+           |SELECT query_id, doc_id, CAST(n_arms AS BIGINT) AS n_arms,
+           |  CAST(rrf_micro AS BIGINT) AS rrf_micro, CAST(rnk2 AS BIGINT) AS rank
+           |FROM fr WHERE rnk2 <= $RrfTopK""".stripMargin
       },
       "dedup_substring" ->
         s"""$corpusCte, ${toksCte("corpus")},

@@ -1100,6 +1100,97 @@ object GraphAnalytics {
     } finally { verts.unpersist(); canon.unpersist() }
   }
 
+  /** Degree-assortativity coefficient of a symmetrized (each undirected
+    * edge present in BOTH directions, no duplicates) edge table (a, b):
+    * the Pearson correlation between the degrees at the two ends of an
+    * edge (Newman's directed-double-count estimator, the standard
+    * undirected form). With M = directed edge count, j = deg(a),
+    * k = deg(b) per row and exact integer sums Sjk = Σ j·k, Sj = Σ j
+    * (= Σ k by symmetry), Sj2 = Σ j²:
+    *
+    *   r = (M·Sjk − Sj²) / (M·Sj2 − Sj²)
+    *
+    * Scale: ONE map-side-combinable degree pass, two equi-joins
+    * decorating each edge with its endpoint degrees (both shuffle on the
+    * vertex key — the same partitioning, reused), one global aggregate.
+    * The per-row products and sums are guarded Long arithmetic
+    * (try_multiply/try_sum raise instead of wrapping — hub degrees at the
+    * 100 TB point push j·k sums past 2^63, the dupLineReport overflow
+    * class); the final numerator/denominator combine in decimal(38,0)
+    * (exact to 38 digits) and meet in ONE IEEE double division —
+    * bit-identical across engines, no float-summation-order surface.
+    * Returns one row (m_directed, sum_jk, sum_j, sum_j2, assortativity). */
+  def assortativity(symEdges: DataFrame): DataFrame = {
+    def guarded(e: String) = expr(
+      s"coalesce($e, raise_error('assortativity: sum overflowed BIGINT — " +
+        "use a sampled edge frame or widen to decimal partials'))")
+    val dec = "decimal(38,0)"
+    // the edge frame is read three times (degree pass + both decoration
+    // joins); materialize it once so an expensive upstream build (e.g. the
+    // co-purchase self-join) isn't recomputed per scan
+    val se = symEdges.localCheckpoint(true)
+    val deg = se.groupBy(col("a").as("__v")).agg(count(lit(1)).as("__deg"))
+    val scored = se
+      .join(deg.select(col("__v").as("a"), col("__deg").as("__da")), Seq("a"))
+      .join(deg.select(col("__v").as("b"), col("__deg").as("__db")), Seq("b"))
+      .select(col("__da"), col("__db"))
+    scored
+      .agg(count(lit(1)).as("__m"),
+        guarded("try_sum(try_multiply(__da, __db))").as("__sjk"),
+        guarded("try_sum(__da)").as("__sj"),
+        guarded("try_sum(try_multiply(__da, __da))").as("__sj2"))
+      .select(col("__m").as("m_directed"), col("__sjk").as("sum_jk"),
+        col("__sj").as("sum_j"), col("__sj2").as("sum_j2"),
+        round(
+          (col("__m").cast(dec) * col("__sjk").cast(dec) -
+            col("__sj").cast(dec) * col("__sj").cast(dec)).cast("double") /
+          (col("__m").cast(dec) * col("__sj2").cast(dec) -
+            col("__sj").cast(dec) * col("__sj").cast(dec)).cast("double"), 6)
+          .as("assortativity"))
+  }
+
+  /** Newman modularity of a community assignment, one row per community.
+    * `labels` is (vid, label); `symEdges` is the directed-symmetric
+    * deduplicated (a, b) table ([[symmetrizedEdges]]). Per community c,
+    * with M = directed edge count (= 2m), E_c = directed edges with both
+    * endpoints in c, D_c = Σ deg(v) over c's members:
+    *
+    *   Q_c = E_c/M − (D_c/M)²   and   Q = Σ_c Q_c
+    *
+    * The exact-integer core Q_c = (E_c·M − D_c²)/M² combines in
+    * decimal(38,0) (a Long wraps once D_c² passes 2^63 — giant-community
+    * scale) and pays ONE double division per community — engine-parity
+    * safe, no float accumulation. Scale: one degree pass, one per-vertex
+    * label join, the both-endpoints decoration reuses the same vertex
+    * key, and the rollup is a map-side-combinable groupBy(label); M is a
+    * 1-row broadcast. Returns
+    * (label, n_nodes, degree_sum, internal_directed, q_contrib). */
+  def modularityByCommunity(labels: DataFrame, symEdges: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lab = labels.select(col("vid"), col("label"))
+    val deg = symEdges.groupBy(col("a").as("vid")).agg(count(lit(1)).as("__deg"))
+    val perC = lab.join(deg, Seq("vid"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("__deg"), lit(0L))).as("degree_sum"))
+    val internal = symEdges
+      .join(lab.select(col("vid").as("a"), col("label").as("__la")), Seq("a"))
+      .join(lab.select(col("vid").as("b"), col("label").as("__lb")), Seq("b"))
+      .where(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label")).agg(count(lit(1)).as("internal_directed"))
+    val m = symEdges.agg(count(lit(1)).as("__M"))
+    perC.join(internal, Seq("label"), "left")
+      .na.fill(0L, Seq("internal_directed"))
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"), col("degree_sum"),
+        col("internal_directed"),
+        round(
+          (col("internal_directed").cast(dec) * col("__M").cast(dec) -
+            col("degree_sum").cast(dec) * col("degree_sum").cast(dec)).cast("double") /
+          (col("__M").cast(dec) * col("__M").cast(dec)).cast("double"), 6)
+          .as("q_contrib"))
+  }
+
   /** Per-vertex triangle count (GraphX semantics: graph treated as
     * undirected, needs canonical edge orientation). */
   def triangleCount(g: GraphStore, toLong: Column => Column): DataFrame = {

@@ -37,6 +37,35 @@ object Similarity {
   def cosineHof(a: Column, b: Column): Column =
     dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
+  /** Reciprocal-rank fusion (Cormack–Clarke–Buettcher SIGIR'09) of N
+    * ranked retrieval arms — the standard way to combine a lexical (BM25)
+    * and a vector (cosine ANN) arm into one hybrid ranking without score
+    * calibration. Each arm contributes 1/(c + rank) per (query, doc);
+    * fused docs are re-ranked by the summed contribution.
+    *
+    * Arms are (query_id, doc_id, rank) frames. Contributions are exact
+    * integer micro-units (1000000 DIV (c + rank)) so the fusion has zero
+    * float surface — an oracle replays it bit-for-bit from the arm ranks.
+    *
+    * Scale: the arms' top-k outputs are tiny relative to the corpora that
+    * produced them (|queries|·k rows each); the union + groupBy shuffles
+    * only those rows on (query_id, doc_id) with map-side combine, and the
+    * per-query re-rank window partitions on query_id — no corpus-sized
+    * exchange anywhere in the fusion itself.
+    * Returns (query_id, doc_id, n_arms, rrf_micro, rank). */
+  def rrfFuse(arms: Seq[DataFrame], c: Int = 60, topK: Int = 10): DataFrame = {
+    require(arms.nonEmpty, "need at least one ranked arm")
+    require(c >= 0, s"need rrf constant >= 0; got $c")
+    val contrib = arms.map(_.select(col("query_id"), col("doc_id"),
+        expr(s"CAST(1000000 DIV ($c + rank) AS BIGINT)").as("__rrf")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_arms"), sum("__rrf").as("rrf_micro"))
+    val w = Window.partitionBy("query_id").orderBy(desc("rrf_micro"), asc("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+  }
+
   /** Brute-force cosine top-k: for every query vector, the k nearest corpus
     * vectors (excluding itself). Query side is broadcast; ranking is a
     * window with deterministic (cos desc, id asc) tiebreak.

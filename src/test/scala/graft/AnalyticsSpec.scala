@@ -594,6 +594,47 @@ class AnalyticsSpec extends SparkSuite {
     assert(ex.getMessage.contains("overflow"), s"got ${ex.getMessage}")
   }
 
+  test("modularityByCommunity: two triangles + bridge, hand-computed Q per community") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by 3-4; vertex 7 isolated
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val sym = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L), (7L, 7L))
+      .toDF("vid", "label")
+    val out = GraphAnalytics.modularityByCommunity(labels, sym).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // M = 14 directed edges; each triangle community: E_c = 6, D_c = 7,
+    // Q_c = (6*14 - 49)/196 = 35/196 = 0.178571
+    assert(out(1L) == ((3L, 7L, 6L, 0.178571)), s"got ${out(1L)}")
+    assert(out(4L) == ((3L, 7L, 6L, 0.178571)), s"got ${out(4L)}")
+    // isolated singleton community contributes nothing
+    assert(out(7L) == ((1L, 0L, 0L, 0.0)), s"got ${out(7L)}")
+    // whole-graph Q = sum of contributions; putting EVERYTHING in one
+    // community gives Q = 0 exactly (E_c = M, D_c = M)
+    val one = GraphAnalytics.modularityByCommunity(
+      labels.select($"vid", lit(1L).as("label")), sym).collect()
+    assert(one.length == 1 && one(0).getDouble(4) == 0.0, s"got ${one.toSeq}")
+  }
+
+  test("assortativity: star = -1, degree-homogeneous components = +1") {
+    import spark.implicits._
+    def sym(und: Seq[(Long, Long)]) =
+      und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("a", "b")
+    // star 1-{2,3,4}: every edge joins deg 3 to deg 1 — perfectly
+    // disassortative
+    val star = GraphAnalytics.assortativity(sym(Seq((1L, 2L), (1L, 3L), (1L, 4L))))
+      .collect()(0)
+    assert(star.getLong(0) == 6L && star.getLong(1) == 18L &&
+      star.getLong(2) == 12L && star.getLong(3) == 30L, s"got $star")
+    assert(star.getDouble(4) == -1.0, s"got ${star.getDouble(4)}")
+    // triangle + disjoint edge: both endpoints of every edge share a
+    // degree — perfectly assortative
+    val mixed = GraphAnalytics.assortativity(
+      sym(Seq((1L, 2L), (2L, 3L), (1L, 3L), (8L, 9L)))).collect()(0)
+    assert(mixed.getDouble(4) == 1.0, s"got ${mixed.getDouble(4)}")
+  }
+
   test("adamicAdar: hand-computed micro scores, adjacency excluded, degree cap") {
     import spark.implicits._
     // square 1-3-2-4-1 plus diagonal 3-4 plus tendril 4-5:

@@ -180,6 +180,29 @@ class PipelineSpec extends SparkSuite {
     assert(topk(1).getAs[Double]("cos") <= topk(0).getAs[Double]("cos"))
   }
 
+  test("rrfFuse: hand-computed micro contributions, arm count, tie-break") {
+    import spark.implicits._
+    // 1000000 DIV (60 + rank): rank 1 → 16393, rank 2 → 16129
+    val armA = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val armB = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("query_id", "doc_id", "rank")
+    val fused = Similarity.rrfFuse(Seq(armA, armB), c = 60, topK = 10).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 11 appears in both arms: 16129 + 16393; docs 10/12 in one each
+    assert(fused == Map(
+      11L -> ((2L, 32522L, 1L)),
+      10L -> ((1L, 16393L, 2L)),
+      12L -> ((1L, 16129L, 3L))), s"got $fused")
+    // equal-score fusions break ties toward the smaller doc id
+    val tied = Similarity.rrfFuse(
+      Seq(Seq((1L, 20L, 1L), (1L, 19L, 2L)).toDF("query_id", "doc_id", "rank"),
+        Seq((1L, 19L, 1L), (1L, 20L, 2L)).toDF("query_id", "doc_id", "rank")),
+      c = 60, topK = 1).collect()
+    assert(tied.length == 1 && tied(0).getLong(1) == 19L, s"got ${tied.toSeq}")
+    // topK truncates the fused ranking
+    val top1 = Similarity.rrfFuse(Seq(armA, armB), c = 60, topK = 1).collect()
+    assert(top1.length == 1 && top1(0).getLong(1) == 11L)
+  }
+
   test("embedding cosine near-dup pairs") {
     val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
