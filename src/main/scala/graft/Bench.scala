@@ -121,7 +121,9 @@ object Bench {
     // round-13 second wave: community-quality (modularity over the LPA
     // partition), degree assortativity of the co-purchase graph, and
     // hybrid BM25+vector retrieval via reciprocal-rank fusion
-    "graph_modularity", "graph_assortativity", "ann_hybrid_rrf")
+    "graph_modularity", "graph_assortativity", "ann_hybrid_rrf",
+    // truncated-prefix recall rungs (the Matryoshka serving-tier test)
+    "ann_matryoshka_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1159,6 +1159,15 @@ object PipelineQueries {
         "vec_id", "embedding", k = 3, planes = 4, nlist = 16, nprobe = 4,
         m = 16, codewords = 256, ivfPqNprobe = 8, ivfPqIdx = Some(ivfPqIdx(s, d)))
     }),
+    // Matryoshka acceptance test: cosine top-k recall when only the first
+    // 8/16/32/64 dimensions are scored, vs the full-dim exact top-k —
+    // the measurement that licenses storing truncated prefixes on the
+    // serving tier
+    "ann_matryoshka_recall" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Similarity.matryoshkaRecall(e, e.where(col("vec_id") < 30),
+        "vec_id", "embedding", k = 3, prefixes = Seq(8, 16, 32, 64))
+    }),
     // right-to-forget over the persisted index: ids 40-43 removed (one
     // anti-join on the stored codes, quantizers frozen), then served —
     // results must equal an index whose corpus never held those vectors
@@ -2103,6 +2112,29 @@ object PipelineQueries {
            |  CAST(rnk AS BIGINT) AS rank
            |FROM r WHERE rnk <= $Bm25TopK""".stripMargin
       },
+      "ann_matryoshka_recall" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+          |q AS (SELECT vec_id, ve FROM v WHERE vec_id < 30),
+          |ex AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.ve, c.ve), 6) DESC, c.vec_id ASC) AS rnk
+          |  FROM q JOIN v c ON c.vec_id <> q.vec_id) t WHERE rnk <= 3),
+          |den AS (SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_exact FROM ex),
+          |rung(d) AS (VALUES (8), (16), (32), (64)),
+          |rs AS (SELECT r.d, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY r.d, q.vec_id
+          |      ORDER BY round(list_cosine_similarity(list_slice(q.ve, 1, r.d), list_slice(c.ve, 1, r.d)), 6) DESC,
+          |        c.vec_id ASC) AS rnk
+          |  FROM rung r, q JOIN v c ON c.vec_id <> q.vec_id),
+          |topd AS (SELECT d, query_id, neighbor_id FROM rs WHERE rnk <= 3),
+          |h AS (SELECT t.d, count(*) AS n_found,
+          |    CAST(coalesce(sum(CASE WHEN ex.query_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit
+          |  FROM topd t LEFT JOIN ex ON t.query_id = ex.query_id AND t.neighbor_id = ex.neighbor_id
+          |  GROUP BY t.d)
+          |SELECT CAST(h.d AS BIGINT) AS dims, den.n_queries, den.n_exact, h.n_found, h.n_hit,
+          |  round(CASE WHEN den.n_exact = 0 THEN 1.0 ELSE CAST(h.n_hit AS DOUBLE) / den.n_exact END, 4) AS recall
+          |FROM h, den""".stripMargin,
       "ann_hybrid_rrf" -> {
         val k1 = s"$Bm25K1"
         val k1p1 = s"${Bm25K1 + 1.0}"

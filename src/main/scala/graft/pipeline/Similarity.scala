@@ -66,6 +66,48 @@ object Similarity {
       .where(col("rank") <= topK)
   }
 
+  /** Matryoshka / truncated-dimension retrieval QA: for each prefix length
+    * d, run cosine top-k over only the FIRST d dimensions and measure
+    * recall against the full-dimension exact top-k. This is the
+    * acceptance test for Matryoshka-style embeddings (Kusupati et al.
+    * NeurIPS'22): if recall holds at d ≪ dim, the serving index can store
+    * d-dim prefixes — a dim/d memory and bandwidth cut on the ANN tier.
+    *
+    * Scale: the ground truth is computed ONCE and checkpointed (each rung
+    * joins against the materialized pairs, not a recomputed brute-force
+    * plan); each rung is a broadcast of the (small) query set against one
+    * corpus scan — rungs never shuffle the corpus. At index scale the
+    * per-rung scorer swaps for the IVF-routed candidate set; the report
+    * shape stays identical. Returns one row per rung:
+    * (dims, n_queries, n_exact, n_found, n_hit, recall). */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       prefixes: Seq[Int]): DataFrame = {
+    require(prefixes.nonEmpty, "need at least one prefix length")
+    require(prefixes.forall(_ > 0), s"prefix lengths must be positive; got $prefixes")
+    val exact = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val den = exact.agg(countDistinct("query_id").as("n_queries"),
+      count(lit(1)).as("n_exact"))
+    val rungs = prefixes.map { d =>
+      val c = corpus.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val q = queries.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      bruteForceTopK(c, q, idCol, vecCol, k)
+        .select(lit(d.toLong).as("dims"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val hits = rungs
+      .join(exact.withColumn("__hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("dims")
+      .agg(count(lit(1)).as("n_found"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    hits.crossJoin(broadcast(den))
+      .select(col("dims"), col("n_queries"), col("n_exact"), col("n_found"),
+        col("n_hit").cast("long").as("n_hit"),
+        round(when(col("n_exact") === 0, 1.0)
+          .otherwise(col("n_hit").cast("double") / col("n_exact")), 4).as("recall"))
+  }
+
   /** Brute-force cosine top-k: for every query vector, the k nearest corpus
     * vectors (excluding itself). Query side is broadcast; ranking is a
     * window with deterministic (cos desc, id asc) tiebreak.

@@ -203,6 +203,24 @@ class PipelineSpec extends SparkSuite {
     assert(top1.length == 1 && top1(0).getLong(1) == 11L)
   }
 
+  test("matryoshkaRecall: truncated prefix misranks, full prefix recovers") {
+    import spark.implicits._
+    // query 1 = [1, 0]; neighbor 5 = [1, 0.01] is the true top-1, but on
+    // the 1-dim prefix both candidates tie at cos 1.0 and the id tiebreak
+    // picks 2 — so recall@1 is 0 at d=1 and 1 at d=2
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, -0.43f)),
+      (5L, Array(1.0f, 0.01f))).toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaRecall(corpus,
+        corpus.where($"vec_id" === 1), "vec_id", "embedding",
+        k = 1, prefixes = Seq(1, 2)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 0L, 0.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, 1L, 1L, 1L, 1.0)), s"got ${out(2L)}")
+  }
+
   test("embedding cosine near-dup pairs") {
     val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
