@@ -123,7 +123,11 @@ object Bench {
     // hybrid BM25+vector retrieval via reciprocal-rank fusion
     "graph_modularity", "graph_assortativity", "ann_hybrid_rrf",
     // truncated-prefix recall rungs (the Matryoshka serving-tier test)
-    "ann_matryoshka_recall")
+    "ann_matryoshka_recall",
+    // flatMapGroupsWithState sessions through the real streaming engine
+    // with event-time state expiry (timed like the other stream entries:
+    // fixture staged untimed, one cold stream run)
+    "stream_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -70,6 +70,31 @@ object PipelineQueries {
       streamEventsFrame(s, d).write.mode("overwrite").parquet(tmp)
     }
 
+  // partitioned into 6 TIME-RANGE files arriving oldest-first — the real
+  // streaming arrival shape, and the one the event-time watermark needs:
+  // ranges are disjoint and ordered, so every batch's rows are at or past
+  // the previous batch's max event time and the late-data filter drops
+  // nothing (a user-keyed or unordered fixture puts the global max ts in
+  // batch 1 and the watermark then discards most later batches). Mod
+  // times are pinned ascending in range order because the file source
+  // processes oldest-first: part files finish writing in task order, not
+  // range order, so without the pin the arrival order — and therefore
+  // which rows count as late — would be nondeterministic.
+  private def sessionStreamFixture(s: SparkSession, d: String): String =
+    streamFixture("stream_sessionize", s, d) { tmp =>
+      streamEventsFrame(s, d).repartitionByRange(6, col("ts"))
+        .write.mode("overwrite").parquet(tmp)
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      val sorted = scala.jdk.CollectionConverters.IteratorHasAsScala(parts)
+        .asScala.filter(_.getFileName.toString.startsWith("part-")).toSeq
+        .sortBy(_.getFileName.toString)
+      sorted.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+    }
+
   // the fitted NB model stream_nb_classify SERVES — the production
   // one-time cost beside the fixture (model trained once, stream scored
   // per micro-batch), checkpointed so repeated serving runs replay no
@@ -96,6 +121,7 @@ object PipelineQueries {
     case "stream_asset_features" => assetStreamFixture(s, d); ()
     case "stream_nb_classify"  => nbStreamFixture(s, d); nbServeModel(s, d); ()
     case "stream_label_drift"  => driftStreamFixture(s, d); ()
+    case "stream_sessionize"   => sessionStreamFixture(s, d); ()
     case "stream_graph_ingest" => GraphQueries.stageIngestFixture(s, d)
     case "curate_funnel"       => neardupLabels(s, d); ()
     case _ => ()
@@ -117,6 +143,9 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
   private val streamDriftCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private val streamSessionCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
   // the near-dup cluster labels over the planted-dup corpus are the
@@ -169,7 +198,8 @@ object PipelineQueries {
     * churn twice. One cold run per bench measures the pipeline once. */
   val streamMemoQueries: Set[String] = Set(
     "events_stream_dedup", "stream_sig_dedup", "stream_asset_features",
-    "stream_nb_classify", "stream_label_drift", "stream_graph_ingest")
+    "stream_nb_classify", "stream_label_drift", "stream_graph_ingest",
+    "stream_sessionize")
 
   /** Drop the per-(session, dir) streaming memos (see
     * [[streamMemoQueries]]). Verify never calls this — correctness is
@@ -181,6 +211,7 @@ object PipelineQueries {
     streamAssetCache.remove((s, d))
     streamNbCache.remove((s, d))
     streamDriftCache.remove((s, d))
+    streamSessionCache.remove((s, d))
     GraphQueries.clearIngestMemo(s, d)
   }
 
@@ -883,6 +914,23 @@ object PipelineQueries {
       graft.streaming.EventStreams.streamingLabelDrift(s, driftStreamFixture(s, d))
         .select(col("window_start").cast("long").as("w_start"),
           col("n_events"), col("drift_micro"))
+        .localCheckpoint(true)
+    })),
+    // streaming sessionization: the flatMapGroupsWithState session
+    // assembler through the REAL streaming engine (multi-batch file
+    // source, maxFilesPerTrigger=2 over the user-partitioned fixture)
+    // with EVENT-TIME state expiry: sessions close on a successor event
+    // past the gap OR when the watermark passes lastTs + gap — so idle
+    // users' state flushes deterministically with the data and the
+    // end-of-run output is a pure function of the input (the oracle
+    // replays both emission rules)
+    "stream_sessionize" -> ((s, d) => streamSessionCache.computeIfAbsent((s, d), { _ =>
+      graft.streaming.EventStreams.runToMemory(s, sessionStreamFixture(s, d),
+          df => graft.streaming.EventStreams
+            .sessionizeEventTime(df, gapSeconds = 1800, watermarkDelay = "10 minutes").toDF()
+            .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
+              col("firstTs").as("first_ts"), col("lastTs").as("last_ts")),
+          maxFilesPerTrigger = Some(2))
         .localCheckpoint(true)
     })),
     // curation: deterministic train/val/test split labels
@@ -3302,6 +3350,25 @@ object PipelineQueries {
           |FROM d JOIN (SELECT DISTINCT w + 3600 AS w FROM tot) p ON p.w = d.w
           |CROSS JOIN mx
           |WHERE d.n IS NOT NULL AND d.w + 3600 <= mx.m - 600""".stripMargin,
+      // the batch gap-sessionization replay, PLUS the event-time expiry
+      // rule: a session emits if a later event closed it (grp < maxg) OR
+      // the final watermark (global max event time − 10 min) passed its
+      // lastTs + gap — exactly the streaming run's two emission paths
+      "stream_sessionize" ->
+        """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
+          |o AS (SELECT user_id, sec,
+          |  CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800 THEN 1 ELSE 0 END AS brk
+          |FROM e),
+          |g AS (SELECT user_id, sec,
+          |  sum(brk) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS grp
+          |FROM o),
+          |sess AS (SELECT user_id, grp, count(*) AS n_events, min(sec) AS first_ts, max(sec) AS last_ts
+          |  FROM g GROUP BY 1, 2),
+          |last AS (SELECT user_id, max(grp) AS maxg FROM sess GROUP BY 1),
+          |mx AS (SELECT max(sec) AS m FROM e)
+          |SELECT s.user_id, n_events, first_ts, last_ts
+          |FROM sess s JOIN last l ON s.user_id = l.user_id, mx
+          |WHERE s.grp < l.maxg OR s.last_ts + 1800 < mx.m - 600""".stripMargin,
       "curate_split" ->
         """SELECT doc_id, CASE
           |  WHEN substr(md5('split|'||doc_id), 1, 2) < '0d' THEN 'test'

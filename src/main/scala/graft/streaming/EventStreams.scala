@@ -255,7 +255,10 @@ object EventStreams {
         col("cnt"), col("sum_value"))
 
   final case class Session(userId: Long, nEvents: Long, firstTs: Long, lastTs: Long)
-  private final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
+  // NOT private: the streaming state-store encoder generates bytecode that
+  // constructs this class reflectively (batch execution never serializes
+  // state, so only the stream path needs the public constructor)
+  final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
 
   /** Session assembly with custom state (flatMapGroupsWithState +
     * processing-time timeout): per user, fold events into an open session; a
@@ -295,6 +298,70 @@ object EventStreams {
             }
             state.update(st)
             state.setTimeoutDuration(gapSeconds * 1000L)
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Event-time sessionization for STREAMING execution
+    * (flatMapGroupsWithState + EventTimeTimeout): sessions close either
+    * when a later event arrives past the gap (emitted with that event's
+    * batch) or when the event-time WATERMARK passes lastTs + gap (emitted
+    * by the timeout path — state for idle users expires deterministically
+    * with the data, never by wall clock). The end-of-run output is a pure
+    * function of the input: every session closed by a successor event,
+    * plus every open session with lastTs + gap ≤ final watermark
+    * (= max event time − watermarkDelay) — replayable by a batch oracle.
+    *
+    * The processing-time variant ([[sessionize]]) is the BATCH-execution
+    * form; in streaming its timeout registration makes the micro-batch
+    * loop run continuously (ProcessingTimeTimeout always requests another
+    * batch), which is wrong for a drain-the-source harness and wasteful
+    * on a cluster. Event-time timeouts request extra batches only while
+    * the watermark still advances, so the drain terminates.
+    *
+    * Scale: state is one small record per user with an un-expired
+    * session; the watermark bounds it to RECENTLY ACTIVE users. Input
+    * must deliver each user's events in event-time order across batches
+    * (co-partition the source by user, as the fixture does). */
+  def sessionizeEventTime(events: DataFrame, gapSeconds: Long = 1800,
+                          watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("epoch"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.nEvents > 0) Iterator.single(Session(userId, st.nEvents, st.firstTs, st.lastTs))
+            else Iterator.empty
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var st = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { t =>
+              if (st.nEvents > 0 && t - st.lastTs > gapSeconds) {
+                closed += Session(userId, st.nEvents, st.firstTs, st.lastTs)
+                st = SessionState(0, Long.MaxValue, Long.MinValue)
+              }
+              st = SessionState(st.nEvents + 1, math.min(st.firstTs, t), math.max(st.lastTs, t))
+            }
+            val expiryMs = (st.lastTs + gapSeconds) * 1000L
+            if (expiryMs <= state.getCurrentWatermarkMs()) {
+              // already past the horizon when processed: emit now (the
+              // timeout path would be asked to register in the past)
+              closed += Session(userId, st.nEvents, st.firstTs, st.lastTs)
+              state.remove()
+            } else {
+              state.update(st)
+              state.setTimeoutTimestamp(expiryMs)
+            }
             closed.result().iterator
           }
       }
@@ -459,8 +526,13 @@ object EventStreams {
                   transform: DataFrame => DataFrame,
                   mode: OutputMode = OutputMode.Append,
                   name: String = s"stream_out_${System.nanoTime()}",
-                  schema: StructType = eventsSchema): DataFrame = {
-    val q = transform(readStream(spark, dir, schema))
+                  schema: StructType = eventsSchema,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+    val q = transform(src)
       .writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()

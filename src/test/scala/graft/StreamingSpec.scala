@@ -468,6 +468,30 @@ class StreamingSpec extends SparkSuite {
     assert((0 to 2).map(r.getLong) == expected)
   }
 
+  test("sessionizeEventTime: successor-closed AND watermark-expired sessions emit") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // gap 100 s, watermark delay 50 s, max ts 10500 → final watermark
+    // 10450 (times offset from epoch 0: a row AT the initial watermark 0
+    // is dropped as late):
+    //  u1 session A (10000, 10030): closed by the 10500 event       → emits
+    //  u2 session C (10010):  expiry 10110 < 10450, watermark-flushed → emits
+    //  u1 session B (10500):  expiry 10600 > 10450, still open        → absent
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-spec").toString
+    Seq((1L, 10000L), (1L, 10030L), (1L, 10500L), (2L, 10010L))
+      .toDF("user_id", "epoch")
+      .select(col("user_id"), col("epoch").cast("timestamp").as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    val out = EventStreams.runToMemory(spark, dir,
+        df => EventStreams.sessionizeEventTime(df, gapSeconds = 100,
+          watermarkDelay = "50 seconds").toDF(),
+        schema = schema)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 2L, 10000L, 10030L), (2L, 1L, 10010L, 10010L)), s"got $out")
+  }
+
   test("sessionization with custom state emits gap-separated sessions") {
     import spark.implicits._
     val events = Seq(
