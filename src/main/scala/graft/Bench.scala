@@ -127,7 +127,9 @@ object Bench {
     // flatMapGroupsWithState sessions through the real streaming engine
     // with event-time state expiry (timed like the other stream entries:
     // fixture staged untimed, one cold stream run)
-    "stream_sessionize")
+    "stream_sessionize",
+    // per-cluster simplified silhouette over the fitted k-means
+    "embedding_silhouette")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

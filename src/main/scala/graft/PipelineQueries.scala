@@ -984,6 +984,12 @@ object PipelineQueries {
     "embedding_kmeans" -> ((s, d) =>
       pipeline.Clustering.kmeans(embeddings(s, d), "vec_id", "embedding",
         k = 8, iters = 2)),
+    // cluster-quality QA: per-cluster simplified silhouette (distance to
+    // own vs second-nearest centroid) over the same fitted k-means —
+    // exact micro-unit sums, floor-division means
+    "embedding_silhouette" -> ((s, d) =>
+      pipeline.Clustering.silhouetteReport(embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)),
     // IVF ANN with the FITTED k-means quantizer (vs ann_ivf_topk's static
     // min-id quantizer): centroids from 2 Lloyd iterations at nlist=16
     "ann_ivf_kmeans_topk" -> ((s, d) => {
@@ -1914,6 +1920,24 @@ object PipelineQueries {
            |SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a""".stripMargin,
       "embedding_kmeans" ->
         s"WITH ${kmeansCtes(k = 8, iters = 2)}\nSELECT vec_id, cid FROM final_assign",
+      "embedding_silhouette" ->
+        s"""WITH ${kmeansCtes(k = 8, iters = 2)},
+           |sd AS (SELECT vec_id, cid, d2, rn FROM (
+           |  SELECT v.vec_id, c.cid, ${kmeansDist("c")} AS d2,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${kmeansDist("c")} ASC, c.cid ASC) AS rn
+           |  FROM v, cents2 c) t WHERE rn <= 2),
+           |ab AS (SELECT vec_id,
+           |    max(CASE WHEN rn = 1 THEN cid END) AS cid,
+           |    sqrt(greatest(max(CASE WHEN rn = 1 THEN d2 END), 0)) AS a,
+           |    sqrt(greatest(max(CASE WHEN rn = 2 THEN d2 END), 0)) AS b
+           |  FROM sd GROUP BY vec_id),
+           |sm AS (SELECT cid, CASE WHEN greatest(a, b) = 0 THEN 0
+           |    ELSE CAST(floor((b - a) / greatest(a, b) * 1000000.0 + 0.5) AS BIGINT) END AS s
+           |  FROM ab)
+           |SELECT CAST(cid AS BIGINT) AS cid, count(*) AS n_members,
+           |  CAST(sum(s) AS BIGINT) AS sum_sil_micro,
+           |  CAST(floor(CAST(sum(s) AS DOUBLE) / count(*)) AS BIGINT) AS mean_sil_micro
+           |FROM sm GROUP BY cid""".stripMargin,
       "ann_ivf_kmeans_topk" ->
         s"""WITH ${kmeansCtes(k = 16, iters = 2)},
            |cent AS (SELECT cid, cv FROM cents2),

@@ -83,6 +83,56 @@ object Clustering {
       .where(col("cid").isNotNull)
       .drop("__cents")
 
+  /** Per-cluster SIMPLIFIED silhouette (Hruschka et al.'s centroid-based
+    * variant): per vector, a = distance to its own (nearest) centroid and
+    * b = distance to the second-nearest centroid, s = (b − a)/max(a, b) in
+    * [−1, 1]; the report is the per-cluster member count and silhouette
+    * sum/mean in exact integer micro-units. The classic silhouette needs
+    * all-pairs distances (quadratic — impossible at corpus scale); the
+    * simplified form is the standard linear surrogate and ranks cluster
+    * quality the same way.
+    *
+    * Engine parity: distances replay the kmeans oracle's exact fold
+    * (v·v − 2 v·c + c·c, sequential left folds), per-point s is floored
+    * to micro-units half-up, and the per-cluster mean is
+    * floor(sum/count) — floor division on BOTH engines (a truncating DIV
+    * would disagree on negative sums). Degenerate a = b = 0 scores 0.
+    *
+    * Scale: one corpus × k-centroid broadcast expansion (k rows per
+    * vector), ONE vec-keyed exchange shared by the top-2 window and the
+    * pivot, then a map-side-combinable groupBy(cid). A native top-2
+    * centroid kernel (the [[graft.functions.NearestCentroid]] shape) would
+    * fold the expansion row-locally and drop the exchange — the upgrade
+    * path if this ever leaves QA-report duty.
+    * Returns (cid, n_members, sum_sil_micro, mean_sil_micro). */
+  def silhouetteReport(df: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int): DataFrame = {
+    val corpus = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters)
+    val scored = corpus.crossJoin(broadcast(cents))
+      .select(col("__id"), col("cid"),
+        (dotNative(col("__v"), col("__v"))
+          - dotNative(col("__v"), col("centroid")) * 2
+          + dotNative(col("centroid"), col("centroid"))).as("__d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__d2").asc, col("cid").asc)
+    val ab = scored.withColumn("__rn", row_number().over(w)).where(col("__rn") <= 2)
+      .groupBy("__id")
+      .agg(max(when(col("__rn") === 1, col("cid"))).as("cid"),
+        sqrt(greatest(max(when(col("__rn") === 1, col("__d2"))), lit(0.0))).as("__a"),
+        sqrt(greatest(max(when(col("__rn") === 2, col("__d2"))), lit(0.0))).as("__b"))
+    val sil = ab.select(col("cid"),
+      when(greatest(col("__a"), col("__b")) === 0.0, lit(0L))
+        .otherwise(floor((col("__b") - col("__a")) / greatest(col("__a"), col("__b"))
+          * 1000000.0 + 0.5).cast("long")).as("__s"))
+    sil.groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum("__s").as("sum_sil_micro"))
+      .select(col("cid"), col("n_members"),
+        col("sum_sil_micro"),
+        floor(col("sum_sil_micro").cast("double") / col("n_members"))
+          .cast("long").as("mean_sil_micro"))
+  }
+
   /** Embedding-space outlier report (the CCNet-style quality filter in
     * vector space): the `topN` vectors FARTHEST from their own k-means
     * centroid — mislabeled, off-distribution, or garbage embeddings

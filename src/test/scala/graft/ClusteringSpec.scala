@@ -12,6 +12,32 @@ class ClusteringSpec extends SparkSuite {
     (1L, Array(10.0f, 10.1f)), (3L, Array(10.1f, 10.0f)), (5L, Array(10.05f, 10.05f)))
     .toDF("vec_id", "embedding")
 
+  test("silhouetteReport: hand-computed micro scores on a 1-d line, floor-division means") {
+    // iters = 0 keeps the seeds (ids 1, 2) as centroids: c1 = 0, c2 = 10.
+    //   v1 (0):  a = 0, b = 10 → s = 1.0        → 1000000
+    //   v3 (1):  a = 1, b = 9  → s = 8/9        → 888889
+    //   v4 (4):  a = 4, b = 6  → s = 1/3        → 333333
+    //   v2 (10): a = 0, b = 10 → s = 1.0        → 1000000
+    //   v5 (6):  a = 4, b = 6  → s = 1/3        → 333333
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(10.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(4.0f, 0.0f)), (5L, Array(6.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.silhouetteReport(vecs, "vec_id", "embedding", k = 2, iters = 0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cluster 1 = {v1, v3, v4}: sum 2222222, mean floor(740740.67) = 740740
+    // cluster 2 = {v2, v5}:     sum 1333333, mean floor(666666.5)  = 666666
+    assert(out == Map(
+      1L -> ((3L, 2222222L, 740740L)),
+      2L -> ((2L, 1333333L, 666666L))), s"got $out")
+    // degenerate: identical centroids and points → a = b = 0 scores 0
+    val flat = Seq((1L, Array(5.0f)), (2L, Array(5.0f)), (3L, Array(5.0f)))
+      .toDF("vec_id", "embedding")
+    val z = Clustering.silhouetteReport(flat, "vec_id", "embedding", k = 2, iters = 0)
+      .agg(sum("sum_sil_micro")).collect()(0).getLong(0)
+    assert(z == 0L, s"got $z")
+  }
+
   test("kmeans separates well-separated blobs and is deterministic") {
     val a = Clustering.kmeans(blobs, "vec_id", "embedding", k = 2, iters = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
