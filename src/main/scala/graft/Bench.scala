@@ -129,7 +129,9 @@ object Bench {
     // fixture staged untimed, one cold stream run)
     "stream_sessionize",
     // per-cluster simplified silhouette over the fitted k-means
-    "embedding_silhouette")
+    "embedding_silhouette",
+    // per-source PII exposure audit (planted email/IP/phone/acct corpus)
+    "text_pii_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

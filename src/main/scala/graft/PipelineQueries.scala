@@ -955,6 +955,19 @@ object PipelineQueries {
       docs(s, d).select(col("doc_id"),
         pipeline.Curation.redact(concat(col("text"),
           lit(" contact bob@example.com id 1234567890"))).as("clean"))),
+    // PII exposure audit per source: every 13th document gets a planted
+    // email + IPv4 + phone + account number (the synthetic corpus has no
+    // natural PII), the report counts per-class matches — the pre-redact
+    // audit and post-redact regression check
+    "text_pii_report" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.org from 10.0."), col("doc_id") % 256,
+            lit(".7 call +49 170 555 0101 acct 903442187650")))
+          .otherwise(col("text")).as("text"))
+      pipeline.Curation.piiReport(planted, "doc_id", "text", "source")
+    }),
     // curation: corpus vocabulary (top-20 by doc frequency, word tiebreak)
     "curate_vocab" -> ((s, d) =>
       pipeline.Curation.vocabulary(docs(s, d), "doc_id", "text")
@@ -3423,6 +3436,23 @@ object PipelineQueries {
           |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           |  '[0-9]{6,}', '<NUM>', 'g') AS clean
           |FROM documents""".stripMargin,
+      "text_pii_report" ->
+        """WITH planted AS (SELECT source,
+          |  CASE WHEN doc_id % 13 = 0 THEN text || ' contact user' || doc_id ||
+          |    '@mail.example.org from 10.0.' || (doc_id % 256) ||
+          |    '.7 call +49 170 555 0101 acct 903442187650' ELSE text END AS text
+          |FROM documents),
+          |cnt AS (SELECT source,
+          |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+          |  len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS ip,
+          |  len(regexp_extract_all(text, '\+[0-9][0-9 \-]{6,}[0-9]')) AS ph,
+          |  len(regexp_extract_all(text, '[0-9]{9,}')) AS n
+          |FROM planted)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN e + ip + ph + n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+          |  CAST(sum(e) AS BIGINT) AS n_emails, CAST(sum(ip) AS BIGINT) AS n_ipv4,
+          |  CAST(sum(ph) AS BIGINT) AS n_phones, CAST(sum(n) AS BIGINT) AS n_longnums
+          |FROM cnt GROUP BY source""".stripMargin,
       "curate_vocab" ->
         s"""WITH ${toksCte("documents")},
            |words AS (SELECT doc_id, unnest(w) AS word FROM toks)

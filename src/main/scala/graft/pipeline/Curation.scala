@@ -326,6 +326,38 @@ object Curation {
       regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "[0-9]{6,}", "<NUM>")
 
+  /** Per-source PII exposure report — the audit a corpus needs BEFORE
+    * [[redact]] runs and the regression check after: per source, document
+    * count, documents containing any PII, and per-class match counts for
+    * emails, IPv4 literals, international phone numbers and long digit
+    * runs (account-number shaped). Patterns are the portable ASCII subset
+    * that Java regex and RE2 interpret identically, so an oracle counts
+    * the same matches.
+    *
+    * Scale: counting is a narrow projection (regexp_extract_all folds
+    * row-locally inside codegen), and the rollup is one
+    * map-side-combinable groupBy(source) — the corpus shuffles nothing
+    * but its per-source partial counts. */
+  def piiReport(df: DataFrame, idCol: String, textCol: String,
+                sourceCol: String): DataFrame = {
+    def matches(pattern: String) =
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0)))
+    val e = matches("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    val ip = matches("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+    val ph = matches("\\+[0-9][0-9 \\-]{6,}[0-9]")
+    val num = matches("[0-9]{9,}")
+    df.select(col(sourceCol).as("source"),
+        e.as("__e"), ip.as("__ip"), ph.as("__ph"), num.as("__n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__e") + col("__ip") + col("__ph") + col("__n") > 0, 1L)
+          .otherwise(0L)).as("docs_with_pii"),
+        sum("__e").cast("long").as("n_emails"),
+        sum("__ip").cast("long").as("n_ipv4"),
+        sum("__ph").cast("long").as("n_phones"),
+        sum("__n").cast("long").as("n_longnums"))
+  }
+
   /** Corpus vocabulary: per token, document frequency and term frequency
     * (one explode + one aggregation, map-side combined). */
   def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =

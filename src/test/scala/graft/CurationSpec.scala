@@ -5,6 +5,29 @@ import graft.pipeline.Curation
 
 class CurationSpec extends SparkSuite {
 
+  test("piiReport: per-class counts, multi-match docs, clean docs score zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "write to alice@corp.example.com and bob@x.io today"), // 2 emails
+      (2L, "a", "server at 192.168.0.1 fell over"),                    // 1 ip
+      (3L, "b", "call +1 555 123 4567 or acct 123456789"),             // 1 phone, 1 longnum
+      (4L, "b", "no pii here, just 12345 and a dot."),                 // clean
+      (5L, "b", "ref 9876543210123"))                                  // 1 longnum
+      .toDF("doc_id", "source", "text")
+    val out = Curation.piiReport(docs, "doc_id", "text", "source").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // (n_docs, docs_with_pii, n_emails, n_ipv4, n_phones, n_longnums)
+    assert(out("a") == ((2L, 2L, 2L, 1L, 0L, 0L)), s"got ${out("a")}")
+    assert(out("b") == ((3L, 2L, 0L, 0L, 1L, 2L)), s"got ${out("b")}")
+    // redaction closes the email/longnum classes the report counts
+    val after = Curation.piiReport(
+      docs.select($"doc_id", $"source", Curation.redact($"text").as("text")),
+      "doc_id", "text", "source").agg(
+        sum("n_emails"), sum("n_longnums")).collect()(0)
+    assert(after.getLong(0) == 0L && after.getLong(1) == 0L, s"got $after")
+  }
+
   test("epochShuffle: reproducible permutation per epoch, epochs uncorrelated") {
     import spark.implicits._
     val docs = (1L to 400L).toDF("doc_id")
