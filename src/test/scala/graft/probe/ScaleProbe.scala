@@ -245,6 +245,57 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("qa100")) {
+      // round-13 second wave QA metrics at 1x/10x/100x over disjoint
+      // copies: silhouette (corpus x k-centroid expansion + one vec-keyed
+      // window exchange), assortativity (degree decoration joins), and
+      // modularity (label decoration + groupBy(label) rollup, synthetic
+      // vid%1024 communities so the metric is timed, not the LPA fit)
+      val embs = spark.read.parquet(s"$base/embeddings.parquet")
+      def eCopies(n: Int) = (0 until n).map(c =>
+        embs.select((col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+      graft.pipeline.Clustering.silhouetteReport(eCopies(1), "vec_id", "embedding",
+        k = 8, iters = 2).count() // warm
+      for ((n, tag) <- Seq((1, "1x"), (10, "10x"), (100, "100x"))) {
+        val e = eCopies(n).coalesce(64).persist(); e.count()
+        time(s"embedding_silhouette_$tag") {
+          graft.pipeline.Clustering.silhouetteReport(e, "vec_id", "embedding",
+            k = 8, iters = 2).count()
+        }
+        e.unpersist()
+      }
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val cp = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w")).where(col("w") >= 2)
+      val sym = cp.select(col("a"), col("b"))
+        .unionByName(cp.select(col("b").as("a"), col("a").as("b"))).persist()
+      sym.count()
+      def sCopies(n: Int) = (0 until n).map(c =>
+        sym.select((col("a") + lit(c.toLong * 10000000L)).as("a"),
+          (col("b") + lit(c.toLong * 10000000L)).as("b")))
+        .reduce(_ unionByName _)
+      graft.analytics.GraphAnalytics.assortativity(sCopies(1)).count() // warm
+      for ((n, tag) <- Seq((1, "1x"), (10, "10x"), (100, "100x"))) {
+        val e = sCopies(n).coalesce(64).persist(); e.count()
+        time(s"graph_assortativity_$tag") {
+          graft.analytics.GraphAnalytics.assortativity(e).count()
+        }
+        val labels = e.select(col("a").as("vid")).distinct()
+          .select(col("vid"), (col("vid") % 1024).as("label")).persist()
+        labels.count()
+        time(s"graph_modularity_$tag") {
+          graft.analytics.GraphAnalytics.modularityByCommunity(labels, e).count()
+        }
+        labels.unpersist(); e.unpersist()
+      }
+      sym.unpersist()
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("parked")) {
       // VERDICT r12 item 2 measurement: len-40 walks over a SINK-HEAVY
       // synthetic graph (40% of nodes have no out-edges, dst uniform over
