@@ -131,7 +131,9 @@ object Bench {
     // per-cluster simplified silhouette over the fitted k-means
     "embedding_silhouette",
     // per-source PII exposure audit (planted email/IP/phone/acct corpus)
-    "text_pii_report")
+    "text_pii_report",
+    // the native session_window twin of the custom-state sessionizer
+    "events_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -656,6 +656,22 @@ object GraphQueries {
         .select(col("userId").as("user_id"), col("nEvents").as("n_events"),
           col("firstTs").as("first_ts"), col("lastTs").as("last_ts"))
     }),
+    // the NATIVE session_window twin of the custom-state sessionizer:
+    // Spark's built-in gap-session aggregation (groupBy user +
+    // session_window) — zero custom state code, emits EVERY session
+    // including each user's trailing one, window end = last event + gap.
+    // Boundary semantics MATCH sessionize: an event exactly gap seconds
+    // after the previous one merges (spec-pinned; a new session needs
+    // diff > gap)
+    "events_session_window" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        timestamp_seconds(expr("ts DIV 1000000000")).as("ts"))
+      ev.groupBy(col("user_id"), session_window(col("ts"), "1800 seconds").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          unix_timestamp(col("sw.start")).as("first_ts"),
+          unix_timestamp(col("sw.end")).as("sess_end"))
+    }),
     // stream-stream interval join run in batch form: click→view attribution
     // within a trailing 1-day event-time window (watermarks bound the
     // streaming state; identical rows in batch)
@@ -1342,6 +1358,20 @@ object GraphQueries {
         |SELECT o_custkey, o_orderkey, o_totalprice,
         |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |FROM orders) t WHERE rn = 1""".stripMargin,
+    // the built-in session_window rule: a new session needs diff > gap
+    // (an exact-gap event merges — spec-pinned); every session emits,
+    // end = last event + gap
+    "events_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
+        |o AS (SELECT user_id, sec,
+        |  CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800 THEN 1 ELSE 0 END AS brk
+        |FROM e),
+        |g AS (SELECT user_id, sec,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS grp
+        |FROM o)
+        |SELECT user_id, count(*) AS n_events, min(sec) AS first_ts,
+        |  max(sec) + 1800 AS sess_end
+        |FROM g GROUP BY user_id, grp""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
         |o AS (SELECT user_id, sec,

@@ -468,6 +468,30 @@ class StreamingSpec extends SparkSuite {
     assert((0 to 2).map(r.getLong) == expected)
   }
 
+  test("native session_window: exact-gap event merges; diff > gap splits; all sessions emit") {
+    import spark.implicits._
+    val ev = Seq((1L, 100L), (1L, 1900L), (1L, 3701L), (2L, 50L))
+      .toDF("user_id", "epoch")
+      .select(col("user_id"), col("epoch").cast("timestamp").as("ts"))
+    // 1900 sits exactly at [100, 1900)'s end and MERGES (pinned: the
+    // built-in matches the custom sessionize boundary, diff == gap is
+    // in-session); 3701 is 1801 s after 1900 → new session
+    val out = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "1800 seconds").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"), unix_timestamp(col("sw.start")).as("s"),
+        unix_timestamp(col("sw.end")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 2L, 100L, 3700L), (1L, 1L, 3701L, 5501L),
+      (2L, 1L, 50L, 1850L)), s"got $out")
+    // the custom state machine agrees on the boundary: only u1's first
+    // session is closed (by the 3701 event), with the exact-gap 1900
+    // event inside it
+    val closed = EventStreams.sessionize(ev, gapSeconds = 1800).collect()
+    assert(closed.length == 1 && closed(0).userId == 1L && closed(0).nEvents == 2 &&
+      closed(0).firstTs == 100L && closed(0).lastTs == 1900L, s"got ${closed.toSeq}")
+  }
+
   test("sessionizeEventTime: successor-closed AND watermark-expired sessions emit") {
     import spark.implicits._
     import org.apache.spark.sql.types._
