@@ -133,7 +133,9 @@ object Bench {
     // per-source PII exposure audit (planted email/IP/phone/acct corpus)
     "text_pii_report",
     // the native session_window twin of the custom-state sessionizer
-    "events_session_window")
+    "events_session_window",
+    // Flesch reading-ease readability signal
+    "text_readability")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -535,6 +535,10 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))),
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(docs(s, d), "doc_id", "text")),
+    // Flesch reading-ease per document (vowel-group syllable proxy) —
+    // the classic readability quality-filter signal, micro-unit exact
+    "text_readability" -> ((s, d) =>
+      TextAnalysis.readabilityReport(docs(s, d), "doc_id", "text")),
     // ANN baseline: brute-force cosine top-k, query side broadcast
     // (exact-bit parity with the DuckDB oracle verified: double left-fold)
     "ann_topk" -> ((s, d) => {
@@ -3143,6 +3147,18 @@ object PipelineQueries {
            |  CAST(CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END AS BIGINT) AS n_words,
            |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
            |FROM documents""".stripMargin,
+      "text_readability" ->
+        s"""WITH c AS (SELECT doc_id,
+           |  CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END AS nw,
+           |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+           |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+           |FROM documents)
+           |SELECT doc_id, CAST(nw AS BIGINT) AS n_words, CAST(ns AS BIGINT) AS n_sentences,
+           |  CAST(sy AS BIGINT) AS n_syllables,
+           |  CASE WHEN nw = 0 THEN 0 ELSE CAST(floor((206.835
+           |    - 1.015 * (CAST(nw AS DOUBLE) / ns)
+           |    - 84.6 * (CAST(sy AS DOUBLE) / nw)) * 1000000.0 + 0.5) AS BIGINT) END AS flesch_micro
+           |FROM c""".stripMargin,
       "text_fingerprint" ->
         s"""WITH ${toksCte("documents")},
            |sh AS (SELECT doc_id, ${shinglesExpr(4)} AS s, w FROM toks)

@@ -34,6 +34,33 @@ object TextAnalysis {
   def wordCount(text: Column): Column =
     regexp_count(lower(text), lit("[a-z0-9]+"))
 
+  /** Flesch reading-ease report — the classic readability quality-filter
+    * signal: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * in integer micro-units. Sentences are terminator runs ([.!?]+, at
+    * least 1 so fragments score); the syllable proxy is vowel-group runs
+    * ([aeiouy]+ of the lowered text) — the standard regex surrogate, and
+    * exactly replayable cross-engine where a dictionary syllabifier is
+    * not. Zero-word documents score 0.
+    *
+    * Scale: three row-local regex counts and one arithmetic projection —
+    * a pure narrow scan, nothing shuffles. Engine parity: the score is
+    * one fixed left-associated double expression over exact integer
+    * counts, floored half-up to micro-units.
+    * Returns (idCol, n_words, n_sentences, n_syllables, flesch_micro). */
+  def readabilityReport(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        wordCount(col(textCol)).cast("long").as("n_words"),
+        greatest(regexp_count(col(textCol), lit("[.!?]+")).cast("long"), lit(1L))
+          .as("n_sentences"),
+        regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+          .as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        when(col("n_words") === 0, lit(0L)).otherwise(
+          floor((lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+            * 1000000.0 + 0.5).cast("long")).as("flesch_micro"))
+
   /** BPE-ish token count: alphabetic runs, digit runs, and single
     * non-alphanumeric marks each count as one token (a portable
     * approximation of byte-pair pre-tokenization). */

@@ -180,6 +180,24 @@ class PipelineSpec extends SparkSuite {
     assert(topk(1).getAs[Double]("cos") <= topk(0).getAs[Double]("cos"))
   }
 
+  test("readabilityReport: hand-counted words/sentences/vowel-groups, zero-word guard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"), // 5 words, 2 sentence runs, 5 vowel groups
+      (2L, "Hello..."),             // 1 word, 1 run ("..." is ONE terminator run), 2 groups
+      (3L, ""))                     // zero words → flesch 0, sentences floor to 1
+      .toDF("doc_id", "text")
+    def flesch(w: Long, s: Long, sy: Long): Long =
+      math.floor((206.835 - 1.015 * (w.toDouble / s) - 84.6 * (sy.toDouble / w))
+        * 1000000.0 + 0.5).toLong
+    val out = TextAnalysis.readabilityReport(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) == ((5L, 2L, 5L, flesch(5, 2, 5))), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, 1L, 2L, flesch(1, 1, 2))), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 1L, 0L, 0L)), s"got ${out(3L)}")
+  }
+
   test("rrfFuse: hand-computed micro contributions, arm count, tie-break") {
     import spark.implicits._
     // 1000000 DIV (60 + rank): rank 1 → 16393, rank 2 → 16129
