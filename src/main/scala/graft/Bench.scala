@@ -135,7 +135,9 @@ object Bench {
     // the native session_window twin of the custom-state sessionizer
     "events_session_window",
     // Flesch reading-ease readability signal
-    "text_readability")
+    "text_readability",
+    // int8 quantization-loss recall (precision twin of the matryoshka rungs)
+    "ann_int8_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

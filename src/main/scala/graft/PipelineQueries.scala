@@ -1230,6 +1230,14 @@ object PipelineQueries {
         "vec_id", "embedding", k = 3, planes = 4, nlist = 16, nprobe = 4,
         m = 16, codewords = 256, ivfPqNprobe = 8, ivfPqIdx = Some(ivfPqIdx(s, d)))
     }),
+    // int8 quantization-loss recall: top-k served from the code*scale
+    // reconstruction (full-precision queries) vs the exact ground truth —
+    // the precision-truncation twin of the matryoshka rungs
+    "ann_int8_recall" -> ((s, d) => {
+      val e = embeddings(s, d)
+      pipeline.Quantization.int8Recall(e, e.where(col("vec_id") < 30),
+        "vec_id", "embedding", k = 3)
+    }),
     // Matryoshka acceptance test: cosine top-k recall when only the first
     // 8/16/32/64 dimensions are scored, vs the full-dim exact top-k —
     // the measurement that licenses storing truncated prefixes on the
@@ -2201,6 +2209,29 @@ object PipelineQueries {
            |  CAST(rnk AS BIGINT) AS rank
            |FROM r WHERE rnk <= $Bm25TopK""".stripMargin
       },
+      "ann_int8_recall" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+          |q AS (SELECT vec_id, ve FROM v WHERE vec_id < 30),
+          |ex AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.ve, c.ve), 6) DESC, c.vec_id ASC) AS rnk
+          |  FROM q JOIN v c ON c.vec_id <> q.vec_id) t WHERE rnk <= 3),
+          |den AS (SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_exact FROM ex),
+          |m AS (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) / 127.0 AS scale FROM v),
+          |rc AS (SELECT vec_id, CASE WHEN scale = 0.0 THEN list_transform(ve, x -> 0.0)
+          |  ELSE list_transform(ve, x -> floor(x / scale + 0.5) * scale) END AS rv FROM m),
+          |sv AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_cosine_similarity(q.ve, r.rv), 6) DESC, r.vec_id ASC) AS rnk
+          |  FROM q JOIN rc r ON r.vec_id <> q.vec_id) t WHERE rnk <= 3),
+          |h AS (SELECT count(*) AS n_found,
+          |    CAST(coalesce(sum(CASE WHEN ex.query_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit
+          |  FROM sv LEFT JOIN ex ON sv.query_id = ex.query_id AND sv.neighbor_id = ex.neighbor_id)
+          |SELECT den.n_queries, den.n_exact, h.n_found, h.n_hit,
+          |  round(CASE WHEN den.n_exact = 0 THEN 1.0 ELSE CAST(h.n_hit AS DOUBLE) / den.n_exact END, 4) AS recall
+          |FROM h, den""".stripMargin,
       "ann_matryoshka_recall" ->
         """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
           |q AS (SELECT vec_id, ve FROM v WHERE vec_id < 30),

@@ -36,6 +36,47 @@ object Quantization {
     * corpus-keyed exchanges for it; this plan has zero. The two-select
     * split keeps the scale evaluated once per VECTOR (an attribute under
     * the Generate), not once per exploded element. */
+  /** Int8 quantization-loss recall: cosine top-k served from the int8
+    * RECONSTRUCTION (code·scale per dimension, full-precision queries —
+    * the asymmetric serving shape) measured against the exact float
+    * ground truth. The acceptance test for shipping int8 vectors on the
+    * serving tier — the precision-truncation twin of
+    * [[Similarity.matryoshkaRecall]]'s dimension truncation.
+    *
+    * Scale: reconstruction is row-local (the [[graft.functions.Int8Scale]]
+    * kernel + one transform — a pure corpus scan); ground truth is
+    * checkpointed once; the served arm is one broadcast-query scan over
+    * the reconstructed corpus. Returns one row
+    * (n_queries, n_exact, n_found, n_hit, recall). */
+  def int8Recall(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val exact = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val den = exact.agg(countDistinct("query_id").as("n_queries"),
+      count(lit(1)).as("n_exact"))
+    val recon = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .select(col(idCol), col("__v"),
+        graft.functions.VectorFunctions.int8Scale(col("__v")).as("__scale"))
+      .select(col(idCol),
+        when(col("__scale") === 0.0, transform(col("__v"), _ => lit(0.0)))
+          .otherwise(transform(col("__v"),
+            x => floor(x / col("__scale") + 0.5) * col("__scale"))).as(vecCol))
+    val q = queries.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+    val served = Similarity.bruteForceTopK(recon, q, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = served
+      .join(exact.withColumn("__hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_found"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    hits.crossJoin(broadcast(den))
+      .select(col("n_queries"), col("n_exact"), col("n_found"),
+        col("n_hit").cast("long").as("n_hit"),
+        round(when(col("n_exact") === 0, 1.0)
+          .otherwise(col("n_hit").cast("double") / col("n_exact")), 4).as("recall"))
+  }
+
   def int8Rows(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .select(col(idCol),

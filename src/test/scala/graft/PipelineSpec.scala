@@ -221,6 +221,29 @@ class PipelineSpec extends SparkSuite {
     assert(top1.length == 1 && top1(0).getLong(1) == 11L)
   }
 
+  test("int8Recall: quantization collision flips the winner; orthogonal corpus survives") {
+    import spark.implicits._
+    // ids 1 = (1, 0.504) and 2 = (1, 0.5) both quantize dim 2 to code 64
+    // (0.504·127 = 64.008 → 64; 0.5·127 + 0.5 = 64 → 64): identical
+    // reconstructions, so the served tie-break picks id 1 — but the exact
+    // top-1 for query (1, 0.5) is id 2 (perfectly parallel). recall@1 = 0.
+    val corpus = Seq((1L, Array(1.0f, 0.504f)), (2L, Array(1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((9L, Array(1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val flipped = pipeline.Quantization.int8Recall(corpus, q, "vec_id", "embedding", k = 1)
+      .collect()(0)
+    assert((flipped.getLong(0), flipped.getLong(1), flipped.getLong(2),
+      flipped.getLong(3), flipped.getDouble(4)) == ((1L, 1L, 1L, 0L, 0.0)),
+      s"got $flipped")
+    // axis-aligned corpus reconstructs exactly → recall 1
+    val ortho = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val clean = pipeline.Quantization.int8Recall(ortho,
+      Seq((9L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 1).collect()(0)
+    assert(clean.getLong(3) == 1L && clean.getDouble(4) == 1.0, s"got $clean")
+  }
+
   test("matryoshkaRecall: truncated prefix misranks, full prefix recovers") {
     import spark.implicits._
     // query 1 = [1, 0]; neighbor 5 = [1, 0.01] is the true top-1, but on
