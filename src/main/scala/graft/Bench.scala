@@ -137,7 +137,9 @@ object Bench {
     // Flesch reading-ease readability signal
     "text_readability",
     // int8 quantization-loss recall (precision twin of the matryoshka rungs)
-    "ann_int8_recall")
+    "ann_int8_recall",
+    // local clustering coefficient (shared compact-forward triangle core)
+    "graph_clustering_coeff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

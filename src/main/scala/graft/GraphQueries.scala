@@ -559,6 +559,19 @@ object GraphQueries {
         .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       GraphAnalytics.assortativity(sym)
     }),
+    // per-vertex local clustering coefficient of the thresholded
+    // co-purchase graph: triangles/(deg choose 2) in exact micro-units —
+    // the compact-forward triangle core shared with graph_triangles_df
+    "graph_clustering_coeff" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w"))
+        .where(col("w") >= 2)
+        .select("a", "b")
+      GraphAnalytics.clusteringCoefficients(pairs)
+    }),
     // weight-proportional walks: step choice lands the md5 uniform in the
     // neighbor's slot of the cumulative shared-order-count ladder
     "graph_weighted_walks" -> ((s, d) => {
@@ -1079,6 +1092,26 @@ object GraphQueries {
     "graph_lpa_df" -> lpaSql,
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
+    // per-vertex wedge-closure replay: tri(v) = closing (x < y) neighbor
+    // pairs; coefficient in integer micro-units, deg < 2 scores 0
+    "graph_clustering_coeff" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT a, b FROM (
+        |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
+        |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+        |  WHERE w >= 2),
+        |sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |deg AS (SELECT a AS v, count(*) AS dg FROM sym GROUP BY a),
+        |tri AS (SELECT s1.a AS v, count(*) AS t
+        |  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+        |  JOIN e ON e.a = s1.b AND e.b = s2.b
+        |  GROUP BY s1.a)
+        |SELECT CAST(deg.v AS BIGINT) AS vid, CAST(dg AS BIGINT) AS degree,
+        |  CAST(coalesce(t, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN dg < 2 THEN 0
+        |    ELSE CAST((2000000 * coalesce(t, 0)) // (dg * (dg - 1)) AS BIGINT) END AS coeff_micro
+        |FROM deg LEFT JOIN tri ON tri.v = deg.v""".stripMargin,
     "zoe_e_all" ->
       s"""SELECT $custInNation AS id FROM customer
          |UNION ALL SELECT $suppInNation FROM supplier

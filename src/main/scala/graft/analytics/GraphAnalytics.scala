@@ -1074,30 +1074,68 @@ object GraphAnalytics {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val deg = canon.select(col("a").as("vid")).unionByName(canon.select(col("b").as("vid")))
-        .groupBy("vid").agg(count(lit(1)).as("__deg"))
-      val keyed = canon
-        .join(deg.select(col("vid").as("a"), col("__deg").as("__da")), Seq("a"))
-        .join(deg.select(col("vid").as("b"), col("__deg").as("__db")), Seq("b"))
-      val aLower = struct(col("__da"), col("a")) < struct(col("__db"), col("b"))
-      val oriented = keyed.select(
-        when(aLower, col("a")).otherwise(col("b")).as("s"),
-        when(aLower, col("b")).otherwise(col("a")).as("t"))
-        .localCheckpoint(true)
-      // wedges from each apex s; the probe on the ORIENTED (t1 -> t2)
-      // edge admits exactly one of the pair's two orderings
-      val wedges = oriented
-        .join(oriented.select(col("s"), col("t").as("t2")), Seq("s"))
-        .where(col("t") =!= col("t2"))
-        .select(col("s"), col("t").as("t1"), col("t2"))
-      val triangles = wedges
-        .join(oriented.select(col("s").as("t1"), col("t").as("t2")),
-          Seq("t1", "t2"), "left_semi")
-      val corners = triangles.select(explode(array(col("s"), col("t1"), col("t2"))).as("vid"))
-        .groupBy("vid").agg(count(lit(1)).as("__n"))
+      val (corners, _) = triangleCorners(canon)
       verts.join(corners, Seq("vid"), "left")
         .select(col("id"), coalesce(col("__n"), lit(0L)).as("triangles"))
     } finally { verts.unpersist(); canon.unpersist() }
+  }
+
+  /** Compact-forward core shared by [[triangleCountDF]] and
+    * [[clusteringCoefficients]]: per-vertex triangle corner counts
+    * (vid, __n) and simple-graph degrees (vid, __deg) over a
+    * canonicalized (a < b, distinct, loop-free) edge table. See
+    * [[triangleCountDF]] for the O(m^1.5) degree-ordered wedge bound. */
+  private def triangleCorners(canon: DataFrame): (DataFrame, DataFrame) = {
+    val deg = canon.select(col("a").as("vid")).unionByName(canon.select(col("b").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("__deg"))
+    val keyed = canon
+      .join(deg.select(col("vid").as("a"), col("__deg").as("__da")), Seq("a"))
+      .join(deg.select(col("vid").as("b"), col("__deg").as("__db")), Seq("b"))
+    val aLower = struct(col("__da"), col("a")) < struct(col("__db"), col("b"))
+    val oriented = keyed.select(
+      when(aLower, col("a")).otherwise(col("b")).as("s"),
+      when(aLower, col("b")).otherwise(col("a")).as("t"))
+      .localCheckpoint(true)
+    // wedges from each apex s; the probe on the ORIENTED (t1 -> t2)
+    // edge admits exactly one of the pair's two orderings
+    val wedges = oriented
+      .join(oriented.select(col("s"), col("t").as("t2")), Seq("s"))
+      .where(col("t") =!= col("t2"))
+      .select(col("s"), col("t").as("t1"), col("t2"))
+    val triangles = wedges
+      .join(oriented.select(col("s").as("t1"), col("t").as("t2")),
+        Seq("t1", "t2"), "left_semi")
+    val corners = triangles.select(explode(array(col("s"), col("t1"), col("t2"))).as("vid"))
+      .groupBy("vid").agg(count(lit(1)).as("__n"))
+    (corners, deg)
+  }
+
+  /** Per-vertex local clustering coefficient over an undirected edge
+    * table (a, b) (any orientation; duplicates and self-loops tolerated):
+    * c(v) = triangles(v) / (deg(v) choose 2) in exact integer micro-units
+    * — how close each vertex's neighborhood is to a clique, the classic
+    * small-world / community-structure signal. Vertices with deg < 2
+    * score 0.
+    *
+    * Scale: the triangle side is the shared compact-forward core
+    * (O(m^1.5) wedges, equi-joins only); the ratio is guarded integer
+    * arithmetic (try_multiply raises instead of wrapping once a hub sits
+    * in > 4.6e12 triangles). Returns (vid, degree, triangles,
+    * coeff_micro). */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val canon = edges.select(col("a"), col("b")).where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val (corners, deg) = triangleCorners(canon)
+    deg.join(corners, Seq("vid"), "left")
+      .select(col("vid"), col("__deg").as("degree"),
+        coalesce(col("__n"), lit(0L)).as("triangles"))
+      .select(col("vid"), col("degree"), col("triangles"),
+        when(col("degree") < 2, lit(0L)).otherwise(expr(
+          "coalesce(try_multiply(CAST(2000000 AS BIGINT), triangles), " +
+            "raise_error('clusteringCoefficients: 2e6*triangles overflowed BIGINT')) " +
+            "DIV (degree * (degree - 1))")).as("coeff_micro"))
   }
 
   /** Degree-assortativity coefficient of a symmetrized (each undirected

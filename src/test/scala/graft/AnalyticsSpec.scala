@@ -617,6 +617,22 @@ class AnalyticsSpec extends SparkSuite {
     assert(one.length == 1 && one(0).getDouble(4) == 0.0, s"got ${one.toSeq}")
   }
 
+  test("clusteringCoefficients: triangle + tendril, dups/loops collapse, deg<2 scores 0") {
+    import spark.implicits._
+    // triangle {1,2,3} + tendril 3-4; dup edge, reversed dup, self-loop
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (2L, 1L), (1L, 2L), (4L, 4L)).toDF("a", "b")
+    val out = GraphAnalytics.clusteringCoefficients(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // v1, v2: deg 2, 1 triangle → 2e6/2 = 1000000
+    // v3: deg 3, 1 triangle → 2e6 DIV 6 = 333333;  v4: deg 1 → 0
+    assert(out == Map(
+      1L -> ((2L, 1L, 1000000L)),
+      2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)),
+      4L -> ((1L, 0L, 0L))), s"got $out")
+  }
+
   test("assortativity: star = -1, degree-homogeneous components = +1") {
     import spark.implicits._
     def sym(und: Seq[(Long, Long)]) =
