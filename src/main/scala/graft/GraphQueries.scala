@@ -1063,8 +1063,10 @@ object GraphQueries {
        |SELECT CAST(label AS BIGINT) AS label, CAST(n_nodes AS BIGINT) AS n_nodes,
        |  CAST(degree_sum AS BIGINT) AS degree_sum,
        |  CAST(coalesce(internal_directed, 0) AS BIGINT) AS internal_directed,
-       |  round(CAST(coalesce(internal_directed, 0) * m - degree_sum * degree_sum AS DOUBLE)
-       |    / CAST(m * m AS DOUBLE), 6) AS q_contrib
+       |  CASE WHEN m = 0 THEN NULL
+       |    ELSE round(CAST(coalesce(internal_directed, 0) * m - degree_sum * degree_sum AS DOUBLE)
+       |      / CAST(m * m AS DOUBLE), 6)
+       |  END AS q_contrib
        |FROM perc LEFT JOIN intr USING (label), mm""".stripMargin
 
   // degree assortativity of the thresholded co-purchase graph: Pearson r
@@ -1084,8 +1086,9 @@ object GraphQueries {
       |ag AS (SELECT count(*) AS m, sum(j * k) AS sjk, sum(j) AS sj, sum(j * j) AS sj2 FROM sc)
       |SELECT CAST(m AS BIGINT) AS m_directed, CAST(sjk AS BIGINT) AS sum_jk,
       |  CAST(sj AS BIGINT) AS sum_j, CAST(sj2 AS BIGINT) AS sum_j2,
-      |  round(CAST(m * sjk - sj * sj AS DOUBLE) / CAST(m * sj2 - sj * sj AS DOUBLE), 6)
-      |    AS assortativity
+      |  CASE WHEN m * sj2 - sj * sj = 0 THEN NULL
+      |    ELSE round(CAST(m * sjk - sj * sj AS DOUBLE) / CAST(m * sj2 - sj * sj AS DOUBLE), 6)
+      |  END AS assortativity
       |FROM ag""".stripMargin
 
   val oracles: Map[String, String] = Map(

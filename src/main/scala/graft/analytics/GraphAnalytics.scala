@@ -1179,11 +1179,14 @@ object GraphAnalytics {
         guarded("try_sum(try_multiply(__da, __da))").as("__sj2"))
       .select(col("__m").as("m_directed"), col("__sjk").as("sum_jk"),
         col("__sj").as("sum_j"), col("__sj2").as("sum_j2"),
-        round(
+        // try_divide: a degree-REGULAR graph has zero degree variance —
+        // the correlation is undefined there, reported as NULL (ANSI
+        // double division would raise)
+        round(try_divide(
           (col("__m").cast(dec) * col("__sjk").cast(dec) -
-            col("__sj").cast(dec) * col("__sj").cast(dec)).cast("double") /
+            col("__sj").cast(dec) * col("__sj").cast(dec)).cast("double"),
           (col("__m").cast(dec) * col("__sj2").cast(dec) -
-            col("__sj").cast(dec) * col("__sj").cast(dec)).cast("double"), 6)
+            col("__sj").cast(dec) * col("__sj").cast(dec)).cast("double")), 6)
           .as("assortativity"))
   }
 
@@ -1222,10 +1225,12 @@ object GraphAnalytics {
       .crossJoin(broadcast(m))
       .select(col("label"), col("n_nodes"), col("degree_sum"),
         col("internal_directed"),
-        round(
+        // try_divide: an EDGELESS graph has M = 0 and Q is undefined —
+        // NULL per community (ANSI double division would raise)
+        round(try_divide(
           (col("internal_directed").cast(dec) * col("__M").cast(dec) -
-            col("degree_sum").cast(dec) * col("degree_sum").cast(dec)).cast("double") /
-          (col("__M").cast(dec) * col("__M").cast(dec)).cast("double"), 6)
+            col("degree_sum").cast(dec) * col("degree_sum").cast(dec)).cast("double"),
+          (col("__M").cast(dec) * col("__M").cast(dec)).cast("double")), 6)
           .as("q_contrib"))
   }
 

@@ -649,6 +649,11 @@ class AnalyticsSpec extends SparkSuite {
     val mixed = GraphAnalytics.assortativity(
       sym(Seq((1L, 2L), (2L, 3L), (1L, 3L), (8L, 9L)))).collect()(0)
     assert(mixed.getDouble(4) == 1.0, s"got ${mixed.getDouble(4)}")
+    // degree-REGULAR graph: zero degree variance, correlation undefined
+    // → NULL (an unguarded ANSI double division would raise instead)
+    val reg = GraphAnalytics.assortativity(
+      sym(Seq((1L, 2L), (2L, 3L), (1L, 3L)))).collect()(0)
+    assert(reg.isNullAt(4), s"got $reg")
   }
 
   test("adamicAdar: hand-computed micro scores, adjacency excluded, degree cap") {

@@ -113,6 +113,48 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in verify plan:\n$plan")
   }
 
+  test("round-13 second-wave ops: fusion/metric joins are equi, silhouette corpus side broadcasts centroids only") {
+    import spark.implicits._
+    // rrfFuse: union + groupBy + window — nothing may cartesian
+    val armA = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val armB = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("query_id", "doc_id", "rank")
+    val rrf = graft.pipeline.Similarity.rrfFuse(Seq(armA, armB), c = 60, topK = 5)
+    rrf.collect()
+    val rrfPlan = rrf.queryExecution.executedPlan.toString
+    assert(!rrfPlan.toLowerCase.contains("cartesian"), s"cartesian:\n$rrfPlan")
+    assert(!rrfPlan.contains("BroadcastNestedLoopJoin"), s"nested-loop:\n$rrfPlan")
+
+    // assortativity / modularity / clustering coefficient: degree and
+    // label decorations must stay equi-keyed (the 1-row totals frame is
+    // the only permitted broadcast-nested-loop)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("a", "b")
+    for ((name, df) <- Seq(
+        ("assortativity", graft.analytics.GraphAnalytics.assortativity(edges)),
+        ("modularity", graft.analytics.GraphAnalytics.modularityByCommunity(
+          Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("vid", "label"), edges)),
+        ("clusteringCoeff", graft.analytics.GraphAnalytics.clusteringCoefficients(
+          edges.where($"a" < $"b"))))) {
+      df.collect()
+      // AQE's toString repeats the tree as "== Initial Plan ==" — count
+      // operators in the final section only
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.toLowerCase.contains("cartesian"), s"cartesian in $name:\n$plan")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+        s"more than the 1-row totals nested-loop in $name:\n$plan")
+    }
+
+    // silhouette: the only join against the corpus is the broadcast of
+    // the k-row centroid frame
+    val vecs = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(10.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val sil = graft.pipeline.Clustering.silhouetteReport(vecs, "vec_id", "embedding",
+      k = 2, iters = 0)
+    sil.collect()
+    val silPlan = sil.queryExecution.executedPlan.toString
+    assert(!silPlan.toLowerCase.contains("cartesianproduct"), s"cartesian:\n$silPlan")
+  }
+
   test("simhash pairs and salted join stay on equi-joins, never cartesian") {
     import spark.implicits._
     val docs = Seq(
