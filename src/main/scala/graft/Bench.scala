@@ -139,7 +139,9 @@ object Bench {
     // int8 quantization-loss recall (precision twin of the matryoshka rungs)
     "ann_int8_recall",
     // local clustering coefficient (shared compact-forward triangle core)
-    "graph_clustering_coeff")
+    "graph_clustering_coeff",
+    // per-user Markov transition matrix (sequence-modeling prep)
+    "events_transition_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

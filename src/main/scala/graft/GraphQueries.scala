@@ -685,6 +685,11 @@ object GraphQueries {
           unix_timestamp(col("sw.start")).as("first_ts"),
           unix_timestamp(col("sw.end")).as("sess_end"))
     }),
+    // first-order Markov transitions over per-user event sequences
+    // ((ts, event_id)-ordered so ties replay identically): per (from, to)
+    // type pair, count + micro-unit transition probability
+    "events_transition_matrix" -> ((s, d) =>
+      graft.streaming.EventStreams.transitionMatrix(t(s, d, "events"))),
     // stream-stream interval join run in batch form: click→view attribution
     // within a trailing 1-day event-time window (watermarks bound the
     // streaming state; identical rows in batch)
@@ -1394,6 +1399,18 @@ object GraphQueries {
         |SELECT o_custkey, o_orderkey, o_totalprice,
         |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |FROM orders) t WHERE rn = 1""".stripMargin,
+    // (ts, event_id)-ordered per-user lead pairs; Spark ts is canonical
+    // long NANOSECONDS, matched by epoch_ns here
+    "events_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tn FROM events),
+        |s AS (SELECT user_id, event_type AS f,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tn, event_id) AS t
+        |  FROM e),
+        |c AS (SELECT f, t, count(*) AS n FROM s WHERE t IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT f, sum(n) AS tt FROM c GROUP BY f)
+        |SELECT c.f AS from_type, c.t AS to_type, CAST(n AS BIGINT) AS n,
+        |  CAST((1000000 * n) // tot.tt AS BIGINT) AS p_micro
+        |FROM c JOIN tot ON c.f = tot.f""".stripMargin,
     // the built-in session_window rule: a new session needs diff > gap
     // (an exact-gap event merges — spec-pinned); every session emits,
     // end = last event + gap

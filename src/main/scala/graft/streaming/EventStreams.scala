@@ -260,6 +260,33 @@ object EventStreams {
   // state, so only the stream path needs the public constructor)
   final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
 
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the sequence-modeling prep signal (what follows what, per event
+    * type): for every consecutive (from → to) pair within a user's
+    * time-ordered stream, the count and the per-from transition
+    * probability in exact integer micro-units.
+    *
+    * Ordering is (tsCol, idCol) so same-timestamp events have a
+    * deterministic, engine-replayable sequence. Scale: ONE user-keyed
+    * window (lead) and two map-side-combinable aggregations — the pair
+    * table is |types|² small however large the corpus.
+    * Returns (from_type, to_type, n, p_micro). */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type", tsCol: String = "ts",
+                       idCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("from_type"), col(tsCol), col(idCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val c = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("from_type")).agg(sum("n").as("__tot"))
+    c.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("CAST((1000000 * n) DIV __tot AS BIGINT)").as("p_micro"))
+  }
+
   /** Session assembly with custom state (flatMapGroupsWithState +
     * processing-time timeout): per user, fold events into an open session; a
     * session closes when the event-time gap exceeds `gapSeconds` (emitted on

@@ -468,6 +468,22 @@ class StreamingSpec extends SparkSuite {
     assert((0 to 2).map(r.getLong) == expected)
   }
 
+  test("transitionMatrix: hand-traced pairs, per-from micro probabilities, id tie-break") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a", 10L), (2L, 1L, "b", 20L), (3L, 1L, "a", 30L), // a→b, b→a
+      (4L, 2L, "b", 10L), (5L, 2L, "b", 20L),                     // b→b
+      (6L, 3L, "x", 50L), (7L, 3L, "y", 50L))                     // same ts: id order → x→y
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStreams.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((1L, 1000000L)),
+      ("b", "a") -> ((1L, 500000L)),
+      ("b", "b") -> ((1L, 500000L)),
+      ("x", "y") -> ((1L, 1000000L))), s"got $out")
+  }
+
   test("native session_window: exact-gap event merges; diff > gap splits; all sessions emit") {
     import spark.implicits._
     val ev = Seq((1L, 100L), (1L, 1900L), (1L, 3701L), (2L, 50L))
