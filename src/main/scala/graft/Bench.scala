@@ -141,7 +141,9 @@ object Bench {
     // local clustering coefficient (shared compact-forward triangle core)
     "graph_clustering_coeff",
     // per-user Markov transition matrix (sequence-modeling prep)
-    "events_transition_matrix")
+    "events_transition_matrix",
+    // DAU / rolling WAU / stickiness engagement rollup
+    "events_active_users")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -685,6 +685,13 @@ object GraphQueries {
           unix_timestamp(col("sw.start")).as("first_ts"),
           unix_timestamp(col("sw.end")).as("sess_end"))
     }),
+    // DAU / trailing-7-day WAU / stickiness per event day; the rolling
+    // distinct fans (day, user) pairs to their 7 target days — bounded by
+    // distinct pairs, never by raw events
+    "events_active_users" -> ((s, d) =>
+      graft.streaming.EventStreams.activeUsersReport(
+        t(s, d, "events").select(col("user_id"),
+          timestamp_seconds(expr("ts DIV 1000000000")).as("ts")))),
     // first-order Markov transitions over per-user event sequences
     // ((ts, event_id)-ordered so ties replay identically): per (from, to)
     // type pair, count + micro-unit transition probability
@@ -1399,6 +1406,16 @@ object GraphQueries {
         |SELECT o_custkey, o_orderkey, o_totalprice,
         |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |FROM orders) t WHERE rn = 1""".stripMargin,
+    "events_active_users" ->
+      """WITH e AS (SELECT DISTINCT (epoch_ns(ts) // 1000000000) // 86400 AS day, user_id FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM e GROUP BY day),
+        |ex AS (SELECT day + g AS day2, user_id FROM
+        |  (SELECT day, user_id, unnest(range(0, 7)) AS g FROM e)),
+        |wau AS (SELECT day2 AS day, count(DISTINCT user_id) AS wau FROM ex GROUP BY day2)
+        |SELECT CAST(d.day AS BIGINT) AS day, CAST(d.dau AS BIGINT) AS dau,
+        |  CAST(w.wau AS BIGINT) AS wau,
+        |  CAST((1000000 * d.dau) // w.wau AS BIGINT) AS stickiness_micro
+        |FROM dau d JOIN wau w ON w.day = d.day""".stripMargin,
     // (ts, event_id)-ordered per-user lead pairs; Spark ts is canonical
     // long NANOSECONDS, matched by epoch_ns here
     "events_transition_matrix" ->

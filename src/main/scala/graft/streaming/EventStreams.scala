@@ -260,6 +260,31 @@ object EventStreams {
   // state, so only the stream path needs the public constructor)
   final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
 
+  /** Daily/weekly active users and stickiness — the classic engagement
+    * rollup with a scale-honest rolling distinct: WAU(d) counts users
+    * active in the trailing 7 days, computed by fanning each DISTINCT
+    * (day, user) pair out to the 7 target days it supports and
+    * re-aggregating — never a per-day window over raw events, and the
+    * fan-out is bounded by 7·|distinct day-user pairs|, not 7·|events|.
+    * Stickiness = DAU/WAU in integer micro-units. Only days with events
+    * report (DAU > 0). Returns (day, dau, wau, stickiness_micro) with
+    * day = epoch-second DIV 86400. */
+  def activeUsersReport(events: DataFrame, userCol: String = "user_id",
+                        tsCol: String = "ts"): DataFrame = {
+    val pairs = events
+      .select(unix_timestamp(col(tsCol)).as("__sec"), col(userCol).as("__u"))
+      .select(expr("__sec DIV 86400").as("day"), col("__u"))
+      .distinct()
+    val dau = pairs.groupBy("day").agg(countDistinct("__u").as("dau"))
+    val wau = pairs
+      .select(explode(sequence(lit(0L), lit(6L))).as("__g"), col("day"), col("__u"))
+      .select((col("day") + col("__g")).as("day"), col("__u"))
+      .groupBy("day").agg(countDistinct("__u").as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("CAST((1000000 * dau) DIV wau AS BIGINT)").as("stickiness_micro"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences —
     * the sequence-modeling prep signal (what follows what, per event
     * type): for every consecutive (from → to) pair within a user's

@@ -656,6 +656,79 @@ class AnalyticsSpec extends SparkSuite {
     assert(reg.isNullAt(4), s"got $reg")
   }
 
+  test("second-wave metrics: randomized graphs vs driver brute-force references") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1313)
+    for (trial <- 1 to 3) {
+      val n = 10 + trial * 5
+      val und = (for {
+        u <- 1L to n.toLong; v <- (u + 1) to n.toLong
+        if rnd.nextDouble() < 0.3
+      } yield (u, v)).toSeq
+      val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val deg = adj.map { case (k, vs) => k -> vs.size.toLong }
+      val sym = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("a", "b")
+
+      // assortativity: Pearson sums over directed edges
+      val rows = und.flatMap { case (a, b) => Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+      val m = rows.size.toLong
+      val sjk = rows.map { case (j, k) => j * k }.sum
+      val sj = rows.map(_._1).sum
+      val sj2 = rows.map { case (j, _) => j * j }.sum
+      val den = m * sj2 - sj * sj
+      val got = GraphAnalytics.assortativity(sym).collect()(0)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+        ((m, sjk, sj, sj2)), s"trial $trial sums: $got")
+      if (den == 0) assert(got.isNullAt(4), s"trial $trial: expected null r")
+      else {
+        // round(…, 6) moves the value at most 5e-7 from the exact ratio
+        val r = (m * sjk - sj * sj).toDouble / den
+        assert(math.abs(got.getDouble(4) - r) <= 5.01e-7,
+          s"trial $trial: ${got.getDouble(4)} vs $r")
+      }
+
+      // clustering coefficients: brute-force triangles per vertex
+      val canonPairs = und.toSet
+      def isEdge(x: Long, y: Long) = canonPairs.contains((math.min(x, y), math.max(x, y)))
+      val expectedCc = adj.map { case (v, nbrs) =>
+        val ns = nbrs.toSeq.sorted
+        val tri = (for {
+          i <- ns.indices; j <- (i + 1) until ns.size
+          if isEdge(ns(i), ns(j))
+        } yield 1).size.toLong
+        val d = deg(v)
+        v -> ((d, tri, if (d < 2) 0L else (2000000L * tri) / (d * (d - 1))))
+      }
+      val gotCc = GraphAnalytics.clusteringCoefficients(und.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(gotCc == expectedCc, s"trial $trial cc: " +
+        s"missing=${expectedCc.keySet -- gotCc.keySet} diff=${gotCc.filterNot(kv => expectedCc.get(kv._1).contains(kv._2))}")
+
+      // modularity: labels = vid % 3, brute-force Q_c per community
+      val labels = adj.keys.map(v => (v, v % 3)).toSeq
+      val mm = m // directed count
+      val expectedQ = labels.groupBy(_._2).map { case (c, vs) =>
+        val members = vs.map(_._1).toSet
+        val dsum = members.toSeq.map(deg).sum
+        val intra = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+          .count { case (a, b) => members.contains(a) && members.contains(b) }.toLong
+        c -> ((members.size.toLong, dsum, intra,
+          (intra * mm - dsum * dsum).toDouble / (mm * mm)))
+      }
+      val gotQ = GraphAnalytics.modularityByCommunity(labels.toDF("vid", "label"), sym)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      assert(gotQ.keySet == expectedQ.keySet, s"trial $trial communities: $gotQ vs $expectedQ")
+      expectedQ.foreach { case (c, (nn, ds, ic, q)) =>
+        val (gn, gd, gi, gq) = gotQ(c)
+        assert((gn, gd, gi) == ((nn, ds, ic)), s"trial $trial c=$c counts: ${gotQ(c)}")
+        assert(math.abs(gq - q) <= 5.01e-7, s"trial $trial c=$c: $gq vs $q")
+      }
+    }
+  }
+
   test("adamicAdar: hand-computed micro scores, adjacency excluded, degree cap") {
     import spark.implicits._
     // square 1-3-2-4-1 plus diagonal 3-4 plus tendril 4-5:

@@ -468,6 +468,23 @@ class StreamingSpec extends SparkSuite {
     assert((0 to 2).map(r.getLong) == expected)
   }
 
+  test("activeUsersReport: hand-computed DAU/WAU/stickiness across a day gap") {
+    import spark.implicits._
+    // day 0: users {1, 2}; day 1: {1}; day 9: {3} (gap > 7 days resets WAU)
+    val ev = Seq((1L, 10L), (2L, 20L), (1L, 86400L + 5L), (3L, 9L * 86400L + 1L),
+      (1L, 30L)) // duplicate (day 0, user 1) collapses
+      .toDF("user_id", "epoch")
+      .select(col("user_id"), col("epoch").cast("timestamp").as("ts"))
+    val out = EventStreams.activeUsersReport(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // day 0: dau 2, wau 2 → 1.0; day 1: dau 1, wau {1,2}=2 → 0.5;
+    // day 9: dau 1, wau {3}=1 → 1.0 (days 0/1 are out of its window)
+    assert(out == Map(
+      0L -> ((2L, 2L, 1000000L)),
+      1L -> ((1L, 2L, 500000L)),
+      9L -> ((1L, 1L, 1000000L))), s"got $out")
+  }
+
   test("transitionMatrix: hand-traced pairs, per-from micro probabilities, id tie-break") {
     import spark.implicits._
     val ev = Seq(
