@@ -143,7 +143,9 @@ object Bench {
     // per-user Markov transition matrix (sequence-modeling prep)
     "events_transition_matrix",
     // DAU / rolling WAU / stickiness engagement rollup
-    "events_active_users")
+    "events_active_users",
+    // synchronous Louvain local-move round (modularity-ascent step)
+    "graph_louvain_move")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

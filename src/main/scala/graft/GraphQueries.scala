@@ -559,6 +559,22 @@ object GraphQueries {
         .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       GraphAnalytics.assortativity(sym)
     }),
+    // one synchronous Louvain local-move round from singleton communities
+    // on the co-purchase graph: per vertex, the modularity-gain argmax
+    // over neighbor communities (exact-integer comparator M*k_vc - kv*D'c)
+    "graph_louvain_move" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
+        .where(col("p") < col("p2"))
+        .groupBy(col("p").as("a"), col("p2").as("b"))
+        .agg(countDistinct("o").as("w"))
+        .where(col("w") >= 2)
+      val sym = pairs.select(col("a"), col("b"))
+        .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      val labels = sym.select(col("a").as("vid")).distinct()
+        .select(col("vid"), col("vid").as("label"))
+      GraphAnalytics.louvainMoveRound(labels, sym)
+    }),
     // per-vertex local clustering coefficient of the thresholded
     // co-purchase graph: triangles/(deg choose 2) in exact micro-units —
     // the compact-forward triangle core shared with graph_triangles_df
@@ -1107,6 +1123,37 @@ object GraphQueries {
     "graph_lpa_df" -> lpaSql,
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
+    // synchronous local-move replay from singleton labels: per vertex the
+    // (score desc, community asc) argmax of M*k_vc - kv*D'c — exact ints
+    "graph_louvain_move" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT a, b FROM (
+        |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
+        |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+        |  WHERE w >= 2),
+        |sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |deg AS (SELECT a AS vid, count(*) AS kv FROM sym GROUP BY a),
+        |lab AS (SELECT vid, vid AS label FROM deg),
+        |dc AS (SELECT l.label, sum(coalesce(d.kv, 0)) AS dc
+        |  FROM lab l LEFT JOIN deg d USING (vid) GROUP BY l.label),
+        |mm AS (SELECT count(*) AS m FROM sym),
+        |kvc AS (SELECT s.a AS vid, lb.label AS c, count(*) AS kvc
+        |  FROM sym s JOIN lab lb ON lb.vid = s.b GROUP BY 1, 2),
+        |cand AS (SELECT vid, c, max(kvc) AS kvc FROM (
+        |  SELECT vid, c, kvc FROM kvc
+        |  UNION ALL SELECT vid, label AS c, 0 FROM lab) u GROUP BY vid, c),
+        |sc AS (SELECT cd.vid, l.label AS old_label, cd.c,
+        |    m * cd.kvc - d.kv * (dcc.dc - CASE WHEN cd.c = l.label THEN d.kv ELSE 0 END) AS score
+        |  FROM cand cd JOIN lab l ON l.vid = cd.vid
+        |  JOIN deg d ON d.vid = cd.vid
+        |  JOIN dc dcc ON dcc.label = cd.c
+        |  CROSS JOIN mm),
+        |r AS (SELECT vid, old_label, c, score,
+        |  row_number() OVER (PARTITION BY vid ORDER BY score DESC, c ASC) AS rn FROM sc)
+        |SELECT CAST(vid AS BIGINT) AS vid, CAST(old_label AS BIGINT) AS old_label,
+        |  CAST(c AS BIGINT) AS new_label, CAST(score AS BIGINT) AS gain_cmp
+        |FROM r WHERE rn = 1""".stripMargin,
     // per-vertex wedge-closure replay: tri(v) = closing (x < y) neighbor
     // pairs; coefficient in integer micro-units, deg < 2 scores 0
     "graph_clustering_coeff" ->

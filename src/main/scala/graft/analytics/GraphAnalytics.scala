@@ -1110,6 +1110,69 @@ object GraphAnalytics {
     (corners, deg)
   }
 
+  /** One SYNCHRONOUS Louvain local-move round (Blondel et al.'s phase-1
+    * step, synchronized so it is deterministic and oracle-replayable):
+    * every vertex simultaneously evaluates, against the CURRENT labels,
+    * each candidate community c among its neighbors' communities plus its
+    * own, by the modularity-gain comparator
+    *
+    *   score(v, c) = M·k_{v,c} − k_v·D'_c
+    *
+    * (M = directed edge count, k_{v,c} = edges from v into c, k_v =
+    * deg(v), D'_c = c's degree sum with v's own contribution removed when
+    * c is v's current community — the standard "gain of joining c after
+    * leaving home" form, scaled by the positive constant 2m² so it is
+    * EXACT integer arithmetic). The vertex adopts the (score desc,
+    * label asc) argmax. Sequential Louvain applies moves one at a time;
+    * the synchronous sweep is the standard distributed adaptation — one
+    * round is one ascent step, iterate-and-rescore with
+    * [[modularityByCommunity]] to convergence.
+    *
+    * Scale: one degree pass, one label decoration of the edge list
+    * (vertex-keyed equi-joins), one map-side-combinable (v, c) rollup,
+    * and a per-vertex argmax via min(struct) — no windows, no corpus
+    * exchange beyond the edge list's own keys; products are guarded
+    * try_multiply. Returns (vid, old_label, new_label, gain_cmp). */
+  def louvainMoveRound(labels: DataFrame, symEdges: DataFrame): DataFrame = {
+    // the edge frame feeds three scans (degrees, M, link counts) and the
+    // label frame two — materialize both once so an expensive upstream
+    // build (the co-purchase self-join) isn't recomputed per scan
+    val se = symEdges.localCheckpoint(true)
+    val lab = labels.select(col("vid"), col("label")).localCheckpoint(true)
+    val deg = se.groupBy(col("a").as("vid")).agg(count(lit(1)).as("__kv"))
+    val dC = lab.join(deg, Seq("vid"), "left")
+      .groupBy("label").agg(sum(coalesce(col("__kv"), lit(0L))).as("__dc"))
+    val m = se.agg(count(lit(1)).as("__M"))
+    // k_{v,c}: edges from v into community c (current labels)
+    val kvc = se
+      .join(lab.select(col("vid").as("b"), col("label").as("__c")), Seq("b"))
+      .groupBy(col("a").as("vid"), col("__c"))
+      .agg(count(lit(1)).as("__kvc"))
+    // candidates = neighbor communities ∪ own (own may be absent from
+    // kvc when v has no intra-community edge — union it with k = 0)
+    val own = lab.select(col("vid"), col("label").as("__c"), lit(0L).as("__kvc"))
+    val cand = kvc.unionByName(own)
+      .groupBy("vid", "__c").agg(max("__kvc").as("__kvc"))
+    val scored = cand
+      .join(lab, Seq("vid"))
+      .join(deg, Seq("vid"), "left")
+      .na.fill(0L, Seq("__kv"))
+      .join(dC.select(col("label").as("__c"), col("__dc")), Seq("__c"))
+      .crossJoin(broadcast(m))
+      .select(col("vid"), col("label").as("old_label"), col("__c"),
+        expr("coalesce(try_multiply(__M, __kvc), " +
+          "raise_error('louvainMoveRound: M*k_vc overflowed BIGINT')) - " +
+          "coalesce(try_multiply(__kv, __dc - IF(__c = label, __kv, CAST(0 AS BIGINT))), " +
+          "raise_error('louvainMoveRound: k_v*D_c overflowed BIGINT'))").as("__score"))
+    scored
+      .select(col("vid"), col("old_label"),
+        struct((-col("__score")).as("ns"), col("__c").as("c")).as("__s"))
+      .groupBy("vid", "old_label")
+      .agg(min("__s").as("__best"))
+      .select(col("vid"), col("old_label"), col("__best.c").as("new_label"),
+        (-col("__best.ns")).as("gain_cmp"))
+  }
+
   /** Per-vertex local clustering coefficient over an undirected edge
     * table (a, b) (any orientation; duplicates and self-loops tolerated):
     * c(v) = triangles(v) / (deg(v) choose 2) in exact integer micro-units

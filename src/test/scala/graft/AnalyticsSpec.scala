@@ -656,6 +656,29 @@ class AnalyticsSpec extends SparkSuite {
     assert(reg.isNullAt(4), s"got $reg")
   }
 
+  test("louvainMoveRound: singleton ascent hand-traced; converged partition is a fixpoint") {
+    import spark.implicits._
+    // two triangles {1,2,3} {4,5,6} + bridge 3-4; M = 14
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val sym = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("a", "b")
+    val singles = (1L to 6L).map(v => (v, v)).toDF("vid", "label")
+    val out = GraphAnalytics.louvainMoveRound(singles, sym).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // hand-traced argmax of 14*k_vc - kv*D'c over neighbor communities:
+    // deg-2 vertices join their deg-2 neighbor (score 10); 3 ties between
+    // its two deg-2 triangle mates -> smallest (1); 4 prefers 5 (score 8)
+    assert(out == Map(
+      1L -> ((2L, 10L)), 2L -> ((1L, 10L)), 3L -> ((1L, 8L)),
+      4L -> ((5L, 8L)), 5L -> ((6L, 10L)), 6L -> ((5L, 10L))), s"got $out")
+    // the converged triangle partition: every vertex's best move is to
+    // stay home (gain of own community dominates)
+    val conv = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("vid", "label")
+    val stay = GraphAnalytics.louvainMoveRound(conv, sym).collect()
+    assert(stay.forall(r => r.getLong(1) == r.getLong(2)),
+      s"got ${stay.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq}")
+  }
+
   test("second-wave metrics: randomized graphs vs driver brute-force references") {
     import spark.implicits._
     val rnd = new scala.util.Random(1313)
