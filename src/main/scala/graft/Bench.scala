@@ -145,7 +145,9 @@ object Bench {
     // DAU / rolling WAU / stickiness engagement rollup
     "events_active_users",
     // synchronous Louvain local-move round (modularity-ascent step)
-    "graph_louvain_move")
+    "graph_louvain_move",
+    // PSI distribution-shift screen between split slices
+    "curate_psi_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -937,6 +937,15 @@ object PipelineQueries {
           maxFilesPerTrigger = Some(2))
         .localCheckpoint(true)
     })),
+    // distribution-shift screen: PSI of the document word-count histogram
+    // between the train and test split slices (fixed 10-wide buckets
+    // capped at 20, +1 Laplace smoothing over the 21-bucket domain)
+    "curate_psi_report" -> ((s, d) => {
+      val withF = pipeline.Curation.splitLabel(docs(s, d), "doc_id")
+        .select(TextAnalysis.wordCount(col("text")).cast("long").as("n_words"),
+          col("split"))
+      pipeline.Curation.psiReport(withF, "n_words", "split", "train", "test")
+    }),
     // curation: deterministic train/val/test split labels
     "curate_split" -> ((s, d) =>
       pipeline.Curation.splitLabel(docs(s, d), "doc_id")
@@ -3453,6 +3462,25 @@ object PipelineQueries {
           |SELECT s.user_id, n_events, first_ts, last_ts
           |FROM sess s JOIN last l ON s.user_id = l.user_id, mx
           |WHERE s.grp < l.maxg OR s.last_ts + 1800 < mx.m - 600""".stripMargin,
+      "curate_psi_report" ->
+        s"""WITH s AS (SELECT CASE
+           |    WHEN substr(md5('split|'||doc_id), 1, 2) < '0d' THEN 'test'
+           |    WHEN substr(md5('split|'||doc_id), 1, 2) < '1a' THEN 'val'
+           |    ELSE 'train' END AS split,
+           |  CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END AS nw
+           |FROM documents),
+           |b AS (SELECT least(nw // 10, 20) AS bucket, split FROM s WHERE split IN ('train', 'test')),
+           |c AS (SELECT bucket,
+           |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_a,
+           |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_b
+           |  FROM b GROUP BY bucket),
+           |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c)
+           |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_a AS BIGINT) AS n_a,
+           |  CAST(n_b AS BIGINT) AS n_b,
+           |  CAST(floor((CAST(n_a + 1 AS DOUBLE) / (ta + 21) - CAST(n_b + 1 AS DOUBLE) / (tb + 21))
+           |    * ln((CAST(n_a + 1 AS DOUBLE) / (ta + 21)) / (CAST(n_b + 1 AS DOUBLE) / (tb + 21)))
+           |    * 1000000.0 + 0.5) AS BIGINT) AS psi_contrib_micro
+           |FROM c, t""".stripMargin,
       "curate_split" ->
         """SELECT doc_id, CASE
           |  WHEN substr(md5('split|'||doc_id), 1, 2) < '0d' THEN 'test'

@@ -326,6 +326,43 @@ object Curation {
       regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "[0-9]{6,}", "<NUM>")
 
+  /** Population Stability Index between two corpus slices — the standard
+    * distribution-shift screen (did the train slice drift from test? did
+    * this week's crawl drift from last week's?): a numeric feature is
+    * histogrammed into fixed-width buckets (capped at `maxBucket`), and
+    * each bucket contributes (p_a − p_b)·ln(p_a/p_b) ≥ 0; Σ < 0.1 is the
+    * conventional "stable" reading. Laplace-smoothed with +1 over the
+    * fixed (maxBucket+1)-bucket domain so empty buckets are finite and
+    * the statistic is defined for disjoint histograms.
+    *
+    * Contributions are exact-count-derived doubles floored to micro-units
+    * (ln is correctly rounded — the PMI/Adamic-Adar portability rule), so
+    * an oracle replays every row. Scale: one narrow bucketing projection,
+    * one map-side-combinable groupBy(bucket), and a 1-row totals
+    * broadcast — nothing corpus-sized shuffles.
+    * Returns (bucket, n_a, n_b, psi_contrib_micro). */
+  def psiReport(df: DataFrame, valueCol: String, sliceCol: String,
+                aSlice: String, bSlice: String,
+                bucketWidth: Long = 10, maxBucket: Long = 20): DataFrame = {
+    require(bucketWidth > 0, s"need bucketWidth > 0; got $bucketWidth")
+    require(maxBucket >= 0, s"need maxBucket >= 0; got $maxBucket")
+    val k = maxBucket + 1
+    val counts = df
+      .where(col(sliceCol).isin(aSlice, bSlice))
+      .select(least(expr(s"$valueCol DIV $bucketWidth"), lit(maxBucket)).as("bucket"),
+        col(sliceCol).as("__s"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__s") === aSlice, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__s") === bSlice, 1L).otherwise(0L)).as("n_b"))
+    val tot = counts.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    val pa = (col("n_a") + 1).cast("double") / (col("__ta") + lit(k))
+    val pb = (col("n_b") + 1).cast("double") / (col("__tb") + lit(k))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        floor((pa - pb) * log(pa / pb) * 1000000.0 + 0.5).cast("long")
+          .as("psi_contrib_micro"))
+  }
+
   /** Per-source PII exposure report — the audit a corpus needs BEFORE
     * [[redact]] runs and the regression check after: per source, document
     * count, documents containing any PII, and per-class match counts for

@@ -5,6 +5,32 @@ import graft.pipeline.Curation
 
 class CurationSpec extends SparkSuite {
 
+  test("psiReport: hand-bucketed counts, smoothed contributions, identical slices score 0") {
+    import spark.implicits._
+    // slice a values: 5, 15, 15 → buckets 0, 1, 1; slice b: 5, 25 → 0, 2
+    val rows = Seq((5L, "a"), (15L, "a"), (15L, "a"), (5L, "b"), (25L, "b"),
+      (7L, "zz")) // foreign slice ignored
+      .toDF("v", "s")
+    val out = Curation.psiReport(rows, "v", "s", "a", "b",
+        bucketWidth = 10, maxBucket = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def contrib(na: Long, nb: Long, ta: Long, tb: Long, k: Long): Long = {
+      val pa = (na + 1).toDouble / (ta + k); val pb = (nb + 1).toDouble / (tb + k)
+      math.floor((pa - pb) * math.log(pa / pb) * 1000000.0 + 0.5).toLong
+    }
+    assert(out == Map(
+      0L -> ((1L, 1L, contrib(1, 1, 3, 2, 3))),
+      1L -> ((2L, 0L, contrib(2, 0, 3, 2, 3))),
+      2L -> ((0L, 1L, contrib(0, 1, 3, 2, 3)))), s"got $out")
+    // every contribution is non-negative; identical slices contribute 0
+    assert(out.values.forall(_._3 >= 0L), s"got $out")
+    val same = Curation.psiReport(
+      rows.where($"s" === "a").unionByName(rows.where($"s" === "a")
+        .select($"v", lit("b").as("s"))),
+      "v", "s", "a", "b", bucketWidth = 10, maxBucket = 2).collect()
+    assert(same.forall(_.getLong(3) == 0L), s"got ${same.toSeq}")
+  }
+
   test("piiReport: per-class counts, multi-match docs, clean docs score zero") {
     import spark.implicits._
     val docs = Seq(
