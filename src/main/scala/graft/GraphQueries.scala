@@ -123,14 +123,20 @@ object GraphQueries {
     * entry: write the source fixture without running the stream. */
   def stageIngestFixture(s: SparkSession, d: String): Unit = { ingestFixture(s, d); () }
 
+  /** The thresholded co-purchase pair graph every walk / community /
+    * link-prediction entry builds on — parts sharing >= 2 distinct
+    * orders, per-order fan-out capped at the
+    * [[GraphAnalytics.coPurchasePairs]] default (TPC-H orders carry <= 7
+    * lineitems, so the cap never bites here; it guards the 100 TB
+    * hot-basket case). Returns (a, b, w), a < b. */
+  private def coPairs(s: SparkSession, d: String): DataFrame =
+    GraphAnalytics.coPurchasePairs(
+      t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+      "o", "p", minShared = 2)
+
   private def coPurchaseWalks(s: SparkSession, d: String): DataFrame =
     walkCache.computeIfAbsent((s, d), { _ =>
-      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
-        .where(col("p") < col("p2"))
-        .groupBy(col("p").as("a"), col("p2").as("b"))
-        .agg(countDistinct("o").as("w"))
-        .where(col("w") >= 2)
+      val pairs = coPairs(s, d)
       val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       GraphAnalytics.randomWalks(sym, walkLen = 4)
@@ -452,12 +458,7 @@ object GraphQueries {
     // 3-core keeps ~935 of 1880 parts after 11 peel rounds — real
     // multi-round dynamics, not a one-shot degree filter
     "graph_kcore_df" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
-        .where(col("p") < col("p2"))
-        .groupBy(col("p").as("a"), col("p2").as("b"))
-        .agg(countDistinct("o").as("w"))
-        .where(col("w") >= 2)
+      val pairs = coPairs(s, d)
         .select("a", "b")
       GraphAnalytics.kCore(pairs, k = 3)
     }),
@@ -470,12 +471,7 @@ object GraphQueries {
     // graph: top-50 NON-adjacent pairs by Σ 1/ln(deg) over common
     // neighbors, integer micro-units per vertex cell
     "graph_adamic_adar" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
-        .where(col("p") < col("p2"))
-        .groupBy(col("p").as("a"), col("p2").as("b"))
-        .agg(countDistinct("o").as("w"))
-        .where(col("w") >= 2)
+      val pairs = coPairs(s, d)
         .select("a", "b")
       GraphAnalytics.adamicAdar(pairs, topK = 50)
     }),
@@ -491,12 +487,7 @@ object GraphQueries {
     // ±5 skip-gram window (the short entry above keeps the cheap smoke
     // shape; this one pins the length the pair join must stay linear at)
     "graph_walk_pairs_long" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
-        .where(col("p") < col("p2"))
-        .groupBy(col("p").as("a"), col("p2").as("b"))
-        .agg(countDistinct("o").as("w"))
-        .where(col("w") >= 2)
+      val pairs = coPairs(s, d)
       val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       GraphAnalytics.walkSkipGramPairs(
@@ -523,12 +514,7 @@ object GraphQueries {
     // 2000): step bias depends on the PREVIOUS node — return discouraged,
     // venture-out favored; all-integer ladder, bit-replayable
     "graph_node2vec_walks" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
-        .where(col("p") < col("p2"))
-        .groupBy(col("p").as("a"), col("p2").as("b"))
-        .agg(countDistinct("o").as("w"))
-        .where(col("w") >= 2)
+      val pairs = coPairs(s, d)
       val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       GraphAnalytics.node2vecWalks(sym, walkLen = 4, retMilli = 250, outMilli = 2000)
@@ -549,12 +535,7 @@ object GraphQueries {
     // co-purchase with hubs? Pearson r between endpoint degrees over the
     // directed-symmetric edge list — guarded-Long sums, one IEEE division
     "graph_assortativity" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
-        .where(col("p") < col("p2"))
-        .groupBy(col("p").as("a"), col("p2").as("b"))
-        .agg(countDistinct("o").as("w"))
-        .where(col("w") >= 2)
+      val pairs = coPairs(s, d)
       val sym = pairs.select(col("a"), col("b"))
         .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       GraphAnalytics.assortativity(sym)
@@ -563,12 +544,7 @@ object GraphQueries {
     // on the co-purchase graph: per vertex, the modularity-gain argmax
     // over neighbor communities (exact-integer comparator M*k_vc - kv*D'c)
     "graph_louvain_move" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
-        .where(col("p") < col("p2"))
-        .groupBy(col("p").as("a"), col("p2").as("b"))
-        .agg(countDistinct("o").as("w"))
-        .where(col("w") >= 2)
+      val pairs = coPairs(s, d)
       val sym = pairs.select(col("a"), col("b"))
         .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       val labels = sym.select(col("a").as("vid")).distinct()
@@ -579,24 +555,14 @@ object GraphQueries {
     // co-purchase graph: triangles/(deg choose 2) in exact micro-units —
     // the compact-forward triangle core shared with graph_triangles_df
     "graph_clustering_coeff" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
-        .where(col("p") < col("p2"))
-        .groupBy(col("p").as("a"), col("p2").as("b"))
-        .agg(countDistinct("o").as("w"))
-        .where(col("w") >= 2)
+      val pairs = coPairs(s, d)
         .select("a", "b")
       GraphAnalytics.clusteringCoefficients(pairs)
     }),
     // weight-proportional walks: step choice lands the md5 uniform in the
     // neighbor's slot of the cumulative shared-order-count ladder
     "graph_weighted_walks" -> ((s, d) => {
-      val li = t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = li.join(li.select(col("o"), col("p").as("p2")), Seq("o"))
-        .where(col("p") < col("p2"))
-        .groupBy(col("p").as("a"), col("p2").as("b"))
-        .agg(countDistinct("o").as("w"))
-        .where(col("w") >= 2)
+      val pairs = coPairs(s, d)
       val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("w").as("weight"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"), col("w").as("weight")))
       GraphAnalytics.weightedRandomWalks(sym, walkLen = 4)

@@ -84,11 +84,15 @@ object PipelineQueries {
     streamFixture("stream_sessionize", s, d) { tmp =>
       streamEventsFrame(s, d).repartitionByRange(6, col("ts"))
         .write.mode("overwrite").parquet(tmp)
-      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-      val sorted = scala.jdk.CollectionConverters.IteratorHasAsScala(parts)
-        .asScala.filter(_.getFileName.toString.startsWith("part-")).toSeq
-        .sortBy(_.getFileName.toString)
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      val sorted =
+        try {
+          val parts = listing.iterator()
+            .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+          scala.jdk.CollectionConverters.IteratorHasAsScala(parts)
+            .asScala.filter(_.getFileName.toString.startsWith("part-")).toSeq
+            .sortBy(_.getFileName.toString)
+        } finally listing.close()
       sorted.zipWithIndex.foreach { case (p, i) =>
         java.nio.file.Files.setLastModifiedTime(p,
           java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
@@ -3469,11 +3473,13 @@ object PipelineQueries {
            |    ELSE 'train' END AS split,
            |  CASE WHEN len($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END AS nw
            |FROM documents),
-           |b AS (SELECT least(nw // 10, 20) AS bucket, split FROM s WHERE split IN ('train', 'test')),
-           |c AS (SELECT bucket,
+           |b AS (SELECT greatest(least(nw // 10, 20), 0) AS bucket, split FROM s WHERE split IN ('train', 'test')),
+           |raw AS (SELECT bucket,
            |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_a,
            |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_b
            |  FROM b GROUP BY bucket),
+           |c AS (SELECT gs.bucket, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+           |  FROM generate_series(0, 20) gs(bucket) LEFT JOIN raw ON raw.bucket = gs.bucket),
            |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c)
            |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_a AS BIGINT) AS n_a,
            |  CAST(n_b AS BIGINT) AS n_b,

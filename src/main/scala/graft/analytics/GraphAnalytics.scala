@@ -448,6 +448,42 @@ object GraphAnalytics {
     * nothing extra — it filters the barrier's already-materialized
     * checkpoint. Returns (walk_id, step, node): the long-form sequence
     * corpus, step 0 = the start node. */
+  /** Co-occurrence pair graph from a (key, item) long table — the
+    * market-basket / co-purchase / co-citation edge builder: undirected
+    * pairs (a, b), a < b, weighted by the number of DISTINCT keys the two
+    * items share, thresholded at `minShared`. This is the one self-join
+    * the walk/community/link-prediction family builds its graph from.
+    *
+    * Scale: the self-join is O(items²) PER KEY, so one hot key (a basket
+    * with 10⁴ items) would emit 10⁸ rows from a single group.
+    * `maxPerKey` (0 = off) bounds it: each key keeps only its
+    * `maxPerKey` smallest DISTINCT items (dense_rank over item asc —
+    * duplicate (key, item) rows never eat cap slots) before the join, so
+    * per-key fan-out is capped at maxPerKey·(maxPerKey−1)/2. The cap is
+    * a RECALL trade where it bites: pairs involving a hot key's larger
+    * item ids lose that key's contribution to `w`, and a pair seen only
+    * in over-cap keys disappears — same graceful-degradation contract as
+    * `maxShingleDf` (Dedup.scala). Keys with ≤ maxPerKey distinct items
+    * (every TPC-H order: ≤ 7 lineitems) are bit-identical to the
+    * uncapped form. The cap's dense_rank window shuffles by key — the
+    * exact partitioning the self-join needs next, so a cluster reuses
+    * the exchange rather than paying a second one. */
+  def coPurchasePairs(items: DataFrame, keyCol: String, itemCol: String,
+                      minShared: Long = 2, maxPerKey: Int = 256): DataFrame = {
+    require(minShared >= 1, s"need minShared >= 1; got $minShared")
+    val base = items.select(col(keyCol).as("o"), col(itemCol).as("p"))
+    val bounded =
+      if (maxPerKey <= 0) base
+      else base
+        .withColumn("__r", dense_rank().over(Window.partitionBy("o").orderBy(col("p").asc)))
+        .where(col("__r") <= maxPerKey).drop("__r")
+    bounded.join(bounded.select(col("o"), col("p").as("p2")), Seq("o"))
+      .where(col("p") < col("p2"))
+      .groupBy(col("p").as("a"), col("p2").as("b"))
+      .agg(countDistinct("o").as("w"))
+      .where(col("w") >= minShared)
+  }
+
   def randomWalks(edges: DataFrame, walkLen: Int, seed: String = "walk",
                   eager: Boolean = true): DataFrame = {
     require(walkLen >= 1, s"need walkLen >= 1; got $walkLen")
@@ -1171,6 +1207,121 @@ object GraphAnalytics {
       .agg(min("__s").as("__best"))
       .select(col("vid"), col("old_label"), col("__best.c").as("new_label"),
         (-col("__best.ns")).as("gain_cmp"))
+  }
+
+  /** One parity-restricted weighted local-move round for [[louvain]]:
+    * vertices with vid % 2 == parity evaluate the gain comparator
+    * (weighted twin of [[louvainMoveRound]]'s, self-loop weight excluded
+    * from k_{v,c} — it joins every candidate community with v, a
+    * constant offset) and adopt the argmax; the other parity class
+    * passes through unchanged. Tie-breaks: on equal score the OWN
+    * community wins (no zero-gain churn), equal-score foreign candidates
+    * break label asc. `e` is (a, b, w) directed-symmetric with intra
+    * weight on the diagonal; `deg`/`bigM` are level constants the caller
+    * precomputed. */
+  private def louvainParityRound(lab: DataFrame, e: DataFrame, deg: DataFrame,
+                                 bigM: DataFrame, parity: Int): DataFrame = {
+    val dC = lab.join(deg, Seq("vid"), "left")
+      .groupBy("label").agg(sum(coalesce(col("__kv"), lit(0L))).as("__dc"))
+    val active = lab.where(pmod(col("vid"), lit(2L)) === parity)
+    val inactive = lab.where(pmod(col("vid"), lit(2L)) =!= parity)
+    val kvc = e.where(col("a") =!= col("b") && pmod(col("a"), lit(2L)) === parity)
+      .join(lab.select(col("vid").as("b"), col("label").as("__c")), Seq("b"))
+      .groupBy(col("a").as("vid"), col("__c"))
+      .agg(sum("w").as("__kvc"))
+    val own = active.select(col("vid"), col("label").as("__c"), lit(0L).as("__kvc"))
+    val cand = kvc.unionByName(own)
+      .groupBy("vid", "__c").agg(max("__kvc").as("__kvc"))
+    val scored = cand
+      .join(active, Seq("vid"))
+      .join(deg, Seq("vid"))
+      .join(dC.select(col("label").as("__c"), col("__dc")), Seq("__c"))
+      .crossJoin(broadcast(bigM))
+      .select(col("vid"),
+        struct(
+          (-expr("coalesce(try_multiply(__M, __kvc), " +
+            "raise_error('louvain: M*k_vc overflowed BIGINT')) + " +
+            "coalesce(try_multiply(__kv, __dc - IF(__c = label, __kv, CAST(0 AS BIGINT))), " +
+            "raise_error('louvain: k_v*D_c overflowed BIGINT'))")).as("ns"),
+          when(col("__c") === col("label"), 0).otherwise(1).as("foreign"),
+          col("__c").as("c")).as("__s"))
+    scored.groupBy("vid").agg(min("__s").as("__best"))
+      .select(col("vid"), col("__best.c").as("label"))
+      .unionByName(inactive.select("vid", "label"))
+  }
+
+  /** FULL multi-level Louvain (Blondel et al. 2008, arXiv:0803.0476):
+    * each LEVEL iterates the local-move step to a fixpoint, then
+    * COARSENS — every community becomes a supervertex, edge weights
+    * aggregate, intra-community weight lands on the diagonal so the
+    * coarse graph's degree sums and total weight are exactly preserved —
+    * and the next level repeats on the coarse graph. Input is the
+    * symmetrized edge table (a, b[, w]); returns (vid, label): the
+    * top-level community of every ORIGINAL vertex.
+    *
+    * Schedule: rounds are PARITY-ALTERNATED (round r moves only vertices
+    * with vid % 2 == r % 2) — the standard distributed symmetry-breaker
+    * (the all-vertex synchronous sweep of [[louvainMoveRound]] ping-pongs
+    * on symmetric structures: two vertices that each compute "join the
+    * other" swap forever). A level's fixpoint is TWO consecutive
+    * zero-move rounds (one per parity class — then every vertex is at
+    * its argmax and further rounds are no-ops), capped at `maxRounds`;
+    * the hierarchy stops when a level moves nothing out of singletons
+    * (coarsening would be the identity), capped at `maxLevels`.
+    *
+    * Determinism/oracle: every round is a pure function of the previous
+    * labels with pinned tie-breaks (own community on equal score, then
+    * label asc), so a fixed (maxLevels × maxRounds) CTE unroll replays
+    * the converge-early run exactly — converged rounds and levels are
+    * no-ops by construction, the k-core oracle's idempotence argument.
+    *
+    * Scale: per round one label decoration of the (parity-halved) edge
+    * list, one map-side-combinable (v, c) rollup and a per-vertex
+    * min(struct) argmax — vertex-keyed equi-joins only, no windows, no
+    * corpus exchange; each coarsening SHRINKS the graph to one row per
+    * surviving community pair, so level cost drops geometrically (the
+    * level-1 rounds dominate). Driver holds only per-round moved-counts
+    * and the loop bounds. */
+  def louvain(symEdges: DataFrame, maxLevels: Int = 3, maxRounds: Int = 12): DataFrame = {
+    require(maxLevels >= 1, s"need maxLevels >= 1; got $maxLevels")
+    require(maxRounds >= 2, s"need maxRounds >= 2; got $maxRounds")
+    val hasW = symEdges.columns.contains("w")
+    var e = symEdges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+        (if (hasW) col("w").cast("long") else lit(1L)).as("w"))
+      .localCheckpoint(true)
+    var mapping: DataFrame = null
+    var level = 0
+    var levelMoved = true
+    while (level < maxLevels && levelMoved) {
+      val deg = e.groupBy(col("a").as("vid")).agg(sum("w").as("__kv")).localCheckpoint(true)
+      val bigM = e.agg(sum("w").as("__M")).localCheckpoint(true)
+      var lab = deg.select(col("vid"), col("vid").as("label")).localCheckpoint(true)
+      var round = 0
+      var zeroStreak = 0
+      while (round < maxRounds && zeroStreak < 2) {
+        val next = louvainParityRound(lab, e, deg, bigM, round % 2).localCheckpoint(true)
+        val moved = next.join(lab.select(col("vid"), col("label").as("__prev")), Seq("vid"))
+          .where(col("label") =!= col("__prev")).count()
+        zeroStreak = if (moved == 0L) zeroStreak + 1 else 0
+        lab = next
+        round += 1
+      }
+      levelMoved = lab.where(col("label") =!= col("vid")).limit(1).count() > 0
+      mapping =
+        (if (mapping == null) lab
+         else mapping.select(col("vid"), col("label").as("__mid"))
+           .join(lab.select(col("vid").as("__mid"), col("label")), Seq("__mid"))
+           .select("vid", "label")).localCheckpoint(true)
+      if (levelMoved && level + 1 < maxLevels) {
+        e = e.join(lab.select(col("vid").as("a"), col("label").as("__ca")), Seq("a"))
+          .join(lab.select(col("vid").as("b"), col("label").as("__cb")), Seq("b"))
+          .groupBy(col("__ca").as("a"), col("__cb").as("b"))
+          .agg(sum("w").as("w"))
+          .localCheckpoint(true)
+      }
+      level += 1
+    }
+    mapping
   }
 
   /** Per-vertex local clustering coefficient over an undirected edge

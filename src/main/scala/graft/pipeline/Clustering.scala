@@ -104,11 +104,22 @@ object Clustering {
     * centroid kernel (the [[graft.functions.NearestCentroid]] shape) would
     * fold the expansion row-locally and drop the exchange — the upgrade
     * path if this ever leaves QA-report duty.
-    * Returns (cid, n_members, sum_sil_micro, mean_sil_micro). */
+    * Returns (cid, n_members, sum_sil_micro, mean_sil_micro).
+    *
+    * This convenience form fits k-means internally; callers that already
+    * hold fitted centroids (an embedding_kmeans result, an
+    * iterate-and-rescore loop) should use the (cid, centroid) overload
+    * below and not pay the Lloyd iterations twice. */
   def silhouetteReport(df: DataFrame, idCol: String, vecCol: String,
-                       k: Int, iters: Int): DataFrame = {
+                       k: Int, iters: Int): DataFrame =
+    silhouetteReport(df, idCol, vecCol, kmeansCentroids(df, idCol, vecCol, k, iters))
+
+  /** [[silhouetteReport]] against PRECOMPUTED centroids (cid, centroid) —
+    * the rescoring half: scoring, micro-unit rules and output shape are
+    * identical to the fitting form, with zero Lloyd iterations paid. */
+  def silhouetteReport(df: DataFrame, idCol: String, vecCol: String,
+                       cents: DataFrame): DataFrame = {
     val corpus = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
-    val cents = kmeansCentroids(df, idCol, vecCol, k, iters)
     val scored = corpus.crossJoin(broadcast(cents))
       .select(col("__id"), col("cid"),
         (dotNative(col("__v"), col("__v"))

@@ -337,23 +337,35 @@ object Curation {
     *
     * Contributions are exact-count-derived doubles floored to micro-units
     * (ln is correctly rounded — the PMI/Adamic-Adar portability rule), so
-    * an oracle replays every row. Scale: one narrow bucketing projection,
-    * one map-side-combinable groupBy(bucket), and a 1-row totals
-    * broadcast — nothing corpus-sized shuffles.
-    * Returns (bucket, n_a, n_b, psi_contrib_micro). */
+    * an oracle replays every row. Buckets are CLAMPED to [0, maxBucket]:
+    * values below 0 land in bucket 0 (without the clamp, Spark's DIV
+    * truncates toward zero while a floor-dividing engine floors, so
+    * negatives would bucket differently cross-engine — and would escape
+    * the documented fixed domain). All maxBucket+1 buckets are emitted,
+    * including buckets empty in BOTH slices, whose smoothed terms are
+    * nonzero whenever the slice totals differ — dropping them would
+    * silently under-report the summed PSI. Scale: one narrow bucketing
+    * projection, one map-side-combinable groupBy(bucket), a 1-row totals
+    * broadcast, and a (maxBucket+1)-row domain frame — nothing
+    * corpus-sized shuffles.
+    * Returns (bucket, n_a, n_b, psi_contrib_micro), one row per bucket. */
   def psiReport(df: DataFrame, valueCol: String, sliceCol: String,
                 aSlice: String, bSlice: String,
                 bucketWidth: Long = 10, maxBucket: Long = 20): DataFrame = {
     require(bucketWidth > 0, s"need bucketWidth > 0; got $bucketWidth")
     require(maxBucket >= 0, s"need maxBucket >= 0; got $maxBucket")
     val k = maxBucket + 1
-    val counts = df
-      .where(col(sliceCol).isin(aSlice, bSlice))
-      .select(least(expr(s"$valueCol DIV $bucketWidth"), lit(maxBucket)).as("bucket"),
-        col(sliceCol).as("__s"))
-      .groupBy("bucket")
-      .agg(sum(when(col("__s") === aSlice, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("__s") === bSlice, 1L).otherwise(0L)).as("n_b"))
+    val domain = df.sparkSession.range(0, k).select(col("id").as("bucket"))
+    val counts = domain.join(
+      df.where(col(sliceCol).isin(aSlice, bSlice))
+        .select(greatest(least(expr(s"$valueCol DIV $bucketWidth"), lit(maxBucket)), lit(0L))
+          .as("bucket"), col(sliceCol).as("__s"))
+        .groupBy("bucket")
+        .agg(sum(when(col("__s") === aSlice, 1L).otherwise(0L)).as("__na"),
+          sum(when(col("__s") === bSlice, 1L).otherwise(0L)).as("__nb")),
+      Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("__na"), lit(0L)).as("n_a"),
+        coalesce(col("__nb"), lit(0L)).as("n_b"))
     val tot = counts.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
     val pa = (col("n_a") + 1).cast("double") / (col("__ta") + lit(k))
     val pb = (col("n_b") + 1).cast("double") / (col("__tb") + lit(k))

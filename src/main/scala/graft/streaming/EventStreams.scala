@@ -407,7 +407,19 @@ object EventStreams {
             val expiryMs = (st.lastTs + gapSeconds) * 1000L
             if (expiryMs <= state.getCurrentWatermarkMs()) {
               // already past the horizon when processed: emit now (the
-              // timeout path would be asked to register in the past)
+              // timeout path would be asked to register in the past).
+              // BOUNDARY NOTE: this early-emit guard is `<=` while the
+              // engine's timeout path (and a batch replay) fires on
+              // strict `<` — setTimeoutTimestamp REQUIRES a timestamp
+              // strictly greater than the current watermark, so at exact
+              // equality registering is illegal and emitting now is the
+              // only correct move. The case is reachable only when
+              // unix_timestamp's sub-second truncation lands lastTs+gap
+              // exactly ON the watermark (late rows are already filtered
+              // to ts > watermark); a strict-< batch oracle excludes that
+              // session for one extra micro-batch, after which the
+              // advancing watermark makes both agree. The gate fixture's
+              // time-range batches never produce the equality.
               closed += Session(userId, st.nEvents, st.firstTs, st.lastTs)
               state.remove()
             } else {

@@ -201,6 +201,42 @@ class AnalyticsSpec extends SparkSuite {
     assert(df == Map("w:x" -> 1L, "w:y" -> 1L, "w:z" -> 1L), s"got $df")
   }
 
+  test("coPurchasePairs: weights, threshold, hot-key cap bounds the self-join") {
+    import spark.implicits._
+    // three small baskets: (1,2,3) twice, (2,3) once → pairs (1,2)=2,
+    // (1,3)=2, (2,3)=3; duplicate (key,item) rows must not inflate w
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 2L), (12L, 3L)).toDF("k", "i")
+    val out = GraphAnalytics.coPurchasePairs(baskets, "k", "i", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (2L, 3L) -> 3L), s"got $out")
+    // threshold: minShared = 3 keeps only the pair all three baskets share
+    val thr = GraphAnalytics.coPurchasePairs(baskets, "k", "i", minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(thr == Set((2L, 3L)), s"got $thr")
+
+    // HOT KEY: one basket with 200 distinct items. Uncapped the self-join
+    // emits C(200,2) = 19900 pairs from that single key; capped at 50 it
+    // must emit exactly C(50,2) = 1225, all among the 50 SMALLEST items
+    // (dense_rank item asc) — the documented recall trade. A second small
+    // basket under the cap must come through bit-identically.
+    val hot = (1L to 200L).map(i => (99L, i)) ++ Seq((7L, 500L), (7L, 501L), (7L, 500L))
+    val skew = hot.toDF("k", "i")
+    val un = GraphAnalytics.coPurchasePairs(skew, "k", "i", minShared = 1, maxPerKey = 0)
+    assert(un.count() == 19900L + 1L)
+    val capped = GraphAnalytics.coPurchasePairs(skew, "k", "i", minShared = 1, maxPerKey = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.size == 1225 + 1, s"got ${capped.size}")
+    assert(capped.filterNot(_ == ((500L, 501L))).forall { case (a, b) => a <= 50L && b <= 50L },
+      "capped pairs must only involve the 50 smallest items of the hot key")
+    assert(capped.contains((500L, 501L)), "under-cap keys must be unaffected")
+    // duplicate (key,item) rows must not eat cap slots: key 99's rank-50
+    // item is 50 even though item 3 appears... (dense_rank, pinned above
+    // by the duplicate (10,3) and (7,500) rows surviving exact)
+  }
+
   test("randomWalks: valid edges every hop, deterministic, dead ends truncate") {
     import spark.implicits._
     // a 4-cycle plus a one-way spur into a dead end (node 9)

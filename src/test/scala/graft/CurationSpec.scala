@@ -29,6 +29,20 @@ class CurationSpec extends SparkSuite {
         .select($"v", lit("b").as("s"))),
       "v", "s", "a", "b", bucketWidth = 10, maxBucket = 2).collect()
     assert(same.forall(_.getLong(3) == 0L), s"got ${same.toSeq}")
+
+    // negatives CLAMP into bucket 0 (no truncate-vs-floor divergence, no
+    // escape from the fixed domain), and buckets empty in BOTH slices are
+    // still emitted — their smoothed term is nonzero when totals differ
+    val neg = Seq((-7L, "a"), (-17L, "a"), (3L, "b"), (4L, "b"), (5L, "b"))
+      .toDF("v", "s")
+    val negOut = Curation.psiReport(neg, "v", "s", "a", "b",
+        bucketWidth = 10, maxBucket = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(negOut == Map(
+      0L -> ((2L, 3L, contrib(2, 3, 2, 3, 3))),
+      1L -> ((0L, 0L, contrib(0, 0, 2, 3, 3))),
+      2L -> ((0L, 0L, contrib(0, 0, 2, 3, 3)))), s"got $negOut")
+    assert(negOut(1L)._3 != 0L, "both-empty bucket with unequal totals must contribute")
   }
 
   test("piiReport: per-class counts, multi-match docs, clean docs score zero") {
