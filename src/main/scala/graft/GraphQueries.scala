@@ -520,6 +520,17 @@ object GraphQueries {
       GraphAnalytics.node2vecWalks(sym, walkLen = 4, retMilli = 250, outMilli = 2000)
         .select(col("walk_id").cast("long"), col("step"), col("node").cast("long"))
     }),
+    // node2vec at DeepWalk-PRODUCTION depth (walkLen 40): the len-4 entry
+    // above keeps the cheap smoke shape; this pins the depth a real
+    // embedding corpus samples at, the second-order twin of
+    // graph_walk_pairs_long (oracle: the same hop chain unrolled 40 deep)
+    "graph_node2vec_walks_long" -> ((s, d) => {
+      val pairs = coPairs(s, d)
+      val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      GraphAnalytics.node2vecWalks(sym, walkLen = 40, retMilli = 250, outMilli = 2000)
+        .select(col("walk_id").cast("long"), col("step"), col("node").cast("long"))
+    }),
     // community QUALITY metric over the LPA partition: per-community
     // Newman modularity contribution Q_c = E_c/M - (D_c/M)^2 on the same
     // symmetrized analytics edges LPA iterated over — exact-integer core
@@ -539,6 +550,17 @@ object GraphQueries {
       val sym = pairs.select(col("a"), col("b"))
         .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       GraphAnalytics.assortativity(sym)
+    }),
+    // FULL multi-level Louvain on the co-purchase graph: parity-alternated
+    // local-move sweeps (8 per level), coarsen, repeat (3 levels) — the
+    // caps are pinned by the oracle's fixed 3x8 CTE unroll; converged
+    // rounds replay as no-ops (see GraphAnalytics.louvain on why bounded
+    // sweeps, not a movement fixpoint, is the termination rule here)
+    "graph_louvain" -> ((s, d) => {
+      val pairs = coPairs(s, d)
+      val sym = pairs.select(col("a"), col("b"))
+        .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      GraphAnalytics.louvain(sym, maxLevels = 3, maxRounds = 8)
     }),
     // one synchronous Louvain local-move round from singleton communities
     // on the co-purchase graph: per vertex, the modularity-gain argmax
@@ -923,7 +945,7 @@ object GraphQueries {
   // degree-expanded candidate set, weights it by the (prev, dst) CASE
   // (return 250 / stay-local 1000 / venture-out 2000 — all integer), and
   // lands the walk's md5 uniform in the per-walk cumulative ladder
-  private val node2vecSql: String = {
+  private def node2vecSqlN(walkLen: Int): String = {
     def hop(i: Int): String = {
       val wCase =
         if (i == 1) "1000"
@@ -947,8 +969,8 @@ object GraphQueries {
          |  SELECT walk_id, cur AS prev, dst AS cur FROM s$i
          |  WHERE $pick % tot >= lo AND $pick % tot < hi)""".stripMargin
     }
-    val hops = (1 to 4).map(hop).mkString(",\n")
-    val out = (0 to 4).map(i =>
+    val hops = (1 to walkLen).map(hop).mkString(",\n")
+    val out = (0 to walkLen).map(i =>
       s"SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST($i AS BIGINT) AS step, CAST(cur AS BIGINT) AS node FROM m$i")
       .mkString("\nUNION ALL ")
     s"""WITH e AS MATERIALIZED (
@@ -962,6 +984,7 @@ object GraphQueries {
        |$hops
        |$out""".stripMargin
   }
+  private val node2vecSql: String = node2vecSqlN(4)
 
   private val walkPmiSql: String =
     s"""WITH $walkCtes,
@@ -1085,8 +1108,83 @@ object GraphQueries {
       |  END AS assortativity
       |FROM ag""".stripMargin
 
+  /** Full multi-level Louvain oracle: `levels` × `rounds` parity-
+    * restricted move rounds unrolled as MATERIALIZED CTEs with the
+    * coarsening between levels and the composed mapping at the end.
+    * Spark's zero-streak early exit pads as no-ops (a fixpoint state
+    * replays itself — the kCore idempotence argument), and when no
+    * fixpoint exists (the co-purchase graph two-cycles, see
+    * GraphAnalytics.louvain) both engines compute the same fixed round
+    * sequence, so the unroll count must equal the Spark entry's caps. */
+  private def louvainSql(levels: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH ep AS MATERIALIZED (
+        |  SELECT a, b FROM (
+        |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
+        |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+        |  WHERE w >= 2),
+        |e1 AS MATERIALIZED (
+        |  SELECT a, b, CAST(1 AS BIGINT) AS w FROM ep
+        |  UNION ALL SELECT b AS a, a AS b, CAST(1 AS BIGINT) FROM ep),
+        |""".stripMargin)
+    for (l <- 1 to levels) {
+      sb.append(
+        s"""deg$l AS MATERIALIZED (SELECT a AS vid, sum(w) AS kv FROM e$l GROUP BY a),
+           |m$l AS MATERIALIZED (SELECT sum(w) AS m FROM e$l),
+           |lab${l}_0 AS MATERIALIZED (SELECT vid, vid AS label FROM deg$l),
+           |""".stripMargin)
+      for (r <- 1 to rounds) {
+        val p = s"lab${l}_${r - 1}"
+        val parity = (r - 1) % 2
+        sb.append(
+          s"""dc${l}_$r AS MATERIALIZED (SELECT lx.label, sum(d.kv) AS dc
+             |  FROM $p lx JOIN deg$l d ON d.vid = lx.vid GROUP BY lx.label),
+             |sc${l}_$r AS MATERIALIZED (
+             |  SELECT cd.vid, cd.c,
+             |    m * cd.kvc - d.kv * (dcc.dc - CASE WHEN cd.c = lx.label THEN d.kv ELSE 0 END) AS score,
+             |    CASE WHEN cd.c = lx.label THEN 0 ELSE 1 END AS is_foreign
+             |  FROM (
+             |    SELECT vid, c, max(kvc) AS kvc FROM (
+             |      SELECT s.a AS vid, lb.label AS c, sum(s.w) AS kvc
+             |      FROM e$l s JOIN $p lb ON lb.vid = s.b
+             |      WHERE s.a <> s.b AND s.a % 2 = $parity GROUP BY 1, 2
+             |      UNION ALL SELECT vid, label AS c, 0 FROM $p WHERE vid % 2 = $parity) u
+             |    GROUP BY vid, c) cd
+             |  JOIN $p lx ON lx.vid = cd.vid
+             |  JOIN deg$l d ON d.vid = cd.vid
+             |  JOIN dc${l}_$r dcc ON dcc.label = cd.c
+             |  CROSS JOIN m$l),
+             |lab${l}_$r AS MATERIALIZED (
+             |  SELECT vid, c AS label FROM (
+             |    SELECT vid, c, row_number() OVER (
+             |      PARTITION BY vid ORDER BY score DESC, is_foreign ASC, c ASC) AS rn
+             |    FROM sc${l}_$r) t WHERE rn = 1
+             |  UNION ALL SELECT vid, label FROM $p WHERE vid % 2 <> $parity),
+             |""".stripMargin)
+      }
+      if (l == 1)
+        sb.append(s"map1 AS MATERIALIZED (SELECT vid, label FROM lab1_$rounds),\n")
+      else
+        sb.append(s"map$l AS MATERIALIZED (SELECT mp.vid, lx.label FROM map${l - 1} mp " +
+          s"JOIN lab${l}_$rounds lx ON lx.vid = mp.label),\n")
+      if (l < levels)
+        sb.append(
+          s"""e${l + 1} AS MATERIALIZED (
+             |  SELECT la.label AS a, lb.label AS b, sum(s.w) AS w
+             |  FROM e$l s JOIN lab${l}_$rounds la ON la.vid = s.a
+             |  JOIN lab${l}_$rounds lb ON lb.vid = s.b GROUP BY 1, 2),
+             |""".stripMargin)
+    }
+    sb.setLength(sb.length - 2)
+    sb.append(s"\nSELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT) AS label FROM map$levels")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_lpa_df" -> lpaSql,
+    "graph_louvain" -> louvainSql(levels = 3, rounds = 8),
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
     // synchronous local-move replay from singleton labels: per vertex the
@@ -1335,6 +1433,7 @@ object GraphQueries {
     "graph_walk_negatives" -> walkNegativesSql,
     "graph_walk_subsample" -> walkSubsampleSql,
     "graph_node2vec_walks" -> node2vecSql,
+    "graph_node2vec_walks_long" -> node2vecSqlN(40),
     "graph_weighted_walks" -> weightedWalksSql,
     // unique-path closed form: region 0 to itself, nation = its own
     // edge weight, customer = customer-edge + nation-edge weights

@@ -1219,7 +1219,23 @@ object GraphAnalytics {
     * break label asc. `e` is (a, b, w) directed-symmetric with intra
     * weight on the diagonal; `deg`/`bigM` are level constants the caller
     * precomputed. */
-  private def louvainParityRound(lab: DataFrame, e: DataFrame, deg: DataFrame,
+  /** localCheckpoint + STATS SCRUB for iterative loops: the LogicalRDD a
+    * checkpoint produces PRESERVES the origin plan's sizeInBytes
+    * estimate, so a loop that checkpoints a ~J-join plan every round
+    * compounds a J-fold BigInt size product per round — by round ~10 the
+    * driver spends minutes multiplying million-digit stats inside
+    * SizeInBytesOnlyStatsPlanVisitor (observed wedging the louvain spec
+    * on a 6-node graph). Rebuilding the frame from the already-
+    * materialized RDD drops the origin stats back to the default
+    * estimate. Join strategy is unaffected here: the loops' joins are
+    * equi-keyed shuffles, and the one broadcast (bigM) is an explicit
+    * hint. */
+  private[analytics] def checkpointScrubbed(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  private[analytics] def louvainParityRound(lab: DataFrame, e: DataFrame, deg: DataFrame,
                                  bigM: DataFrame, parity: Int): DataFrame = {
     val dC = lab.join(deg, Seq("vid"), "left")
       .groupBy("label").agg(sum(coalesce(col("__kv"), lit(0L))).as("__dc"))
@@ -1239,10 +1255,11 @@ object GraphAnalytics {
       .crossJoin(broadcast(bigM))
       .select(col("vid"),
         struct(
-          (-expr("coalesce(try_multiply(__M, __kvc), " +
-            "raise_error('louvain: M*k_vc overflowed BIGINT')) + " +
-            "coalesce(try_multiply(__kv, __dc - IF(__c = label, __kv, CAST(0 AS BIGINT))), " +
-            "raise_error('louvain: k_v*D_c overflowed BIGINT'))")).as("ns"),
+          // ns = −score = k_v·D'_c − M·k_{v,c}; min(struct) ⇒ score desc
+          expr("coalesce(try_multiply(__kv, __dc - IF(__c = label, __kv, CAST(0 AS BIGINT))), " +
+            "raise_error('louvain: k_v*D_c overflowed BIGINT')) - " +
+            "coalesce(try_multiply(__M, __kvc), " +
+            "raise_error('louvain: M*k_vc overflowed BIGINT'))").as("ns"),
           when(col("__c") === col("label"), 0).otherwise(1).as("foreign"),
           col("__c").as("c")).as("__s"))
     scored.groupBy("vid").agg(min("__s").as("__best"))
@@ -1269,6 +1286,18 @@ object GraphAnalytics {
     * the hierarchy stops when a level moves nothing out of singletons
     * (coarsening would be the identity), capped at `maxLevels`.
     *
+    * The cap is LOAD-BEARING on real graphs, not a safety formality:
+    * synchronous local-move (parity-split included) has no guaranteed
+    * movement fixpoint — on the sf0.01 co-purchase graph ~20% of
+    * vertices settle into persistent positive-gain two-cycles (measured:
+    * level-1 moves plateau at ~370/1880 per round; coarse levels
+    * alternate exactly 136/225) while partition quality saturates within
+    * the first few sweeps. Bounded sweeps per level + the coarsening
+    * hierarchy is the standard distributed adaptation (Blondel's
+    * sequential one-at-a-time ascent, which does terminate, serializes
+    * the whole graph). Small/converging graphs still exit early via the
+    * zero-streak test.
+    *
     * Determinism/oracle: every round is a pure function of the previous
     * labels with pinned tie-breaks (own community on equal score, then
     * label asc), so a fixed (maxLevels × maxRounds) CTE unroll replays
@@ -1286,20 +1315,20 @@ object GraphAnalytics {
     require(maxLevels >= 1, s"need maxLevels >= 1; got $maxLevels")
     require(maxRounds >= 2, s"need maxRounds >= 2; got $maxRounds")
     val hasW = symEdges.columns.contains("w")
-    var e = symEdges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
-        (if (hasW) col("w").cast("long") else lit(1L)).as("w"))
-      .localCheckpoint(true)
+    var e = checkpointScrubbed(symEdges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"),
+      (if (hasW) col("w").cast("long") else lit(1L)).as("w")))
     var mapping: DataFrame = null
     var level = 0
     var levelMoved = true
     while (level < maxLevels && levelMoved) {
-      val deg = e.groupBy(col("a").as("vid")).agg(sum("w").as("__kv")).localCheckpoint(true)
-      val bigM = e.agg(sum("w").as("__M")).localCheckpoint(true)
-      var lab = deg.select(col("vid"), col("vid").as("label")).localCheckpoint(true)
+      val deg = checkpointScrubbed(e.groupBy(col("a").as("vid")).agg(sum("w").as("__kv")))
+      val bigM = checkpointScrubbed(e.agg(sum("w").as("__M")))
+      var lab = checkpointScrubbed(deg.select(col("vid"), col("vid").as("label")))
       var round = 0
       var zeroStreak = 0
       while (round < maxRounds && zeroStreak < 2) {
-        val next = louvainParityRound(lab, e, deg, bigM, round % 2).localCheckpoint(true)
+        val next = checkpointScrubbed(louvainParityRound(lab, e, deg, bigM, round % 2))
         val moved = next.join(lab.select(col("vid"), col("label").as("__prev")), Seq("vid"))
           .where(col("label") =!= col("__prev")).count()
         zeroStreak = if (moved == 0L) zeroStreak + 1 else 0
@@ -1307,17 +1336,17 @@ object GraphAnalytics {
         round += 1
       }
       levelMoved = lab.where(col("label") =!= col("vid")).limit(1).count() > 0
-      mapping =
-        (if (mapping == null) lab
-         else mapping.select(col("vid"), col("label").as("__mid"))
-           .join(lab.select(col("vid").as("__mid"), col("label")), Seq("__mid"))
-           .select("vid", "label")).localCheckpoint(true)
+      mapping = checkpointScrubbed(
+        if (mapping == null) lab
+        else mapping.select(col("vid"), col("label").as("__mid"))
+          .join(lab.select(col("vid").as("__mid"), col("label")), Seq("__mid"))
+          .select("vid", "label"))
       if (levelMoved && level + 1 < maxLevels) {
-        e = e.join(lab.select(col("vid").as("a"), col("label").as("__ca")), Seq("a"))
-          .join(lab.select(col("vid").as("b"), col("label").as("__cb")), Seq("b"))
-          .groupBy(col("__ca").as("a"), col("__cb").as("b"))
-          .agg(sum("w").as("w"))
-          .localCheckpoint(true)
+        e = checkpointScrubbed(
+          e.join(lab.select(col("vid").as("a"), col("label").as("__ca")), Seq("a"))
+            .join(lab.select(col("vid").as("b"), col("label").as("__cb")), Seq("b"))
+            .groupBy(col("__ca").as("a"), col("__cb").as("b"))
+            .agg(sum("w").as("w")))
       }
       level += 1
     }

@@ -715,6 +715,120 @@ class AnalyticsSpec extends SparkSuite {
       s"got ${stay.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq}")
   }
 
+  /** Independent sequential replay of [[GraphAnalytics.louvain]]'s exact
+    * schedule (parity-alternated rounds, own-wins-then-label-asc
+    * tie-breaks, two-zero-round fixpoint, coarsen, repeat) on plain Scala
+    * collections — the brute-force cross-check twin. */
+  private def replayLouvain(sym0: Seq[(Long, Long, Long)],
+                            maxLevels: Int, maxRounds: Int): Map[Long, Long] = {
+    var e = sym0
+    var mapping: Map[Long, Long] = null
+    var level = 0
+    var levelMoved = true
+    while (level < maxLevels && levelMoved) {
+      val deg = e.groupBy(_._1).map { case (v, ts) => v -> ts.map(_._3).sum }
+      val bigM = e.map(_._3).sum
+      var lab: Map[Long, Long] = deg.keys.map(v => v -> v).toMap
+      var round = 0
+      var zero = 0
+      while (round < maxRounds && zero < 2) {
+        val parity = round % 2
+        // NOTE .keys.toSeq before map: mapping a Set through deg would
+        // collapse members with EQUAL degrees and under-sum D_c
+        val dc = lab.groupBy(_._2).map { case (c, vs) => c -> vs.keys.toSeq.map(deg).sum }
+        val next = lab.map { case (v, l) =>
+          if (v % 2 != parity) v -> l
+          else {
+            val kvc = e.filter(t => t._1 == v && t._2 != v)
+              .groupBy(t => lab(t._2)).map { case (c, ts) => c -> ts.map(_._3).sum }
+            val best = (kvc.keySet + l).toSeq.map { c =>
+              val dcp = dc.getOrElse(c, 0L) - (if (c == l) deg(v) else 0L)
+              val score = bigM * kvc.getOrElse(c, 0L) - deg(v) * dcp
+              (-score, if (c == l) 0 else 1, c)
+            }.min
+            v -> best._3
+          }
+        }
+        val moved = next.count { case (v, l) => lab(v) != l }
+        zero = if (moved == 0) zero + 1 else 0
+        lab = next
+        round += 1
+      }
+      levelMoved = lab.exists { case (v, l) => v != l }
+      mapping = if (mapping == null) lab else mapping.map { case (v, m) => v -> lab(m) }
+      if (levelMoved && level + 1 < maxLevels)
+        e = e.groupBy(t => (lab(t._1), lab(t._2)))
+          .map { case ((a, b), ts) => (a, b, ts.map(_._3).sum) }.toSeq
+      level += 1
+    }
+    mapping
+  }
+
+  test("louvain: two-triangle hierarchy hand-traced (level-1 fixpoint, level-2 no-merge)") {
+    import spark.implicits._
+    // {1,2,3} {4,5,6} + bridge 3-4. Parity schedule, M = 14:
+    //   r0 (even move): 2->1 (score 10), 4->5 (tie 8, label asc), 6->5 (10)
+    //   r1 (odd move):  3->1 (2*14-3*4 = 16); 1, 5 stay home
+    //   r2, r3: zero moves -> level-1 fixpoint {1,2,3}->1, {4,5,6}->5
+    // level 2 (selfloops w6, bridge w1, k=7 each): joining scores
+    // 14*1 - 7*7 = -35 < 0 -> no move out of singletons -> done.
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val sym = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("a", "b")
+    val out = GraphAnalytics.louvain(sym, maxLevels = 3, maxRounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 5L, 6L -> 5L),
+      s"got $out")
+    // weighted input: tripling every weight must not change the argmax
+    val symW = und.flatMap { case (a, b) => Seq((a, b, 3L), (b, a, 3L)) }.toDF("a", "b", "w")
+    val outW = GraphAnalytics.louvain(symW, maxLevels = 3, maxRounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(outW == out, s"got $outW")
+  }
+
+  test("louvain: ring of 16 K4 cliques merges PAIRS at level 2 (resolution limit)") {
+    import spark.implicits._
+    // the Fortunato–Barthelemy resolution-limit graph: level 1 finds the
+    // 16 cliques; on the coarse graph M*w_inter = 14n > k^2 = 196 for
+    // n = 16 cliques, so adjacent clique-supervertices merge
+    val cliques = (0 until 16).map(c => (4 * c + 1L) to (4 * c + 4L))
+    val intra = cliques.flatMap(vs =>
+      for (i <- vs.indices; j <- (i + 1) until vs.size) yield (vs(i), vs(j)))
+    val bridges = (0 until 16).map(c => (4L * c + 4, (4L * ((c + 1) % 16) + 1)))
+    val und = intra ++ bridges
+    val symSeq = und.flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+    val got = GraphAnalytics.louvain(symSeq.toDF("a", "b", "w"),
+        maxLevels = 4, maxRounds = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = replayLouvain(symSeq, maxLevels = 4, maxRounds = 12)
+    assert(got == want, s"diff: ${got.toSet.diff(want.toSet).take(8)}")
+    // structural claims: fewer communities than cliques (a real level-2
+    // merge happened) and every K4 lands whole in one community
+    val nComms = got.values.toSet.size
+    assert(nComms < 16 && nComms >= 2, s"got $nComms communities")
+    cliques.foreach(vs =>
+      assert(vs.map(got).toSet.size == 1, s"clique $vs split: ${vs.map(got)}"))
+  }
+
+  test("louvain: randomized graphs match the sequential replay exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2718)
+    for (trial <- 1 to 3) {
+      val n = 8 + trial * 4
+      val und = (for {
+        u <- 1L to n.toLong; v <- (u + 1) to n.toLong
+        if rnd.nextDouble() < 0.25
+      } yield (u, v, 1L + rnd.nextInt(3).toLong)).toSeq
+      if (und.nonEmpty) {
+        val symSeq = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        val got = GraphAnalytics.louvain(symSeq.toDF("a", "b", "w"),
+            maxLevels = 3, maxRounds = 10).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = replayLouvain(symSeq, maxLevels = 3, maxRounds = 10)
+        assert(got == want, s"trial $trial: ${got.toSet.diff(want.toSet).take(8)}")
+      }
+    }
+  }
+
   test("second-wave metrics: randomized graphs vs driver brute-force references") {
     import spark.implicits._
     val rnd = new scala.util.Random(1313)
