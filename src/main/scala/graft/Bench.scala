@@ -147,7 +147,29 @@ object Bench {
     // synchronous Louvain local-move round (modularity-ascent step)
     "graph_louvain_move",
     // PSI distribution-shift screen between split slices
-    "curate_psi_report")
+    "curate_psi_report",
+    // round-14: FULL multi-level Louvain (3 levels x 8 parity sweeps)
+    "graph_louvain",
+    // node2vec at production depth 40 (second-order twin of
+    // graph_walk_pairs_long)
+    "graph_node2vec_walks_long",
+    // the composed curation chain (filter -> decon -> exact -> near-dup
+    // -> pack -> manifest) — composed cost vs the sum of its parts
+    "curate_pipeline",
+    // streaming ANN ingest: appendSave per micro-batch, serve from the
+    // grown index (fixture + quantizer memo staged untimed)
+    "stream_ann_ingest",
+    // weighted Louvain ascent (shared-order counts as edge weights)
+    "graph_louvain_weighted",
+    // round-14: the formerly-unbenched non-micro gate entries (VERDICT r13
+    // item #3) — real computations whose perf regressions were invisible:
+    // the three remaining GraphX bridge algorithms, the salted skew join,
+    // k-means fit, SimHash near-dup pairs, and the multimodal dispatch
+    // entry (the per-modality decode entries were already timed; this is
+    // the combined fan-out path)
+    "graphx_pagerank", "graphx_shortest_paths", "graphx_triangles",
+    "join_salted_skew", "embedding_kmeans", "dedup_simhash_pairs",
+    "multimodal_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -562,6 +562,15 @@ object GraphQueries {
         .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       GraphAnalytics.louvain(sym, maxLevels = 3, maxRounds = 8)
     }),
+    // the WEIGHTED ascent twin: shared-order counts as edge weights (the
+    // gate's only weighted-louvain path; unit-weight entry above pins the
+    // common case) — same caps, same oracle unroll with w carried through
+    "graph_louvain_weighted" -> ((s, d) => {
+      val pairs = coPairs(s, d)
+      val sym = pairs.select(col("a"), col("b"), col("w"))
+        .unionByName(pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
+      GraphAnalytics.louvain(sym, maxLevels = 3, maxRounds = 8)
+    }),
     // one synchronous Louvain local-move round from singleton communities
     // on the co-purchase graph: per vertex, the modularity-gain argmax
     // over neighbor communities (exact-integer comparator M*k_vc - kv*D'c)
@@ -1116,18 +1125,19 @@ object GraphQueries {
     * fixpoint exists (the co-purchase graph two-cycles, see
     * GraphAnalytics.louvain) both engines compute the same fixed round
     * sequence, so the unroll count must equal the Spark entry's caps. */
-  private def louvainSql(levels: Int, rounds: Int): String = {
+  private def louvainSql(levels: Int, rounds: Int, weighted: Boolean = false): String = {
     val sb = new StringBuilder
+    val w1 = if (weighted) "CAST(w AS BIGINT)" else "CAST(1 AS BIGINT)"
     sb.append(
-      """WITH ep AS MATERIALIZED (
-        |  SELECT a, b FROM (
+      s"""WITH ep AS MATERIALIZED (
+        |  SELECT a, b, w FROM (
         |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
         |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
         |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
         |  WHERE w >= 2),
         |e1 AS MATERIALIZED (
-        |  SELECT a, b, CAST(1 AS BIGINT) AS w FROM ep
-        |  UNION ALL SELECT b AS a, a AS b, CAST(1 AS BIGINT) FROM ep),
+        |  SELECT a, b, $w1 AS w FROM ep
+        |  UNION ALL SELECT b AS a, a AS b, $w1 FROM ep),
         |""".stripMargin)
     for (l <- 1 to levels) {
       sb.append(
@@ -1185,6 +1195,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "graph_lpa_df" -> lpaSql,
     "graph_louvain" -> louvainSql(levels = 3, rounds = 8),
+    "graph_louvain_weighted" -> louvainSql(levels = 3, rounds = 8, weighted = true),
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
     // synchronous local-move replay from singleton labels: per vertex the

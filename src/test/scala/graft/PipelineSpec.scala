@@ -882,6 +882,42 @@ class PipelineSpec extends SparkSuite {
     assert(got.exists(_._2 >= 16L), s"no batch neighbor surfaced: $got")
   }
 
+  test("ann index appendSave: streamed micro-batch ingest equals in-memory append") {
+    // the foreachBatch hook must land the SAME code rows in the parquet
+    // code table as the in-memory append of the concatenated batches —
+    // micro-batch boundaries (2 source files => 2 batches) are invisible
+    // in the final index
+    val all = (0L until 24L).map(i => (i,
+      Array((i % 7).toFloat, (i % 5).toFloat - 2f, (i % 3).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val base = all.where($"vec_id" < 16)
+    val batch = all.where($"vec_id" >= 16)
+    val idx = graft.pipeline.AnnIndex.buildIvfPq(
+      base, "vec_id", "embedding", nlist = 2, m = 2, codewords = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-stream").toString
+    graft.pipeline.AnnIndex.save(idx, dir)
+    val src = java.nio.file.Files.createTempDirectory("graft-annidx-src").toString
+    batch.repartition(2).write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.pipeline.AnnIndex.appendSave(spark, dir, b.toDF(), "vec_id", "embedding")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = graft.pipeline.AnnIndex.load(spark, dir)
+    val want = graft.pipeline.AnnIndex.append(idx, batch, "vec_id", "embedding")
+    def codeRows(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("id", "lcid", "CAST(sub AS BIGINT) AS sub", "CAST(code AS BIGINT) AS code")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.codes.count() == want.codes.count())
+    assert(codeRows(streamed.codes.select("id", "lcid", "sub", "code"))
+      == codeRows(want.codes.select("id", "lcid", "sub", "code")))
+  }
+
   test("temperature sampling: sqrt quotas upweight the small stratum") {
     val rows = (1 to 100).map(i => (i.toLong, "A")) ++ (101 to 125).map(i => (i.toLong, "B"))
     val df = rows.toDF("id", "stratum")

@@ -844,4 +844,23 @@ class PlanQualitySpec extends SparkSuite {
     // the bounded prefix is assembled by collect_list AFTER the prune
     assert(seqPlan.contains("collect_list"), s"no bounded prefix aggregation:\n$seqPlan")
   }
+
+  test("composed curation pipeline: one lazy chain, no cartesian, bounded exchange count") {
+    // curate_pipeline chains filter -> decon -> exact dedup -> near-dup cc
+    // -> pack -> manifest lazily: everything up to the cc labels (which
+    // iterate via localCheckpoint internally) must be ONE unexecuted plan,
+    // with equi-joins only and an exchange count that stays fixed as data
+    // grows (exchanges scale the plan's shuffle count, not with rows)
+    val df = PipelineQueries.queries("curate_pipeline")(spark, dir)
+    df.collect() // finalize adaptive plans
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.toLowerCase.contains("cartesianproduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop:\n$plan")
+    // the post-cc tail (anti-join, pack window, rollup) plus the fused
+    // per-doc predicate head: a bounded handful of exchanges, not one per
+    // stage per scan — regression here means a stage added a hidden
+    // materialization or lost its map-side combine
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 20, s"composed chain grew to $exchanges exchanges:\n$plan")
+  }
 }

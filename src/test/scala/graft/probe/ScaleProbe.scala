@@ -453,6 +453,106 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("louvain")) {
+      // VERDICT r13 item #1 probe arm: full multi-level Louvain (3 levels
+      // x 8 parity sweeps, the gate shape) over 1/10/100 disjoint copies
+      // of the sf0.1 co-purchase graph — community volume scales linearly
+      // by construction, so any super-linear time is the engine's.
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val cp = graft.analytics.GraphAnalytics.coPurchasePairs(li, "o", "p", minShared = 2)
+        .select("a", "b").persist()
+      cp.count()
+      def symCopies(n: Int) = (0 until n).map(c =>
+        cp.select((col("a") + lit(c.toLong * 10000000L)).as("a"),
+          (col("b") + lit(c.toLong * 10000000L)).as("b")))
+        .reduce(_ unionByName _)
+      def sym(n: Int) = {
+        val s0 = symCopies(n)
+        s0.unionByName(s0.select(col("b").as("a"), col("a").as("b")))
+      }
+      // warm codegen on the smallest shape first
+      graft.analytics.GraphAnalytics.louvain(sym(1), maxLevels = 3, maxRounds = 8).count()
+      for ((n, tag) <- Seq((1, "1x"), (10, "10x"), (100, "100x"))) {
+        time(s"graph_louvain_$tag") {
+          graft.analytics.GraphAnalytics.louvain(sym(n), maxLevels = 3, maxRounds = 8).count()
+        }
+      }
+      cp.unpersist()
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("bulkmut")) {
+      // VERDICT r13 item 6: §2.6 bulk mutations at volume (the gate
+      // fixtures are toy-sized). Synthetic stores at 10k/100k/1M nodes,
+      // each node carrying a DISTINCT property row — so the GC sweep's
+      // live-set semi-joins and the update path's orphan cascade run at
+      // node volume, not over two marker rows. Three timed phases per
+      // arm: CREATE (props+nodes+2n ring/skip edges through the
+      // duplicate/endpoint-validated bulk inserts, then the ._tmp staged
+      // save), UPDATE+GC (repoint a third of the nodes to fresh props,
+      // sweep the orphaned third), DELETE+GC (drop a third of the nodes,
+      // clean now-dangling edges with endpoint semi-joins, sweep).
+      import graft.model.GraphStore
+      import graft.store.BulkMutations
+      import spark.implicits._
+      for ((n, tag) <- Seq((10000L, "1x"), (100000L, "10x"), (1000000L, "100x"))) {
+        val dbDir = s"target/scaleprobe/bulkmut_$tag"
+        val ids = spark.range(n).select(
+          concat(lit("u:"), col("id")).as("nid"), col("id").as("k"))
+        time(s"bulkmut_create_$tag") {
+          val props = ids.select(
+            md5(concat(lit("p|"), col("nid"))).as("hash"),
+            concat(lit("{\"c\":\""), col("nid"), lit("\"}")).as("value"),
+            lit("User").as("schema_type"))
+            .unionByName(Seq(("EDGEPROP", "{\"t\":\"Knows\"}", "Knows"))
+              .toDF("hash", "value", "schema_type"))
+          val nodes = ids.select(col("nid").as("id"),
+            md5(concat(lit("p|"), col("nid"))).as("prop_hash"))
+          val edges = ids.select(concat(lit("u:"), (col("k") + 1) % n).as("src"),
+              col("nid").as("dst"))
+            .unionByName(ids.select(
+              concat(lit("u:"), (col("k") * 7 + 3) % n).as("src"), col("nid").as("dst")))
+            .withColumn("prop_hash", lit("EDGEPROP"))
+          val g = BulkMutations.createEdges(
+            BulkMutations.createNodes(
+              BulkMutations.createProperties(GraphStore.empty(spark), props, None),
+              nodes), edges)
+          g.save(dbDir)
+          spark.read.parquet(s"$dbDir/vertices").count()
+        }
+        time(s"bulkmut_update_gc_$tag") {
+          val g = GraphStore.load(spark, dbDir)
+          val isSel = expr("CAST(substr(id, 3) AS BIGINT) % 3 = 0")
+          val newProps = g.vertices.where(isSel).select(
+            md5(concat(lit("q|"), col("id"))).as("hash"),
+            concat(lit("{\"c2\":\""), col("id"), lit("\"}")).as("value"),
+            lit("User").as("schema_type"))
+          val repointed = g.vertices.select(col("id"),
+            when(isSel, md5(concat(lit("q|"), col("id"))))
+              .otherwise(col("prop_hash")).as("prop_hash"))
+          val g2 = BulkMutations.gcOrphanProps(
+            BulkMutations.createProperties(g, newProps, None)
+              .copy(vertices = repointed))
+          g2.save(s"${dbDir}_u")
+          spark.read.parquet(s"${dbDir}_u/props").count()
+        }
+        time(s"bulkmut_delete_gc_$tag") {
+          val g = GraphStore.load(spark, s"${dbDir}_u")
+          val del = g.vertices
+            .where(expr("CAST(substr(id, 3) AS BIGINT) % 3 = 1")).select("id")
+          val g2 = BulkMutations.deleteNodes(g, del)
+          val cleanEdges = g2.edges
+            .join(g2.vertices.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(g2.vertices.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          val g3 = BulkMutations.gcOrphanProps(g2.copy(edges = cleanEdges))
+          g3.save(s"${dbDir}_d")
+          spark.read.parquet(s"${dbDir}_d/vertices").count()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("wave2")) {
       // round-11 second-wave operators at 1x vs 10x. Document/embedding
       // ops run the driver queries against the replicated dir; event ops
