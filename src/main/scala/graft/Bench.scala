@@ -159,8 +159,11 @@ object Bench {
     // streaming ANN ingest: appendSave per micro-batch, serve from the
     // grown index (fixture + quantizer memo staged untimed)
     "stream_ann_ingest",
-    // weighted Louvain ascent (shared-order counts as edge weights)
-    "graph_louvain_weighted",
+    // (graph_louvain_weighted is gate-checked but NOT benched: identical
+    // plan shape and round count to graph_louvain — only the w column
+    // differs — so its timing would duplicate the unit-weight entry)
+    // k-truss edge-cohesion peel (the kcore family's edge analog)
+    "graph_ktruss",
     // round-14: the formerly-unbenched non-micro gate entries (VERDICT r13
     // item #3) — real computations whose perf regressions were invisible:
     // the three remaining GraphX bridge algorithms, the salted skew join,

@@ -551,6 +551,13 @@ object GraphQueries {
         .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       GraphAnalytics.assortativity(sym)
     }),
+    // k-truss of the thresholded co-purchase graph (k=3: every surviving
+    // edge closes >= 1 triangle among survivors; the 4-truss of this
+    // graph is empty — its densest cohesion is triangle-level) — the
+    // edge-cohesion analog of graph_kcore_df, synchronous peel to the
+    // fixpoint
+    "graph_ktruss" -> ((s, d) =>
+      GraphAnalytics.kTruss(coPairs(s, d).select("a", "b"), k = 3)),
     // FULL multi-level Louvain on the co-purchase graph: parity-alternated
     // local-move sweeps (8 per level), coarsen, repeat (3 levels) — the
     // caps are pinned by the oracle's fixed 3x8 CTE unroll; converged
@@ -1192,8 +1199,38 @@ object GraphQueries {
     sb.toString
   }
 
+  /** k-truss oracle: edge peeling unrolled to a fixed depth (idempotent
+    * at the fixpoint — the kCore argument); each round enumerates
+    * canonical a<b<c triangles over the previous round's edges, rolls up
+    * per-edge support, keeps support >= k-2 = 1. */
+  private val kTrussSql: String = {
+    val rounds = 16
+    val steps = (1 to rounds).map { i =>
+      s"""t$i AS MATERIALIZED (SELECT x.a, x.b, y.b AS c
+         |  FROM e${i - 1} x JOIN e${i - 1} y ON y.a = x.a AND x.b < y.b
+         |  JOIN e${i - 1} z ON z.a = x.b AND z.b = y.b),
+         |s$i AS MATERIALIZED (SELECT a, b, count(*) AS support FROM (
+         |  SELECT a, b FROM t$i
+         |  UNION ALL SELECT a AS a, c AS b FROM t$i
+         |  UNION ALL SELECT b AS a, c AS b FROM t$i) u GROUP BY a, b),
+         |e$i AS MATERIALIZED (SELECT a, b FROM s$i WHERE support >= 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ep AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
+       |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+       |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+       |  WHERE w >= 2),
+       |e0 AS MATERIALIZED (SELECT a, b FROM ep),
+       |$steps
+       |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       |  CAST(support AS BIGINT) AS support
+       |FROM s$rounds WHERE support >= 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_lpa_df" -> lpaSql,
+    "graph_ktruss" -> kTrussSql,
     "graph_louvain" -> louvainSql(levels = 3, rounds = 8),
     "graph_louvain_weighted" -> louvainSql(levels = 3, rounds = 8, weighted = true),
     "graph_modularity" -> modularitySql,

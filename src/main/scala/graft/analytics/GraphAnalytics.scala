@@ -1121,6 +1121,54 @@ object GraphAnalytics {
     * (vid, __n) and simple-graph degrees (vid, __deg) over a
     * canonicalized (a < b, distinct, loop-free) edge table. See
     * [[triangleCountDF]] for the O(m^1.5) degree-ordered wedge bound. */
+  /** k-truss of an undirected edge table (a, b) — the EDGE-cohesion
+    * analog of [[kCore]] and the strongest of the classic cohesion
+    * filters: the maximal subgraph in which every edge closes at least
+    * k−2 triangles WITHIN the subgraph. Synchronous peel: per round,
+    * per-edge support is counted over the surviving edges (canonical
+    * a<b<c enumeration — each triangle found exactly once as the join
+    * (a,b)⋈(a,c)⋈(b,c)) and every edge below k−2 drops, including
+    * triangle-free edges; idempotent at the fixpoint, so a fixed oracle
+    * unroll past convergence replays the run exactly (the kCore
+    * argument). Returns the surviving edges (a, b, support).
+    *
+    * Scale: each round is two equi-joins on vertex keys (the wedge join
+    * fans out Σ deg²/2 candidate rows — the [[triangleCorners]]
+    * degree-orientation trick bounds it at O(m^1.5) and is the upgrade
+    * path if truss peeling leaves QA duty; at the co-purchase scale the
+    * canonical form measures fine) plus one map-side-combinable edge
+    * rollup; rounds shrink the edge set monotonically. */
+  def kTruss(pairs: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 3, s"need k >= 3; got $k")
+    var e = checkpointScrubbed(
+      pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+        .where(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+        .distinct())
+    var prevCount = -1L
+    var converged = false
+    var round = 0
+    var lastSup: DataFrame = null
+    while (!converged && round < maxRounds) {
+      round += 1
+      val tri = e.join(e.select(col("a"), col("b").as("c")), Seq("a"))
+        .where(col("b") < col("c"))
+        .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "left_semi")
+      val sup = tri.select(col("a"), col("b"))
+        .unionByName(tri.select(col("a"), col("c").as("b")))
+        .unionByName(tri.select(col("b").as("a"), col("c").as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      val next = checkpointScrubbed(sup.where(col("support") >= k - 2))
+      val c = next.count()
+      converged = c == prevCount
+      prevCount = c
+      lastSup = next
+      e = next.select("a", "b")
+    }
+    require(converged, s"k-truss peeling did not converge in $maxRounds rounds")
+    lastSup
+  }
+
   private def triangleCorners(canon: DataFrame): (DataFrame, DataFrame) = {
     val deg = canon.select(col("a").as("vid")).unionByName(canon.select(col("b").as("vid")))
       .groupBy("vid").agg(count(lit(1)).as("__deg"))
@@ -1253,7 +1301,7 @@ object GraphAnalytics {
       .join(deg, Seq("vid"))
       .join(dC.select(col("label").as("__c"), col("__dc")), Seq("__c"))
       .crossJoin(broadcast(bigM))
-      .select(col("vid"),
+      .select(col("vid"), col("label"),
         struct(
           // ns = −score = k_v·D'_c − M·k_{v,c}; min(struct) ⇒ score desc
           expr("coalesce(try_multiply(__kv, __dc - IF(__c = label, __kv, CAST(0 AS BIGINT))), " +
@@ -1262,9 +1310,13 @@ object GraphAnalytics {
             "raise_error('louvain: M*k_vc overflowed BIGINT'))").as("ns"),
           when(col("__c") === col("label"), 0).otherwise(1).as("foreign"),
           col("__c").as("c")).as("__s"))
-    scored.groupBy("vid").agg(min("__s").as("__best"))
-      .select(col("vid"), col("__best.c").as("label"))
-      .unionByName(inactive.select("vid", "label"))
+    // __moved rides along so the caller's convergence check is a scan-sum
+    // over the checkpointed round output, not a second vertex-keyed join
+    scored.groupBy("vid", "label").agg(min("__s").as("__best"))
+      .select(col("vid"), col("__best.c").as("__new"),
+        when(col("__best.c") =!= col("label"), 1L).otherwise(0L).as("__moved"))
+      .select(col("vid"), col("__new").as("label"), col("__moved"))
+      .unionByName(inactive.select(col("vid"), col("label"), lit(0L).as("__moved")))
   }
 
   /** FULL multi-level Louvain (Blondel et al. 2008, arXiv:0803.0476):
@@ -1329,10 +1381,9 @@ object GraphAnalytics {
       var zeroStreak = 0
       while (round < maxRounds && zeroStreak < 2) {
         val next = checkpointScrubbed(louvainParityRound(lab, e, deg, bigM, round % 2))
-        val moved = next.join(lab.select(col("vid"), col("label").as("__prev")), Seq("vid"))
-          .where(col("label") =!= col("__prev")).count()
+        val moved = next.agg(coalesce(sum("__moved"), lit(0L))).head().getLong(0)
         zeroStreak = if (moved == 0L) zeroStreak + 1 else 0
-        lab = next
+        lab = next.select("vid", "label")
         round += 1
       }
       levelMoved = lab.where(col("label") =!= col("vid")).limit(1).count() > 0

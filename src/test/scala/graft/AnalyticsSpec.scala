@@ -764,6 +764,54 @@ class AnalyticsSpec extends SparkSuite {
     mapping
   }
 
+  test("kTruss: K4 survives the 4-truss, attached triangle peels; randomized brute-force") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every edge closes 2 triangles) + triangle {4,5,6}
+    // hanging off vertex 4 (each of its edges closes exactly 1)
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    val out = GraphAnalytics.kTruss(und.toDF("a", "b"), k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (1L, 4L) -> 2L,
+      (2L, 3L) -> 2L, (2L, 4L) -> 2L, (3L, 4L) -> 2L), s"got $out")
+    // k=3 keeps every edge that closes a triangle: all 9 here
+    val t3 = GraphAnalytics.kTruss(und.toDF("a", "b"), k = 3).collect()
+    assert(t3.length == 9 && t3.forall(_.getLong(2) >= 1L), s"got ${t3.toSeq}")
+    // cascade: k=5 empties this graph (no edge closes 3 triangles)
+    assert(GraphAnalytics.kTruss(und.toDF("a", "b"), k = 5).count() == 0L)
+
+    // randomized cross-check vs a sequential peel
+    def truss(edges: Set[(Long, Long)], k: Int): Map[(Long, Long), Long] = {
+      def supports(s: Set[(Long, Long)]) = {
+        val adj = s.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupMap(_._1)(_._2).map { case (v, ns) => v -> ns.toSet }
+        s.map { case (a, b) => (a, b) -> (adj(a) & adj(b)).size.toLong }.toMap
+      }
+      var e = edges
+      var changed = true
+      while (changed) {
+        val next = supports(e).filter(_._2 >= k - 2).keySet
+        changed = next != e
+        e = next
+      }
+      supports(e)
+    }
+    val rnd = new scala.util.Random(515)
+    for (trial <- 1 to 3) {
+      val n = 9 + trial * 3
+      val undR = (for {
+        u <- 1L to n.toLong; v <- (u + 1) to n.toLong
+        if rnd.nextDouble() < 0.35
+      } yield (u, v)).toSet
+      if (undR.nonEmpty) {
+        val got = GraphAnalytics.kTruss(undR.toSeq.toDF("a", "b"), k = 4).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val want = truss(undR, 4)
+        assert(got == want, s"trial $trial: ${got.toSet.diff(want.toSet).take(8)}")
+      }
+    }
+  }
+
   test("louvain: two-triangle hierarchy hand-traced (level-1 fixpoint, level-2 no-merge)") {
     import spark.implicits._
     // {1,2,3} {4,5,6} + bridge 3-4. Parity schedule, M = 14:
