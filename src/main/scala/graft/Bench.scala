@@ -164,6 +164,8 @@ object Bench {
     // differs — so its timing would duplicate the unit-weight entry)
     // k-truss edge-cohesion peel (the kcore family's edge analog)
     "graph_ktruss",
+    // Gopher/MassiveText rule bundle over the composite corpus
+    "text_gopher_rules",
     // round-14: the formerly-unbenched non-micro gate entries (VERDICT r13
     // item #3) — real computations whose perf regressions were invisible:
     // the three remaining GraphX bridge algorithms, the salted skew join,

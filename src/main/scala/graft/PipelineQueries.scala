@@ -546,6 +546,19 @@ object PipelineQueries {
     }),
     "text_langid" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
+    // Gopher (MassiveText) document-filter rule bundle over the 50
+    // multi-line composites (same construction as curate_clean_lines so
+    // the line-level rules see real lines): token stats, symbol/alpha
+    // ratios, stopword count, bullet/ellipsis line ratios, conjunctive
+    // pass verdict — one narrow row-local projection, no explode
+    "text_gopher_rules" -> ((s, d) => {
+      val comp = docs(s, d)
+        .groupBy((col("doc_id") % 50).as("cid"))
+        .agg(concat_ws("\n",
+          array_sort(collect_list(struct(col("doc_id"), col("text"))))
+            .getField("text")).as("text"))
+      TextAnalysis.gopherRules(comp, "cid", "text")
+    }),
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualityTable(docs(s, d), "doc_id", "text")),
     "text_tokens" -> ((s, d) =>
@@ -1019,16 +1032,21 @@ object PipelineQueries {
       pipeline.Curation.decontaminateBloom(dedupCorpus(s, d),
         docs(s, d).where(col("doc_id") % 10 === 0), "doc_id", "text", n = 5)
         .select("doc_id")),
-    // the COMPOSED curation pipeline as ONE lazy chain — every stage an
-    // operator that already ships alone: per-doc predicates (length >= 5,
-    // langid = en, quality >= 0.35) fused into a single pass, 5-gram
-    // decontamination against the %10==3 benchmark slice (chosen so the
-    // planted +2M exact-copy slice SURVIVES decon and the exact-dedup
-    // stage does real work), exact keep-first dedup, LSH-propose /
-    // Jaccard-verify / cc near-dup roots, 512-token packing, per-shard
-    // manifest rollup. Proves the stages compose without a hidden
-    // materialization barrier (plan pinned in PlanQualitySpec) and the
-    // bench measures composed vs sum-of-parts cost.
+    // the COMPOSED curation pipeline — every stage an operator that
+    // already ships alone: per-doc predicates (length >= 5, langid = en,
+    // quality >= 0.35) fused into a single pass, 5-gram decontamination
+    // against the %10==3 benchmark slice (chosen so the planted +2M
+    // exact-copy slice SURVIVES decon and the exact-dedup stage does real
+    // work), exact keep-first dedup, LSH-propose / Jaccard-verify / cc
+    // near-dup roots, 512-token packing, per-shard manifest rollup.
+    // REUSE POINTS are explicit: a stage output consumed more than once
+    // downstream (decon feeds the keep-first groupBy AND its semi-join;
+    // exact feeds the multi-scan near-dup pipeline AND the survivor
+    // joins) is localCheckpointed — the first bench of the fully-lazy
+    // form measured 122.9 s at sf0.1 vs ~15 s sum-of-parts because every
+    // downstream scan re-ran the quality/langid/decon prefix (the
+    // measurement this entry exists to make). Within a stage the chain
+    // stays lazy; PlanQualitySpec pins no-cartesian + bounded exchanges.
     "curate_pipeline" -> ((s, d) => {
       val corpus = dedupCorpus(s, d)
       val q = TextAnalysis.qualityTable(corpus, "doc_id", "text")
@@ -1039,11 +1057,14 @@ object PipelineQueries {
         .where(col("n_words") >= 5 && col("lang_guess") === "en"
           && col("quality") >= 0.35)
         .select("doc_id", "text", "n_words")
+        .localCheckpoint(true) // decon scans it twice; the regex predicates run once
       val decon = pipeline.Curation.decontaminate(filtered,
-        docs(s, d).where(col("doc_id") % 10 === 3), "doc_id", "text", n = 5)
+          docs(s, d).where(col("doc_id") % 10 === 3), "doc_id", "text", n = 5)
+        .localCheckpoint(true)
       val exact = decon.join(
-        decon.groupBy(md5(col("text")).as("__h")).agg(min("doc_id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
+          decon.groupBy(md5(col("text")).as("__h")).agg(min("doc_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val labels = pipeline.ConnectedComponents.labels(
         Dedup.ngramJaccardViaMinhash(exact, "doc_id", "text", n = 3, k = 4, minSim = 0.5)
           .select("a", "b"))
@@ -2084,6 +2105,43 @@ object PipelineQueries {
            |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM sc)
            |SELECT query_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 3""".stripMargin,
       "text_langid" -> textLangidSql,
+      // gopherRules replayed over the same 50 composites: list HOFs fold
+      // the token/line arrays, integer-DIV micro ratios, the same padded
+      // stopword count as the quality oracle
+      "text_gopher_rules" ->
+        s"""WITH comp AS (SELECT doc_id % 50 AS cid,
+           |    string_agg(text, chr(10) ORDER BY doc_id) AS text
+           |  FROM documents GROUP BY 1),
+           |f AS (SELECT cid, text,
+           |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
+           |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS l,
+           |    len(text) - len(replace(text, '#', '')) AS hsh,
+           |    (len(text) - len(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3 AS ell,
+           |    ' '||$normSql||' ' AS p
+           |  FROM comp),
+           |g AS (SELECT cid, len(w) AS nw,
+           |    coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS wlen,
+           |    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+           |    len(l) AS nl2,
+           |    len(list_filter(l, x -> substr(x, 1, 1) IN ('-', '*', '\u2022'))) AS bul,
+           |    len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|\u2026)$$'))) AS eol,
+           |    hsh, ell,
+           |    ${langScore(graft.pipeline.TextAnalysis.qualityStopwords)} AS stop
+           |  FROM f)
+           |SELECT CAST(cid AS BIGINT) AS cid, CAST(nw AS BIGINT) AS n_words,
+           |  CAST(CASE WHEN nw = 0 THEN 0 ELSE wlen * 1000000 // nw END AS BIGINT) AS mean_word_len_micro,
+           |  CAST(CASE WHEN nw = 0 THEN 0 ELSE (hsh + ell) * 1000000 // nw END AS BIGINT) AS symbol_ratio_micro,
+           |  CAST(CASE WHEN nw = 0 THEN 0 ELSE alpha * 1000000 // nw END AS BIGINT) AS alpha_ratio_micro,
+           |  CAST(stop AS BIGINT) AS stopword_count,
+           |  CAST(nl2 AS BIGINT) AS n_lines,
+           |  CAST(CASE WHEN nl2 = 0 THEN 0 ELSE bul * 1000000 // nl2 END AS BIGINT) AS bullet_ratio_micro,
+           |  CAST(CASE WHEN nl2 = 0 THEN 0 ELSE eol * 1000000 // nl2 END AS BIGINT) AS ellipsis_ratio_micro,
+           |  CAST(CASE WHEN nw BETWEEN 50 AND 100000
+           |    AND (CASE WHEN nw = 0 THEN 0 ELSE wlen * 1000000 // nw END) BETWEEN 3000000 AND 10000000
+           |    AND (CASE WHEN nw = 0 THEN 0 ELSE (hsh + ell) * 1000000 // nw END) < 100000
+           |    AND (CASE WHEN nw = 0 THEN 0 ELSE alpha * 1000000 // nw END) >= 800000
+           |    AND stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+           |FROM g""".stripMargin,
       "text_quality" -> textQualitySql,
       "corpus_report" ->
         s"""WITH tq AS ($textQualitySql),

@@ -247,6 +247,63 @@ object TextAnalysis {
         microRatio("__dchars", "__lchars", "dupLineReport")
           .as("dup_line_char_frac_micro"))
 
+  /** Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
+    * Table A1 — the MassiveText filter set) per document: raw
+    * whitespace-token stats (count, mean length, symbol-to-word ratio
+    * over '#' and '...', alphabetic-word ratio), normalized-token
+    * stopword count (the shared 8-stopword heuristic), line-level
+    * bullet-start and ellipsis-end ratios, and the conjunctive
+    * `gopher_pass` verdict (word count in [50, 100k], mean word length
+    * in [3, 10] chars, symbol ratio < 0.1, alpha-word ratio ≥ 0.8,
+    * ≥ 2 stopwords; the line ratios are informational on this corpus).
+    * Ratios are exact-count integer-DIV micro-units, engine-portable.
+    *
+    * Scale: ONE narrow row-local projection — array higher-order
+    * functions (filter/transform/aggregate) fold the token and line
+    * lists in place, no explode, no shuffle; the rollup a caller adds
+    * (count passes per source, say) is the only exchange. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, "\\s+"), x => x =!= "")
+    val lines = filter(transform(split(t, "\n"), x => trim(x)), x => x =!= "")
+    val counted = df.select(
+      col(idCol),
+      size(words).cast("long").as("__nw"),
+      aggregate(words, lit(0L), (acc, x) => acc + length(x)).as("__wlen"),
+      size(filter(words, x => x.rlike("[A-Za-z]"))).cast("long").as("__alpha"),
+      size(lines).cast("long").as("__nl"),
+      size(filter(lines, x => substring(x, 1, 1).isin("-", "*", "•")))
+        .cast("long").as("__bul"),
+      size(filter(lines, x => x.rlike("(\\.\\.\\.|…)$"))).cast("long").as("__eol"),
+      (length(t) - length(regexp_replace(t, "#", ""))).cast("long").as("__hash"),
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long").as("__ell"),
+      qualityStopwords.map(w =>
+        paddedOccurrences(concat(lit(" "), normalized(t), lit(" ")), w))
+        .reduce(_ + _).cast("long").as("__stop"))
+    counted.select(
+      col(idCol),
+      col("__nw").as("n_words"),
+      when(col("__nw") === 0, 0L)
+        .otherwise(expr("__wlen * 1000000 DIV __nw")).as("mean_word_len_micro"),
+      when(col("__nw") === 0, 0L)
+        .otherwise(expr("(__hash + __ell) * 1000000 DIV __nw")).as("symbol_ratio_micro"),
+      when(col("__nw") === 0, 0L)
+        .otherwise(expr("__alpha * 1000000 DIV __nw")).as("alpha_ratio_micro"),
+      col("__stop").as("stopword_count"),
+      col("__nl").as("n_lines"),
+      when(col("__nl") === 0, 0L)
+        .otherwise(expr("__bul * 1000000 DIV __nl")).as("bullet_ratio_micro"),
+      when(col("__nl") === 0, 0L)
+        .otherwise(expr("__eol * 1000000 DIV __nl")).as("ellipsis_ratio_micro"))
+      .withColumn("gopher_pass",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len_micro") >= 3000000L &&
+          col("mean_word_len_micro") <= 10000000L &&
+          col("symbol_ratio_micro") < 100000L &&
+          col("alpha_ratio_micro") >= 800000L &&
+          col("stopword_count") >= 2).cast("long"))
+  }
+
   /** 1e6-scaled integer ratio of two exact long sums with a LOUD overflow
     * guard (ADVICE r12): `1000000 * num` runs through try_multiply, and a
     * NULL result — Long overflow, reachable once a slice passes ~9.2e12

@@ -918,6 +918,30 @@ class PipelineSpec extends SparkSuite {
       == codeRows(want.codes.select("id", "lcid", "sub", "code")))
   }
 
+  test("gopherRules: hand-computed stats, line ratios, pass verdict both ways") {
+    val base = "the cat and the dog ran to a tree in the park that is green"
+    val docs = Seq(
+      (1L, "aa bb #cc ..."),                     // short, symbol-heavy
+      (2L, Seq.fill(4)(base).mkString(" ")),      // 60 clean words
+      (3L, "- first item\n- second item\nplain tail…")) // bullets + ellipsis line
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long])).toMap
+    // doc 1: words [aa bb #cc ...]: n=4, wlen=10 -> mean 2.5e6; symbols
+    // '#'x1 + '...'x1 = 2 -> 5e5; alpha 3/4 -> 75e4; stopwords 0; one
+    // line ending '...' -> ellipsis 1e6; FAILS (n_words < 50)
+    assert(out(1L) == Seq(4L, 2500000L, 500000L, 750000L, 0L, 1L, 0L, 1000000L, 0L),
+      s"got ${out(1L)}")
+    // doc 2: 60 words, 180 chars -> mean exactly 3.0e6 (inclusive
+    // boundary), all alpha, stopwords plentiful -> PASSES
+    assert(out(2L)(0) == 60L && out(2L)(1) == 3000000L && out(2L)(3) == 1000000L
+      && out(2L)(4) >= 2L && out(2L)(8) == 1L, s"got ${out(2L)}")
+    // doc 3: 3 lines, 2 bullet-starts -> 666666, 1 ellipsis-end -> 333333
+    assert(out(3L)(5) == 3L && out(3L)(6) == 666666L && out(3L)(7) == 333333L,
+      s"got ${out(3L)}")
+    assert(out(3L)(8) == 0L, s"doc 3 must fail on word count: ${out(3L)}")
+  }
+
   test("temperature sampling: sqrt quotas upweight the small stratum") {
     val rows = (1 to 100).map(i => (i.toLong, "A")) ++ (101 to 125).map(i => (i.toLong, "B"))
     val df = rows.toDF("id", "stratum")

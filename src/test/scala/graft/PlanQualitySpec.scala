@@ -847,10 +847,12 @@ class PlanQualitySpec extends SparkSuite {
 
   test("composed curation pipeline: one lazy chain, no cartesian, bounded exchange count") {
     // curate_pipeline chains filter -> decon -> exact dedup -> near-dup cc
-    // -> pack -> manifest lazily: everything up to the cc labels (which
-    // iterate via localCheckpoint internally) must be ONE unexecuted plan,
-    // with equi-joins only and an exchange count that stays fixed as data
-    // grows (exchanges scale the plan's shuffle count, not with rows)
+    // -> pack -> manifest with EXPLICIT reuse points: stage outputs with
+    // downstream fan-out > 1 are checkpointed (the fully-lazy form
+    // re-ran the quality/langid/decon prefix once per downstream scan —
+    // 122.9 s vs ~15 s sum-of-parts at sf0.1), everything else stays
+    // lazy, with equi-joins only and an exchange count that stays fixed
+    // as data grows (exchanges scale the plan's shuffle count, not rows)
     val df = PipelineQueries.queries("curate_pipeline")(spark, dir)
     df.collect() // finalize adaptive plans
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
