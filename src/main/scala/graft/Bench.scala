@@ -166,6 +166,9 @@ object Bench {
     "graph_ktruss",
     // Gopher/MassiveText rule bundle over the composite corpus
     "text_gopher_rules",
+    // Leiden-style refinement composed on the louvain partition (the
+    // delta vs graph_louvain is the refinement cc's own cost)
+    "graph_louvain_refine",
     // round-14: the formerly-unbenched non-micro gate entries (VERDICT r13
     // item #3) — real computations whose perf regressions were invisible:
     // the three remaining GraphX bridge algorithms, the salted skew join,

@@ -569,6 +569,17 @@ object GraphQueries {
         .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       GraphAnalytics.louvain(sym, maxLevels = 3, maxRounds = 8)
     }),
+    // Leiden-style refinement of the louvain partition: every community
+    // split into its connected components within the community-induced
+    // subgraph (Louvain can leave communities internally disconnected —
+    // the defect Leiden is named for fixing)
+    "graph_louvain_refine" -> ((s, d) => {
+      val pairs = coPairs(s, d)
+      val sym = pairs.select(col("a"), col("b"))
+        .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      GraphAnalytics.refineCommunities(
+        GraphAnalytics.louvain(sym, maxLevels = 3, maxRounds = 8), sym)
+    }),
     // the WEIGHTED ascent twin: shared-order counts as edge weights (the
     // gate's only weighted-louvain path; unit-weight entry above pins the
     // common case) — same caps, same oracle unroll with w carried through
@@ -1132,7 +1143,11 @@ object GraphQueries {
     * fixpoint exists (the co-purchase graph two-cycles, see
     * GraphAnalytics.louvain) both engines compute the same fixed round
     * sequence, so the unroll count must equal the Spark entry's caps. */
-  private def louvainSql(levels: Int, rounds: Int, weighted: Boolean = false): String = {
+  private def louvainSql(levels: Int, rounds: Int, weighted: Boolean = false): String =
+    s"""${louvainCtes(levels, rounds, weighted)}
+       |SELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT) AS label FROM map$levels""".stripMargin
+
+  private def louvainCtes(levels: Int, rounds: Int, weighted: Boolean = false): String = {
     val sb = new StringBuilder
     val w1 = if (weighted) "CAST(w AS BIGINT)" else "CAST(1 AS BIGINT)"
     sb.append(
@@ -1195,7 +1210,6 @@ object GraphQueries {
              |""".stripMargin)
     }
     sb.setLength(sb.length - 2)
-    sb.append(s"\nSELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT) AS label FROM map$levels")
     sb.toString
   }
 
@@ -1233,6 +1247,20 @@ object GraphQueries {
     "graph_ktruss" -> kTrussSql,
     "graph_louvain" -> louvainSql(levels = 3, rounds = 8),
     "graph_louvain_weighted" -> louvainSql(levels = 3, rounds = 8, weighted = true),
+    // Leiden refinement replay: the full louvain unroll, then recursive
+    // min-reachable cc over INTRA-community edges only; members with no
+    // intra edge become singletons
+    "graph_louvain_refine" ->
+      s"""${louvainCtes(3, 8).replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |intra AS MATERIALIZED (SELECT s.a, s.b FROM e1 s
+         |  JOIN map3 la ON la.vid = s.a JOIN map3 lb ON lb.vid = s.b
+         |  WHERE la.label = lb.label),
+         |reach9 AS (SELECT a, b FROM intra
+         |  UNION SELECT r.a, u.b FROM reach9 r JOIN intra u ON r.b = u.a),
+         |frag AS (SELECT a AS vid, least(a, min(b)) AS cluster FROM reach9 GROUP BY a)
+         |SELECT CAST(m.vid AS BIGINT) AS vid,
+         |  CAST(coalesce(f.cluster, m.vid) AS BIGINT) AS label
+         |FROM map3 m LEFT JOIN frag f ON f.vid = m.vid""".stripMargin,
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
     // synchronous local-move replay from singleton labels: per vertex the

@@ -1121,6 +1121,34 @@ object GraphAnalytics {
     * (vid, __n) and simple-graph degrees (vid, __deg) over a
     * canonicalized (a < b, distinct, loop-free) edge table. See
     * [[triangleCountDF]] for the O(m^1.5) degree-ordered wedge bound. */
+  /** Leiden-style partition refinement (the core fix of Traag et al.
+    * 2019, arXiv:1810.08473 — "From Louvain to Leiden"): local-move
+    * community assignment can leave a community internally DISCONNECTED
+    * (members that connect only through vertices that later moved away).
+    * Refinement splits every community into its connected components
+    * within the community-induced subgraph; each fragment relabels to
+    * its minimum member vid, vertices with no intra-community edge
+    * become singletons. Guarantees the well-formedness property Leiden
+    * is named for; compose as louvain → refineCommunities (and iterate,
+    * if desired — refined labels are a valid louvain input).
+    *
+    * Scale: one label decoration of the edge list (vertex-keyed
+    * equi-joins), the shared min-propagation cc fixpoint over
+    * intra-community edges ONLY (the inter-community edges — usually
+    * most of a real graph's — never enter the iteration), one left join
+    * for isolated members. Returns (vid, label). */
+  def refineCommunities(labels: DataFrame, symEdges: DataFrame): DataFrame = {
+    val lab = checkpointScrubbed(labels.select(col("vid"), col("label")))
+    val intra = symEdges
+      .join(lab.select(col("vid").as("a"), col("label").as("__la")), Seq("a"))
+      .join(lab.select(col("vid").as("b"), col("label").as("__lb")), Seq("b"))
+      .where(col("__la") === col("__lb"))
+      .select(col("a"), col("b"))
+    val frags = graft.pipeline.ConnectedComponents.labels(intra)
+    lab.join(frags.select(col("id").as("vid"), col("cluster")), Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("cluster"), col("vid")).as("label"))
+  }
+
   /** k-truss of an undirected edge table (a, b) — the EDGE-cohesion
     * analog of [[kCore]] and the strongest of the classic cohesion
     * filters: the maximal subgraph in which every edge closes at least

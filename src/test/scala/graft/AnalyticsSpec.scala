@@ -812,6 +812,25 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("refineCommunities: disconnected communities split, fragments relabel to min vid") {
+    import spark.implicits._
+    // community 7 = {1,2,3,4} whose induced subgraph is 1-2 and 3-4
+    // (DISCONNECTED — the defect Leiden refinement exists to fix);
+    // community 8 = {5} has no intra edge; 2-5 and 4-5 cross communities
+    // and must not merge fragments
+    val sym = Seq((1L, 2L), (3L, 4L), (2L, 5L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("a", "b")
+    val lab = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L), (5L, 8L)).toDF("vid", "label")
+    val out = GraphAnalytics.refineCommunities(lab, sym).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L), s"got $out")
+    // idempotent: refined labels are well-formed, refining again is a no-op
+    val again = GraphAnalytics.refineCommunities(
+        out.toSeq.toDF("vid", "label"), sym).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out, s"got $again")
+  }
+
   test("louvain: two-triangle hierarchy hand-traced (level-1 fixpoint, level-2 no-merge)") {
     import spark.implicits._
     // {1,2,3} {4,5,6} + bridge 3-4. Parity schedule, M = 14:
