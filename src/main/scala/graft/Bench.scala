@@ -9,7 +9,21 @@ import org.apache.spark.sql.SparkSession
   * time, the shape of a long-lived engine. */
 object Bench {
   // a representative slice: traversals, paths, set algebra, aggregation,
-  // joins, windows, GraphX, dedup, ANN, text
+  // joins, windows, GraphX, dedup, ANN, text.
+  //
+  // WHICH GATE ENTRIES ARE *NOT* BENCHED — the rule (two classes only):
+  //  1. micro fixtures: entries whose input is a hand-built toy (the
+  //     zoe_* wire-format queries over the cocktail graph, the toy
+  //     mutations/graphml/changeset/schema lifecycles) — their timings
+  //     measure session overhead, not an operator;
+  //  2. identical-plan siblings: entries whose physical plan differs
+  //     from a benched entry only in a constant (graph_louvain_weighted
+  //     vs graph_louvain — only the w column differs; ann_ivf_topk vs
+  //     the benched ivf_kmeans/ivfpq family; graph_degree/neighbors/
+  //     order_size vs the benched scans they project).
+  // Everything else — any entry with a real corpus input and its own
+  // plan shape — MUST be in this list, so a perf regression on it is
+  // visible in the per-round JSON (the round-8 lesson).
   val headline: Seq[String] = Seq(
     "zoe_v_all", "zoe_two_hop", "zoe_paths_europe", "zoe_union",
     "zoe_disjunctive_union", "zoe_filter_sql", "zoe_e_all",
@@ -166,9 +180,19 @@ object Bench {
     "graph_ktruss",
     // Gopher/MassiveText rule bundle over the composite corpus
     "text_gopher_rules",
-    // Leiden-style refinement composed on the louvain partition (the
-    // delta vs graph_louvain is the refinement cc's own cost)
+    // Leiden-style refinement over the MEMOIZED louvain partition —
+    // preStage warms the shared ascent memo, so this entry times the
+    // refinement cc ALONE (round 15; previously ascent + cc, with the
+    // refinement cost recoverable only by subtracting two noisy numbers)
     "graph_louvain_refine",
+    // round-15: TRUE Leiden — refinement interleaved into the level loop
+    // (fragment coarsening + home-community restarts), vs graph_louvain's
+    // raw coarsening; the delta vs graph_louvain is interleaving's cost
+    "graph_leiden",
+    // partition-quality report: Q(louvain) vs Q(lpa3) vs Q(singletons)
+    // on the shared co-purchase edges (louvain partition from the warm
+    // memo — this times the LPA rounds + three modularity rollups)
+    "graph_louvain_quality",
     // round-14: the formerly-unbenched non-micro gate entries (VERDICT r13
     // item #3) — real computations whose perf regressions were invisible:
     // the three remaining GraphX bridge algorithms, the salted skew join,

@@ -96,6 +96,42 @@ object GraphQueries {
     * timed cold (see PipelineQueries.memoBackedQueries). */
   def clearWalkMemo(s: SparkSession, d: String): Unit = walkCache.remove((s, d))
 
+  // the 3×8 louvain ascent over the co-purchase graph, memoized per
+  // (session, dir, weighted): the partition is the shared input of the
+  // louvain / refine / quality gate entries, so the gate pays the
+  // 48-round ascent once per variant instead of once per consumer — and
+  // graph_louvain_refine measures the refinement cc ALONE instead of by
+  // subtraction between two noisy full-ascent numbers (VERDICT r14 #3).
+  // louvain() checkpoints its final mapping, so the cached frame is a
+  // cheap scan of that checkpoint.
+  private val louvainCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]
+  private[graft] def louvainPartition(s: SparkSession, d: String,
+                                      weighted: Boolean): DataFrame =
+    louvainCache.computeIfAbsent((s, d, weighted), { _ =>
+      val pairs = coPairs(s, d)
+      val sym =
+        if (weighted) pairs.select(col("a"), col("b"), col("w"))
+          .unionByName(pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
+        else pairs.select(col("a"), col("b"))
+          .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      GraphAnalytics.louvain(sym, maxLevels = 3, maxRounds = 8)
+    })
+  /** Bench hook: drop the memoized louvain partitions so graph_louvain /
+    * graph_louvain_weighted are timed cold (the refine/quality entries
+    * re-warm via preStage and time only their own work). */
+  def clearLouvainMemo(s: SparkSession, d: String): Unit = {
+    louvainCache.remove((s, d, false))
+    louvainCache.remove((s, d, true))
+    ()
+  }
+  /** Pre-stage hook twin for the louvain-consuming entries (see
+    * [[PipelineQueries.preStage]]): warm the unit-weight partition memo
+    * without timing it. */
+  def stageLouvainPartition(s: SparkSession, d: String): Unit = {
+    louvainPartition(s, d, weighted = false); ()
+  }
+
   /** Drop the memoized stream→graph ingest run (see
     * [[PipelineQueries.clearStreamMemos]] — the bench busts the stream
     * memos before every timed run so the recorded time is the real
@@ -128,11 +164,38 @@ object GraphQueries {
     * orders, per-order fan-out capped at the
     * [[GraphAnalytics.coPurchasePairs]] default (TPC-H orders carry <= 7
     * lineitems, so the cap never bites here; it guards the 100 TB
-    * hot-basket case). Returns (a, b, w), a < b. */
+    * hot-basket case). The DuckDB oracles mirror the SAME dense_rank cap
+    * in their shared ep CTE (ADVICE r14), so a fixture key with > 256
+    * distinct items degrades identically on both engines rather than
+    * diverging at the gate. Returns (a, b, w), a < b. */
   private def coPairs(s: SparkSession, d: String): DataFrame =
     GraphAnalytics.coPurchasePairs(
       t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
       "o", "p", minShared = 2)
+
+  /** Synchronous min-label LPA over a raw symmetrized edge table — the
+    * [[GraphAnalytics.labelPropagationDF]] core (count desc, label asc
+    * winner per round) without the GraphStore vertex frame, for graphs
+    * that exist only as edges (the co-purchase graph). Used by the
+    * quality row as the cheap-baseline partition. */
+  private def lpaOverSym(sym: DataFrame, rounds: Int): DataFrame = {
+    var labels = sym.select(col("a").as("vid")).distinct()
+      .select(col("vid"), col("vid").as("lbl")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val counts = sym.join(labels.select(col("vid").as("a"), col("lbl")), Seq("a"))
+        .groupBy(col("b").as("vid"), col("lbl"))
+        .agg(count(lit(1)).as("__c"))
+      val winner = counts
+        .select(col("vid"), struct((-col("__c")).as("nc"), col("lbl").as("l")).as("__s"))
+        .groupBy("vid").agg(min("__s").as("__s"))
+        .select(col("vid"), col("__s.l").as("__w"))
+      labels = labels
+        .join(winner, Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("__w"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("vid"), col("lbl").as("label"))
+  }
 
   private def coPurchaseWalks(s: SparkSession, d: String): DataFrame =
     walkCache.computeIfAbsent((s, d), { _ =>
@@ -555,39 +618,67 @@ object GraphQueries {
     // edge closes >= 1 triangle among survivors; the 4-truss of this
     // graph is empty — its densest cohesion is triangle-level) — the
     // edge-cohesion analog of graph_kcore_df, synchronous peel to the
-    // fixpoint
+    // fixpoint. maxRounds = 16 deliberately EQUALS the oracle's fixed
+    // unroll depth (kTrussSql): a denser future fixture that needs more
+    // peel rounds fails loudly here ("did not converge in 16 rounds")
+    // instead of surfacing as an opaque gate hash mismatch (ADVICE r14)
     "graph_ktruss" -> ((s, d) =>
-      GraphAnalytics.kTruss(coPairs(s, d).select("a", "b"), k = 3)),
+      GraphAnalytics.kTruss(coPairs(s, d).select("a", "b"), k = 3, maxRounds = 16)),
     // FULL multi-level Louvain on the co-purchase graph: parity-alternated
     // local-move sweeps (8 per level), coarsen, repeat (3 levels) — the
     // caps are pinned by the oracle's fixed 3x8 CTE unroll; converged
     // rounds replay as no-ops (see GraphAnalytics.louvain on why bounded
     // sweeps, not a movement fixpoint, is the termination rule here)
-    "graph_louvain" -> ((s, d) => {
-      val pairs = coPairs(s, d)
-      val sym = pairs.select(col("a"), col("b"))
-        .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      GraphAnalytics.louvain(sym, maxLevels = 3, maxRounds = 8)
-    }),
+    "graph_louvain" -> ((s, d) => louvainPartition(s, d, weighted = false)),
     // Leiden-style refinement of the louvain partition: every community
     // split into its connected components within the community-induced
     // subgraph (Louvain can leave communities internally disconnected —
-    // the defect Leiden is named for fixing)
+    // the defect Leiden is named for fixing). The partition comes from
+    // the shared memo (preStage warms it), so the benched time is the
+    // refinement cc ALONE, not ascent + cc measured by subtraction.
     "graph_louvain_refine" -> ((s, d) => {
       val pairs = coPairs(s, d)
       val sym = pairs.select(col("a"), col("b"))
         .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      GraphAnalytics.refineCommunities(
-        GraphAnalytics.louvain(sym, maxLevels = 3, maxRounds = 8), sym)
+      GraphAnalytics.refineCommunities(louvainPartition(s, d, weighted = false), sym)
     }),
     // the WEIGHTED ascent twin: shared-order counts as edge weights (the
     // gate's only weighted-louvain path; unit-weight entry above pins the
     // common case) — same caps, same oracle unroll with w carried through
-    "graph_louvain_weighted" -> ((s, d) => {
+    "graph_louvain_weighted" -> ((s, d) => louvainPartition(s, d, weighted = true)),
+    // TRUE Leiden (Traag 2019 §III): refinement INTERLEAVED into the
+    // level loop — coarsen on connected fragments, start each fragment in
+    // its home community — so upper levels ascend on a well-formed base
+    // (vs graph_louvain_refine, which repairs only the final level).
+    // Same 3×8 caps; the oracle unrolls move rounds + per-level
+    // recursive-cc refinement + fragment coarsening
+    "graph_leiden" -> ((s, d) => {
       val pairs = coPairs(s, d)
-      val sym = pairs.select(col("a"), col("b"), col("w"))
-        .unionByName(pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
-      GraphAnalytics.louvain(sym, maxLevels = 3, maxRounds = 8)
+      val sym = pairs.select(col("a"), col("b"))
+        .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      GraphAnalytics.leiden(sym, maxLevels = 3, maxRounds = 8)
+    }),
+    // partition-QUALITY row: whole-partition modularity of the louvain
+    // ascent vs 3-round LPA vs singletons on the SAME co-purchase edges —
+    // the gate pins exact labels elsewhere; this row asserts the ascent
+    // actually IMPROVES something, guarding future knob changes
+    // (maxRounds/levels/tie-breaks) that keep determinism but lose
+    // quality. Louvain labels come from the shared memo (preStage warms
+    // it); Q is the exact-integer one-division form (modularityTotal)
+    "graph_louvain_quality" -> ((s, d) => {
+      val pairs = coPairs(s, d)
+      val sym = pairs.select(col("a"), col("b"))
+        .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint(true) // feeds three modularity rollups + LPA
+      val singles = sym.select(col("a").as("vid")).distinct()
+        .select(col("vid"), col("vid").as("label"))
+      def q(method: String, labels: DataFrame): DataFrame =
+        GraphAnalytics.modularityTotal(labels, sym)
+          .select(lit(method).as("method"), col("n_communities"),
+            col("internal_directed"), col("q"))
+      q("louvain", louvainPartition(s, d, weighted = false))
+        .unionByName(q("lpa3", lpaOverSym(sym, rounds = 3)))
+        .unionByName(q("singletons", singles))
     }),
     // one synchronous Louvain local-move round from singleton communities
     // on the co-purchase graph: per vertex, the modularity-gain argmax
@@ -840,9 +931,14 @@ object GraphQueries {
     }.mkString(",\n")
     s"""WITH e AS MATERIALIZED (
        |  SELECT a, b FROM (
-       |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
-       |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-       |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+       |    SELECT l1.p AS a, l2.p AS b, count(DISTINCT l1.o) AS w
+       |    FROM (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+       |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+       |        FROM lineitem) cb1 WHERE r <= 256) l1
+       |    JOIN (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+       |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+       |        FROM lineitem) cb2 WHERE r <= 256) l2 ON l1.o = l2.o
+       |    WHERE l1.p < l2.p GROUP BY 1, 2)
        |  WHERE w >= 2),
        |sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
        |l0 AS MATERIALIZED (SELECT DISTINCT a AS vid FROM sym),
@@ -865,9 +961,14 @@ object GraphQueries {
       .mkString("\n  UNION ALL ")
     s"""e AS MATERIALIZED (
        |  SELECT a, b FROM (
-       |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
-       |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-       |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+       |    SELECT l1.p AS a, l2.p AS b, count(DISTINCT l1.o) AS w
+       |    FROM (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+       |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+       |        FROM lineitem) cb1 WHERE r <= 256) l1
+       |    JOIN (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+       |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+       |        FROM lineitem) cb2 WHERE r <= 256) l2 ON l1.o = l2.o
+       |    WHERE l1.p < l2.p GROUP BY 1, 2)
        |  WHERE w >= 2),
        |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
        |adj AS MATERIALIZED (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM sym),
@@ -907,9 +1008,14 @@ object GraphQueries {
       .mkString("\nUNION ALL ")
     s"""WITH we AS MATERIALIZED (
        |  SELECT a, b, w FROM (
-       |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
-       |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-       |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+       |    SELECT l1.p AS a, l2.p AS b, count(DISTINCT l1.o) AS w
+       |    FROM (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+       |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+       |        FROM lineitem) cb1 WHERE r <= 256) l1
+       |    JOIN (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+       |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+       |        FROM lineitem) cb2 WHERE r <= 256) l2 ON l1.o = l2.o
+       |    WHERE l1.p < l2.p GROUP BY 1, 2)
        |  WHERE w >= 2),
        |wsym AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM we UNION ALL SELECT b AS src, a AS dst, w FROM we),
        |wadj AS MATERIALIZED (SELECT src, dst,
@@ -1002,9 +1108,14 @@ object GraphQueries {
       .mkString("\nUNION ALL ")
     s"""WITH e AS MATERIALIZED (
        |  SELECT a, b FROM (
-       |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
-       |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-       |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+       |    SELECT l1.p AS a, l2.p AS b, count(DISTINCT l1.o) AS w
+       |    FROM (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+       |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+       |        FROM lineitem) cb1 WHERE r <= 256) l1
+       |    JOIN (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+       |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+       |        FROM lineitem) cb2 WHERE r <= 256) l2 ON l1.o = l2.o
+       |    WHERE l1.p < l2.p GROUP BY 1, 2)
        |  WHERE w >= 2),
        |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
        |m0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS prev, src AS cur FROM sym),
@@ -1119,9 +1230,14 @@ object GraphQueries {
   private val assortativitySql =
     """WITH e AS MATERIALIZED (
       |  SELECT a, b FROM (
-      |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
-      |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-      |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+      |    SELECT l1.p AS a, l2.p AS b, count(DISTINCT l1.o) AS w
+      |    FROM (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+      |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+      |        FROM lineitem) cb1 WHERE r <= 256) l1
+      |    JOIN (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+      |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+      |        FROM lineitem) cb2 WHERE r <= 256) l2 ON l1.o = l2.o
+      |    WHERE l1.p < l2.p GROUP BY 1, 2)
       |  WHERE w >= 2),
       |sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
       |deg AS (SELECT a AS v, count(*) AS dg FROM sym GROUP BY a),
@@ -1147,55 +1263,71 @@ object GraphQueries {
     s"""${louvainCtes(levels, rounds, weighted)}
        |SELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT) AS label FROM map$levels""".stripMargin
 
+  /** The shared ep + e1 oracle prefix: co-purchase pair graph (with the
+    * [[GraphAnalytics.coPurchasePairs]] fan-out cap mirrored — see
+    * [[coPairs]]) symmetrized with per-direction weight `w1`. */
+  private def epE1Ctes(w1: String): String =
+    s"""WITH ep AS MATERIALIZED (
+      |  SELECT a, b, w FROM (
+      |    SELECT l1.p AS a, l2.p AS b, count(DISTINCT l1.o) AS w
+      |    FROM (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+      |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+      |        FROM lineitem) cb1 WHERE r <= 256) l1
+      |    JOIN (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+      |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+      |        FROM lineitem) cb2 WHERE r <= 256) l2 ON l1.o = l2.o
+      |    WHERE l1.p < l2.p GROUP BY 1, 2)
+      |  WHERE w >= 2),
+      |e1 AS MATERIALIZED (
+      |  SELECT a, b, $w1 AS w FROM ep
+      |  UNION ALL SELECT b AS a, a AS b, $w1 FROM ep),
+      |""".stripMargin
+
+  /** One unrolled parity-restricted local-move round (level l, round r) —
+    * the CTE replay of GraphAnalytics.louvainParityRound, shared by the
+    * louvain and leiden oracles (identical comparator, tie-breaks and
+    * parity schedule; they differ only in lab{l}_0 and the inter-level
+    * wiring). */
+  private def moveRoundCtes(l: Int, r: Int): String = {
+    val p = s"lab${l}_${r - 1}"
+    val parity = (r - 1) % 2
+    s"""dc${l}_$r AS MATERIALIZED (SELECT lx.label, sum(d.kv) AS dc
+       |  FROM $p lx JOIN deg$l d ON d.vid = lx.vid GROUP BY lx.label),
+       |sc${l}_$r AS MATERIALIZED (
+       |  SELECT cd.vid, cd.c,
+       |    m * cd.kvc - d.kv * (dcc.dc - CASE WHEN cd.c = lx.label THEN d.kv ELSE 0 END) AS score,
+       |    CASE WHEN cd.c = lx.label THEN 0 ELSE 1 END AS is_foreign
+       |  FROM (
+       |    SELECT vid, c, max(kvc) AS kvc FROM (
+       |      SELECT s.a AS vid, lb.label AS c, sum(s.w) AS kvc
+       |      FROM e$l s JOIN $p lb ON lb.vid = s.b
+       |      WHERE s.a <> s.b AND s.a % 2 = $parity GROUP BY 1, 2
+       |      UNION ALL SELECT vid, label AS c, 0 FROM $p WHERE vid % 2 = $parity) u
+       |    GROUP BY vid, c) cd
+       |  JOIN $p lx ON lx.vid = cd.vid
+       |  JOIN deg$l d ON d.vid = cd.vid
+       |  JOIN dc${l}_$r dcc ON dcc.label = cd.c
+       |  CROSS JOIN m$l),
+       |lab${l}_$r AS MATERIALIZED (
+       |  SELECT vid, c AS label FROM (
+       |    SELECT vid, c, row_number() OVER (
+       |      PARTITION BY vid ORDER BY score DESC, is_foreign ASC, c ASC) AS rn
+       |    FROM sc${l}_$r) t WHERE rn = 1
+       |  UNION ALL SELECT vid, label FROM $p WHERE vid % 2 <> $parity),
+       |""".stripMargin
+  }
+
   private def louvainCtes(levels: Int, rounds: Int, weighted: Boolean = false): String = {
     val sb = new StringBuilder
     val w1 = if (weighted) "CAST(w AS BIGINT)" else "CAST(1 AS BIGINT)"
-    sb.append(
-      s"""WITH ep AS MATERIALIZED (
-        |  SELECT a, b, w FROM (
-        |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
-        |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-        |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
-        |  WHERE w >= 2),
-        |e1 AS MATERIALIZED (
-        |  SELECT a, b, $w1 AS w FROM ep
-        |  UNION ALL SELECT b AS a, a AS b, $w1 FROM ep),
-        |""".stripMargin)
+    sb.append(epE1Ctes(w1))
     for (l <- 1 to levels) {
       sb.append(
         s"""deg$l AS MATERIALIZED (SELECT a AS vid, sum(w) AS kv FROM e$l GROUP BY a),
            |m$l AS MATERIALIZED (SELECT sum(w) AS m FROM e$l),
            |lab${l}_0 AS MATERIALIZED (SELECT vid, vid AS label FROM deg$l),
            |""".stripMargin)
-      for (r <- 1 to rounds) {
-        val p = s"lab${l}_${r - 1}"
-        val parity = (r - 1) % 2
-        sb.append(
-          s"""dc${l}_$r AS MATERIALIZED (SELECT lx.label, sum(d.kv) AS dc
-             |  FROM $p lx JOIN deg$l d ON d.vid = lx.vid GROUP BY lx.label),
-             |sc${l}_$r AS MATERIALIZED (
-             |  SELECT cd.vid, cd.c,
-             |    m * cd.kvc - d.kv * (dcc.dc - CASE WHEN cd.c = lx.label THEN d.kv ELSE 0 END) AS score,
-             |    CASE WHEN cd.c = lx.label THEN 0 ELSE 1 END AS is_foreign
-             |  FROM (
-             |    SELECT vid, c, max(kvc) AS kvc FROM (
-             |      SELECT s.a AS vid, lb.label AS c, sum(s.w) AS kvc
-             |      FROM e$l s JOIN $p lb ON lb.vid = s.b
-             |      WHERE s.a <> s.b AND s.a % 2 = $parity GROUP BY 1, 2
-             |      UNION ALL SELECT vid, label AS c, 0 FROM $p WHERE vid % 2 = $parity) u
-             |    GROUP BY vid, c) cd
-             |  JOIN $p lx ON lx.vid = cd.vid
-             |  JOIN deg$l d ON d.vid = cd.vid
-             |  JOIN dc${l}_$r dcc ON dcc.label = cd.c
-             |  CROSS JOIN m$l),
-             |lab${l}_$r AS MATERIALIZED (
-             |  SELECT vid, c AS label FROM (
-             |    SELECT vid, c, row_number() OVER (
-             |      PARTITION BY vid ORDER BY score DESC, is_foreign ASC, c ASC) AS rn
-             |    FROM sc${l}_$r) t WHERE rn = 1
-             |  UNION ALL SELECT vid, label FROM $p WHERE vid % 2 <> $parity),
-             |""".stripMargin)
-      }
+      for (r <- 1 to rounds) sb.append(moveRoundCtes(l, r))
       if (l == 1)
         sb.append(s"map1 AS MATERIALIZED (SELECT vid, label FROM lab1_$rounds),\n")
       else
@@ -1211,6 +1343,100 @@ object GraphQueries {
     }
     sb.setLength(sb.length - 2)
     sb.toString
+  }
+
+  /** Leiden oracle: GraphAnalytics.leiden's exact schedule unrolled —
+    * per level the same fixed move rounds as the louvain oracle, then a
+    * RECURSIVE min-reachable cc over intra-community edges (the
+    * refinement), fragment coarsening, and home-community initialization
+    * of the next level; the composed fragment mapping meets the top
+    * level's community labels at the end. Spark's two-zero-round early
+    * exit pads as no-ops exactly as in the louvain oracle. */
+  private def leidenSql(levels: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(epE1Ctes("CAST(1 AS BIGINT)").replaceFirst("WITH ", "WITH RECURSIVE "))
+    for (l <- 1 to levels) {
+      sb.append(
+        s"""deg$l AS MATERIALIZED (SELECT a AS vid, sum(w) AS kv FROM e$l GROUP BY a),
+           |m$l AS MATERIALIZED (SELECT sum(w) AS m FROM e$l),
+           |""".stripMargin)
+      sb.append(
+        if (l == 1) s"lab${l}_0 AS MATERIALIZED (SELECT vid, vid AS label FROM deg$l),\n"
+        else s"lab${l}_0 AS MATERIALIZED (SELECT vid, label FROM init$l),\n")
+      for (r <- 1 to rounds) sb.append(moveRoundCtes(l, r))
+      if (l < levels) {
+        sb.append(
+          s"""intra$l AS MATERIALIZED (SELECT s.a, s.b FROM e$l s
+             |  JOIN lab${l}_$rounds la ON la.vid = s.a
+             |  JOIN lab${l}_$rounds lb ON lb.vid = s.b
+             |  WHERE la.label = lb.label AND s.a <> s.b),
+             |reach$l AS (SELECT a, b FROM intra$l
+             |  UNION SELECT r.a, u.b FROM reach$l r JOIN intra$l u ON r.b = u.a),
+             |frag$l AS MATERIALIZED (SELECT d.vid, coalesce(f.cluster, d.vid) AS frag
+             |  FROM deg$l d LEFT JOIN (SELECT a AS vid, least(a, min(b)) AS cluster
+             |    FROM reach$l GROUP BY a) f ON f.vid = d.vid),
+             |init${l + 1} AS MATERIALIZED (SELECT f.frag AS vid, min(lx.label) AS label
+             |  FROM frag$l f JOIN lab${l}_$rounds lx ON lx.vid = f.vid GROUP BY f.frag),
+             |""".stripMargin)
+        sb.append(
+          if (l == 1) s"fmap1 AS MATERIALIZED (SELECT vid, frag AS cur FROM frag1),\n"
+          else s"fmap$l AS MATERIALIZED (SELECT m.vid, f.frag AS cur FROM fmap${l - 1} m " +
+            s"JOIN frag$l f ON f.vid = m.cur),\n")
+        sb.append(
+          s"""e${l + 1} AS MATERIALIZED (
+             |  SELECT fa.frag AS a, fb.frag AS b, sum(s.w) AS w
+             |  FROM e$l s JOIN frag$l fa ON fa.vid = s.a
+             |  JOIN frag$l fb ON fb.vid = s.b GROUP BY 1, 2),
+             |""".stripMargin)
+      }
+    }
+    sb.setLength(sb.length - 2)
+    val fin =
+      if (levels == 1)
+        s"SELECT CAST(vid AS BIGINT) AS vid, CAST(label AS BIGINT) AS label FROM lab1_$rounds"
+      else
+        s"""SELECT CAST(m.vid AS BIGINT) AS vid, CAST(lx.label AS BIGINT) AS label
+           |FROM fmap${levels - 1} m JOIN lab${levels}_$rounds lx ON lx.vid = m.cur""".stripMargin
+    sb.append("\n" + fin)
+    sb.toString
+  }
+
+  /** Quality-row oracle: the full louvain unroll, a 3-round LPA replay
+    * and the singleton partition, each folded to ONE exact-integer
+    * modularity row (internal·M − ΣD_c² in HUGEINT, one double
+    * division — the modularityTotal twin). */
+  private val louvainQualitySql: String = {
+    val lpa = (1 to 3).map { i =>
+      s"""qlc$i AS MATERIALIZED (SELECT s.b AS vid, l.lbl, count(*) AS c
+         |  FROM e1 s JOIN qlab${i - 1} l ON l.vid = s.a GROUP BY 1, 2),
+         |qlab$i AS MATERIALIZED (SELECT l.vid, coalesce(w.lbl, l.lbl) AS lbl
+         |  FROM qlab${i - 1} l LEFT JOIN (
+         |    SELECT vid, lbl FROM (SELECT vid, lbl, row_number() OVER (
+         |      PARTITION BY vid ORDER BY c DESC, lbl ASC) AS rn FROM qlc$i) t
+         |    WHERE rn = 1) w ON w.vid = l.vid),
+         |""".stripMargin
+    }.mkString
+    s"""${louvainCtes(3, 8)},
+       |qdeg AS MATERIALIZED (SELECT a AS vid, count(*) AS dg FROM e1 GROUP BY a),
+       |qm AS (SELECT count(*) AS m FROM e1),
+       |qlab0 AS MATERIALIZED (SELECT vid, vid AS lbl FROM qdeg),
+       |${lpa}meth AS MATERIALIZED (
+       |  SELECT 'louvain' AS method, vid, label FROM map3
+       |  UNION ALL SELECT 'lpa3' AS method, vid, lbl AS label FROM qlab3
+       |  UNION ALL SELECT 'singletons' AS method, vid, vid AS label FROM qdeg),
+       |dsum AS (SELECT mt.method, mt.label, sum(coalesce(d.dg, 0)) AS ds
+       |  FROM meth mt LEFT JOIN qdeg d ON d.vid = mt.vid GROUP BY 1, 2),
+       |parts AS (SELECT method, count(*) AS nc,
+       |  sum(CAST(ds AS HUGEINT) * CAST(ds AS HUGEINT)) AS dsq FROM dsum GROUP BY 1),
+       |intr AS (SELECT m1.method, count(*) AS internal FROM e1 s
+       |  JOIN meth m1 ON m1.vid = s.a
+       |  JOIN meth m2 ON m2.vid = s.b AND m2.method = m1.method
+       |  WHERE m1.label = m2.label GROUP BY 1)
+       |SELECT p.method, CAST(p.nc AS BIGINT) AS n_communities,
+       |  CAST(coalesce(i.internal, 0) AS BIGINT) AS internal_directed,
+       |  round(CAST(coalesce(i.internal, 0) * CAST(qm.m AS HUGEINT) - p.dsq AS DOUBLE)
+       |    / CAST(CAST(qm.m AS HUGEINT) * CAST(qm.m AS HUGEINT) AS DOUBLE), 6) AS q
+       |FROM parts p LEFT JOIN intr i ON i.method = p.method CROSS JOIN qm""".stripMargin
   }
 
   /** k-truss oracle: edge peeling unrolled to a fixed depth (idempotent
@@ -1231,9 +1457,14 @@ object GraphQueries {
     }.mkString(",\n")
     s"""WITH ep AS MATERIALIZED (
        |  SELECT a, b FROM (
-       |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
-       |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-       |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+       |    SELECT l1.p AS a, l2.p AS b, count(DISTINCT l1.o) AS w
+       |    FROM (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+       |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+       |        FROM lineitem) cb1 WHERE r <= 256) l1
+       |    JOIN (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+       |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+       |        FROM lineitem) cb2 WHERE r <= 256) l2 ON l1.o = l2.o
+       |    WHERE l1.p < l2.p GROUP BY 1, 2)
        |  WHERE w >= 2),
        |e0 AS MATERIALIZED (SELECT a, b FROM ep),
        |$steps
@@ -1247,6 +1478,8 @@ object GraphQueries {
     "graph_ktruss" -> kTrussSql,
     "graph_louvain" -> louvainSql(levels = 3, rounds = 8),
     "graph_louvain_weighted" -> louvainSql(levels = 3, rounds = 8, weighted = true),
+    "graph_leiden" -> leidenSql(levels = 3, rounds = 8),
+    "graph_louvain_quality" -> louvainQualitySql,
     // Leiden refinement replay: the full louvain unroll, then recursive
     // min-reachable cc over INTRA-community edges only; members with no
     // intra edge become singletons
@@ -1268,9 +1501,14 @@ object GraphQueries {
     "graph_louvain_move" ->
       """WITH e AS MATERIALIZED (
         |  SELECT a, b FROM (
-        |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
-        |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-        |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+        |    SELECT l1.p AS a, l2.p AS b, count(DISTINCT l1.o) AS w
+        |    FROM (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+        |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+        |        FROM lineitem) cb1 WHERE r <= 256) l1
+        |    JOIN (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+        |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+        |        FROM lineitem) cb2 WHERE r <= 256) l2 ON l1.o = l2.o
+        |    WHERE l1.p < l2.p GROUP BY 1, 2)
         |  WHERE w >= 2),
         |sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
         |deg AS (SELECT a AS vid, count(*) AS kv FROM sym GROUP BY a),
@@ -1299,9 +1537,14 @@ object GraphQueries {
     "graph_clustering_coeff" ->
       """WITH e AS MATERIALIZED (
         |  SELECT a, b FROM (
-        |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
-        |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-        |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+        |    SELECT l1.p AS a, l2.p AS b, count(DISTINCT l1.o) AS w
+        |    FROM (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+        |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+        |        FROM lineitem) cb1 WHERE r <= 256) l1
+        |    JOIN (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+        |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+        |        FROM lineitem) cb2 WHERE r <= 256) l2 ON l1.o = l2.o
+        |    WHERE l1.p < l2.p GROUP BY 1, 2)
         |  WHERE w >= 2),
         |sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
         |deg AS (SELECT a AS v, count(*) AS dg FROM sym GROUP BY a),
@@ -1487,9 +1730,14 @@ object GraphQueries {
     "graph_adamic_adar" ->
       """WITH e AS MATERIALIZED (
         |  SELECT a, b FROM (
-        |    SELECT l1.l_partkey AS a, l2.l_partkey AS b, count(DISTINCT l1.l_orderkey) AS w
-        |    FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-        |    WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2)
+        |    SELECT l1.p AS a, l2.p AS b, count(DISTINCT l1.o) AS w
+        |    FROM (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+        |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+        |        FROM lineitem) cb1 WHERE r <= 256) l1
+        |    JOIN (SELECT o, p FROM (SELECT l_orderkey AS o, l_partkey AS p,
+        |        dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS r
+        |        FROM lineitem) cb2 WHERE r <= 256) l2 ON l1.o = l2.o
+        |    WHERE l1.p < l2.p GROUP BY 1, 2)
         |  WHERE w >= 2),
         |sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
         |zw AS (SELECT a AS z, CAST(floor(1000000.0 / ln(count(*)) + 0.5) AS BIGINT) AS w

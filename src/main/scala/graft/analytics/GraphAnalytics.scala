@@ -465,18 +465,28 @@ object GraphAnalytics {
     * in over-cap keys disappears — same graceful-degradation contract as
     * `maxShingleDf` (Dedup.scala). Keys with ≤ maxPerKey distinct items
     * (every TPC-H order: ≤ 7 lineitems) are bit-identical to the
-    * uncapped form. The cap's dense_rank window shuffles by key — the
-    * exact partitioning the self-join needs next, so a cluster reuses
-    * the exchange rather than paying a second one. */
+    * uncapped form — and pay NO window: the cap's dense_rank applies
+    * only to the rows of keys a cheap distinct-count rollup flags as
+    * over-cap (round 15: the unconditional window's exchange+sort cost
+    * every co-purchase consumer ~15-70% at sf0.1 while never binding —
+    * the quiet r15a bisect). With zero hot keys AQE collapses the
+    * anti-join to a pass-through and the window sorts an empty slice;
+    * with hot keys the sort is confined to exactly their rows. */
   def coPurchasePairs(items: DataFrame, keyCol: String, itemCol: String,
                       minShared: Long = 2, maxPerKey: Int = 256): DataFrame = {
     require(minShared >= 1, s"need minShared >= 1; got $minShared")
     val base = items.select(col(keyCol).as("o"), col(itemCol).as("p"))
     val bounded =
       if (maxPerKey <= 0) base
-      else base
-        .withColumn("__r", dense_rank().over(Window.partitionBy("o").orderBy(col("p").asc)))
-        .where(col("__r") <= maxPerKey).drop("__r")
+      else {
+        val hot = base.groupBy("o").agg(countDistinct("p").as("__n"))
+          .where(col("__n") > maxPerKey).select("o")
+        val capped = base.join(hot, Seq("o"), "left_semi")
+          .withColumn("__r",
+            dense_rank().over(Window.partitionBy("o").orderBy(col("p").asc)))
+          .where(col("__r") <= maxPerKey).drop("__r")
+        base.join(hot, Seq("o"), "left_anti").unionByName(capped)
+      }
     bounded.join(bounded.select(col("o"), col("p").as("p2")), Seq("o"))
       .where(col("p") < col("p2"))
       .groupBy(col("p").as("a"), col("p2").as("b"))
@@ -1153,19 +1163,53 @@ object GraphAnalytics {
     * analog of [[kCore]] and the strongest of the classic cohesion
     * filters: the maximal subgraph in which every edge closes at least
     * k−2 triangles WITHIN the subgraph. Synchronous peel: per round,
-    * per-edge support is counted over the surviving edges (canonical
-    * a<b<c enumeration — each triangle found exactly once as the join
-    * (a,b)⋈(a,c)⋈(b,c)) and every edge below k−2 drops, including
-    * triangle-free edges; idempotent at the fixpoint, so a fixed oracle
-    * unroll past convergence replays the run exactly (the kCore
-    * argument). Returns the surviving edges (a, b, support).
+    * per-edge support is counted over the surviving edges and every edge
+    * below k−2 drops, including triangle-free edges; idempotent at the
+    * fixpoint, so a fixed oracle unroll past convergence replays the run
+    * exactly (the kCore argument). Returns (a, b, support), a < b.
     *
-    * Scale: each round is two equi-joins on vertex keys (the wedge join
-    * fans out Σ deg²/2 candidate rows — the [[triangleCorners]]
-    * degree-orientation trick bounds it at O(m^1.5) and is the upgrade
-    * path if truss peeling leaves QA duty; at the co-purchase scale the
-    * canonical form measures fine) plus one map-side-combinable edge
-    * rollup; rounds shrink the edge set monotonically. */
+    * Scale: per round the surviving edges are RE-ORIENTED low→high by
+    * (current degree, id) — the [[triangleCorners]] trick — so wedges
+    * apex at each edge's LOWEST-degree endpoint and the round's wedge
+    * fan-out is Σ C(outdeg⁺, 2) = O(m^1.5) REGARDLESS of skew (the
+    * id-oriented form this replaced paid C(deg, 2) at any low-id hub —
+    * one 10⁴-degree hub emitted ~5·10⁷ wedge rows per round, every
+    * round; VERDICT r14 #1). Each triangle is enumerated exactly once
+    * (apex = min endpoint, closing edge oriented t1→t2) and credits all
+    * three edges in canonical least/greatest form, so support totals are
+    * bit-identical to the canonical a<b<c enumeration. Everything is
+    * vertex-keyed equi-joins + one map-side-combinable rollup; rounds
+    * shrink the edge set monotonically. */
+  /** The per-round enumeration core of [[kTruss]], exposed for the skew
+    * spec: re-orients a canonical (a < b) surviving-edge set low→high by
+    * (CURRENT degree, id) and emits the apex wedges. Returns (oriented
+    * s→t edges, wedge rows (s, t1, t2)). Wedge fan-out is
+    * Σ C(outdeg⁺, 2) = O(m^1.5) regardless of hub skew — a star emits
+    * ZERO wedges (every leaf has outdeg 1, the hub outdeg 0), where the
+    * id-oriented form paid C(deg_hub, 2) whenever the hub drew the low
+    * id. */
+  private[graft] def trussWedges(e: DataFrame): (DataFrame, DataFrame) = {
+    val deg = e.select(col("a").as("vid")).unionByName(e.select(col("b").as("vid")))
+      .groupBy("vid").agg(count(lit(1)).as("__deg"))
+    val keyed = e
+      .join(deg.select(col("vid").as("a"), col("__deg").as("__da")), Seq("a"))
+      .join(deg.select(col("vid").as("b"), col("__deg").as("__db")), Seq("b"))
+    val aLower = struct(col("__da"), col("a")) < struct(col("__db"), col("b"))
+    // oriented: s→t with (deg, id)-struct(s) < struct(t); __kt carries
+    // t's sort key so the wedge join can order (t1, t2) without a
+    // second degree lookup. Materialized once — it feeds three scans.
+    val oriented = checkpointScrubbed(keyed.select(
+      when(aLower, col("a")).otherwise(col("b")).as("s"),
+      when(aLower, col("b")).otherwise(col("a")).as("t"),
+      when(aLower, struct(col("__db").as("d"), col("b").as("v")))
+        .otherwise(struct(col("__da").as("d"), col("a").as("v"))).as("__kt")))
+    val wedges = oriented.select(col("s"), col("t").as("t1"), col("__kt").as("__k1"))
+      .join(oriented.select(col("s"), col("t").as("t2"), col("__kt").as("__k2")), Seq("s"))
+      .where(col("__k1") < col("__k2"))
+      .select(col("s"), col("t1"), col("t2"))
+    (oriented, wedges)
+  }
+
   def kTruss(pairs: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 3, s"need k >= 3; got $k")
     var e = checkpointScrubbed(
@@ -1179,12 +1223,14 @@ object GraphAnalytics {
     var lastSup: DataFrame = null
     while (!converged && round < maxRounds) {
       round += 1
-      val tri = e.join(e.select(col("a"), col("b").as("c")), Seq("a"))
-        .where(col("b") < col("c"))
-        .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "left_semi")
-      val sup = tri.select(col("a"), col("b"))
-        .unionByName(tri.select(col("a"), col("c").as("b")))
-        .unionByName(tri.select(col("b").as("a"), col("c").as("b")))
+      val (oriented, wedges) = trussWedges(e)
+      // the closing edge is oriented exactly t1→t2 (both endpoints above
+      // the apex, t1 below t2), so one semi-probe admits each triangle once
+      val tri = wedges.join(
+        oriented.select(col("s").as("t1"), col("t").as("t2")), Seq("t1", "t2"), "left_semi")
+      val sup = tri.select(least(col("s"), col("t1")).as("a"), greatest(col("s"), col("t1")).as("b"))
+        .unionByName(tri.select(least(col("s"), col("t2")).as("a"), greatest(col("s"), col("t2")).as("b")))
+        .unionByName(tri.select(least(col("t1"), col("t2")).as("a"), greatest(col("t1"), col("t2")).as("b")))
         .groupBy("a", "b").agg(count(lit(1)).as("support"))
       val next = checkpointScrubbed(sup.where(col("support") >= k - 2))
       val c = next.count()
@@ -1430,6 +1476,131 @@ object GraphAnalytics {
       level += 1
     }
     mapping
+  }
+
+  /** TRUE Leiden schedule (Traag, Waltman & van Eck 2019,
+    * arXiv:1810.08473 §III — deterministic connectivity-refinement
+    * variant): each level runs [[louvain]]'s parity-alternated local-move
+    * sweeps to the bounded fixpoint, then — INTERLEAVED into the level
+    * loop, not post-hoc — REFINES the partition (every community splits
+    * into its connected fragments over its own intra-community edges,
+    * the [[refineCommunities]] rule) and COARSENS on the REFINED
+    * partition: supervertices are the connected fragments, and the next
+    * level's moves START from each fragment's HOME community instead of
+    * from singletons, so upper levels ascend on a well-formed base.
+    * (The measured round-14 defect this fixes: post-hoc refinement found
+    * the 3×8 louvain's 430 communities hiding 917 connected fragments —
+    * every coarse level above them had ascended on a broken base.)
+    * Refinement is the connectivity split — Traag's refinement phase
+    * restricted to the guarantee Leiden is named for, kept deterministic
+    * so the oracle can replay it; the move comparator, tie-breaks,
+    * parity schedule and per-level round caps are exactly [[louvain]]'s,
+    * so a fixed (maxLevels × maxRounds) CTE unroll replays the run
+    * bit-for-bit. Returns (vid, label): the top-level COMMUNITY of every
+    * ORIGINAL vertex (communities, like [[louvain]] — compose
+    * [[refineCommunities]] for a final connectivity guarantee).
+    *
+    * Levels are FIXED at maxLevels (no early exit): with home-community
+    * initialization a converged level replays as a no-op — zero-move
+    * rounds (two-zero-streak exit), identity refinement, identity
+    * coarsening — so honoring the cap costs a few no-op rounds on an
+    * already-coarse graph and keeps the oracle unroll exact.
+    *
+    * Scale: everything [[louvain]] pays, plus per level one
+    * min-propagation cc fixpoint over INTRA-community edges only (the
+    * inter-community edges — most of a real graph's — never enter the
+    * iteration) and the same geometric shrink: each coarsening leaves
+    * one row per surviving fragment pair. */
+  def leiden(symEdges: DataFrame, maxLevels: Int = 3, maxRounds: Int = 8): DataFrame = {
+    require(maxLevels >= 1, s"need maxLevels >= 1; got $maxLevels")
+    require(maxRounds >= 2, s"need maxRounds >= 2; got $maxRounds")
+    val hasW = symEdges.columns.contains("w")
+    var e = checkpointScrubbed(symEdges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"),
+      (if (hasW) col("w").cast("long") else lit(1L)).as("w")))
+    var map: DataFrame = null  // (vid, cur): original vid -> current-level vertex
+    var init: DataFrame = null // (vid, label): this level's starting communities
+    var lab: DataFrame = null
+    for (level <- 1 to maxLevels) {
+      val deg = checkpointScrubbed(e.groupBy(col("a").as("vid")).agg(sum("w").as("__kv")))
+      val bigM = checkpointScrubbed(e.agg(sum("w").as("__M")))
+      lab = checkpointScrubbed(
+        if (init == null) deg.select(col("vid"), col("vid").as("label")) else init)
+      var round = 0
+      var zeroStreak = 0
+      while (round < maxRounds && zeroStreak < 2) {
+        val next = checkpointScrubbed(louvainParityRound(lab, e, deg, bigM, round % 2))
+        val moved = next.agg(coalesce(sum("__moved"), lit(0L))).head().getLong(0)
+        zeroStreak = if (moved == 0L) zeroStreak + 1 else 0
+        lab = next.select("vid", "label")
+        round += 1
+      }
+      if (level < maxLevels) {
+        // refine on the MOVE-phase partition (self-loops excluded: the
+        // diagonal carries coarse intra WEIGHT, not adjacency)
+        val frag = checkpointScrubbed(
+          refineCommunities(lab, e.where(col("a") =!= col("b")).select("a", "b"))
+            .withColumnRenamed("label", "__frag"))
+        // every fragment starts the next level in its HOME community —
+        // fragments never straddle communities, so members agree on the
+        // label (min is determinism belt-and-braces, not a choice)
+        init = checkpointScrubbed(
+          frag.join(lab, Seq("vid"))
+            .groupBy(col("__frag").as("vid")).agg(min("label").as("label")))
+        map = checkpointScrubbed(
+          if (map == null) frag.select(col("vid"), col("__frag").as("cur"))
+          else map.join(frag.select(col("vid").as("cur"), col("__frag")), Seq("cur"))
+            .select(col("vid"), col("__frag").as("cur")))
+        e = checkpointScrubbed(
+          e.join(frag.select(col("vid").as("a"), col("__frag").as("__fa")), Seq("a"))
+            .join(frag.select(col("vid").as("b"), col("__frag").as("__fb")), Seq("b"))
+            .groupBy(col("__fa").as("a"), col("__fb").as("b"))
+            .agg(sum("w").as("w")))
+      }
+    }
+    if (map == null) lab
+    else map.join(lab.select(col("vid").as("cur"), col("label")), Seq("cur"))
+      .select("vid", "label")
+  }
+
+  /** Whole-partition Newman modularity in ONE exact-integer pass:
+    * with M = directed edge count, E_c = intra-community directed edge
+    * count, D_c = community degree sum,
+    *
+    *   Q = (M·ΣE_c − ΣD_c²) / M²
+    *
+    * — the sum of [[modularityByCommunity]]'s per-community
+    * contributions computed WITHOUT summing per-community doubles:
+    * the numerator combines in decimal(38,0) (exact to 38 digits) and
+    * meets ONE IEEE double division, so the result is bit-replayable by
+    * any engine with exact 128-bit integer sums (the assortativity
+    * discipline). Returns one row (n_communities, internal_directed, q);
+    * q is NULL on an edgeless graph (try_divide).
+    *
+    * Scale: one degree pass, one label decoration of the edge list
+    * (vertex-keyed equi-joins), two global aggregates — no windows, no
+    * per-community fan-back. */
+  def modularityTotal(labels: DataFrame, symEdges: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lab = labels.select(col("vid"), col("label"))
+    val deg = symEdges.groupBy(col("a").as("vid")).agg(count(lit(1)).as("__deg"))
+    val perC = lab.join(deg, Seq("vid"), "left")
+      .groupBy("label")
+      .agg(sum(coalesce(col("__deg"), lit(0L))).as("__dsum"))
+    val parts = perC.agg(count(lit(1)).as("n_communities"),
+      sum(col("__dsum").cast(dec) * col("__dsum").cast(dec)).as("__dsq"))
+    val internal = symEdges
+      .join(lab.select(col("vid").as("a"), col("label").as("__la")), Seq("a"))
+      .join(lab.select(col("vid").as("b"), col("label").as("__lb")), Seq("b"))
+      .where(col("__la") === col("__lb"))
+      .agg(count(lit(1)).as("internal_directed"))
+    val m = symEdges.agg(count(lit(1)).as("__M"))
+    parts.crossJoin(broadcast(internal)).crossJoin(broadcast(m))
+      .select(col("n_communities"), col("internal_directed"),
+        round(try_divide(
+          (col("internal_directed").cast(dec) * col("__M").cast(dec) - col("__dsq"))
+            .cast("double"),
+          (col("__M").cast(dec) * col("__M").cast(dec)).cast("double")), 6).as("q"))
   }
 
   /** Per-vertex local clustering coefficient over an undirected edge

@@ -276,7 +276,11 @@ object TextAnalysis {
         .cast("long").as("__bul"),
       size(filter(lines, x => x.rlike("(\\.\\.\\.|…)$"))).cast("long").as("__eol"),
       (length(t) - length(regexp_replace(t, "#", ""))).cast("long").as("__hash"),
-      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long").as("__ell"),
+      // '…' (U+2026) counts like '...' — the Gopher symbol rule is about
+      // ellipses, not their encoding (the ellipsis-END line ratio below
+      // already recognized both; ADVICE r14 closed the symbol-count gap)
+      (((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long") +
+        (length(t) - length(regexp_replace(t, "…", ""))).cast("long")).as("__ell"),
       qualityStopwords.map(w =>
         paddedOccurrences(concat(lit(" "), normalized(t), lit(" ")), w))
         .reduce(_ + _).cast("long").as("__stop"))

@@ -896,6 +896,207 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  /** Union-find cc with min-member labels — the sequential twin of the
+    * refinement step (ConnectedComponents.labels semantics). */
+  private def ccMinLabels(verts: Set[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(verts.toSeq.map(v => v -> v): _*)
+    def find(v: Long): Long = { var r = v; while (parent(r) != r) r = parent(r); r }
+    for ((a, b) <- edges) {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra max rb) = ra min rb // root stays the min member
+    }
+    verts.map(v => v -> find(v)).toMap
+  }
+
+  /** Independent sequential replay of [[GraphAnalytics.leiden]]'s exact
+    * schedule: replayLouvain's move rounds per level, then cc-refinement
+    * over intra-community edges, fragment coarsening and home-community
+    * restart — the brute-force cross-check twin. */
+  private def replayLeiden(sym0: Seq[(Long, Long, Long)],
+                           maxLevels: Int, maxRounds: Int): Map[Long, Long] = {
+    var e = sym0
+    var map: Map[Long, Long] = null
+    var init: Map[Long, Long] = null
+    var lab: Map[Long, Long] = null
+    for (level <- 1 to maxLevels) {
+      val deg = e.groupBy(_._1).map { case (v, ts) => v -> ts.map(_._3).sum }
+      val bigM = e.map(_._3).sum
+      lab = if (init == null) deg.keys.map(v => v -> v).toMap else init
+      var round = 0
+      var zero = 0
+      while (round < maxRounds && zero < 2) {
+        val parity = round % 2
+        val dc = lab.groupBy(_._2).map { case (c, vs) => c -> vs.keys.toSeq.map(deg).sum }
+        val next = lab.map { case (v, l) =>
+          if (v % 2 != parity) v -> l
+          else {
+            val kvc = e.filter(t => t._1 == v && t._2 != v)
+              .groupBy(t => lab(t._2)).map { case (c, ts) => c -> ts.map(_._3).sum }
+            val best = (kvc.keySet + l).toSeq.map { c =>
+              val dcp = dc.getOrElse(c, 0L) - (if (c == l) deg(v) else 0L)
+              val score = bigM * kvc.getOrElse(c, 0L) - deg(v) * dcp
+              (-score, if (c == l) 0 else 1, c)
+            }.min
+            v -> best._3
+          }
+        }
+        val moved = next.count { case (v, l) => lab(v) != l }
+        zero = if (moved == 0) zero + 1 else 0
+        lab = next
+        round += 1
+      }
+      if (level < maxLevels) {
+        val intra = e.filter(t => t._1 != t._2 && lab(t._1) == lab(t._2))
+          .map(t => (t._1, t._2))
+        val frag = ccMinLabels(deg.keySet, intra)
+        init = frag.groupBy(_._2).map { case (f, vs) => f -> vs.keys.map(lab).min }
+        map = if (map == null) frag else map.map { case (v, c) => v -> frag(c) }
+        e = e.groupBy(t => (frag(t._1), frag(t._2)))
+          .map { case ((a, b), ts) => (a, b, ts.map(_._3).sum) }.toSeq
+      }
+    }
+    if (map == null) lab else map.map { case (v, c) => v -> lab(c) }
+  }
+
+  test("leiden: connected communities make interleaving a no-op (hand-traced)") {
+    import spark.implicits._
+    // the louvain hand-trace graph: {1,2,3} {4,5,6} + bridge 3-4. Level-1
+    // communities are CONNECTED, so refinement fragments = communities
+    // (min-member ids 1 and 4), homes carry labels 1 and 5, and the
+    // coarse levels replay louvain's no-merge trace — final partition
+    // identical to louvain's
+    val symSeq = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }
+    val got = GraphAnalytics.leiden(symSeq.toDF("a", "b", "w"),
+        maxLevels = 3, maxRounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 5L, 6L -> 5L),
+      s"got $got")
+    assert(got == replayLeiden(symSeq, 3, 8))
+  }
+
+  test("leiden: interleaved refinement changes the outcome vs post-hoc (pinned)") {
+    import spark.implicits._
+    def part(df: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    def run(und: Seq[(Long, Long, Long)]): (Set[Set[Long]], Set[Set[Long]], Set[Set[Long]]) = {
+      val symSeq = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      val sym = symSeq.toDF("a", "b", "w")
+      val lv = GraphAnalytics.louvain(sym, maxLevels = 3, maxRounds = 8)
+        .localCheckpoint(true)
+      (part(lv),
+        part(GraphAnalytics.refineCommunities(lv, sym.select("a", "b"))),
+        part(GraphAnalytics.leiden(sym, maxLevels = 3, maxRounds = 8)))
+    }
+    // FIXTURE A (7 edges — hand-traceable): louvain's bounded ascent
+    // leaves community {3,6,9} internally DISCONNECTED — its only intra
+    // edge is 3-6; vertex 9's edges (2-9, 7-9) both leave the community.
+    // Post-hoc refinement can only SPLIT it ({3,6} + {9}). The
+    // interleaved schedule instead coarsens on the fragments, restarts
+    // both in the same home community, and the coarse ascent RE-RATIFIES
+    // the union — the grouping survives as a coarse-level decision, not
+    // an unrepaired artifact. Interleaved ≠ post-hoc on the same input.
+    val (lvA, postA, leiA) = run(Seq((1L, 2L, 2L), (2L, 5L, 2L), (2L, 9L, 1L),
+      (3L, 6L, 2L), (3L, 7L, 2L), (5L, 10L, 1L), (7L, 9L, 2L)))
+    assert(lvA == Set(Set(1L, 2L, 5L, 10L), Set(3L, 6L, 9L), Set(7L)), s"got $lvA")
+    assert(postA == Set(Set(1L, 2L, 5L, 10L), Set(3L, 6L), Set(9L), Set(7L)), s"got $postA")
+    assert(leiA == lvA && leiA != postA)
+    // FIXTURE B (18 edges): interleaving changes the ASCENT itself —
+    // leiden's partition differs from louvain's AND from post-hoc
+    // refinement ({1,2} splits out; 5/7/11/4 re-home together)
+    val (lvB, postB, leiB) = run(Seq((1L, 2L, 3L), (1L, 3L, 3L), (1L, 8L, 2L),
+      (2L, 5L, 1L), (2L, 9L, 1L), (3L, 5L, 1L), (3L, 7L, 3L), (3L, 11L, 2L),
+      (4L, 6L, 2L), (4L, 8L, 3L), (4L, 11L, 3L), (5L, 10L, 2L), (5L, 11L, 2L),
+      (6L, 8L, 3L), (6L, 9L, 3L), (6L, 10L, 2L), (8L, 9L, 2L), (8L, 10L, 2L)))
+    assert(lvB == Set(Set(6L, 8L, 9L, 10L), Set(1L, 2L, 4L, 5L, 7L, 11L), Set(3L)),
+      s"got $lvB")
+    assert(postB == Set(Set(6L, 8L, 9L, 10L), Set(1L, 2L, 4L, 5L, 11L), Set(7L), Set(3L)),
+      s"got $postB")
+    assert(leiB == Set(Set(1L, 2L), Set(6L, 8L, 9L, 10L), Set(4L, 5L, 7L, 11L), Set(3L)),
+      s"got $leiB")
+    assert(leiB != lvB && leiB != postB)
+  }
+
+  test("leiden: randomized graphs match the sequential replay exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3141)
+    for (trial <- 1 to 3) {
+      val n = 8 + trial * 4
+      val und = (for {
+        u <- 1L to n.toLong; v <- (u + 1) to n.toLong
+        if rnd.nextDouble() < 0.25
+      } yield (u, v, 1L + rnd.nextInt(3).toLong)).toSeq
+      if (und.nonEmpty) {
+        val symSeq = und.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        val got = GraphAnalytics.leiden(symSeq.toDF("a", "b", "w"),
+            maxLevels = 3, maxRounds = 8).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = replayLeiden(symSeq, maxLevels = 3, maxRounds = 8)
+        assert(got == want, s"trial $trial: ${got.toSet.diff(want.toSet).take(8)}")
+      }
+    }
+  }
+
+  test("modularityTotal: hand-traced two-triangle partition; beats singletons") {
+    import spark.implicits._
+    // {1,2,3} {4,5,6} + bridge 3-4, partition = the two triangles:
+    // M = 14, ΣE_c = 12, D_c = 7 each → Q = (14·12 − 98)/196 = 0.357143
+    val sym = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("a", "b")
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 5L), (5L, 5L), (6L, 5L))
+      .toDF("vid", "label")
+    val row = GraphAnalytics.modularityTotal(lab, sym).collect().head
+    assert(row.getLong(0) == 2L && row.getLong(1) == 12L, s"got $row")
+    assert(math.abs(row.getDouble(2) - 0.357143) < 1e-9, s"got $row")
+    // singletons: ΣE = 0; degrees (2,2,3,3,2,2) → Σd² = 4+4+9+9+4+4 = 34
+    // → Q = −34/196 ≈ −0.173469 — any real community structure beats it
+    val singles = (1L to 6L).map(v => (v, v)).toDF("vid", "label")
+    val qs = GraphAnalytics.modularityTotal(singles, sym).collect().head
+    assert(math.abs(qs.getDouble(2) - (-34.0 / 196.0)) < 1e-6, s"got $qs")
+    assert(row.getDouble(2) > qs.getDouble(2))
+    // and the louvain quality claim the gate row reports: on the clique
+    // ring, Q(louvain partition) > Q(singletons)
+    val cliques = (0 until 8).map(c => (4 * c + 1L) to (4 * c + 4L))
+    val intra = cliques.flatMap(vs =>
+      for (i <- vs.indices; j <- (i + 1) until vs.size) yield (vs(i), vs(j)))
+    val bridges = (0 until 8).map(c => (4L * c + 4, (4L * ((c + 1) % 8) + 1)))
+    val symSeq = (intra ++ bridges).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val ringSym = symSeq.toDF("a", "b")
+    val part = GraphAnalytics.louvain(symSeq.map(t => (t._1, t._2, 1L)).toDF("a", "b", "w"),
+      maxLevels = 3, maxRounds = 8)
+    val qLouvain = GraphAnalytics.modularityTotal(part, ringSym).collect().head.getDouble(2)
+    val qSingle = GraphAnalytics.modularityTotal(
+      ringSym.select(col("a").as("vid")).distinct()
+        .select(col("vid"), col("vid").as("label")), ringSym).collect().head.getDouble(2)
+    assert(qLouvain > qSingle, s"louvain $qLouvain vs singletons $qSingle")
+  }
+
+  test("trussWedges: degree orientation bounds hub wedges (skewed-hub spec)") {
+    import spark.implicits._
+    // low-id hub 0 with 1000 leaves: the id-oriented form apexed every
+    // wedge at the hub — C(1000, 2) = 499 500 rows per peel round. The
+    // (degree, id) orientation points every edge leaf→hub, so leaves
+    // (outdeg 1) and the hub (outdeg 0) emit ZERO wedges.
+    val star = (1L to 1000L).map(v => (0L, v)).toDF("a", "b")
+    val (_, wStar) = GraphAnalytics.trussWedges(star)
+    assert(wStar.count() == 0L)
+    // + one leaf-leaf edge (1,2): orientation points 1→0, 2→0 and 1→2
+    // (equal degrees, id asc), so only vertex 1 has outdeg 2 ({0, 2}) —
+    // exactly ONE wedge, (deg, id)-ordered t1 = 2 (deg 2) before t2 = 0
+    // (deg 1000); the closing probe finds oriented 2→0 and admits the
+    // triangle (0,1,2) exactly once.
+    val starT = star.unionByName(Seq((1L, 2L)).toDF("a", "b"))
+    val (_, w1) = GraphAnalytics.trussWedges(starT)
+    val rows = w1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 2L, 0L)), s"got ${rows.toSeq}")
+    // end-to-end: the 3-truss of star+edge is the single triangle, each
+    // edge closing exactly one
+    val t3 = GraphAnalytics.kTruss(starT, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3 == Map((0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 2L) -> 1L), s"got $t3")
+  }
+
   test("second-wave metrics: randomized graphs vs driver brute-force references") {
     import spark.implicits._
     val rnd = new scala.util.Random(1313)

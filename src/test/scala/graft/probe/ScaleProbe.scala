@@ -453,6 +453,76 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("ktruss100")) {
+      // round-15 (VERDICT r14 #2): the DEGREE-ORIENTED k-truss peel over
+      // 1/10/100 disjoint copies of the sf0.1 co-purchase graph — truss
+      // volume scales linearly by construction; the wedge fan-out per
+      // round is Σ C(outdeg⁺, 2) = O(m^1.5) regardless of hub skew, so
+      // the decades should track the louvain arm's near-linear shape.
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val cp = graft.analytics.GraphAnalytics.coPurchasePairs(li, "o", "p", minShared = 2)
+        .select("a", "b").persist()
+      cp.count()
+      def copies(n: Int) = (0 until n).map(c =>
+        cp.select((col("a") + lit(c.toLong * 10000000L)).as("a"),
+          (col("b") + lit(c.toLong * 10000000L)).as("b")))
+        .reduce(_ unionByName _)
+      graft.analytics.GraphAnalytics.kTruss(copies(1), k = 3).count() // warm
+      for ((n, tag) <- Seq((1, "1x"), (10, "10x"), (100, "100x"))) {
+        time(s"graph_ktruss_$tag") {
+          graft.analytics.GraphAnalytics.kTruss(copies(n), k = 3).count()
+        }
+      }
+      cp.unpersist()
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("n2v40")) {
+      // round-15 (VERDICT r14 #4): node2vec at PRODUCTION depth 40 over
+      // 1/10/100 disjoint co-purchase copies — the len-4 probe (n2v100)
+      // measured 3.2/5.8/50.1 s; this pins the depth the gate's
+      // graph_node2vec_walks_long entry actually samples at, where the
+      // checkpoint-every-8 cadence meets the biased sampler's wider
+      // Σ deg(cur) hop frames.
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val cp = graft.analytics.GraphAnalytics.coPurchasePairs(li, "o", "p", minShared = 2)
+      val sym = cp.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(cp.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      sym.count()
+      def copies(nc: Int) = (0 until nc).map(c =>
+        sym.select((col("src") + lit(c.toLong * 10000000L)).as("src"),
+          (col("dst") + lit(c.toLong * 10000000L)).as("dst")))
+        .reduce(_ unionByName _)
+      graft.analytics.GraphAnalytics.node2vecWalks(copies(1), walkLen = 4,
+        retMilli = 250, outMilli = 2000).count() // warm codegen on a short walk
+      for ((nc, tag) <- Seq((1, "1x"), (10, "10x"), (100, "100x"))) {
+        val e = copies(nc).coalesce(64).persist(); e.count()
+        time(s"graph_node2vec_walks_long_$tag") {
+          graft.analytics.GraphAnalytics.node2vecWalks(e, walkLen = 40,
+            retMilli = 250, outMilli = 2000).count()
+        }
+        e.unpersist()
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("curatepipe100")) {
+      // round-15 (VERDICT r14 #5): the COMPOSED curate_pipeline at
+      // 1x/10x/100x document copies (the prebuilt independent-copy
+      // corpora from build/build100) — the chain contains two cc
+      // fixpoints and an LSH propose; this measures their interaction at
+      // volume and the composed-vs-sum-of-parts ratio per decade.
+      val qs = graft.PipelineQueries.queries
+      qs("curate_pipeline")(spark, base).count() // warm
+      for ((dir, tag) <- Seq((base, "1x"), (big, "10x"), (big100, "100x"))) {
+        time(s"curate_pipeline_$tag") { qs("curate_pipeline")(spark, dir).count() }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("louvain")) {
       // VERDICT r13 item #1 probe arm: full multi-level Louvain (3 levels
       // x 8 parity sweeps, the gate shape) over 1/10/100 disjoint copies
