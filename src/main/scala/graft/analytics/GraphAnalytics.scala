@@ -465,28 +465,32 @@ object GraphAnalytics {
     * in over-cap keys disappears — same graceful-degradation contract as
     * `maxShingleDf` (Dedup.scala). Keys with ≤ maxPerKey distinct items
     * (every TPC-H order: ≤ 7 lineitems) are bit-identical to the
-    * uncapped form — and pay NO window: the cap's dense_rank applies
-    * only to the rows of keys a cheap distinct-count rollup flags as
-    * over-cap (round 15: the unconditional window's exchange+sort cost
-    * every co-purchase consumer ~15-70% at sf0.1 while never binding —
-    * the quiet r15a bisect). With zero hot keys AQE collapses the
-    * anti-join to a pass-through and the window sorts an empty slice;
-    * with hot keys the sort is confined to exactly their rows. */
+    * uncapped form — and pay NO window: ONE eager max-fan-out probe per
+    * CALL (a map-side-combinable rollup to a driver scalar) decides the
+    * plan, so when the cap never binds the returned plan is the plain
+    * self-join. Round 15 measured both wrong alternatives at sf0.1: the
+    * unconditional window cost every co-purchase consumer 15-70% (quiet
+    * r15a vs r13j), and a lazy hot-key anti/semi split was 2-3× WORSE —
+    * the distinct-count rollup rode inside the plan, so every downstream
+    * evaluation re-paid it and the union blocked exchange reuse. The
+    * probe runs once per call regardless of how many times consumers
+    * evaluate the result, which is also the 100 TB shape: one cheap
+    * pre-pass deciding whether the corpus-wide sort is needed at all. */
   def coPurchasePairs(items: DataFrame, keyCol: String, itemCol: String,
                       minShared: Long = 2, maxPerKey: Int = 256): DataFrame = {
     require(minShared >= 1, s"need minShared >= 1; got $minShared")
     val base = items.select(col(keyCol).as("o"), col(itemCol).as("p"))
+    val needsCap = maxPerKey > 0 && {
+      val r = base.groupBy("o").agg(countDistinct("p").as("__n"))
+        .agg(max("__n")).head()
+      !r.isNullAt(0) && r.getLong(0) > maxPerKey
+    }
     val bounded =
-      if (maxPerKey <= 0) base
-      else {
-        val hot = base.groupBy("o").agg(countDistinct("p").as("__n"))
-          .where(col("__n") > maxPerKey).select("o")
-        val capped = base.join(hot, Seq("o"), "left_semi")
-          .withColumn("__r",
-            dense_rank().over(Window.partitionBy("o").orderBy(col("p").asc)))
-          .where(col("__r") <= maxPerKey).drop("__r")
-        base.join(hot, Seq("o"), "left_anti").unionByName(capped)
-      }
+      if (!needsCap) base
+      else base
+        .withColumn("__r",
+          dense_rank().over(Window.partitionBy("o").orderBy(col("p").asc)))
+        .where(col("__r") <= maxPerKey).drop("__r")
     bounded.join(bounded.select(col("o"), col("p").as("p2")), Seq("o"))
       .where(col("p") < col("p2"))
       .groupBy(col("p").as("a"), col("p2").as("b"))
