@@ -333,11 +333,15 @@ object PipelineQueries {
        |  list_min(list_transform(s, x -> substr(md5(x), 17, 8))) AS h2,
        |  list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS h3
        |FROM sh),
-       |banded AS (
+       |banded0 AS (
        |  SELECT doc_id, 0 AS band, h0 AS sig FROM sig
        |  UNION ALL SELECT doc_id, 1, h1 FROM sig
        |  UNION ALL SELECT doc_id, 2, h2 FROM sig
        |  UNION ALL SELECT doc_id, 3, h3 FROM sig),
+       |banded AS (
+       |  SELECT b.* FROM banded0 b JOIN (SELECT band, sig FROM banded0
+       |    GROUP BY band, sig HAVING count(*) <= 1024) ok
+       |  ON ok.band = b.band AND ok.sig = b.sig),
        |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
        |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
@@ -1826,11 +1830,15 @@ object PipelineQueries {
            |  list_min(list_transform(s, x -> substr(md5(x), 17, 8))) AS h2,
            |  list_min(list_transform(s, x -> substr(md5(x), 25, 8))) AS h3
            |FROM sh),
-           |banded AS (
+           |banded0 AS (
            |  SELECT doc_id, 0 AS band, h0 AS sig FROM sig
            |  UNION ALL SELECT doc_id, 1, h1 FROM sig
            |  UNION ALL SELECT doc_id, 2, h2 FROM sig
-           |  UNION ALL SELECT doc_id, 3, h3 FROM sig)
+           |  UNION ALL SELECT doc_id, 3, h3 FROM sig),
+           |banded AS (
+           |  SELECT b.* FROM banded0 b JOIN (SELECT band, sig FROM banded0
+           |    GROUP BY band, sig HAVING count(*) <= 1024) ok
+           |  ON ok.band = b.band AND ok.sig = b.sig)
            |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
            |FROM banded l JOIN banded r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id""".stripMargin,
       "dedup_simhash" ->

@@ -238,13 +238,43 @@ object Dedup {
 
   /** Candidate pairs from a [[perDocSigsAndSet]] frame: k (band, sig)
     * buckets exploded per doc, bucket equi-join, a < b. Never all-pairs. */
-  private[pipeline] def bandedCandidates(perDoc: DataFrame, k: Int): DataFrame = {
+  /** LSH band-bucket candidate pairs with a HOT-BUCKET bound (round 15):
+    * a (band, sig) bucket with B members emits B(B−1)/2 pairs, and
+    * boilerplate shingles make bucket sizes grow LINEARLY with the corpus
+    * — measured on the 100× probe corpus (every doc carries a shared
+    * tail phrase): top bucket 128 → 1 288 → 13 057 docs at 1×/10×/100×,
+    * proposed pairs 245 k → 6.7 M → 497 M, i.e. QUADRATIC — the classic
+    * near-dup scale killer. Buckets larger than `maxBucket` (0 = off)
+    * are dropped before the self-join: at that size a bucket is
+    * boilerplate-driven and its pairs are overwhelmingly sub-threshold
+    * at verify. RECALL trade where it bites: a true pair is lost only if
+    * EVERY band it collides in is hot (it has k independent chances) —
+    * the `maxShingleDf`/`maxPerKey` graceful-degradation contract. The
+    * default never binds at gate/bench scale (largest measured bucket
+    * 128 at sf0.1); the DuckDB minhash oracles mirror the same bound.
+    * The size check is a broadcast ANTI-join against the (tiny) list of
+    * hot buckets: the rollup computes once as the broadcast build, and
+    * the pair self-join's children keep their exchange-reuse — A/B at
+    * sf0.1 measured a semi-join/window filter at +1.3/+2.3 s per
+    * propose (both double-computed the filtered subtree under the
+    * self-join) vs ~+0.3 s for the anti form. The hot list is bounded
+    * by 4N/maxBucket rows; a pathological corpus that overflows the
+    * broadcast threshold degrades to a shuffled anti-join, not an
+    * error. */
+  private[pipeline] def bandedCandidates(perDoc: DataFrame, k: Int,
+                                         maxBucket: Int = 1024): DataFrame = {
     val banded = perDoc.select(col("doc"),
       explode(array((0 until k).map(i => struct(lit(i).as("band"), col(s"h$i").as("sig"))): _*))
         .as("b"))
       .select(col("doc"), col("b.band"), col("b.sig"))
-    banded.select(col("doc").as("a"), col("band"), col("sig"))
-      .join(banded.select(col("doc").as("b"), col("band"), col("sig")), Seq("band", "sig"))
+    val kept =
+      if (maxBucket <= 0) banded
+      else banded.join(
+        broadcast(banded.groupBy("band", "sig").agg(count(lit(1)).as("__n"))
+          .where(col("__n") > maxBucket).select("band", "sig")),
+        Seq("band", "sig"), "left_anti")
+    kept.select(col("doc").as("a"), col("band"), col("sig"))
+      .join(kept.select(col("doc").as("b"), col("band"), col("sig")), Seq("band", "sig"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
   }

@@ -511,15 +511,71 @@ object ScaleProbe {
 
     if (args.headOption.contains("curatepipe100")) {
       // round-15 (VERDICT r14 #5): the COMPOSED curate_pipeline at
-      // 1x/10x/100x document copies (the prebuilt independent-copy
-      // corpora from build/build100) — the chain contains two cc
-      // fixpoints and an LSH propose; this measures their interaction at
-      // volume and the composed-vs-sum-of-parts ratio per decade.
+      // 1x/10x/100x document copies — the chain contains two cc fixpoints
+      // and an LSH propose; this measures their interaction at volume and
+      // the composed-vs-sum-of-parts ratio per decade. The generic
+      // build/build100 corpora prefix EVERY word, which destroys the
+      // stopword-based langid/quality signals and drains the pipeline at
+      // stage 1 (measured: 0 rows at 10x) — so this arm builds its own
+      // copies: only words of length >= 5 get a LETTER-ONLY copy tag
+      // (digits would inflate digit_ratio into the quality penalty),
+      // keeping the language markers, stopword ratio and quality score
+      // intact while still making the near-dup shingle structure
+      // copy-independent (cross-copy Jaccard far below the 0.5 verify
+      // threshold).
+      val docs0 = spark.read.parquet(s"$base/documents.parquet")
+      def buildPipe(n: Int, dir: String): Unit = {
+        val copies = (0 until n).map { c =>
+          val tag = s"q${('a' + c % 26).toChar}${('a' + c / 26).toChar}"
+          docs0.select(
+            (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+            concat_ws(" ", transform(split(col("text"), " "),
+              w => when(length(w) < 5, w).otherwise(concat(lit(tag), w)))).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _)
+        copies.repartition(64).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      buildPipe(10, "target/scaleprobe/pipe10x")
+      buildPipe(100, "target/scaleprobe/pipe100x")
       val qs = graft.PipelineQueries.queries
       qs("curate_pipeline")(spark, base).count() // warm
-      for ((dir, tag) <- Seq((base, "1x"), (big, "10x"), (big100, "100x"))) {
-        time(s"curate_pipeline_$tag") { qs("curate_pipeline")(spark, dir).count() }
+      for ((dir, tag) <- Seq((base, "1x"), ("target/scaleprobe/pipe10x", "10x"),
+          ("target/scaleprobe/pipe100x", "100x"))) {
+        // report the packed-doc total, not the 8 shard rows — the probe's
+        // first failure mode is the corpus draining at the filter stage,
+        // and a volume count makes that impossible to miss
+        time(s"curate_pipeline_$tag") {
+          qs("curate_pipeline")(spark, dir)
+            .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
+        }
       }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("leiden100")) {
+      // round-15: TRUE Leiden (interleaved refinement) over the same
+      // 1/10/100 disjoint co-purchase copies as the louvain arm — the
+      // delta vs that arm is the per-level intra-edge cc fixpoints +
+      // fragment coarsening at volume.
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val cp = graft.analytics.GraphAnalytics.coPurchasePairs(li, "o", "p", minShared = 2)
+        .select("a", "b").persist()
+      cp.count()
+      def symCopies(n: Int) = {
+        val s0 = (0 until n).map(c =>
+          cp.select((col("a") + lit(c.toLong * 10000000L)).as("a"),
+            (col("b") + lit(c.toLong * 10000000L)).as("b")))
+          .reduce(_ unionByName _)
+        s0.unionByName(s0.select(col("b").as("a"), col("a").as("b")))
+      }
+      graft.analytics.GraphAnalytics.leiden(symCopies(1), maxLevels = 3, maxRounds = 8).count()
+      for ((n, tag) <- Seq((1, "1x"), (10, "10x"), (100, "100x"))) {
+        time(s"graph_leiden_$tag") {
+          graft.analytics.GraphAnalytics.leiden(symCopies(n), maxLevels = 3, maxRounds = 8).count()
+        }
+      }
+      cp.unpersist()
       spark.stop(); return
     }
 
