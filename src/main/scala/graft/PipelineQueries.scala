@@ -499,10 +499,14 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(dedupCorpus(s, d), "doc_id", "text", bits = 16)),
     // simhash near-dup pairs: banded chunk equi-join proposes candidates,
-    // exact popcount Hamming verifies — recall is exact for hamming < bands
+    // exact popcount Hamming verifies — recall is exact for hamming <
+    // bands. 64-bit signatures / 16-bit chunks (round 15): the 8-bit-chunk
+    // form's buckets are corpus/256 BY CONSTRUCTION — a measured 28.7
+    // BILLION proposed pairs at the 100x probe corpus vs 694M for 16-bit
+    // chunks (SCALE.md census) — the Manku et al. 2007 production shape
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(dedupCorpus(s, d), "doc_id", "text",
-        bits = 32, bands = 4, maxHamming = 3)),
+        bits = 64, bands = 4, maxHamming = 3)),
     // scale-safe default: LSH banding proposes candidates, exact Jaccard
     // verifies them — the unguarded all-sharing-pairs self-join fans out
     // quadratically on boilerplate shingles (the 100 TB failure mode)
@@ -1846,12 +1850,12 @@ object PipelineQueries {
            |SELECT doc_id, $simhashTerms AS simhash FROM toks""".stripMargin,
       "dedup_simhash_pairs" ->
         s"""$corpusCte, ${toksCte("corpus")},
-           |sig AS (SELECT doc_id, ${simhashTermsFor(32)} AS simhash FROM toks),
+           |sig AS (SELECT doc_id, ${simhashTermsFor(64)} AS simhash FROM toks),
            |banded AS (
-           |  SELECT doc_id, simhash, 0 AS band, (simhash >> 0) & 255 AS chunk FROM sig
-           |  UNION ALL SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM sig
-           |  UNION ALL SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM sig
-           |  UNION ALL SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM sig),
+           |  SELECT doc_id, simhash, 0 AS band, (simhash >> 0) & 65535 AS chunk FROM sig
+           |  UNION ALL SELECT doc_id, simhash, 1, (simhash >> 16) & 65535 FROM sig
+           |  UNION ALL SELECT doc_id, simhash, 2, (simhash >> 32) & 65535 FROM sig
+           |  UNION ALL SELECT doc_id, simhash, 3, (simhash >> 48) & 65535 FROM sig),
            |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sa, r.simhash AS sb
            |  FROM banded l JOIN banded r ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
            |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming

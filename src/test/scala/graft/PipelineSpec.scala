@@ -87,6 +87,18 @@ class PipelineSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == brute)
     assert(got.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L }) // exact dup pair
+    // the 64-bit / 16-bit-chunk default (the gate shape): same exact-recall
+    // pigeonhole, verified against the 64-bit brute force — including the
+    // sign-bit band (chunk 3 masks bits 48..63 of a possibly-negative Long)
+    val all64 = Dedup.simhash(docs, "doc_id", "text", bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute64 = (for {
+      (a, sa) <- all64; (b, sb) <- all64 if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got64 = Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got64 == brute64, s"got ${got64.size} vs brute ${brute64.size}")
   }
 
   test("multimodal text decode round-trips UTF-8 payloads exactly") {

@@ -552,6 +552,37 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("simhash100")) {
+      // round-15: simhash near-dup pairs over the pipe-probe corpora
+      // (planted dups + boilerplate tail, the census corpus). The shipped
+      // 64-bit/16-bit-chunk form runs all three rungs; the old
+      // 8-bit-chunk form runs 1x/10x ONLY — its 100x census counted 28.7
+      // BILLION proposed pairs, which is the cluster-killer this arm
+      // exists to document, not to reproduce.
+      def corpus(dir: String) = {
+        val docs0 = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        docs0.unionByName(docs0.select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" common tail marker phrase")).as("text")))
+          .unionByName(docs0.where(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      }
+      val rungs = Seq((base, "1x"), ("target/scaleprobe/pipe10x", "10x"),
+        ("target/scaleprobe/pipe100x", "100x"))
+      graft.pipeline.Dedup.simhashPairs(corpus(base), "doc_id", "text").count() // warm
+      for ((dir, tag) <- rungs) {
+        time(s"dedup_simhash_pairs64_$tag") {
+          graft.pipeline.Dedup.simhashPairs(corpus(dir), "doc_id", "text").count()
+        }
+      }
+      for ((dir, tag) <- rungs.take(2)) {
+        time(s"dedup_simhash_pairs32_$tag") {
+          graft.pipeline.Dedup.simhashPairs(corpus(dir), "doc_id", "text",
+            bits = 32, bands = 4, maxHamming = 3).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("leiden100")) {
       // round-15: TRUE Leiden (interleaved refinement) over the same
       // 1/10/100 disjoint co-purchase copies as the louvain arm — the
