@@ -193,6 +193,9 @@ object Bench {
     // on the shared co-purchase edges (louvain partition from the warm
     // memo — this times the LPA rounds + three modularity rollups)
     "graph_louvain_quality",
+    // round-16: Q(leiden) vs Q(louvain) on the same edges (both
+    // partitions from warm memos — times the two modularity rollups)
+    "graph_leiden_quality",
     // round-14: the formerly-unbenched non-micro gate entries (VERDICT r13
     // item #3) — real computations whose perf regressions were invisible:
     // the three remaining GraphX bridge algorithms, the salted skew join,

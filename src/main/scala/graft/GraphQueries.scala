@@ -117,12 +117,14 @@ object GraphQueries {
           .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       GraphAnalytics.louvain(sym, maxLevels = 3, maxRounds = 8)
     })
-  /** Bench hook: drop the memoized louvain partitions so graph_louvain /
-    * graph_louvain_weighted are timed cold (the refine/quality entries
-    * re-warm via preStage and time only their own work). */
+  /** Bench hook: drop the memoized louvain/leiden partitions so
+    * graph_louvain / graph_louvain_weighted / graph_leiden are timed cold
+    * (the refine/quality entries re-warm via preStage and time only their
+    * own work). */
   def clearLouvainMemo(s: SparkSession, d: String): Unit = {
     louvainCache.remove((s, d, false))
     louvainCache.remove((s, d, true))
+    leidenCache.remove((s, d))
     ()
   }
   /** Pre-stage hook twin for the louvain-consuming entries (see
@@ -130,6 +132,26 @@ object GraphQueries {
     * without timing it. */
   def stageLouvainPartition(s: SparkSession, d: String): Unit = {
     louvainPartition(s, d, weighted = false); ()
+  }
+
+  // the 3×8 interleaved-leiden partition over the same co-purchase
+  // graph, memoized like louvainPartition: the shared input of the
+  // graph_leiden and graph_leiden_quality entries (VERDICT r15 #4 —
+  // memoize once consumers grow past one). leiden() checkpoints its
+  // final mapping, so the cached frame is a cheap scan.
+  private val leidenCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private[graft] def leidenPartition(s: SparkSession, d: String): DataFrame =
+    leidenCache.computeIfAbsent((s, d), { _ =>
+      val pairs = coPairs(s, d)
+      val sym = pairs.select(col("a"), col("b"))
+        .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      GraphAnalytics.leiden(sym, maxLevels = 3, maxRounds = 8)
+    })
+  /** Pre-stage hook twin for graph_leiden_quality: warm BOTH partition
+    * memos so the entry times three modularity rollups, not two ascents. */
+  def stageLeidenPartition(s: SparkSession, d: String): Unit = {
+    louvainPartition(s, d, weighted = false); leidenPartition(s, d); ()
   }
 
   /** Drop the memoized stream→graph ingest run (see
@@ -167,11 +189,27 @@ object GraphQueries {
     * hot-basket case). The DuckDB oracles mirror the SAME dense_rank cap
     * in their shared ep CTE (ADVICE r14), so a fixture key with > 256
     * distinct items degrades identically on both engines rather than
-    * diverging at the gate. Returns (a, b, w), a < b. */
-  private def coPairs(s: SparkSession, d: String): DataFrame =
-    GraphAnalytics.coPurchasePairs(
-      t(s, d, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
-      "o", "p", minShared = 2)
+    * diverging at the gate. Returns (a, b, w), a < b.
+    *
+    * The cap-decision PROBE (one eager max-fan-out rollup to a driver
+    * scalar) is memoized per (session, dir) — VERDICT r15 #3: ~10
+    * consumers were each re-paying the ~1 s probe per call. The memo is
+    * corpus METADATA (like the staged stream fixtures), not any entry's
+    * measured work, so the bench never clears it: each graph entry still
+    * times its own pair-graph self-join cold (the build stays lazy
+    * in-plan, bit-identical to the pre-probe r13 shape), and the probe is
+    * paid once per corpus — exactly the 100 TB one-pre-pass contract. */
+  private val coPairsProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]
+  private def coPairs(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val needsCap = coPairsProbeCache.computeIfAbsent((s, d), { _ =>
+      GraphAnalytics.coPurchaseFanoutExceeds(li, "o", "p", maxPerKey = 256)
+    })
+    GraphAnalytics.coPurchasePairs(li, "o", "p", minShared = 2,
+      capDecided = Some(needsCap.booleanValue()))
+  }
 
   /** Synchronous min-label LPA over a raw symmetrized edge table — the
     * [[GraphAnalytics.labelPropagationDF]] core (count desc, label asc
@@ -179,8 +217,13 @@ object GraphQueries {
     * that exist only as edges (the co-purchase graph). Used by the
     * quality row as the cheap-baseline partition. */
   private def lpaOverSym(sym: DataFrame, rounds: Int): DataFrame = {
-    var labels = sym.select(col("a").as("vid")).distinct()
-      .select(col("vid"), col("vid").as("lbl")).localCheckpoint(true)
+    // per-round checkpoints go through the scrubbed helper (ADVICE r15):
+    // raw localCheckpoint keeps the origin's exact BigInt size stats, and
+    // a J-join plan checkpointed every round compounds a J-fold stats
+    // product — harmless at 3 rounds, a driver-wedge trap beyond ~10
+    var labels = GraphAnalytics.checkpointScrubbed(
+      sym.select(col("a").as("vid")).distinct()
+        .select(col("vid"), col("vid").as("lbl")))
     for (_ <- 1 to rounds) {
       val counts = sym.join(labels.select(col("vid").as("a"), col("lbl")), Seq("a"))
         .groupBy(col("b").as("vid"), col("lbl"))
@@ -189,10 +232,9 @@ object GraphQueries {
         .select(col("vid"), struct((-col("__c")).as("nc"), col("lbl").as("l")).as("__s"))
         .groupBy("vid").agg(min("__s").as("__s"))
         .select(col("vid"), col("__s.l").as("__w"))
-      labels = labels
+      labels = GraphAnalytics.checkpointScrubbed(labels
         .join(winner, Seq("vid"), "left")
-        .select(col("vid"), coalesce(col("__w"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .select(col("vid"), coalesce(col("__w"), col("lbl")).as("lbl")))
     }
     labels.select(col("vid"), col("lbl").as("label"))
   }
@@ -652,11 +694,25 @@ object GraphQueries {
     // (vs graph_louvain_refine, which repairs only the final level).
     // Same 3×8 caps; the oracle unrolls move rounds + per-level
     // recursive-cc refinement + fragment coarsening
-    "graph_leiden" -> ((s, d) => {
+    "graph_leiden" -> ((s, d) => leidenPartition(s, d)),
+    // quality twin of graph_louvain_quality for the INTERLEAVED schedule:
+    // whole-partition modularity of leiden vs louvain on the same
+    // co-purchase edges — pins the "+modularity at identical volume cost"
+    // claim (SCALE.md r15) as a gate row instead of prose, and guards
+    // future schedule changes that keep determinism but lose the gain.
+    // Both partitions come from the shared memos (preStage warms them),
+    // so the benched time is the two modularity rollups alone
+    "graph_leiden_quality" -> ((s, d) => {
       val pairs = coPairs(s, d)
       val sym = pairs.select(col("a"), col("b"))
         .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      GraphAnalytics.leiden(sym, maxLevels = 3, maxRounds = 8)
+        .localCheckpoint(true) // feeds two modularity rollups
+      def q(method: String, labels: DataFrame): DataFrame =
+        GraphAnalytics.modularityTotal(labels, sym)
+          .select(lit(method).as("method"), col("n_communities"),
+            col("internal_directed"), col("q"))
+      q("leiden", leidenPartition(s, d))
+        .unionByName(q("louvain", louvainPartition(s, d, weighted = false)))
     }),
     // partition-QUALITY row: whole-partition modularity of the louvain
     // ascent vs 3-round LPA vs singletons on the SAME co-purchase edges —
@@ -1288,57 +1344,68 @@ object GraphQueries {
     * louvain and leiden oracles (identical comparator, tie-breaks and
     * parity schedule; they differ only in lab{l}_0 and the inter-level
     * wiring). */
-  private def moveRoundCtes(l: Int, r: Int): String = {
-    val p = s"lab${l}_${r - 1}"
+  private def moveRoundCtes(l: Int, r: Int, pfx: String = ""): String = {
+    val p = s"${pfx}lab${l}_${r - 1}"
     val parity = (r - 1) % 2
-    s"""dc${l}_$r AS MATERIALIZED (SELECT lx.label, sum(d.kv) AS dc
-       |  FROM $p lx JOIN deg$l d ON d.vid = lx.vid GROUP BY lx.label),
-       |sc${l}_$r AS MATERIALIZED (
+    s"""${pfx}dc${l}_$r AS MATERIALIZED (SELECT lx.label, sum(d.kv) AS dc
+       |  FROM $p lx JOIN ${pfx}deg$l d ON d.vid = lx.vid GROUP BY lx.label),
+       |${pfx}sc${l}_$r AS MATERIALIZED (
        |  SELECT cd.vid, cd.c,
        |    m * cd.kvc - d.kv * (dcc.dc - CASE WHEN cd.c = lx.label THEN d.kv ELSE 0 END) AS score,
        |    CASE WHEN cd.c = lx.label THEN 0 ELSE 1 END AS is_foreign
        |  FROM (
        |    SELECT vid, c, max(kvc) AS kvc FROM (
        |      SELECT s.a AS vid, lb.label AS c, sum(s.w) AS kvc
-       |      FROM e$l s JOIN $p lb ON lb.vid = s.b
+       |      FROM ${pfx}e$l s JOIN $p lb ON lb.vid = s.b
        |      WHERE s.a <> s.b AND s.a % 2 = $parity GROUP BY 1, 2
        |      UNION ALL SELECT vid, label AS c, 0 FROM $p WHERE vid % 2 = $parity) u
        |    GROUP BY vid, c) cd
        |  JOIN $p lx ON lx.vid = cd.vid
-       |  JOIN deg$l d ON d.vid = cd.vid
-       |  JOIN dc${l}_$r dcc ON dcc.label = cd.c
-       |  CROSS JOIN m$l),
-       |lab${l}_$r AS MATERIALIZED (
+       |  JOIN ${pfx}deg$l d ON d.vid = cd.vid
+       |  JOIN ${pfx}dc${l}_$r dcc ON dcc.label = cd.c
+       |  CROSS JOIN ${pfx}m$l),
+       |${pfx}lab${l}_$r AS MATERIALIZED (
        |  SELECT vid, c AS label FROM (
        |    SELECT vid, c, row_number() OVER (
        |      PARTITION BY vid ORDER BY score DESC, is_foreign ASC, c ASC) AS rn
-       |    FROM sc${l}_$r) t WHERE rn = 1
+       |    FROM ${pfx}sc${l}_$r) t WHERE rn = 1
        |  UNION ALL SELECT vid, label FROM $p WHERE vid % 2 <> $parity),
        |""".stripMargin
   }
 
-  private def louvainCtes(levels: Int, rounds: Int, weighted: Boolean = false): String = {
+  /** `pfx` namespaces every generated CTE so a second unroll can share
+    * one WITH clause with the leiden oracle (the graph_leiden_quality
+    * row runs both schedules in a single DuckDB query); the prefixed
+    * form skips epE1Ctes and aliases its level-1 edges from the outer
+    * query's shared unweighted `e1`. pfx="" output is byte-identical to
+    * the pre-r16 form (the green louvain/lpa/quality oracles). */
+  private def louvainCtes(levels: Int, rounds: Int, weighted: Boolean = false,
+                          pfx: String = ""): String = {
     val sb = new StringBuilder
     val w1 = if (weighted) "CAST(w AS BIGINT)" else "CAST(1 AS BIGINT)"
-    sb.append(epE1Ctes(w1))
+    if (pfx.isEmpty) sb.append(epE1Ctes(w1))
+    else {
+      require(!weighted, "prefixed louvainCtes reuses the outer unweighted e1")
+      sb.append(s"${pfx}e1 AS MATERIALIZED (SELECT a, b, w FROM e1),\n")
+    }
     for (l <- 1 to levels) {
       sb.append(
-        s"""deg$l AS MATERIALIZED (SELECT a AS vid, sum(w) AS kv FROM e$l GROUP BY a),
-           |m$l AS MATERIALIZED (SELECT sum(w) AS m FROM e$l),
-           |lab${l}_0 AS MATERIALIZED (SELECT vid, vid AS label FROM deg$l),
+        s"""${pfx}deg$l AS MATERIALIZED (SELECT a AS vid, sum(w) AS kv FROM ${pfx}e$l GROUP BY a),
+           |${pfx}m$l AS MATERIALIZED (SELECT sum(w) AS m FROM ${pfx}e$l),
+           |${pfx}lab${l}_0 AS MATERIALIZED (SELECT vid, vid AS label FROM ${pfx}deg$l),
            |""".stripMargin)
-      for (r <- 1 to rounds) sb.append(moveRoundCtes(l, r))
+      for (r <- 1 to rounds) sb.append(moveRoundCtes(l, r, pfx))
       if (l == 1)
-        sb.append(s"map1 AS MATERIALIZED (SELECT vid, label FROM lab1_$rounds),\n")
+        sb.append(s"${pfx}map1 AS MATERIALIZED (SELECT vid, label FROM ${pfx}lab1_$rounds),\n")
       else
-        sb.append(s"map$l AS MATERIALIZED (SELECT mp.vid, lx.label FROM map${l - 1} mp " +
-          s"JOIN lab${l}_$rounds lx ON lx.vid = mp.label),\n")
+        sb.append(s"${pfx}map$l AS MATERIALIZED (SELECT mp.vid, lx.label FROM ${pfx}map${l - 1} mp " +
+          s"JOIN ${pfx}lab${l}_$rounds lx ON lx.vid = mp.label),\n")
       if (l < levels)
         sb.append(
-          s"""e${l + 1} AS MATERIALIZED (
+          s"""${pfx}e${l + 1} AS MATERIALIZED (
              |  SELECT la.label AS a, lb.label AS b, sum(s.w) AS w
-             |  FROM e$l s JOIN lab${l}_$rounds la ON la.vid = s.a
-             |  JOIN lab${l}_$rounds lb ON lb.vid = s.b GROUP BY 1, 2),
+             |  FROM ${pfx}e$l s JOIN ${pfx}lab${l}_$rounds la ON la.vid = s.a
+             |  JOIN ${pfx}lab${l}_$rounds lb ON lb.vid = s.b GROUP BY 1, 2),
              |""".stripMargin)
     }
     sb.setLength(sb.length - 2)
@@ -1353,6 +1420,14 @@ object GraphQueries {
     * level's community labels at the end. Spark's two-zero-round early
     * exit pads as no-ops exactly as in the louvain oracle. */
   private def leidenSql(levels: Int, rounds: Int): String = {
+    val (ctes, fin) = leidenCtesAndFinal(levels, rounds)
+    s"$ctes\n$fin"
+  }
+
+  /** The leiden unroll split into (cte-list, final-labels SELECT) so the
+    * quality oracle can extend the same WITH clause with a prefixed
+    * louvain unroll and a modularity rollup. */
+  private def leidenCtesAndFinal(levels: Int, rounds: Int): (String, String) = {
     val sb = new StringBuilder
     sb.append(epE1Ctes("CAST(1 AS BIGINT)").replaceFirst("WITH ", "WITH RECURSIVE "))
     for (l <- 1 to levels) {
@@ -1397,8 +1472,38 @@ object GraphQueries {
       else
         s"""SELECT CAST(m.vid AS BIGINT) AS vid, CAST(lx.label AS BIGINT) AS label
            |FROM fmap${levels - 1} m JOIN lab${levels}_$rounds lx ON lx.vid = m.cur""".stripMargin
-    sb.append("\n" + fin)
-    sb.toString
+    (sb.toString, fin)
+  }
+
+  /** graph_leiden_quality oracle: the full leiden unroll AND a
+    * "lv"-prefixed louvain unroll share one WITH RECURSIVE clause (both
+    * schedules read the same unweighted e1), then each partition folds to
+    * ONE exact-integer modularity row — the louvainQualitySql rollup with
+    * methods {leiden, louvain}. */
+  private val leidenQualitySql: String = {
+    val (lctes, lfin) = leidenCtesAndFinal(3, 8)
+    s"""$lctes,
+       |${louvainCtes(3, 8, pfx = "lv")},
+       |ldn AS MATERIALIZED ($lfin),
+       |meth AS MATERIALIZED (
+       |  SELECT 'leiden' AS method, vid, label FROM ldn
+       |  UNION ALL SELECT 'louvain' AS method, CAST(vid AS BIGINT) AS vid,
+       |    CAST(label AS BIGINT) AS label FROM lvmap3),
+       |qdeg AS MATERIALIZED (SELECT a AS vid, count(*) AS dg FROM e1 GROUP BY a),
+       |qm AS (SELECT count(*) AS m FROM e1),
+       |dsum AS (SELECT mt.method, mt.label, sum(coalesce(d.dg, 0)) AS ds
+       |  FROM meth mt LEFT JOIN qdeg d ON d.vid = mt.vid GROUP BY 1, 2),
+       |parts AS (SELECT method, count(*) AS nc,
+       |  sum(CAST(ds AS HUGEINT) * CAST(ds AS HUGEINT)) AS dsq FROM dsum GROUP BY 1),
+       |intr AS (SELECT m1.method, count(*) AS internal FROM e1 s
+       |  JOIN meth m1 ON m1.vid = s.a
+       |  JOIN meth m2 ON m2.vid = s.b AND m2.method = m1.method
+       |  WHERE m1.label = m2.label GROUP BY 1)
+       |SELECT p.method, CAST(p.nc AS BIGINT) AS n_communities,
+       |  CAST(coalesce(i.internal, 0) AS BIGINT) AS internal_directed,
+       |  round(CAST(coalesce(i.internal, 0) * CAST(qm.m AS HUGEINT) - p.dsq AS DOUBLE)
+       |    / CAST(CAST(qm.m AS HUGEINT) * CAST(qm.m AS HUGEINT) AS DOUBLE), 6) AS q
+       |FROM parts p LEFT JOIN intr i ON i.method = p.method CROSS JOIN qm""".stripMargin
   }
 
   /** Quality-row oracle: the full louvain unroll, a 3-round LPA replay
@@ -1479,6 +1584,7 @@ object GraphQueries {
     "graph_louvain" -> louvainSql(levels = 3, rounds = 8),
     "graph_louvain_weighted" -> louvainSql(levels = 3, rounds = 8, weighted = true),
     "graph_leiden" -> leidenSql(levels = 3, rounds = 8),
+    "graph_leiden_quality" -> leidenQualitySql,
     "graph_louvain_quality" -> louvainQualitySql,
     // Leiden refinement replay: the full louvain unroll, then recursive
     // min-reachable cc over INTRA-community edges only; members with no

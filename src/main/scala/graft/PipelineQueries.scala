@@ -158,6 +158,10 @@ object PipelineQueries {
     // itself stays memo-busted so the ascent is still timed cold
     case "graph_louvain_refine" | "graph_louvain_quality" =>
       GraphQueries.stageLouvainPartition(s, d)
+    // leiden quality consumes BOTH partition memos (graph_leiden itself
+    // stays memo-busted so the interleaved ascent is timed cold)
+    case "graph_leiden_quality" =>
+      GraphQueries.stageLeidenPartition(s, d)
     case _ => ()
   }
 
@@ -214,9 +218,9 @@ object PipelineQueries {
     // walk build (same convention as the funnel family above)
     "graph_random_walks", "graph_walk_pairs", "graph_walk_negatives",
     "graph_walk_subsample",
-    // the shared louvain-partition memo: the ascent entries are timed
-    // cold; the refine/quality consumers re-warm via preStage instead
-    "graph_louvain", "graph_louvain_weighted")
+    // the shared louvain/leiden-partition memos: the ascent entries are
+    // timed cold; the refine/quality consumers re-warm via preStage
+    "graph_louvain", "graph_louvain_weighted", "graph_leiden")
 
   /** Drop the per-(session, dir) memos behind [[memoBackedQueries]]. The
     * streaming memos live behind [[streamMemoQueries]]/[[clearStreamMemos]]
@@ -1375,7 +1379,13 @@ object PipelineQueries {
       // the checkpoint materialized the served rows — the on-disk index is
       // no longer referenced, so drop it here instead of leaking one temp
       // index dir per memo compute (ADVICE r14: Bench's clearStreamMemos +
-      // recompute cycle accumulated orphaned parquet dirs)
+      // recompute cycle accumulated orphaned parquet dirs). LOCAL-ONLY
+      // assumption (ADVICE r15): localCheckpoint blocks are executor-local
+      // and non-reliable, so deleting their parquet lineage is safe only
+      // in this single-JVM bench/gate harness; a cluster caller would
+      // defer the delete to the memo-bust path (clearStreamMemos) so the
+      // files outlive any consumer that might need to recompute lost
+      // blocks.
       deleteDirTree(idxDir)
       served
     })),

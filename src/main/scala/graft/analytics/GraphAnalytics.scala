@@ -475,16 +475,28 @@ object GraphAnalytics {
     * evaluation re-paid it and the union blocked exchange reuse. The
     * probe runs once per call regardless of how many times consumers
     * evaluate the result, which is also the 100 TB shape: one cheap
-    * pre-pass deciding whether the corpus-wide sort is needed at all. */
+    * pre-pass deciding whether the corpus-wide sort is needed at all.
+    *
+    * NOTE the probe is an EAGER Spark action at plan-CONSTRUCTION time
+    * (ADVICE r15): a streaming `items` cannot be probed (head() on an
+    * unstarted stream throws), so streaming inputs take the unconditional
+    * dense_rank cap instead — correct on every micro-batch, just never
+    * probe-elided. And the cap decision is a SNAPSHOT: a batch source
+    * whose data grows between construction and evaluation keeps the
+    * construction-time plan (pass `capDecided = Some(true)` to force the
+    * cap for mutable sources). Callers issuing MANY coPurchasePairs calls
+    * over the SAME corpus should probe once themselves
+    * ([[coPurchaseFanoutExceeds]]) and pass the scalar via `capDecided` —
+    * the once-per-corpus memo shape (see GraphQueries.coPairs). */
   def coPurchasePairs(items: DataFrame, keyCol: String, itemCol: String,
-                      minShared: Long = 2, maxPerKey: Int = 256): DataFrame = {
+                      minShared: Long = 2, maxPerKey: Int = 256,
+                      capDecided: Option[Boolean] = None): DataFrame = {
     require(minShared >= 1, s"need minShared >= 1; got $minShared")
     val base = items.select(col(keyCol).as("o"), col(itemCol).as("p"))
-    val needsCap = maxPerKey > 0 && {
-      val r = base.groupBy("o").agg(countDistinct("p").as("__n"))
-        .agg(max("__n")).head()
-      !r.isNullAt(0) && r.getLong(0) > maxPerKey
-    }
+    val needsCap = maxPerKey > 0 &&
+      (if (items.isStreaming) true
+       else capDecided.getOrElse(
+         coPurchaseFanoutExceeds(items, keyCol, itemCol, maxPerKey)))
     val bounded =
       if (!needsCap) base
       else base
@@ -496,6 +508,21 @@ object GraphAnalytics {
       .groupBy(col("p").as("a"), col("p2").as("b"))
       .agg(countDistinct("o").as("w"))
       .where(col("w") >= minShared)
+  }
+
+  /** The [[coPurchasePairs]] plan-choice probe as a standalone scalar:
+    * does any key's DISTINCT-item fan-out exceed `maxPerKey`? One eager
+    * map-side-combinable rollup to the driver (batch inputs only). Run
+    * it ONCE per corpus and feed the answer to every `coPurchasePairs`
+    * call over that corpus via `capDecided`. */
+  def coPurchaseFanoutExceeds(items: DataFrame, keyCol: String,
+                              itemCol: String, maxPerKey: Int): Boolean = {
+    require(!items.isStreaming,
+      "coPurchaseFanoutExceeds needs a batch input; streaming sources take the unconditional cap")
+    val r = items.select(col(keyCol).as("o"), col(itemCol).as("p"))
+      .groupBy("o").agg(countDistinct("p").as("__n"))
+      .agg(max("__n")).head()
+    !r.isNullAt(0) && r.getLong(0) > maxPerKey
   }
 
   def randomWalks(edges: DataFrame, walkLen: Int, seed: String = "walk",
@@ -1356,7 +1383,7 @@ object GraphAnalytics {
     * estimate. Join strategy is unaffected here: the loops' joins are
     * equi-keyed shuffles, and the one broadcast (bigM) is an explicit
     * hint. */
-  private[analytics] def checkpointScrubbed(df: DataFrame): DataFrame = {
+  private[graft] def checkpointScrubbed(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint(true)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
@@ -1514,7 +1541,14 @@ object GraphAnalytics {
     * min-propagation cc fixpoint over INTRA-community edges only (the
     * inter-community edges — most of a real graph's — never enter the
     * iteration) and the same geometric shrink: each coarsening leaves
-    * one row per surviving fragment pair. */
+    * one row per surviving fragment pair.
+    *
+    * DEFAULT CHOICE: prefer this over raw [[louvain]] for new callers —
+    * the 1×/10×/100× probes measured IDENTICAL cost at volume (780 vs
+    * 779 s at 100×; SCALE.md round 15) for substantially higher
+    * modularity on the probe graph (the `graph_leiden_quality` gate row
+    * pins Q(leiden) ≥ Q(louvain) exactly), plus the connected-community
+    * guarantee the raw ascent lacks. */
   def leiden(symEdges: DataFrame, maxLevels: Int = 3, maxRounds: Int = 8): DataFrame = {
     require(maxLevels >= 1, s"need maxLevels >= 1; got $maxLevels")
     require(maxRounds >= 2, s"need maxRounds >= 2; got $maxRounds")

@@ -1072,6 +1072,34 @@ class AnalyticsSpec extends SparkSuite {
     assert(qLouvain > qSingle, s"louvain $qLouvain vs singletons $qSingle")
   }
 
+  test("leiden quality: Q(leiden) >= Q(louvain) (the graph_leiden_quality claim)") {
+    import spark.implicits._
+    // the graph_leiden_quality gate row reports both Q values on the
+    // co-purchase graph; this pins the inequality the scaladoc's
+    // default-choice note rests on, on fixtures where the schedules
+    // actually diverge (fixture B of the interleaving test, unweighted)
+    // and where they coincide (the clique ring — equality)
+    def q(labels: org.apache.spark.sql.DataFrame,
+          sym: org.apache.spark.sql.DataFrame): Double =
+      GraphAnalytics.modularityTotal(labels, sym).collect().head.getDouble(2)
+    val fixB = Seq((1L, 2L), (1L, 3L), (1L, 8L), (2L, 5L), (2L, 9L), (3L, 5L),
+      (3L, 7L), (3L, 11L), (4L, 6L), (4L, 8L), (4L, 11L), (5L, 10L),
+      (5L, 11L), (6L, 8L), (6L, 9L), (6L, 10L), (8L, 9L), (8L, 10L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("a", "b")
+    val qLei = q(GraphAnalytics.leiden(fixB, maxLevels = 3, maxRounds = 8), fixB)
+    val qLv = q(GraphAnalytics.louvain(fixB, maxLevels = 3, maxRounds = 8), fixB)
+    assert(qLei >= qLv, s"leiden $qLei vs louvain $qLv")
+    val cliques = (0 until 8).map(c => (4 * c + 1L) to (4 * c + 4L))
+    val intra = cliques.flatMap(vs =>
+      for (i <- vs.indices; j <- (i + 1) until vs.size) yield (vs(i), vs(j)))
+    val bridges = (0 until 8).map(c => (4L * c + 4, (4L * ((c + 1) % 8) + 1)))
+    val ring = (intra ++ bridges).flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("a", "b")
+    val qLeiR = q(GraphAnalytics.leiden(ring, maxLevels = 3, maxRounds = 8), ring)
+    val qLvR = q(GraphAnalytics.louvain(ring, maxLevels = 3, maxRounds = 8), ring)
+    assert(qLeiR >= qLvR, s"ring: leiden $qLeiR vs louvain $qLvR")
+  }
+
   test("trussWedges: degree orientation bounds hub wedges (skewed-hub spec)") {
     import spark.implicits._
     // low-id hub 0 with 1000 leaves: the id-oriented form apexed every
