@@ -3593,7 +3593,9 @@ object PipelineQueries {
           s"(CASE WHEN list_sum(list_transform(range(0, len(ve)), i -> ve[i+1] * ${sign(p)})) >= 0 THEN ${1L << p} ELSE 0 END)"
         val bucket = (0 until 8).map(bit).mkString(" + ")
         s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-           |b AS (SELECT vec_id, ve, $bucket AS bucket FROM v)
+           |b0 AS (SELECT vec_id, ve, $bucket AS bucket FROM v),
+           |b AS (SELECT vec_id, ve, bucket FROM b0
+           |  QUALIFY count(*) OVER (PARTITION BY bucket) <= 65536)
            |SELECT l.vec_id AS a, r.vec_id AS b,
            |  round(list_cosine_similarity(l.ve, r.ve), 4) AS cos
            |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id

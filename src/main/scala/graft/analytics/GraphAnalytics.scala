@@ -422,12 +422,14 @@ object GraphAnalytics {
     * (inner-join semantics), so symmetrize the edge list for walks that
     * must survive.
     *
-    * Scale: the dst-ordered adjacency ranking is one window keyed by
-    * src (degree-bounded per task — adjacency ranking is inherently
-    * per-node) built ONCE and persisted; each of the `walkLen` hops is a
-    * pair of equi-joins (degree lookup, then (node, rank) into the
-    * adjacency) on exactly one row per walk — never a degree-expanded
-    * candidate set. The walk STATE carries its own path (an array column
+    * Scale: the dst-sorted adjacency is grouped ONCE into one array row
+    * per node (persisted, node-partitioned — round 16; the former
+    * (node, row_number) rank table needed a degree-lookup join AND a
+    * rank-fetch join per hop, both of which re-sorted the edge set per
+    * hop once it outgrew the broadcast threshold); each of the `walkLen`
+    * hops is ONE equi-join on exactly one row per walk — never a
+    * degree-expanded candidate set — and the step is an O(1) array
+    * index. The walk STATE carries its own path (an array column
     * appended per hop, ≤ walkLen+1 longs), so the corpus is ONE
     * posexplode of the final frame — no per-step union, no per-step
     * replay — and the blocking localCheckpoint is a pure lineage/plan-
@@ -530,11 +532,18 @@ object GraphAnalytics {
     require(walkLen >= 1, s"need walkLen >= 1; got $walkLen")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
-    val adj = e
-      .withColumn("rn", row_number().over(Window.partitionBy("src").orderBy("dst")))
+    // adjacency as ONE dst-sorted array row per node (round 16 — the
+    // broadcast-independent shape the n2vhops probe motivated, see
+    // [[node2vecWalks]]): each hop is a single equi-join of the
+    // one-row-per-walk frontier against the persisted, node-partitioned
+    // array table, and the step is try_element_at(nbrs, pick) — the
+    // same md5-uniform rank the former (node, row_number) fetch picked,
+    // bit-for-bit, with no per-hop edge-set re-sort when the edge table
+    // outgrows the broadcast threshold
+    val eAdj = e.groupBy(col("src").as("node"))
+      .agg(sort_array(collect_list(col("dst"))).as("__nb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val degs = adj.groupBy("src").agg(max("rn").as("deg"))
       var cur = e.select(col("src").as("walk_id")).distinct()
         .select(col("walk_id"), col("walk_id").as("node"),
           array(col("walk_id")).as("__path"))
@@ -545,21 +554,17 @@ object GraphAnalytics {
       for (s <- 1 to walkLen) {
         val pick = conv(substring(md5(concat_ws("|", lit(seed),
             col("walk_id").cast("string"), lit(s.toString))), 1, 12), 16, 10)
-          .cast("long") % col("deg") + 1
-        // __dead ⟺ no adjacency row matched ⟺ the node has no out-edges
-        // (deg NULL → __rn NULL → no (node, rn) match; deg non-NULL →
-        // pick ∈ [1, deg] always matches) — stable once true
+          .cast("long") % array_size(col("__nb")) + 1
+        // __dead ⟺ the node has no out-edges (null __nb) — stable once
+        // true; pick ∈ [1, size] always resolves for live walks
         val hopped = cur
-          .join(degs.withColumnRenamed("src", "node"), Seq("node"), "left")
-          .select(col("walk_id"), col("node"), col("__path"),
-            when(col("deg").isNotNull, pick).as("__rn"))
-          .join(adj.select(col("src").as("node"), col("rn").as("__rn"), col("dst")),
-            Seq("node", "__rn"), "left")
+          .join(eAdj, Seq("node"), "left")
+          .withColumn("__dst", try_element_at(col("__nb"), pick.cast("int")))
           .select(col("walk_id"),
-            coalesce(col("dst"), col("node")).as("node"),
-            when(col("dst").isNotNull, concat(col("__path"), array(col("dst"))))
+            coalesce(col("__dst"), col("node")).as("node"),
+            when(col("__dst").isNotNull, concat(col("__path"), array(col("__dst"))))
               .otherwise(col("__path")).as("__path"),
-            col("dst").isNull.as("__dead"))
+            col("__dst").isNull.as("__dead"))
         // eager=false keeps the whole hop chain as one live plan (plan
         // inspection, embedding in a larger lazy pipeline) — no split
         // there: an un-checkpointed parked filter would replay its hops
@@ -575,7 +580,7 @@ object GraphAnalytics {
         .select(col("walk_id"), posexplode(col("__path")))
         .select(col("walk_id"), col("pos").cast("long").as("step"),
           col("col").as("node"))
-    } finally adj.unpersist()
+    } finally eAdj.unpersist()
   }
 
   /** [[randomWalks]] with edge-weight-proportional step choice — the
@@ -700,75 +705,133 @@ object GraphAnalytics {
     * uniform and the slot test are all exact integer arithmetic — no
     * float anywhere, bit-identical in any engine.
     *
-    * Scale: second-order bias inherently examines EVERY neighbor of cur
-    * each step (the weight depends on (prev, dst)), so each hop builds a
-    * degree-expanded candidate frame: one equi-join into the adjacency,
-    * one (prev, dst) membership left-join against the edge set, and a
-    * walk-keyed window pair (running + total weight — degree-bounded
-    * partitions, the adjacency-ranking class), then collapses back to
-    * one row per walk. That Σ deg(cur) per-hop cost is the algorithm's —
-    * reference node2vec implementations pay O(Σ deg²) alias-table
-    * precomputation instead; the on-the-fly form needs no per-edge-pair
-    * state and streams at corpus scale. Dead ends park exactly like
-    * [[randomWalks]] (checkpoint-barrier split, eager only). Same
-    * truncation semantics and output shape: (walk_id, step, node). */
+    * Scale (round 16 — the r15 100× super-linearity, attributed and
+    * fixed): the former hop shape built a DEGREE-EXPANDED candidate
+    * frame per hop (adjacency equi-join, (prev, dst) membership join,
+    * two walk-keyed windows). That shape was fast exactly as long as
+    * the edge table fit the broadcast threshold; the per-hop barrier
+    * probe (ScaleProbe n2vhops, SCALE.md) measured the cliff when it
+    * stopped fitting: 2–3 MB shuffle write and ~2 s GC per 8-hop
+    * barrier at 10×, 625–927 MB and ~50 s GC at 100× — every hop
+    * flipped to sort-merge joins, re-sorting the full edge set twice
+    * per hop and dragging the path-carrying expanded frame through
+    * ~3 exchanges per hop (wall 36 s → 656 s, ~1.8×/datum). The
+    * shipped shape is broadcast-INDEPENDENT: the adjacency is grouped
+    * ONCE into dst-sorted neighbor arrays (node, nbrs[]) — persisted,
+    * hash-partitioned on node — and each hop is ONE equi-join of the
+    * one-row-per-walk frontier against it. The (prev, dst) membership
+    * test and the cumulative-weight ladder run ROW-LOCALLY: inter =
+    * sort_array(array_intersect(nbrs, prev_nbrs)) and two exact-integer
+    * aggregate() passes with a merge pointer into `inter` (both arrays
+    * dst-sorted, so the pointer advances at most one per element — no
+    * O(deg²) membership scan), picking the same md5-uniform slot as the
+    * window form, bit-for-bit. Per-hop cost: one shuffle of the slim
+    * frontier (the walk's path + prev-neighbor arrays ride one row per
+    * walk, never one per candidate), zero edge-set re-sorts, zero
+    * windows. A 10⁶-degree hub is one fat adjacency row (~8 MB) read
+    * by walks that visit it — segment hubs upstream if that bites.
+    * Reference node2vec implementations pay O(Σ deg²) alias-table
+    * precomputation instead; this form needs no per-edge-pair state.
+    * Dead ends park exactly like [[randomWalks]] (checkpoint-barrier
+    * split, eager only). Same truncation semantics and output shape:
+    * (walk_id, step, node). */
   def node2vecWalks(edges: DataFrame, walkLen: Int,
                     retMilli: Long = 1000, outMilli: Long = 1000,
-                    seed: String = "n2v", eager: Boolean = true): DataFrame = {
+                    seed: String = "n2v", eager: Boolean = true): DataFrame =
+    node2vecWalksCore(edges, walkLen, retMilli, outMilli, seed, eager, null)
+
+  /** [[node2vecWalks]] with a per-checkpoint-barrier observation hook for
+    * the scale probes: after each barrier's blocking localCheckpoint the
+    * hook sees (hop index, live-walk frame, parked-walk frame since last
+    * barrier) — both already materialized, so inspecting them replays no
+    * hop joins. Production callers pass null (zero cost). */
+  private[graft] def node2vecWalksCore(edges: DataFrame, walkLen: Int,
+                    retMilli: Long, outMilli: Long,
+                    seed: String, eager: Boolean,
+                    onBarrier: (Int, DataFrame, DataFrame) => Unit): DataFrame = {
     require(walkLen >= 1, s"need walkLen >= 1; got $walkLen")
     require(retMilli >= 1 && outMilli >= 1,
       s"need positive milli-weights; got retMilli=$retMilli outMilli=$outMilli")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
+    val eAdj = e.groupBy(col("src").as("node"))
+      .agg(sort_array(collect_list(col("dst"))).as("__nb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var cur = e.select(col("src").as("walk_id")).distinct()
         .select(col("walk_id"), col("walk_id").as("prev"),
-          col("walk_id").as("node"), array(col("walk_id")).as("__path"))
+          col("walk_id").as("node"), array(col("walk_id")).as("__path"),
+          array().cast("array<bigint>").as("__pn"))
       var parked = List.empty[DataFrame]
       for (s <- 1 to walkLen) {
-        val cand = cur
-          .join(e.select(col("src").as("node"), col("dst")), Seq("node"), "left")
-        // (prev → dst) membership = the d(prev, dst) = 1 test
-        val memb = e.select(col("src").as("prev"), col("dst"), lit(1).as("__adj"))
-        val weighted = cand
-          .join(memb, Seq("prev", "dst"), "left")
-          .withColumn("__w",
-            when(col("dst").isNull, lit(null).cast("long"))
-              .when(lit(s) === 1, lit(1000L)) // first step: uniform
-              .when(col("dst") === col("prev"), lit(retMilli))
-              .when(col("__adj").isNotNull, lit(1000L))
-              .otherwise(lit(outMilli)))
-        val wWalk = Window.partitionBy("walk_id")
-        val cum = sum("__w").over(wWalk.orderBy("dst"))
-        val tot = sum("__w").over(wWalk)
+        // ladder weight of candidate d given the merge pointer ip into
+        // __inter (sorted nbrs ∩ prev-nbrs): the d(prev, dst) = 1 test
+        // without a membership join. First step is uniform (no prev).
+        def wOf(d: Column, ip: Column): Column =
+          if (s == 1) lit(1000L)
+          else when(d === col("prev"), lit(retMilli))
+            .when(ip < array_size(col("__inter")) &&
+              try_element_at(col("__inter"), ip + lit(1)) === d, lit(1000L))
+            .otherwise(lit(outMilli))
+        // the pointer consumes its inter element whenever it matches d —
+        // also under the d == prev precedence, or it would desync
+        def ipStep(d: Column, ip: Column): Column =
+          if (s == 1) ip
+          else ip + when(ip < array_size(col("__inter")) &&
+            try_element_at(col("__inter"), ip + lit(1)) === d, lit(1)).otherwise(lit(0))
         val pick = conv(substring(md5(concat_ws("|", lit(seed),
             col("walk_id").cast("string"), lit(s.toString))), 1, 12), 16, 10)
-          .cast("long") % tot
-        // exactly one candidate row survives per live walk (integer
-        // slots partition [0, tot)); dead walks keep their null-dst row
-        val hopped = weighted
-          .withColumn("__hit",
-            col("dst").isNull || (pick >= cum - col("__w") && pick < cum))
-          .where(col("__hit"))
+          .cast("long") % col("__tot")
+        val hopped = cur.join(eAdj, Seq("node"), "left")
+          .withColumn("__inter",
+            if (s == 1) array().cast("array<bigint>")
+            else sort_array(array_intersect(col("__nb"), col("__pn"))))
+          // tot in CLOSED FORM (no ladder scan): all candidates default
+          // to outMilli; inter members get 1000 (delta 1000−out); if prev
+          // is itself a candidate it gets retMilli instead of whichever
+          // category it fell in — exactly Σ wOf, null for dead walks
+          .withColumn("__tot",
+            if (s == 1) lit(1000L) * array_size(col("__nb")).cast("long")
+            else lit(outMilli) * array_size(col("__nb")).cast("long") +
+              (lit(1000L) - lit(outMilli)) * array_size(col("__inter")).cast("long") +
+              when(array_contains(col("__nb"), col("prev")),
+                lit(retMilli) - when(array_contains(col("__inter"), col("prev")),
+                  lit(1000L)).otherwise(lit(outMilli)))
+                .otherwise(lit(0L)))
+          // exact integer slots partition [0, tot): the first element
+          // whose running total exceeds pick is the step (same ladder as
+          // the former window form, bit-for-bit); dead walks (null __nb)
+          // carry null through every derived column
+          .withColumn("__dst", aggregate(col("__nb"),
+            struct(lit(0L).as("cum"), lit(0).as("ip"), lit(-1L).as("ch")),
+            (acc, d) => struct(
+              (acc.getField("cum") + wOf(d, acc.getField("ip"))).as("cum"),
+              ipStep(d, acc.getField("ip")).as("ip"),
+              when(acc.getField("ch") >= 0, acc.getField("ch"))
+                .when(pick < acc.getField("cum") + wOf(d, acc.getField("ip")), d)
+                .otherwise(lit(-1L)).as("ch")),
+            acc => when(acc.getField("ch") >= 0, acc.getField("ch"))))
           .select(col("walk_id"), col("node").as("prev"),
-            coalesce(col("dst"), col("node")).as("node"),
-            when(col("dst").isNotNull, concat(col("__path"), array(col("dst"))))
+            coalesce(col("__dst"), col("node")).as("node"),
+            when(col("__dst").isNotNull, concat(col("__path"), array(col("__dst"))))
               .otherwise(col("__path")).as("__path"),
-            col("dst").isNull.as("__dead"))
+            when(col("__dst").isNotNull, col("__nb"))
+              .otherwise(col("__pn")).as("__pn"),
+            col("__dst").isNull.as("__dead"))
         if (eager && (s % WalkCheckpointEvery == 0 || s == walkLen)) {
           val settled = hopped.localCheckpoint(true)
           parked = settled.where(col("__dead"))
             .select("walk_id", "prev", "node", "__path") :: parked
           cur = settled.where(!col("__dead"))
-            .select("walk_id", "prev", "node", "__path")
-        } else cur = hopped.select("walk_id", "prev", "node", "__path")
+            .select("walk_id", "prev", "node", "__path", "__pn")
+          if (onBarrier != null) onBarrier(s, cur, parked.head)
+        } else cur = hopped.select("walk_id", "prev", "node", "__path", "__pn")
       }
-      parked.foldLeft(cur)(_ unionByName _)
+      parked.foldLeft(cur.select("walk_id", "prev", "node", "__path"))(_ unionByName _)
         .select(col("walk_id"), posexplode(col("__path")))
         .select(col("walk_id"), col("pos").cast("long").as("step"),
           col("col").as("node"))
-    } finally e.unpersist()
+    } finally eAdj.unpersist()
   }
 
   /** Deterministic SGNS negative-sampling table over a skip-gram pair

@@ -260,7 +260,26 @@ object Dedup {
     * self-join) vs ~+0.3 s for the anti form. The hot list is bounded
     * by 4N/maxBucket rows; a pathological corpus that overflows the
     * broadcast threshold degrades to a shuffled anti-join, not an
-    * error. */
+    * error.
+    *
+    * CAP POLICY — fixed C, not N-scaled (round 16, VERDICT r15 #6):
+    * each doc contributes exactly k (band, sig) memberships, so
+    * Σ_buckets b = kN and the capped propose volume
+    * Σ_{b ≤ C} b(b−1)/2 ≤ (C−1)/2 · kN — a LINEAR envelope with slope
+    * k(C−1)/2 ≈ 2 000 pairs/doc at the defaults. The measured
+    * still-super-linear residual at 100× (~1.24×/datum, SCALE.md) is
+    * the SUB-CAP TAIL approaching that envelope from below: a bucket
+    * family growing with the corpus contributes ~b²/2 pairs until it
+    * crosses C, then drops out entirely, so mid-size buckets transit a
+    * quadratic ramp under a linear ceiling — the census (ScaleProbe
+    * lshcensus) confirms the capped volume stays 25–40× under the
+    * envelope at every rung: sub-cap mass 245 k / 5.2 M / 86.2 M vs
+    * envelope 21.5 M / 215 M / 2.15 B at 1×/10×/100×. Scaling C
+    * with N would reintroduce super-linearity (envelope k·N·C(N)/2)
+    * and is never the right knob; if propose volume must shrink
+    * further, lower `maxShingleDf` (kills boilerplate shingles before
+    * they form buckets) or raise k/band width so buckets scale with N
+    * (the minhash sig space does; see SimHash round 15). */
   private[pipeline] def bandedCandidates(perDoc: DataFrame, k: Int,
                                          maxBucket: Int = 1024): DataFrame = {
     val banded = perDoc.select(col("doc"),
@@ -449,7 +468,14 @@ object Dedup {
     * paid is gone); hot grams are a distinct (doc, gram) hash aggregation
     * (one row per gram however hot); the cover pass is a shingle-keyed
     * equi-join — never all-pairs — and the position explode fans out at
-    * most n rows per hot-gram occurrence. */
+    * most n rows per hot-gram occurrence.
+    *
+    * BUCKET-SIZE MATH (round-16 sweep): the cover pass is a LEFT-SEMI
+    * join, so a hot gram with O occurrences across the corpus
+    * contributes exactly O rows (each occurrence matches the 1-row hot
+    * list at most once), then ≤ n·O cover positions — LINEAR however
+    * hot the gram; the quadratic O² shape of a pair-proposing bucket
+    * join cannot occur here, so no cap is needed. */
   def hotSpanCoverage(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, minDf: Int = 2): DataFrame = {
     require(n >= 2 && minDf >= 2, s"need n >= 2, minDf >= 2; got n=$n minDf=$minDf")

@@ -163,14 +163,51 @@ object Similarity {
     * equi-join (never the all-pairs inequality join of
     * [[Dedup.embeddingCosinePairs]]), and the exact cosine filters them.
     * Recall < 1 by construction (two near-dups may straddle a plane);
-    * repeat with different plane offsets to raise it. */
+    * repeat with different plane offsets to raise it.
+    *
+    * BUCKET-SIZE MATH (the round-15 rule: N/buckets is quadratic unless
+    * buckets scale with N): `planes` sign bits give a FIXED 2^planes
+    * buckets, so expected bucket size is N/2^planes and the bucket
+    * self-join proposes ~N²/2^(planes+1) pairs — quadratic BY
+    * CONSTRUCTION, the simhash-8-bit-chunk class; embedding clusters
+    * (many near-identical vectors) concentrate it further. Two levers:
+    * (1) WIDTH-SIZING — planes must grow with the corpus, planes ≳
+    * log2(N/B) for target bucket size B (the measured census is in
+    * SCALE.md round 16); (2) `maxBucket` (0 = off) drops buckets larger
+    * than the bound before the self-join — the [[Dedup]] bandedCandidates
+    * broadcast anti-join shape, bounding propose volume by maxBucket/2·N.
+    * The recall trade is SHARPER than minhash's: this is a single band,
+    * so a dropped bucket loses ALL its pairs (no k-independent second
+    * chance) — raise planes first, cap as the backstop. Census
+    * (ScaleProbe lshcensus, SCALE.md round 16): at 8 planes the propose
+    * volume reads 9.2 k → 1.01 M → 101.5 M at 1×/10×/100× (quadratic,
+    * as derived); 16 planes cuts the 100× rung 10× to 10.4 M — but
+    * occupied buckets SATURATE (~1.9 k distinct sign patterns at p16:
+    * real embeddings live on a low-dimensional sign manifold), so
+    * width-sizing has a ceiling and the cap is the final backstop. The
+    * default cap never binds below ~16 M vectors at 8 planes (top
+    * measured bucket: 23 at sf0.1, 2 300 at the 100× rung — top grows
+    * linearly, so only a degenerate single-pattern cluster trips it
+    * early); a corpus whose AVERAGE bucket N/2^planes approaches the
+    * cap needs planes raised, not the cap — dropping average-sized
+    * buckets is recall collapse, not skew protection. The DuckDB
+    * oracle mirrors the same bound. */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                     planes: Int = 8, minCos: Double = 0.5): DataFrame = {
+                     planes: Int = 8, minCos: Double = 0.5,
+                     maxBucket: Int = 65536): DataFrame = {
     val l = df.select(col(idCol).as("a"), col(vecCol).as("va"),
       cosineBuckets(col(vecCol), planes).as("bucket"))
     val r = df.select(col(idCol).as("b"), col(vecCol).as("vb"),
       cosineBuckets(col(vecCol), planes).as("bucket"))
-    l.join(r, Seq("bucket"))
+    val (lk, rk) =
+      if (maxBucket <= 0) (l, r)
+      else {
+        val hot = broadcast(l.groupBy("bucket").agg(count(lit(1)).as("__n"))
+          .where(col("__n") > maxBucket).select("bucket"))
+        (l.join(hot, Seq("bucket"), "left_anti"),
+          r.join(hot, Seq("bucket"), "left_anti"))
+      }
+    lk.join(rk, Seq("bucket"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 4).as("cos"))
       .where(col("cos") >= minCos)
@@ -364,7 +401,18 @@ object Similarity {
     * bucket (equi-join on bucket id) — the 100 TB path where broadcast of
     * per-bucket candidates replaces a full scan per query. Recall < 1 by
     * construction; increase planes for precision, repeat with plane offsets
-    * for recall. Returns (query_id, neighbor_id, cos, rank). */
+    * for recall. Returns (query_id, neighbor_id, cos, rank).
+    *
+    * BUCKET-SIZE MATH: 2^planes buckets are FIXED, so per-query candidate
+    * work is ~N/2^planes — LINEAR in the corpus at fixed planes (total
+    * work N·Q/2^planes; never quadratic in N alone, unlike the pair
+    * join in [[lshCosinePairs]]). The scale policy is WIDTH-SIZING, not
+    * a cap: planes ≳ log2(N/B) keeps per-query candidates at target B,
+    * and a cap would silently truncate top-k result sets for every
+    * query landing in a hot bucket (dropping candidates changes ranks,
+    * not just recall). For bounded-work serving at volume prefer the
+    * IVF family ([[ivfTopK]] / AnnIndex), whose per-query work is
+    * nprobe/nlist-governed independent of skew. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),

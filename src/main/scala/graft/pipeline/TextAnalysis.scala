@@ -699,7 +699,16 @@ object TextAnalysis {
     * shape), so the round-10 form's two per-document window sorts AND
     * its corpus-wide distinct exchange are all gone: (idCol, fp) rows
     * are already unique because the dedup happened inside the row.
-    * The plan is scan → project → explode. Returns (idCol, fp). */
+    * The plan is scan → project → explode. Returns (idCol, fp).
+    *
+    * BUCKET-SIZE MATH: this function is LINEAR by construction — one
+    * output row per (doc, selected fingerprint), no join. The hazard
+    * lives in CONSUMERS: a boilerplate fingerprint shared by D documents
+    * forms a D-row group, so any pair-proposing join on `fp` is
+    * Σ D(D−1)/2 — quadratic on boilerplate exactly like minhash band
+    * buckets. Pair-proposing consumers must df-bound the fingerprint
+    * (drop fps with document frequency above a cap, the
+    * maxShingleDf/maxBucket contract) before self-joining. */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
                             n: Int = 4, window: Int = 4): DataFrame = {
     require(n >= 1 && window >= 1, s"need n, window >= 1; got n=$n window=$window")

@@ -665,6 +665,13 @@ object EventStreams {
     * where-filter (they cannot near-dup at shingle granularity). Returns
     * the distinct signature tuples — set semantics, deterministic
     * regardless of arrival order. */
+  /** BUCKET-SIZE MATH (round-16 sweep): state is keyed by the EXACT
+    * k-hash signature, so a hot signature (boilerplate duplicated across
+    * the stream) COLLAPSES to one state-store entry rather than fanning
+    * out — dedup-by-key is linear in arriving rows and state is bounded
+    * by distinct signatures inside the watermark, shrinking as
+    * duplication grows. No cap needed; the quadratic bucket-join hazard
+    * does not exist on this path. */
   def streamingSignatureDedup(docs: DataFrame, tsCol: String = "ts",
                               textCol: String = "text",
                               n: Int = 3, k: Int = 4): DataFrame = {

@@ -683,7 +683,7 @@ class PlanQualitySpec extends SparkSuite {
     assert(plan.contains("__bin"), s"binned slot key missing from plan:\n$plan")
   }
 
-  test("node2vecWalks: candidate and membership joins stay equi-keyed") {
+  test("node2vecWalks: frontier-adjacency hop joins stay equi-keyed") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 0L), (0L, 2L))
       .toDF("src", "dst")
@@ -691,9 +691,12 @@ class PlanQualitySpec extends SparkSuite {
       retMilli = 250, outMilli = 2000, eager = false)
     out.collect()
     val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // the degree-expanded candidate build must ride the cur equi-key and
-    // the (prev, dst) membership test its own equi-pair — a residual-only
-    // form would nested-loop every walk against the whole edge set
+    // each hop joins the one-row-per-walk frontier against the adjacency
+    // ARRAY table on its node equi-key (round 16: the bias ladder and the
+    // (prev, dst) membership test are row-local array aggregates, not a
+    // membership join) — a residual-only form would nested-loop every
+    // walk against the whole adjacency
+    assert(plan.contains("Join"), s"hop joins missing from the live plan:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in node2vec plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in node2vec plan:\n$plan")
   }

@@ -478,6 +478,71 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("n2vhops")) {
+      // round-16 (VERDICT r15 #1): ATTRIBUTE the n2v40 100x super-
+      // linearity — per-barrier wall time, live rows and task-metric
+      // deltas (shuffle write, spill, GC, executor time) across the five
+      // checkpoint windows of the depth-40 walk, at 1x/10x/100x. If
+      // per-barrier cost GROWS with hop index at 100x, the hop frames'
+      // per-hop payload grows (the __path-on-candidates hypothesis); if
+      // flat but super-linear vs rung, it's volume-independent overhead.
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val shufW = new java.util.concurrent.atomic.LongAdder
+      val spill = new java.util.concurrent.atomic.LongAdder
+      val gcMs = new java.util.concurrent.atomic.LongAdder
+      val runMs = new java.util.concurrent.atomic.LongAdder
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val tm = te.taskMetrics
+          if (tm != null) {
+            shufW.add(tm.shuffleWriteMetrics.bytesWritten)
+            spill.add(tm.memoryBytesSpilled + tm.diskBytesSpilled)
+            gcMs.add(tm.jvmGCTime)
+            runMs.add(tm.executorRunTime)
+          }
+        }
+      })
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val cp = graft.analytics.GraphAnalytics.coPurchasePairs(li, "o", "p", minShared = 2)
+      val sym = cp.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(cp.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      sym.count()
+      def copies(nc: Int) = (0 until nc).map(c =>
+        sym.select((col("src") + lit(c.toLong * 10000000L)).as("src"),
+          (col("dst") + lit(c.toLong * 10000000L)).as("dst")))
+        .reduce(_ unionByName _)
+      graft.analytics.GraphAnalytics.node2vecWalks(copies(1), walkLen = 4,
+        retMilli = 250, outMilli = 2000).count() // warm codegen
+      for ((nc, tag) <- Seq((1, "1x"), (10, "10x"), (100, "100x"))) {
+        val e = copies(nc).coalesce(64).persist(); e.count()
+        var t0 = System.nanoTime()
+        var Seq(sw0, sp0, gc0, rn0) =
+          Seq(shufW, spill, gcMs, runMs).map(_.sum())
+        val total0 = System.nanoTime()
+        val walks = graft.analytics.GraphAnalytics.node2vecWalksCore(
+          e, walkLen = 40, retMilli = 250, outMilli = 2000, seed = "n2v",
+          eager = true,
+          onBarrier = (hop, cur, parkedNew) => {
+            val wall = (System.nanoTime() - t0) / 1e9
+            val Seq(sw, sp, gc, rn) = Seq(shufW, spill, gcMs, runMs).map(_.sum())
+            val live = cur.count(); val dead = parkedNew.count()
+            println(f"MARKER n2vhops_${tag}_hop$hop%02d wall=$wall%.1f " +
+              f"live=$live dead=$dead shufW_mb=${(sw - sw0) / 1e6}%.0f " +
+              f"spill_mb=${(sp - sp0) / 1e6}%.0f gc_s=${(gc - gc0) / 1e3}%.1f " +
+              f"task_s=${(rn - rn0) / 1e3}%.1f")
+            sw0 = shufW.sum(); sp0 = spill.sum(); gc0 = gcMs.sum(); rn0 = runMs.sum()
+            t0 = System.nanoTime()
+          })
+        val n = walks.count()
+        println(f"MARKER n2vhops_${tag}_total rows=$n " +
+          f"time=${(System.nanoTime() - total0) / 1e9}%.1f")
+        e.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("n2v40")) {
       // round-15 (VERDICT r14 #4): node2vec at PRODUCTION depth 40 over
       // 1/10/100 disjoint co-purchase copies — the len-4 probe (n2v100)
@@ -548,6 +613,65 @@ object ScaleProbe {
           qs("curate_pipeline")(spark, dir)
             .agg(coalesce(sum("n_docs"), lit(0L))).head().getLong(0)
         }
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("lshcensus")) {
+      // round-16 (VERDICT r15 #2/#6): bucket-size census for the two
+      // remaining bucket joins without written-down math, plus the
+      // minhash sub-cap tail that explains curate_pipeline's 1.24x/datum
+      // residual. No pair join runs — every number is an aggregation
+      // over bucket SIZES (sum b(b-1)/2), so the 100x rungs are cheap
+      // even where the uncapped join would propose billions.
+      //
+      // (a) embedding LSH (lshCosinePairs / lshTopK buckets): fixed
+      // 2^planes buckets => pairs ~ N^2/2^(planes+1). The planes sweep
+      // shows width-sizing (planes ~ log2 N) restoring linearity.
+      val embRungs = Seq((base, "1x"), (big, "10x"), (big100, "100x"))
+      for ((dir, tag) <- embRungs; planes <- Seq(8, 12, 16)) {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        val sizes = e.select(graft.pipeline.Similarity
+            .cosineBuckets(col("embedding"), planes).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+        val r = sizes.agg(count(lit(1)).as("buckets"), max("n").as("top"),
+          sum(expr("n*(n-1) DIV 2")).as("pairs"),
+          sum(when(col("n") <= 65536, expr("n*(n-1) DIV 2")).otherwise(lit(0L)))
+            .as("pairs_capped")).head()
+        println(s"MARKER lshcensus_emb_${tag}_p$planes buckets=${r.getLong(0)} " +
+          s"top=${r.getLong(1)} pairs=${r.getLong(2)} capped=${r.getLong(3)}")
+      }
+      // (b) minhash (band, sig) buckets over the simhash-census corpus
+      // (boilerplate tail + exact dups): the sub-cap tail Σ_{b<=C} C(b,2)
+      // vs the linear envelope k*N*(C-1)/2 at C = 1024.
+      def corpus(dir: String) = {
+        val docs0 = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        docs0.unionByName(docs0.select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" common tail marker phrase")).as("text")))
+          .unionByName(docs0.where(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      }
+      val mhRungs = Seq((base, "1x"), ("target/scaleprobe/pipe10x", "10x"),
+        ("target/scaleprobe/pipe100x", "100x"))
+      for ((dir, tag) <- mhRungs) {
+        val c = corpus(dir)
+        val nDocs = c.count()
+        val sigs = c.select(col("doc_id") +:
+          graft.pipeline.Dedup.signatureColumns(col("text"), 3, 4): _*)
+          .where(col("h0").isNotNull)
+        val banded = sigs.select(col("doc_id"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("band"), col(s"h$i").as("sig"))): _*)).as("b"))
+          .select(col("b.band"), col("b.sig"))
+        val sizes = banded.groupBy("band", "sig").agg(count(lit(1)).as("n"))
+        val r = sizes.agg(count(lit(1)).as("buckets"), max("n").as("top"),
+          sum(expr("n*(n-1) DIV 2")).as("pairs"),
+          sum(when(col("n") <= 1024, expr("n*(n-1) DIV 2")).otherwise(lit(0L)))
+            .as("subcap")).head()
+        val envelope = 4L * nDocs * 1023L / 2L
+        println(s"MARKER lshcensus_mh_$tag docs=$nDocs buckets=${r.getLong(0)} " +
+          s"top=${r.getLong(1)} pairs=${r.getLong(2)} subcap=${r.getLong(3)} " +
+          s"envelope=$envelope")
       }
       spark.stop(); return
     }
