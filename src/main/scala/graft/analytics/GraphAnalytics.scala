@@ -605,16 +605,23 @@ object GraphAnalytics {
         col("dst").cast("long").as("dst"), col("weight").cast("long").as("w"))
       .where(col("w") > 0)
       .groupBy("src", "dst").agg(max("w").as("w"))
-    val adj = e
-      .withColumn("hi", sum("w").over(Window.partitionBy("src").orderBy("dst")))
-      .withColumn("lo", col("hi") - col("w"))
+    // adjacency as ONE dst-sorted (dst, w) struct-array row per node with
+    // the ladder total precomputed (round 16 — same broadcast-independent
+    // shape as [[randomWalks]]/[[node2vecWalks]]: the former per-edge
+    // lo/hi interval table re-sorted under SMJ every hop once it outgrew
+    // the broadcast threshold); the slot landing is a row-local
+    // exact-integer aggregate over the sorted array — the same
+    // cumulative-weight intervals, bit-for-bit
+    val eAdj = e.groupBy(col("src").as("node"))
+      .agg(sort_array(collect_list(struct(col("dst"), col("w")))).as("__nbw"))
+      .withColumn("__tot", aggregate(col("__nbw"), lit(0L),
+        (acc, x) => acc + x.getField("w")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // same path-carrying state, checkpoint cadence AND parked-walk
-      // split as [[randomWalks]] (tot NULL → no ladder interval matches →
-      // dst NULL ⟺ dead; tot non-NULL → exactly one interval contains
-      // the pick, so dst is always set for live walks)
-      val degs = adj.groupBy("src").agg(max("hi").as("tot"))
+      // split as [[randomWalks]] (tot NULL → null pick → null chosen ⟺
+      // dead; tot non-NULL → exactly one slot contains the pick, so the
+      // step is always set for live walks)
       var cur = e.select(col("src").as("walk_id")).distinct()
         .select(col("walk_id"), col("walk_id").as("node"),
           array(col("walk_id")).as("__path"))
@@ -622,20 +629,22 @@ object GraphAnalytics {
       for (s <- 1 to walkLen) {
         val pick = conv(substring(md5(concat_ws("|", lit(seed),
             col("walk_id").cast("string"), lit(s.toString))), 1, 12), 16, 10)
-          .cast("long") % col("tot")
-        val hop = cur
-          .join(degs.withColumnRenamed("src", "node"), Seq("node"), "left")
-          .select(col("walk_id"), col("node"), col("__path"),
-            when(col("tot").isNotNull, pick).as("__pick"))
-        val a = adj.select(col("src").as("__n"), col("lo"), col("hi"), col("dst"))
-        val hopped = hop
-          .join(a, hop("node") === a("__n") &&
-            col("__pick") >= col("lo") && col("__pick") < col("hi"), "left")
+          .cast("long") % col("__tot")
+        val hopped = cur
+          .join(eAdj, Seq("node"), "left")
+          .withColumn("__dst", aggregate(col("__nbw"),
+            struct(lit(0L).as("cum"), lit(-1L).as("ch")),
+            (acc, x) => struct(
+              (acc.getField("cum") + x.getField("w")).as("cum"),
+              when(acc.getField("ch") >= 0, acc.getField("ch"))
+                .when(pick < acc.getField("cum") + x.getField("w"), x.getField("dst"))
+                .otherwise(lit(-1L)).as("ch")),
+            acc => when(acc.getField("ch") >= 0, acc.getField("ch"))))
           .select(col("walk_id"),
-            coalesce(col("dst"), col("node")).as("node"),
-            when(col("dst").isNotNull, concat(col("__path"), array(col("dst"))))
+            coalesce(col("__dst"), col("node")).as("node"),
+            when(col("__dst").isNotNull, concat(col("__path"), array(col("__dst"))))
               .otherwise(col("__path")).as("__path"),
-            col("dst").isNull.as("__dead"))
+            col("__dst").isNull.as("__dead"))
         if (eager && (s % WalkCheckpointEvery == 0 || s == walkLen)) {
           val settled = hopped.localCheckpoint(true)
           parked = settled.where(col("__dead"))
@@ -648,7 +657,7 @@ object GraphAnalytics {
         .select(col("walk_id"), posexplode(col("__path")))
         .select(col("walk_id"), col("pos").cast("long").as("step"),
           col("col").as("node"))
-    } finally adj.unpersist()
+    } finally eAdj.unpersist()
   }
 
   /** Skip-gram training pairs from a walk corpus ([[randomWalks]] output):

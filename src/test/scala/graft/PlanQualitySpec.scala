@@ -653,7 +653,7 @@ class PlanQualitySpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in walk plan:\n$plan")
   }
 
-  test("weighted walks: ladder hop keeps an equi key, interval test is a residual") {
+  test("weighted walks: ladder hop keeps an equi key, slot lands row-locally") {
     import spark.implicits._
     val edges = Seq((0L, 1L, 2L), (0L, 2L, 3L), (1L, 0L, 1L), (2L, 0L, 1L))
       .toDF("src", "dst", "weight")
@@ -661,9 +661,10 @@ class PlanQualitySpec extends SparkSuite {
       walkLen = 2, eager = false)
     out.collect()
     val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // the interval containment must ride an equi-join on the source node as
-    // a residual condition — a pure-theta plan (nested loop) would evaluate
-    // every walk against every adjacency row
+    // each hop equi-joins the frontier against the (node, ladder-array)
+    // adjacency and lands the slot inside the row (round 16) — a
+    // pure-theta plan (nested loop) would evaluate every walk against
+    // every adjacency row
     assert(plan.contains("Join"), s"hop joins missing from the live plan:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in weighted walk plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in weighted walk plan:\n$plan")
