@@ -199,15 +199,16 @@ object Similarity {
       cosineBuckets(col(vecCol), planes).as("bucket"))
     val r = df.select(col(idCol).as("b"), col(vecCol).as("vb"),
       cosineBuckets(col(vecCol), planes).as("bucket"))
-    val (lk, rk) =
-      if (maxBucket <= 0) (l, r)
-      else {
-        val hot = broadcast(l.groupBy("bucket").agg(count(lit(1)).as("__n"))
-          .where(col("__n") > maxBucket).select("bucket"))
-        (l.join(hot, Seq("bucket"), "left_anti"),
-          r.join(hot, Seq("bucket"), "left_anti"))
-      }
-    lk.join(rk, Seq("bucket"))
+    // the cap drops hot buckets from the LEFT side only: a pair needs
+    // both sides in the bucket, so an emptied left side already yields
+    // zero pairs for it — one anti-join, not two
+    val lk =
+      if (maxBucket <= 0) l
+      else l.join(
+        broadcast(l.groupBy("bucket").agg(count(lit(1)).as("__n"))
+          .where(col("__n") > maxBucket).select("bucket")),
+        Seq("bucket"), "left_anti")
+    lk.join(r, Seq("bucket"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 4).as("cos"))
       .where(col("cos") >= minCos)
