@@ -1460,6 +1460,21 @@ object GraphAnalytics {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** Optimization-round tooling (graft.PlanDump): the level-1 loop-body
+    * plan of [[louvain]]/[[leiden]] on a caller-supplied symmetrized edge
+    * table — the plan executed (maxLevels × maxRounds) times per ascent,
+    * with the level inputs prepared exactly as [[louvain]] prepares them. */
+  private[graft] def louvainRoundPlanForDump(symEdges: DataFrame): DataFrame = {
+    val hasW = symEdges.columns.contains("w")
+    val e = checkpointScrubbed(symEdges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"),
+      (if (hasW) col("w").cast("long") else lit(1L)).as("w")))
+    val deg = checkpointScrubbed(e.groupBy(col("a").as("vid")).agg(sum("w").as("__kv")))
+    val bigM = checkpointScrubbed(e.agg(sum("w").as("__M")))
+    val lab = checkpointScrubbed(deg.select(col("vid"), col("vid").as("label")))
+    louvainParityRound(lab, e, deg, bigM, 0)
+  }
+
   private[analytics] def louvainParityRound(lab: DataFrame, e: DataFrame, deg: DataFrame,
                                  bigM: DataFrame, parity: Int): DataFrame = {
     val dC = lab.join(deg, Seq("vid"), "left")

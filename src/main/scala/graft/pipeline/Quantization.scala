@@ -395,10 +395,21 @@ object Quantization {
   def ivfPqTopKRerank(corpus: DataFrame, queries: DataFrame,
                       idCol: String, vecCol: String,
                       k: Int, rerank: Int = 4, nprobe: Int = 8, m: Int = 16,
+                      centIn: DataFrame, resCbIn: DataFrame): DataFrame =
+    ivfPqTopKRerankCodes(ivfPqEncode(corpus, idCol, vecCol, m, centIn, resCbIn),
+      corpus, queries, idCol, vecCol, k, rerank, nprobe, m, centIn, resCbIn)
+
+  /** [[ivfPqTopKRerank]] over an ALREADY-ENCODED corpus — callers that
+    * run several IVF-PQ arms over one corpus (the recall report) encode
+    * once and share the codes instead of paying one corpus-scan encode
+    * per arm (round 16, guide §1.2: don't compute things twice). */
+  def ivfPqTopKRerankCodes(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String,
+                      k: Int, rerank: Int, nprobe: Int, m: Int,
                       centIn: DataFrame, resCbIn: DataFrame): DataFrame = {
     require(rerank >= 1, s"need rerank >= 1; got $rerank")
     val w = org.apache.spark.sql.expressions.Window
-    val cand = ivfPqTopKWith(corpus, queries, idCol, vecCol,
+    val cand = ivfPqSearchCodes(codes, queries, idCol, vecCol,
         k * rerank, nprobe, m, centIn, resCbIn)
       .select(col("query_id"), col("neighbor_id"))
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))

@@ -511,12 +511,22 @@ object Similarity {
         col("neighbor_id").cast("long"))
     val (cent, cb) = ivfPqIdx.getOrElse(
       Quantization.ivfPqIndex(corpus, idCol, vecCol, nlist, m, codewords))
+    // ONE corpus-scan encode shared by BOTH ivfpq arms (round 16): the
+    // plain-ADC arm and the rerank arm consumed bit-identical encode
+    // output yet each paid its own corpus encode inside one report.
+    // Lazily persisted, not eagerly checkpointed: the arms' subtrees run
+    // concurrently inside the one report job, so an eager encode would
+    // serialize a step the scheduler otherwise overlaps with the lsh/ivf
+    // arms (measured +1.5 s); the cache's block locking makes the first
+    // computing arm fill it and the other read it.
+    val codes = Quantization.ivfPqEncode(corpus, idCol, vecCol, m, cent, cb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val arms = arm("lsh", lshTopK(corpus, queries, idCol, vecCol, k, planes))
       .unionByName(arm("ivf", ivfTopK(corpus, queries, idCol, vecCol, k, nlist, nprobe)))
       .unionByName(arm("ivfpq",
-        Quantization.ivfPqTopKWith(corpus, queries, idCol, vecCol, k, ivfPqNprobe, m, cent, cb)))
+        Quantization.ivfPqSearchCodes(codes, queries, idCol, vecCol, k, ivfPqNprobe, m, cent, cb)))
       .unionByName(arm("ivfpq_rerank",
-        Quantization.ivfPqTopKRerank(corpus, queries, idCol, vecCol,
+        Quantization.ivfPqTopKRerankCodes(codes, corpus, queries, idCol, vecCol,
           k, 4, ivfPqNprobe, m, cent, cb)))
     val perArm = arms
       .join(exact.withColumn("__hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
@@ -526,10 +536,16 @@ object Similarity {
     val denom = broadcast(exact.agg(
       countDistinct(col("query_id")).as("n_queries"),
       count(lit(1)).as("n_exact")))
-    perArm.crossJoin(denom)
+    val report = perArm.crossJoin(denom)
       .select(col("method"), col("n_queries"), col("n_exact"),
         col("n_found"), col("n_hit"),
         round(when(col("n_exact") === 0, 1.0)
           .otherwise(col("n_hit").cast("double") / col("n_exact")), 4).as("recall"))
+      // evaluate the 4-row report eagerly so the shared-codes cache can be
+      // released before returning (the curationFunnel persist-scoping
+      // pattern — a lazily returned frame could never unpersist safely)
+      .localCheckpoint(true)
+    codes.unpersist()
+    report
   }
 }
