@@ -34,7 +34,12 @@ object PlanDump {
       val sym = pairs.select(col("a"), col("b"))
         .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       GraphAnalytics.louvainRoundPlanForDump(sym)
-    }))
+    }),
+    // one BPE learn round's pair-count plan over the bench documents —
+    // the plan executed `rounds` times per bpeMerges/fertility entry
+    "bpe_pairs_round" -> ((s, d) =>
+      pipeline.Tokenizer.pairCountPlanForDump(
+        TpchGraph.table(s, d, "documents"), "doc_id", "text")))
 
   def main(args: Array[String]): Unit = {
     val outDir = args(0)

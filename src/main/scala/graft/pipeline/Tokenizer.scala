@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tokenizer learning for training pipelines: BPE-style merge-rule
@@ -44,14 +43,22 @@ object Tokenizer {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 0 until rounds) {
-      val toks = texts
-        .select(col(idCol), posexplode(split(trim(col("__t")), " ")).as(Seq("pos", "tok")))
-        .where(col("tok") =!= "")
-      val w = Window.partitionBy(idCol).orderBy("pos")
-      val top = toks
-        .select(concat_ws(" ", col("tok"), lead("tok", 1).over(w)).as("pair"),
-          lead("tok", 1).over(w).isNotNull.as("__full"))
-        .where(col("__full"))
+      // adjacent pairs ROW-LOCALLY (round 16, guide §2.4): zip each doc's
+      // token array with its own tail instead of posexplode + per-doc
+      // window — the former paid a doc-keyed exchange AND sort of the
+      // full token table EVERY round just to see each token's successor;
+      // this shape pays only the map-side-combinable pair count. The pair
+      // multiset is identical (array order = pos order, empty tokens
+      // dropped before pairing in both shapes), so winners, tie-breaks
+      // and merges match bit-for-bit.
+      val toksArr = filter(split(trim(col("__t")), " "), t => t =!= lit(""))
+      val pairsArr = when(size(toksArr) >= 2,
+          transform(sequence(lit(0), size(toksArr) - lit(2)),
+            i => concat_ws(" ", element_at(toksArr, i + lit(1)),
+              element_at(toksArr, i + lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      val top = texts
+        .select(explode(pairsArr).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("pair"))
         .limit(1).collect()
@@ -76,6 +83,25 @@ object Tokenizer {
       }
     }
     (merges.result(), texts)
+  }
+
+  /** Optimization-round tooling (graft.PlanDump): ONE learn round's
+    * pair-count plan over a caller corpus — the plan [[learn]] executes
+    * per merge round, exposed so its shape is dumpable without running
+    * the eager loop. Mirrors the loop body exactly. */
+  private[graft] def pairCountPlanForDump(df: DataFrame, idCol: String,
+                                          textCol: String): DataFrame = {
+    val texts = df.select(col(idCol),
+      concat(lit(" "), TextAnalysis.normalized(col(textCol)), lit(" ")).as("__t"))
+    val toksArr = filter(split(trim(col("__t")), " "), t => t =!= lit(""))
+    val pairsArr = when(size(toksArr) >= 2,
+        transform(sequence(lit(0), size(toksArr) - lit(2)),
+          i => concat_ws(" ", element_at(toksArr, i + lit(1)),
+            element_at(toksArr, i + lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    texts.select(explode(pairsArr).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("pair")).limit(1)
   }
 
   /** The learned merge table: (merge_round, merge_left, merge_right,
