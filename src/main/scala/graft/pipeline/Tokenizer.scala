@@ -104,6 +104,25 @@ object Tokenizer {
       .orderBy(desc("cnt"), asc("pair")).limit(1)
   }
 
+  /** The round-15 window-based pair-count shape, kept ONLY as the "old"
+    * arm of the ScaleProbe bpe A/B (and the plans/r16 before-dump) — the
+    * live loop uses the row-local form above. Identical pair multiset. */
+  private[graft] def pairCountWindowForDump(df: DataFrame, idCol: String,
+                                            textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val texts = df.select(col(idCol),
+      concat(lit(" "), TextAnalysis.normalized(col(textCol)), lit(" ")).as("__t"))
+    texts
+      .select(col(idCol), posexplode(split(trim(col("__t")), " ")).as(Seq("pos", "tok")))
+      .where(col("tok") =!= "")
+      .select(concat_ws(" ", col("tok"), lead("tok", 1).over(w)).as("pair"),
+        lead("tok", 1).over(w).isNotNull.as("__full"))
+      .where(col("__full"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("pair")).limit(1)
+  }
+
   /** The learned merge table: (merge_round, merge_left, merge_right,
     * pair_count), one row per round in learning order. */
   def bpeMerges(df: DataFrame, idCol: String, textCol: String,

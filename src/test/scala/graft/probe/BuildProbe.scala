@@ -22,7 +22,16 @@ object BuildProbe {
       println(f"MARKER $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val cold = "/root/testdata/sf0.1"
-    val warm = "/root/testdata_alias/sf0.1b"
+    // alias path to the SAME files: a fresh memo key inside the warmed JVM
+    val warm = {
+      val d = java.nio.file.Paths.get("target", "buildprobe")
+      java.nio.file.Files.createDirectories(d)
+      val link = d.resolve("sf0.1b")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(cold))
+      link.toString
+    }
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
