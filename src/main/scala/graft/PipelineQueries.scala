@@ -162,6 +162,23 @@ object PipelineQueries {
     // stays memo-busted so the interleaved ascent is timed cold)
     case "graph_leiden_quality" =>
       GraphQueries.stageLeidenPartition(s, d)
+    // the warm-family co-purchase consumers (round 17): each times ONLY
+    // its own algorithm over the materialized pair-frame memo — the one
+    // pre-pass per corpus version. Without the explicit warm, whether an
+    // entry paid the lineitem self-join depended on run order (a
+    // preceding memo-cold entry busts the memo — the ADVICE r12
+    // coupling). The memo-cold ascent/walk-corpus entries stay unstaged
+    // and re-pay the build inside their cold pipelines.
+    case "graph_ktruss" | "graph_kcore_df" | "graph_adamic_adar"
+       | "graph_assortativity" | "graph_clustering_coeff"
+       | "graph_louvain_move" | "graph_weighted_walks"
+       | "graph_walk_pairs_long" | "graph_node2vec_walks"
+       | "graph_node2vec_walks_long" =>
+      GraphQueries.stageCoPairs(s, d)
+    // the triangle twins share the memoized exact-dup clique graph —
+    // each times its triangle algorithm, not the identical input build
+    case "graphx_triangles" | "graph_triangles_df" =>
+      stageCliquePairs(s, d)
     case _ => ()
   }
 
@@ -195,6 +212,28 @@ object PipelineQueries {
   // verify pipeline AND the cc iteration run once per session, not once
   // per consumer (both stages materialize eagerly via localCheckpoint, so
   // the cached frame is a cheap scan of the final checkpoint)
+  // the exact-dup CLIQUE pair graph (bounded expansion) is the shared
+  // input of the two triangle-counting twins (graphx_triangles /
+  // graph_triangles_df — the bridge-vs-DataFrame comparison the entries
+  // exist to make): memoized + materialized per (session, dir) — round
+  // 17, same shape as GraphQueries.coPairsCache — so each twin times its
+  // TRIANGLE COUNTING, not a private rebuild of the identical input
+  // graph (~1-1.5 s apiece at sf0.1). preStage warms it untimed;
+  // clearMemos drops it with the other shared-input memos.
+  private val cliquePairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def cliquePairs(s: SparkSession, d: String): DataFrame =
+    cliquePairsCache.computeIfAbsent((s, d), { _ =>
+      pipeline.Curation.exactDupCliquePairs(
+        dedupCorpus(s, d), "doc_id", "text", maxGroupSize = 256)
+        .localCheckpoint(true)
+    })
+  /** Pre-stage hook for the triangle twins: warm the clique-pair memo
+    * without timing it. */
+  private def stageCliquePairs(s: SparkSession, d: String): Unit = {
+    cliquePairs(s, d); ()
+  }
+
   private val neardupLabelsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def neardupLabels(s: SparkSession, d: String): DataFrame =
@@ -230,8 +269,13 @@ object PipelineQueries {
   def clearMemos(s: SparkSession, d: String): Unit = {
     neardupLabelsCache.remove((s, d))
     exportManifestCache.remove((s, d))
+    cliquePairsCache.remove((s, d))
     GraphQueries.clearWalkMemo(s, d)
     GraphQueries.clearLouvainMemo(s, d)
+    // the co-purchase pair-frame memo (round 17): memo-cold entries must
+    // re-pay the pair build inside their own cold pipeline; the
+    // warm-family consumers re-warm it via preStage
+    GraphQueries.clearCoPairsMemo(s, d)
   }
 
   /** Headline entries whose result is a memoized REAL streaming run
@@ -875,8 +919,7 @@ object PipelineQueries {
     // exactDupCliquePairs (groups > 256 members are dropped, mirrored in
     // the oracle's n <= 256 guard)
     "graphx_triangles" -> ((s, d) => {
-      val pairs = pipeline.Curation.exactDupCliquePairs(
-        dedupCorpus(s, d), "doc_id", "text", maxGroupSize = 256)
+      val pairs = cliquePairs(s, d)
       val docId = (n: String) => concat(lit("doc:"), col(n))
       val verts = pairs.select(col("a").as("k")).unionByName(pairs.select(col("b").as("k")))
         .distinct()
@@ -892,8 +935,7 @@ object PipelineQueries {
     // the RDD-free twin: degree-ordered wedge join (compact-forward) —
     // same clique graph, same closed-form oracle as the GraphX bridge
     "graph_triangles_df" -> ((s, d) => {
-      val pairs = pipeline.Curation.exactDupCliquePairs(
-        dedupCorpus(s, d), "doc_id", "text", maxGroupSize = 256)
+      val pairs = cliquePairs(s, d)
       val docId = (n: String) => concat(lit("doc:"), col(n))
       val verts = pairs.select(col("a").as("k")).unionByName(pairs.select(col("b").as("k")))
         .distinct()

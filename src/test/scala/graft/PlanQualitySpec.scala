@@ -869,4 +869,27 @@ class PlanQualitySpec extends SparkSuite {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges <= 20, s"composed chain grew to $exchanges exchanges:\n$plan")
   }
+
+  test("shared-input memos (co-purchase pairs, clique pairs) are state-independent: cold rebuild equals warm read") {
+    // round 17: warm-family entries read the materialized pair-frame
+    // memos (coPairsCache / cliquePairsCache) instead of re-executing the
+    // build in-plan. The memo must be a pure materialization: busting it
+    // and recomputing must yield bit-identical query results (the
+    // walkCache/louvainCache determinism argument, pinned here so a
+    // future memo of a nondeterministic frame fails fast).
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
+    PipelineQueries.clearMemos(spark, dir)
+    val coldMove = rows("graph_louvain_move")
+    val coldTri = rows("graph_triangles_df")
+    // warm path: preStage fills the memos untimed, queries read them
+    PipelineQueries.preStage("graph_louvain_move", spark, dir)
+    PipelineQueries.preStage("graph_triangles_df", spark, dir)
+    assert(rows("graph_louvain_move") == coldMove)
+    assert(rows("graph_triangles_df") == coldTri)
+    // and a second bust-and-rebuild still agrees
+    PipelineQueries.clearMemos(spark, dir)
+    assert(rows("graph_louvain_move") == coldMove)
+    assert(rows("graph_triangles_df") == coldTri)
+  }
 }
