@@ -315,9 +315,15 @@ object Bench {
     val cold = measured.filter(n => PipelineQueries.memoBackedQueries(n)
         || PipelineQueries.streamMemoQueries(n))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // prestaged names the entries whose one-time inputs (stream fixtures,
+    // serving models, shared-input memos) are staged UNTIMED via preStage
+    // — so the archived record says exactly which numbers exclude a
+    // staged input (round 17; additive field, like memo_cold before it)
+    val staged = measured.filter(PipelineQueries.preStagedQueries)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"memo_cold":$cold,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"memo_cold":$cold,"prestaged":$staged,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // also persist the record to a file: the driver captures the JSON from
     // the process tail, and a truncated tail (it happened in round 7 —

@@ -182,6 +182,21 @@ object PipelineQueries {
     case _ => ()
   }
 
+  /** Entries whose [[preStage]] case does nontrivial untimed staging —
+    * published in the bench JSON (`prestaged`) so every archived record
+    * names exactly which numbers exclude a staged one-time input
+    * (fixture, serving model, or shared-input memo). Keep in sync with
+    * the match above. */
+  val preStagedQueries: Set[String] = Set(
+    "events_stream_dedup", "stream_sig_dedup", "stream_asset_features",
+    "stream_nb_classify", "stream_label_drift", "stream_sessionize",
+    "stream_ann_ingest", "stream_graph_ingest", "curate_funnel",
+    "graph_louvain_refine", "graph_louvain_quality", "graph_leiden_quality",
+    "graph_ktruss", "graph_kcore_df", "graph_adamic_adar",
+    "graph_assortativity", "graph_clustering_coeff", "graph_louvain_move",
+    "graph_weighted_walks", "graph_walk_pairs_long", "graph_node2vec_walks",
+    "graph_node2vec_walks_long", "graphx_triangles", "graph_triangles_df")
+
   private val streamDedupCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
